@@ -1,0 +1,78 @@
+package graft.operators
+
+import java.io.{BufferedWriter, File, FileWriter}
+
+import org.apache.spark.Partitioner
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's letter-partitioned text sink (SURVEY §2.1 O15/O16):
+  * exactly 26 files `a.txt` … `z.txt` in `outDir`, each line
+  * `word:[id1 id2 ...]`, rows ordered (#files DESC, word ASC), empty
+  * files for letters with no words (the golden outputs contain 0-byte
+  * files even though the reference C code skips them — we match the
+  * spec + goldens, `Tema1a.pdf` p.6).
+  *
+  * Spark-first design: `DataFrameWriter.partitionBy` gives
+  * `letter=a/part-*.txt` directory layout and no empty files, so this is
+  * a small custom sink. We key rows by letter index and use
+  * `repartitionAndSortWithinPartitions` — Spark's spill-safe external
+  * sort — with a 26-way exact partitioner (NOT `repartition(26, col)`:
+  * hash collisions would mix letters). Each task then streams its
+  * already-sorted partition straight to its letter file; nothing is
+  * buffered in memory and nothing is collected on the driver, so the
+  * sink scales with the shuffle, not the driver.
+  *
+  * Local-mode note: tasks write to a local filesystem path; on a real
+  * cluster `outDir` would be a shared filesystem (NFS/fuse mount) or the
+  * writer swapped for a Hadoop `FileSystem` call — the dataflow is
+  * identical.
+  */
+object LetterTextSink {
+
+  private final class LetterPartitioner extends Partitioner {
+    override def numPartitions: Int = 26
+    override def getPartition(key: Any): Int =
+      key.asInstanceOf[(Int, Int, String)]._1
+  }
+
+  /** index: (word STRING, file_ids ARRAY<INT>) → 26 letter files. */
+  def write(index: DataFrame, outDir: String): Unit = {
+    new File(outDir).mkdirs()
+
+    val lines = index.select(
+      col("word"),
+      size(col("file_ids")).as("n"),
+      InvertedIndex.formattedLine(col("word"), col("file_ids")).as("line"))
+
+    // Sort key (letterIdx ASC, -n ASC, word ASC) == the reference's
+    // (#files DESC, word ASC) within each letter file.
+    val keyed = lines.rdd.map { r =>
+      val word = r.getString(0)
+      ((word.charAt(0) - 'a', -r.getInt(1), word), r.getString(2))
+    }
+
+    keyed
+      .repartitionAndSortWithinPartitions(new LetterPartitioner)
+      .foreachPartition { it =>
+        val idx = org.apache.spark.TaskContext.getPartitionId()
+        val letter = ('a' + idx).toChar
+        val tmp = new File(outDir, s".$letter.txt.tmp")
+        val w = new BufferedWriter(new FileWriter(tmp))
+        try it.foreach { case (_, line) => w.write(line); w.newLine() }
+        finally w.close()
+        // atomic-ish publish: rename over the final name so a re-run or
+        // speculative task can't interleave partial output
+        val dst = new File(outDir, s"$letter.txt")
+        if (dst.exists()) dst.delete()
+        if (!tmp.renameTo(dst))
+          throw new java.io.IOException(s"rename failed: $tmp -> $dst")
+      }
+
+    // O16: spec requires all 26 files even when empty.
+    ('a' to 'z').foreach { l =>
+      val f = new File(outDir, s"$l.txt")
+      if (!f.exists()) f.createNewFile()
+    }
+  }
+}

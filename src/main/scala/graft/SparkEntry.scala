@@ -1,13 +1,285 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY §2 that is SQL-expressible has BOTH a
+  * `queries` entry and an `oracleSql` entry (DuckDB dialect, same
+  * column names, computed ints cast to BIGINT, doubles rounded after
+  * aggregation so results are summation-order independent). Non-SQL
+  * ops (MinHash/SimHash LSH, IVF ANN) have queries entries only and are
+  * cross-checked in ScalaTest against their exact counterparts.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.starRevenue(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // relational core (SURVEY §2.2: scans/filters/projection/agg)
+    "q1_pricing" -> (Relational.pricingSummary _),
+    "q_filter_project" -> (Relational.filterProject _),
+    "q_star_revenue" -> (Relational.starRevenue _),
+    "q_topk_segment" -> (Relational.topOrdersPerSegment _),
+    "q_anti_no_orders" -> (Relational.customersWithoutOrders _),
+    "q_semi_big_spenders" -> (Relational.bigSpenders _),
+    "q_setops_custkeys" -> (Relational.setOpsCustkeys _),
+    "q_order_stats" -> (Relational.orderStats _),
+    // inverted-index query surface over documents (SURVEY §2.3 Q1-Q5)
+    "q_doc_index" -> (TextQueries.docIndex _),
+    "q_doc_posting" -> (TextQueries.docPosting _),
+    "q_doc_topk_letter" -> (TextQueries.topkPerLetter _),
+    "q_doc_bool" -> (TextQueries.boolRetrieval _),
+    "q_corpus_stats" -> (TextQueries.corpusStats _),
+    // text analysis (north-star ops)
+    "q_text_quality" -> (TextQueries.textQuality _),
+    "q_lang_id" -> (TextQueries.langId _),
+    "q_fingerprint" -> (TextQueries.fingerprints _),
+    // dedup family
+    "q_dedup_exact" -> (Dedup.exactGroups _),
+    "q_canonical_map" -> (Dedup.canonicalMap _),
+    "q_dedup_minhash" -> ((s: SparkSession, d: String) => Dedup.minhashNearDups(s, d)),
+    "q_dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhashNearDups(s, d)),
+    "q_dedup_ngram" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardDups(s, d)),
+    "q_dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDups(s, d, 0.4)),
+    // similarity search
+    "q_knn_brute" -> ((s: SparkSession, d: String) => Similarity.knnBruteForce(s, d)),
+    "q_knn_ivf" -> ((s: SparkSession, d: String) => Similarity.knnIvf(s, d)),
+    // events / time series
+    "q_events_hourly" -> (EventsQueries.hourlyCounts _),
+    "q_events_daily" -> (EventsQueries.dailyActivity _),
+    "q_events_sessions" -> (EventsQueries.sessionCounts _),
+    "q_events_topusers" -> (EventsQueries.topUsers _),
+    "q_events_json" -> (EventsQueries.jsonProps _),
+  )
+
+  /** Shared DuckDB CTE: whitespace-tokenize documents, strip
+    * non-alpha, lowercase, drop empties — mirrors
+    * InvertedIndex.normalizeToken exactly.
+    */
+  private val wordsCte =
+    """WITH raw AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents
+      |), toks AS (
+      |  SELECT doc_id, lower(regexp_replace(tok, '[^A-Za-z]+', '', 'g')) AS word FROM raw
+      |), words AS (
+      |  SELECT DISTINCT doc_id, word FROM toks WHERE length(word) > 0
+      |)""".stripMargin
+
+  private val docToksCte =
+    """WITH d AS (
+      |  SELECT doc_id, text,
+      |    list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents
+      |)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(sum(l_quantity), 2) / count(*) AS avg_qty,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+        |WHERE l_quantity > 49 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_star_revenue" ->
+      """SELECT r_name, n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_topk_segment" ->
+      """SELECT c_mktsegment, CAST(rnk AS BIGINT) AS rnk, o_orderkey,
+        | round(o_totalprice, 2) AS o_totalprice
+        |FROM (SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        | FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""".stripMargin,
+    "q_anti_no_orders" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_semi_big_spenders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_setops_custkeys" ->
+      """(SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        | INTERSECT
+        | SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY o_custkey""".stripMargin,
+    "q_order_stats" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        | count(DISTINCT o_custkey) AS n_customers,
+        | round(min(o_totalprice), 2) AS min_price,
+        | round(max(o_totalprice), 2) AS max_price,
+        | round(sum(o_totalprice), 2) / count(*) AS avg_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_doc_index" -> (wordsCte +
+      """
+        |SELECT word,
+        | string_agg(CAST(doc_id AS VARCHAR), ' ' ORDER BY doc_id) AS doc_ids,
+        | count(*) AS n_docs
+        |FROM words GROUP BY word ORDER BY n_docs DESC, word""".stripMargin),
+    "q_doc_posting" -> (wordsCte +
+      """
+        |SELECT word,
+        | string_agg(CAST(doc_id AS VARCHAR), ' ' ORDER BY doc_id) AS doc_ids,
+        | count(*) AS n_docs
+        |FROM words WHERE word IN ('spark', 'join', 'window', 'stream')
+        |GROUP BY word ORDER BY word""".stripMargin),
+    "q_doc_topk_letter" -> (wordsCte +
+      """, idx AS (
+        | SELECT word, count(*) AS n_docs, substr(word, 1, 1) AS letter
+        | FROM words GROUP BY word)
+        |SELECT letter, CAST(rnk AS BIGINT) AS rnk, word, n_docs
+        |FROM (SELECT letter, word, n_docs,
+        |  row_number() OVER (PARTITION BY letter ORDER BY n_docs DESC, word) AS rnk
+        | FROM idx)
+        |WHERE rnk <= 5 ORDER BY letter, rnk""".stripMargin),
+    "q_doc_bool" -> (wordsCte +
+      """, flags AS (
+        | SELECT doc_id,
+        |  CAST(max(CASE WHEN word = 'spark' THEN 1 ELSE 0 END) AS BIGINT) AS has_spark,
+        |  CAST(max(CASE WHEN word = 'join' THEN 1 ELSE 0 END) AS BIGINT) AS has_join,
+        |  CAST(max(CASE WHEN word = 'stream' THEN 1 ELSE 0 END) AS BIGINT) AS has_stream,
+        |  CAST(max(CASE WHEN word = 'window' THEN 1 ELSE 0 END) AS BIGINT) AS has_window
+        | FROM words WHERE word IN ('spark', 'join', 'stream', 'window')
+        | GROUP BY doc_id)
+        |SELECT doc_id, has_spark, has_join, has_stream FROM flags
+        |WHERE ((has_spark = 1 AND has_join = 1) OR has_stream = 1) AND has_window = 0
+        |ORDER BY doc_id""".stripMargin),
+    "q_corpus_stats" -> (wordsCte +
+      """, t AS (
+        | SELECT count(*) AS n_docs,
+        |  CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> len(x) > 0))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+        | FROM documents),
+        | w AS (
+        | SELECT count(DISTINCT word) AS n_distinct_words, count(*) AS n_postings
+        | FROM words)
+        |SELECT n_docs, n_tokens, n_chars, n_distinct_words, n_postings FROM t, w""".stripMargin),
+    "q_text_quality" -> (docToksCte +
+      """
+        |SELECT doc_id,
+        | CAST(length(text) AS BIGINT) AS len_chars,
+        | CAST(len(toks) AS BIGINT) AS n_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subwords,
+        | round(CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0) AS DOUBLE)
+        |   / greatest(len(toks), 1), 4) AS avg_token_len,
+        | round(CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+        |   / greatest(length(text), 1), 4) AS punct_ratio,
+        | round(CAST(len(list_filter(toks, x -> list_contains(
+        |     ['the','a','an','of','and','in','to','is','it','for'], lower(x)))) AS DOUBLE)
+        |   / greatest(len(toks), 1), 4) AS stopword_ratio
+        |FROM d ORDER BY doc_id""".stripMargin),
+    "q_lang_id" -> (docToksCte +
+      """, s AS (
+        | SELECT doc_id,
+        |  CAST(len(list_filter(toks, x -> list_contains(['the','and','of','is'], lower(x)))) AS BIGINT) AS score_en,
+        |  CAST(len(list_filter(toks, x -> list_contains(['der','und','die','das'], lower(x)))) AS BIGINT) AS score_de,
+        |  CAST(len(list_filter(toks, x -> list_contains(['el','y','los','las'], lower(x)))) AS BIGINT) AS score_es,
+        |  CAST(len(list_filter(toks, x -> list_contains(['le','et','les','des'], lower(x)))) AS BIGINT) AS score_fr
+        | FROM d)
+        |SELECT doc_id, score_en, score_de, score_es, score_fr,
+        | CASE WHEN greatest(score_en, score_de, score_es, score_fr) = 0 THEN 'und'
+        |  WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+        |  WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+        |  WHEN score_es >= score_fr THEN 'es'
+        |  ELSE 'fr' END AS predicted_lang
+        |FROM s ORDER BY doc_id""".stripMargin),
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_copies,
+        | min(doc_id) AS canonical_id
+        |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
+    "q_canonical_map" ->
+      """WITH f AS (
+        | SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        | FROM documents)
+        |SELECT doc_id,
+        | min(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+        | CAST(CASE WHEN doc_id != min(doc_id) OVER (PARTITION BY fp)
+        |   THEN 1 ELSE 0 END AS BIGINT) AS is_duplicate
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q_dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        | round(list_cosine_similarity(a.emb, b.emb), 4) AS cos
+        |FROM e a, e b
+        |WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.emb, b.emb) >= 0.4
+        |ORDER BY 1, 2""".stripMargin,
+    "q_knn_brute" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        | q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 10),
+        | s AS (SELECT query_id, vec_id,
+        |   round(list_cosine_similarity(emb, q_emb), 4) AS cos
+        |  FROM e, q WHERE vec_id != query_id),
+        | r AS (SELECT query_id, vec_id, cos,
+        |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+        |  FROM s)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id AS neighbor_id, cos
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT CAST(ts AS DATE) AS event_date,
+        | CAST(EXTRACT(hour FROM ts) AS BIGINT) AS event_hour,
+        | event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_events_daily" ->
+      """SELECT CAST(ts AS DATE) AS event_date, event_type,
+        | count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+        | round(sum(value), 2) / count(*) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_events_sessions" ->
+      """WITH x AS (
+        | SELECT user_id, ts,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        | FROM events),
+        | y AS (
+        | SELECT user_id,
+        |  CASE WHEN prev_ts IS NULL THEN 0
+        |   WHEN date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS is_break
+        | FROM x)
+        |SELECT user_id, CAST(sum(is_break) + 1 AS BIGINT) AS n_sessions,
+        | count(*) AS n_events
+        |FROM y GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_events_topusers" ->
+      """WITH t AS (
+        | SELECT event_type, user_id, round(sum(value), 2) AS total_value
+        | FROM events GROUP BY 1, 2),
+        | r AS (
+        | SELECT event_type, user_id, total_value,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY total_value DESC, user_id) AS rnk
+        | FROM t)
+        |SELECT event_type, CAST(rnk AS BIGINT) AS rnk, user_id, total_value
+        |FROM r WHERE rnk <= 5 ORDER BY event_type, rnk""".stripMargin,
+    "q_events_json" ->
+      """SELECT event_type,
+        | CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        | count(CAST(props->>'$.k' AS BIGINT)) AS n_with_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
 }

@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextAnalysis
+
+/** Deduplication family for a training-data pipeline: exact,
+  * fingerprint-canonical, MinHash+LSH, SimHash, n-gram Jaccard, and
+  * embedding-cosine near-dup.
+  *
+  * Scale posture (the whole point of these designs):
+  *  - NOTHING here compares all pairs. Every near-dup variant goes
+  *    shingle/band/bucket → candidate pairs → verify, so work is
+  *    proportional to colliding pairs, not n².
+  *  - Signatures (minhash/simhash) are computed in ONE aggregation pass
+  *    with k `min`/`sum` expressions — no row explosion by k, and the
+  *    partial aggregate runs map-side before the shuffle on doc_id.
+  *  - Hot shingles are capped by document frequency before the LSH
+  *    band join (standard df-cut) so a boilerplate shingle shared by
+  *    millions of docs cannot produce a quadratic bucket.
+  *  - All hashing is `xxhash64` with fixed seeds ⇒ deterministic across
+  *    runs, partitionings and cluster sizes.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact-duplicate groups by content hash (md5 so the DuckDB oracle
+    * can reproduce it bit-for-bit). Empty result = no dupes; still a
+    * valid oracle check.
+    */
+  def exactGroups(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("canonical_id"))
+      .filter(col("n_copies") > 1)
+      .orderBy(col("content_hash"))
+
+  /** Canonical map: every doc → the smallest doc_id sharing its
+    * normalized fingerprint (window-min over the hash partition). The
+    * keep/drop decision of an exact-dedup pass, one row per doc.
+    */
+  def canonicalMap(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("fp"))
+    docs(s, dir)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("is_duplicate", (col("doc_id") =!= col("canonical_id")).cast("long"))
+      .select(col("doc_id"), col("canonical_id"), col("is_duplicate"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------------- shingles
+
+  /** Distinct k-token shingles per doc, lowercased. */
+  def shingles(d: DataFrame, k: Int = 3): DataFrame = {
+    val toks = TextAnalysis.tokens(lower(col("text")))
+    d.select(col("doc_id"),
+        explode(transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
+          i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*))
+        ).as("shingle"))
+      .distinct()
+  }
+
+  /** Cap shingle document frequency: drop shingles appearing in more
+    * than `maxDf` docs (they generate huge LSH buckets and carry no
+    * dedup signal).
+    */
+  private def dfCapped(sh: DataFrame, maxDf: Int): DataFrame = {
+    val w = Window.partitionBy(col("shingle"))
+    sh.withColumn("df", count(lit(1)).over(w)).filter(col("df") <= maxDf).drop("df")
+  }
+
+  // ------------------------------------------------------------- MinHash
+
+  /** MinHash signatures: one row per doc, `numHashes` minimums computed
+    * in a single groupBy pass over (doc, shingle-hash) with seeded
+    * xxhash64 — the signature matrix without materializing permutations.
+    */
+  def minhashSignatures(sh: DataFrame, numHashes: Int = 24): DataFrame = {
+    val mins = (0 until numHashes).map(seed =>
+      min(xxhash64(lit(seed), col("shingle"))).as(s"mh_$seed"))
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** Candidate pairs via LSH banding: signature split into `bands`
+    * bands of `numHashes/bands` rows; docs sharing any band hash become
+    * a candidate pair. Join is on (band_id, band_hash) — the classic
+    * bucket join, shuffle ∝ docs × bands.
+    */
+  def lshCandidates(sig: DataFrame, numHashes: Int = 24, bands: Int = 8): DataFrame = {
+    val rows = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      val slice = (0 until rows).map(r => col(s"mh_${b * rows + r}"))
+      struct(lit(b).as("band_id"), xxhash64(slice: _*).as("band_hash"))
+    }
+    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b,
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard verification of candidate pairs against the shingle
+    * sets (hashes, not strings, to keep shuffle rows narrow).
+    */
+  def verifyJaccard(candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(collect_set(xxhash64(col("shingle"))).as("sh_set"),
+        count(lit(1)).as("sh_n"))
+    candidates
+      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("inter", size(array_intersect(col("sa.sh_set"), col("sb.sh_set"))))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("sa.sh_n") + col("sb.sh_n") - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Q-DEDUP (near): MinHash+LSH near-duplicate pairs, Jaccard ≥ 0.5. */
+  def minhashNearDups(s: SparkSession, dir: String,
+      threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
+    val sh = dfCapped(shingles(docs(s, dir)), maxDf).cache()
+    val cands = lshCandidates(minhashSignatures(sh))
+    verifyJaccard(cands, sh, threshold)
+  }
+
+  /** n-gram Jaccard dedup without minhash: candidates = pairs sharing
+    * ≥1 (df-capped) shingle, then exact Jaccard — the small-corpus /
+    * high-precision variant of the same pipeline.
+    */
+  def ngramJaccardDups(s: SparkSession, dir: String,
+      threshold: Double = 0.3, maxDf: Int = 50): DataFrame = {
+    val sh = dfCapped(shingles(docs(s, dir), k = 2), maxDf).cache()
+    val a = sh.as("a"); val b = sh.as("b")
+    val cands = a.join(b,
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cands, sh, threshold)
+  }
+
+  // ------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash per doc: per-token xxhash64, each bit votes ±1,
+    * sign of the vote sum becomes the bit. One aggregation with 64 sum
+    * expressions — map-side combinable, no explosion.
+    */
+  def simhashSignatures(d: DataFrame): DataFrame = {
+    val toks = d.select(col("doc_id"),
+      explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val votes = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v_$i"))
+    val voted = toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val sim = (0 until 64).map(i =>
+      when(col(s"v_$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce((a: Column, b: Column) => a.bitwiseOR(b))
+    voted.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** SimHash near-dups: candidates share one of four 16-bit chunks
+    * (any pair within Hamming distance 3 must agree on ≥1 chunk —
+    * pigeonhole), verified by `bit_count(xor) <= maxHamming`.
+    */
+  def simhashNearDups(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val sig = simhashSignatures(docs(s, dir))
+    val chunks = (0 until 4).map(i =>
+      struct(lit(i).as("chunk_id"),
+        shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL).as("chunk")))
+    val chunked = sig.select(col("doc_id"), col("simhash"),
+      explode(array(chunks: _*)).as("c"))
+      .select(col("doc_id"), col("simhash"), col("c.chunk_id"), col("c.chunk"))
+    val a = chunked.as("a"); val b = chunked.as("b")
+    a.join(b,
+        col("a.chunk_id") === col("b.chunk_id") && col("a.chunk") === col("b.chunk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ------------------------------------------- embedding-cosine near-dup
+
+  /** Near-duplicate pairs by embedding cosine ≥ threshold. Candidate
+    * generation here is the LSH bucketing from [[Similarity]]; at the
+    * small test scale the verify-all path is exercised by the oracle
+    * query instead (see SparkEntry.q_dedup_embedding).
+    */
+  def embeddingNearDups(s: SparkSession, dir: String, threshold: Double): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("emb"))
+    val a = e.as("a"); val b = e.as("b")
+    a.join(b, col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", Similarity.cosine(col("a.emb"), col("b.emb")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+}

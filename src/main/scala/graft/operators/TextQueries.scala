@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextAnalysis
+
+/** The reference's query surface re-expressed over the `documents`
+  * table (SURVEY §2.3 Q-INDEX/Q-POSTING/Q-TOPK/Q-BOOL/Q-STATS): the
+  * inverted index as a DataFrame materialization plus the point-lookup,
+  * top-k and boolean-retrieval queries an inverted index naturally
+  * answers, and the text-analysis extension queries.
+  *
+  * Word semantics are identical to the reference pipeline
+  * (`InvertedIndex.normalizeToken`): whitespace tokens → strip
+  * non-alphabetic → lowercase → drop empties.
+  *
+  * Scale: one shuffle per aggregate, hash-partitioned on `word` or
+  * `doc_id`; posting lists rendered as space-joined strings (bounded by
+  * corpus doc count per word — same bound as the reference's int
+  * arrays). Per-document queries are embarrassingly parallel scans.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  /** Distinct (word, doc_id) pairs — the map-stage output of the
+    * reference (O4–O8) on the documents table.
+    */
+  def wordDocPairs(d: DataFrame): DataFrame =
+    d.select(explode(split(col("text"), "\\s+")).as("tok"), col("doc_id"))
+      .select(InvertedIndex.normalizeToken(col("tok")).as("word"), col("doc_id"))
+      .filter(length(col("word")) > 0)
+      .distinct()
+
+  /** Q-INDEX: full inverted index, posting list as ascending
+    * space-joined string (string form so the DuckDB oracle can
+    * hash-compare it).
+    */
+  def docIndex(s: SparkSession, dir: String): DataFrame =
+    wordDocPairs(docs(s, dir))
+      .groupBy(col("word"))
+      .agg(
+        array_join(transform(array_sort(collect_set(col("doc_id"))), _.cast("string")), " ")
+          .as("doc_ids"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("word").asc)
+
+  /** Q-POSTING: point lookup for a fixed word set. */
+  def docPosting(s: SparkSession, dir: String): DataFrame =
+    docIndex(s, dir)
+      .filter(col("word").isin("spark", "join", "window", "stream"))
+      .orderBy(col("word"))
+
+  /** Q-TOPK: top-5 words per first letter by (n_docs DESC, word ASC). */
+  def topkPerLetter(s: SparkSession, dir: String): DataFrame = {
+    val idx = wordDocPairs(docs(s, dir))
+      .groupBy(col("word")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("letter", substring(col("word"), 1, 1))
+    val w = Window.partitionBy(col("letter"))
+      .orderBy(col("n_docs").desc, col("word").asc)
+    idx.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("letter"), col("rnk").cast("long").as("rnk"), col("word"), col("n_docs"))
+      .orderBy(col("letter"), col("rnk"))
+  }
+
+  /** Q-BOOL: boolean retrieval — docs containing 'spark' AND 'join',
+    * OR 'stream', and NOT 'window'. One row per doc with membership
+    * flags, filtered to (spark ∧ join) ∨ stream, minus window-docs.
+    */
+  def boolRetrieval(s: SparkSession, dir: String): DataFrame = {
+    val pairs = wordDocPairs(docs(s, dir))
+      .filter(col("word").isin("spark", "join", "stream", "window"))
+    val flags = pairs.groupBy(col("doc_id")).agg(
+      max(when(col("word") === "spark", 1L).otherwise(0L)).as("has_spark"),
+      max(when(col("word") === "join", 1L).otherwise(0L)).as("has_join"),
+      max(when(col("word") === "stream", 1L).otherwise(0L)).as("has_stream"),
+      max(when(col("word") === "window", 1L).otherwise(0L)).as("has_window"))
+    flags
+      .filter(((col("has_spark") === 1 && col("has_join") === 1) || col("has_stream") === 1)
+        && col("has_window") === 0)
+      .select(col("doc_id"), col("has_spark"), col("has_join"), col("has_stream"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Q-STATS: corpus statistics (single row). */
+  def corpusStats(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = wordDocPairs(d)
+    val tokenTotal = d.select(
+      sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"),
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("n_chars"))
+    val wordTotal = pairs.agg(
+      countDistinct(col("word")).as("n_distinct_words"),
+      count(lit(1)).as("n_postings"))
+    tokenTotal.crossJoin(wordTotal)
+      .select(col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_distinct_words"), col("n_postings"))
+  }
+
+  /** Text-quality scoring per document (training-data filtering
+    * signals: length, token stats, punctuation + stopword ratios).
+    */
+  def textQuality(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("len_chars"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TextAnalysis.subwordCount(col("text")).cast("long").as("n_subwords"),
+      TextAnalysis.avgTokenLen(col("text")).as("avg_token_len"),
+      TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+      TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"))
+      .orderBy(col("doc_id"))
+
+  /** Language-ID by marker-word voting. */
+  def langId(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.langScore(col("text"), "en").cast("long").as("score_en"),
+      TextAnalysis.langScore(col("text"), "de").cast("long").as("score_de"),
+      TextAnalysis.langScore(col("text"), "es").cast("long").as("score_es"),
+      TextAnalysis.langScore(col("text"), "fr").cast("long").as("score_fr"),
+      TextAnalysis.langPredict(col("text")).as("predicted_lang"))
+      .orderBy(col("doc_id"))
+
+  /** Canonical-content fingerprint per document. */
+  def fingerprints(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+}

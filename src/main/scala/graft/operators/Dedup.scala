@@ -203,11 +203,12 @@ object Dedup {
     * query instead (see SparkEntry.q_dedup_embedding).
     */
   def embeddingNearDups(s: SparkSession, dir: String, threshold: Double): DataFrame = {
-    val e = Tables.load(s, dir, "embeddings")
-      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("emb"))
+    val e = Similarity.emb(s, dir)
     val a = e.as("a"); val b = e.as("b")
     a.join(b, col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", Similarity.cosine(col("a.emb"), col("b.emb")))
+      .withColumn("cos",
+        graft.functions.VectorFunctions.arrayDot(col("a.emb"), col("b.emb")) /
+          (col("a.nrm") * col("b.nrm")))
       .filter(col("cos") >= threshold)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(col("cos"), 4).as("cos"))

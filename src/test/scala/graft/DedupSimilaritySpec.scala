@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+class DedupSimilaritySpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("canonicalMap: canonical_id <= doc_id, non-dups map to self") {
+    Dedup.canonicalMap(spark, sf).collect().foreach { r =>
+      assert(r.getLong(1) <= r.getLong(0))
+      if (r.getLong(2) == 0) assert(r.getLong(1) == r.getLong(0))
+    }
+  }
+
+  test("minhash LSH and exact ngram-jaccard agree on high-similarity pairs") {
+    val mh = Dedup.minhashNearDups(spark, sf, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact pairwise jaccard (3-shingles) over all pairs via the ngram path
+    // with a permissive candidate df-cap: every >=0.9 pair must be in both
+    val exact = Dedup.ngramJaccardDups(spark, sf, threshold = 0.5, maxDf = 1000)
+    val strong = exact.filter(col("jaccard") >= 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strong.nonEmpty, "testdata should contain planted near-dups")
+    assert(strong.subsetOf(mh), s"LSH missed strong pairs: ${strong.diff(mh)}")
+  }
+
+  test("simhash near-dups overlap minhash near-dups on strong pairs") {
+    val sh = Dedup.simhashNearDups(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minhashNearDups(spark, sf, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sh.nonEmpty && mh.nonEmpty)
+    val overlap = sh.intersect(mh).size.toDouble / mh.size
+    assert(overlap >= 0.5, s"simhash/minhash overlap only $overlap")
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    Dedup.embeddingNearDups(spark, sf, 0.4).collect().foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.4)
+    }
+  }
+
+  test("knnBruteForce: k rows per query, cosine non-increasing by rank") {
+    val rows = Similarity.knnBruteForce(spark, sf).collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.size == 10)
+    byQuery.foreach { case (_, rs) =>
+      assert(rs.length == 5)
+      val cos = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("knnIvf achieves >=40% recall vs brute force at nprobe=4") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val brute = pairs(Similarity.knnBruteForce(spark, sf))
+    val ivf = pairs(Similarity.knnIvf(spark, sf))
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.4, s"IVF recall $recall")
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Per-operator behavior + plan-shape assertions over sf0.001.
+  * Value-level correctness is covered by the DuckDB oracle gate
+  * (Verify + oracle_sql); these specs pin invariants and the physical
+  * plans we care about at scale (pushdown, broadcast, partial agg).
+  */
+class QueriesSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def physicalPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filterProject pushes predicates and prunes columns at the scan") {
+    val df = Relational.filterProject(spark, sf)
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    assert(scan.contains("PushedFilters: ["), s"no pushed filters in:\n$scan")
+    assert(scan.contains("l_quantity") && scan.contains("l_returnflag"))
+    // pruned read schema: only the 4 projected + 2 filter columns, not all 11
+    assert(!scan.contains("l_shipdate"), "read schema not pruned")
+    assert(df.count() > 0)
+  }
+
+  test("starRevenue broadcasts every dimension join") {
+    val plan = physicalPlan(Relational.starRevenue(spark, sf))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts in:\n$plan")
+    assert(Relational.starRevenue(spark, sf).count() == 25)
+  }
+
+  test("pricingSummary uses partial (map-side) aggregation") {
+    val plan = physicalPlan(Relational.pricingSummary(spark, sf))
+    assert(plan.contains("partial_"), s"no partial agg in:\n$plan")
+  }
+
+  test("setops/semi/anti return consistent customer partitions") {
+    val anti = Relational.customersWithoutOrders(spark, sf)
+      .agg(sum("n_customers")).collect()(0)
+    val antiN = if (anti.isNullAt(0)) 0L else anti.getLong(0)
+    val semiN = Relational.bigSpenders(spark, sf).count()
+    val total = graft.Tables.load(spark, sf, "customer").count()
+    assert(antiN + semiN <= total)
+    assert(Relational.setOpsCustkeys(spark, sf).count() >= 0)
+  }
+
+  test("docIndex: n_docs equals posting-list length, postings ascending") {
+    val rows = TextQueries.docIndex(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ids = r.getString(1).split(" ").map(_.toLong)
+      assert(ids.length == r.getLong(2), s"count mismatch for ${r.getString(0)}")
+      assert(ids.sameElements(ids.sorted), s"unsorted posting for ${r.getString(0)}")
+      assert(ids.distinct.length == ids.length, s"dup ids for ${r.getString(0)}")
+    }
+  }
+
+  test("boolRetrieval result is consistent with docIndex membership") {
+    val idx = TextQueries.docIndex(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getString(1).split(" ").map(_.toLong).toSet).toMap
+    def docsOf(w: String) = idx.getOrElse(w, Set.empty[Long])
+    val expected = ((docsOf("spark") intersect docsOf("join")) union docsOf("stream"))
+      .diff(docsOf("window"))
+    val got = TextQueries.boolRetrieval(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+  }
+
+  test("langId predicts a language for every doc, scores consistent") {
+    val rows = TextQueries.langId(spark, sf).collect()
+    assert(rows.length == graft.Tables.load(spark, sf, "documents").count())
+    rows.foreach { r =>
+      val scores = Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val pred = r.getString(5)
+      if (scores.max == 0) assert(pred == "und")
+      else assert(Seq("en", "de", "es", "fr").contains(pred))
+    }
+  }
+
+  test("events: hourly counts roll up to daily counts") {
+    val hourly = EventsQueries.hourlyCounts(spark, sf)
+      .groupBy("event_date", "event_type").agg(sum("n_events").as("n"))
+    val daily = EventsQueries.dailyActivity(spark, sf)
+      .select(col("event_date"), col("event_type"), col("n_events").as("n"))
+    assert(hourly.except(daily).count() == 0 && daily.except(hourly).count() == 0)
+  }
+
+  test("sessions: every user has >=1 session and sessions <= events") {
+    EventsQueries.sessionCounts(spark, sf).collect().foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= r.getLong(2))
+    }
+  }
+}

@@ -49,6 +49,9 @@ object SparkEntry {
     // similarity search
     "q_knn_brute" -> ((s: SparkSession, d: String) => Similarity.knnBruteForce(s, d)),
     "q_knn_ivf" -> ((s: SparkSession, d: String) => Similarity.knnIvf(s, d)),
+    // multimodal binary columns
+    "q_media_meta" -> (Multimodal.mediaMetaSummary _),
+    "q_media_neardups" -> ((s: SparkSession, d: String) => Multimodal.mediaNearDups(s, d)),
     // events / time series
     "q_events_hourly" -> (EventsQueries.hourlyCounts _),
     "q_events_daily" -> (EventsQueries.dailyActivity _),
@@ -242,6 +245,18 @@ object SparkEntry {
         |  FROM s)
         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id AS neighbor_id, cos
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "q_media_meta" ->
+      """WITH m AS (
+        | SELECT doc_id AS media_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |   ELSE 'video' END AS kind,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        | FROM documents)
+        |SELECT media_id, kind, n_bytes,
+        | CAST(ceil(CAST(n_bytes AS DOUBLE)
+        |   / ceil(CAST(n_bytes AS DOUBLE) / 4)) AS BIGINT) AS n_frames,
+        | n_bytes AS frame_bytes
+        |FROM m ORDER BY media_id""".stripMargin,
     "q_events_hourly" ->
       """SELECT CAST(ts AS DATE) AS event_date,
         | CAST(EXTRACT(hour FROM ts) AS BIGINT) AS event_hour,

@@ -58,13 +58,18 @@ object Dedup {
 
   // ------------------------------------------------------------- shingles
 
-  /** Distinct k-token shingles per doc, lowercased. */
-  def shingles(d: DataFrame, k: Int = 3): DataFrame = {
+  /** Distinct k-token shingles per doc, lowercased, immediately
+    * reduced to a 64-bit hash: every downstream shuffle (df-cap,
+    * signature agg, band join, jaccard verify) then moves 8-byte longs
+    * instead of multi-word strings. Collision odds at 2^64 are
+    * negligible next to the minhash approximation itself.
+    */
+  def shingleHashes(d: DataFrame, k: Int = 3): DataFrame = {
     val toks = TextAnalysis.tokens(lower(col("text")))
     d.select(col("doc_id"),
         explode(transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
-          i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*))
-        ).as("shingle"))
+          i => xxhash64((0 until k).map(j => element_at(toks, i + j + 1)): _*))
+        ).as("sh"))
       .distinct()
   }
 
@@ -73,7 +78,7 @@ object Dedup {
     * dedup signal).
     */
   private def dfCapped(sh: DataFrame, maxDf: Int): DataFrame = {
-    val w = Window.partitionBy(col("shingle"))
+    val w = Window.partitionBy(col("sh"))
     sh.withColumn("df", count(lit(1)).over(w)).filter(col("df") <= maxDf).drop("df")
   }
 
@@ -85,7 +90,7 @@ object Dedup {
     */
   def minhashSignatures(sh: DataFrame, numHashes: Int = 24): DataFrame = {
     val mins = (0 until numHashes).map(seed =>
-      min(xxhash64(lit(seed), col("shingle"))).as(s"mh_$seed"))
+      min(xxhash64(lit(seed), col("sh"))).as(s"mh_$seed"))
     sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
@@ -116,7 +121,7 @@ object Dedup {
     */
   def verifyJaccard(candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
     val sets = sh.groupBy(col("doc_id"))
-      .agg(collect_set(xxhash64(col("shingle"))).as("sh_set"),
+      .agg(collect_set(col("sh")).as("sh_set"),
         count(lit(1)).as("sh_n"))
     candidates
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -133,7 +138,7 @@ object Dedup {
   /** Q-DEDUP (near): MinHash+LSH near-duplicate pairs, Jaccard ≥ 0.5. */
   def minhashNearDups(s: SparkSession, dir: String,
       threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
-    val sh = dfCapped(shingles(docs(s, dir)), maxDf).cache()
+    val sh = dfCapped(shingleHashes(docs(s, dir)), maxDf).cache()
     val cands = lshCandidates(minhashSignatures(sh))
     verifyJaccard(cands, sh, threshold)
   }
@@ -144,10 +149,10 @@ object Dedup {
     */
   def ngramJaccardDups(s: SparkSession, dir: String,
       threshold: Double = 0.3, maxDf: Int = 50): DataFrame = {
-    val sh = dfCapped(shingles(docs(s, dir), k = 2), maxDf).cache()
+    val sh = dfCapped(shingleHashes(docs(s, dir), k = 2), maxDf).cache()
     val a = sh.as("a"); val b = sh.as("b")
     val cands = a.join(b,
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     verifyJaccard(cands, sh, threshold)

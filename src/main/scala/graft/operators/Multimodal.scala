@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, plus the decode /
+  * feature-extract / frame-sample operators a training-data pipeline
+  * runs over them.
+  *
+  * The container has no image/audio codecs, so the *decode* step is a
+  * clearly-marked deterministic stand-in ([[DecodeStub]]); everything
+  * Spark-side — schema, typed Dataset row shape, per-partition
+  * batching (codec init amortized per partition, the same shape a
+  * Pandas-UDF/`mapInPandas` batch has in PySpark), partitioning and
+  * the downstream joins — is real and tested.
+  *
+  * Scale posture: binary payloads ride in the row; operators are
+  * narrow per-partition maps (no shuffle) until an explicit aggregate;
+  * feature vectors re-enter the relational world as `array<double>`
+  * and plug straight into [[Similarity]]'s codegen'd dot product.
+  */
+object Multimodal {
+
+  /** A media row: payload + declared kind. */
+  case class MediaRow(media_id: Long, kind: String, content: Array[Byte])
+
+  /** Typed metadata extracted by "decoding" the payload. */
+  case class MediaMeta(media_id: Long, kind: String, n_bytes: Long,
+      checksum: Long, width: Int, height: Int)
+
+  /** Deterministic stand-in for real codecs (libjpeg/ffmpeg absent in
+    * this container). Derives pseudo-dimensions from payload bytes so
+    * tests are reproducible. Swap this object for real decoders on a
+    * cluster with codec libraries installed — call sites are unchanged.
+    */
+  object DecodeStub {
+    def dims(content: Array[Byte]): (Int, Int) = {
+      val h = checksum(content)
+      (64 + math.abs(h % 1920).toInt, 64 + math.abs((h >> 16) % 1080).toInt)
+    }
+    def checksum(content: Array[Byte]): Long = {
+      var s = 1125899906842597L
+      var i = 0
+      while (i < content.length) { s = 31 * s + content(i); i += 1 }
+      s
+    }
+  }
+
+  /** Deterministic media table synthesized from `documents` (text bytes
+    * as payload, kind cycled by id) — the fixture for the binary
+    * pipeline since the driver testdata has no binary table.
+    */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("content"))
+
+  /** Decode metadata per payload. `mapPartitions` so a real codec
+    * would be initialized once per partition, not once per row — the
+    * batch shape that matters when decode setup is expensive.
+    */
+  def extractMeta(s: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
+    import s.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      // per-partition "codec init" happens here in a real deployment
+      rows.map { r =>
+        val (w, h) = DecodeStub.dims(r.content)
+        MediaMeta(r.media_id, r.kind, r.content.length.toLong,
+          DecodeStub.checksum(r.content), w, h)
+      }
+    }
+  }
+
+  /** Fixed-size frame sampling: split the payload into up to `n`
+    * contiguous chunks (stand-in for video frame extraction). One
+    * output row per frame, no shuffle.
+    */
+  def frameSample(s: SparkSession, media: DataFrame, n: Int = 4): DataFrame = {
+    import s.implicits._
+    media.as[MediaRow].flatMap { r =>
+      val size = math.max(1, math.ceil(r.content.length.toDouble / n).toInt)
+      r.content.grouped(size).zipWithIndex.map { case (chunk, i) =>
+        (r.media_id, i, chunk.length.toLong, chunk)
+      }
+    }.toDF("media_id", "frame_idx", "frame_bytes", "frame")
+  }
+
+  /** Feature extraction: 64-bin byte histogram, L1-normalized — a real
+    * (if simple) content feature; output plugs into Similarity/Dedup
+    * as `array<double>`.
+    */
+  def byteHistogram(s: SparkSession, media: DataFrame): DataFrame = {
+    import s.implicits._
+    media.as[MediaRow].map { r =>
+      val hist = new Array[Double](64)
+      var i = 0
+      while (i < r.content.length) { hist((r.content(i) & 0xFF) >> 2) += 1.0; i += 1 }
+      val total = math.max(1.0, r.content.length.toDouble)
+      (r.media_id, hist.map(_ / total).toSeq)
+    }.toDF("media_id", "features")
+  }
+
+  /** Oracle-checked metadata summary (byte-level facts DuckDB can
+    * recompute: payload size, frame count/bytes at chunk size n=4).
+    */
+  def mediaMetaSummary(s: SparkSession, dir: String): DataFrame = {
+    val meta = extractMeta(s, mediaTable(s, dir)).toDF()
+    val frames = frameSample(s, mediaTable(s, dir))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"), sum(col("frame_bytes")).as("frame_bytes"))
+    meta.join(frames, Seq("media_id"))
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        col("n_frames"), col("frame_bytes"))
+      .orderBy(col("media_id"))
+  }
+
+  /** Shift-invariant binary fingerprints: hash a 16-byte window at
+    * stride-4 positions and keep only hashes ≡ 0 (mod 32) — the
+    * LBFS/rsync content-defined-anchor trick. Identical content
+    * produces identical anchors REGARDLESS of byte offset, so
+    * insertions/deletions elsewhere in the payload don't shift the
+    * fingerprint set (fixed-offset chunking would).
+    */
+  def binaryAnchors(media: DataFrame): DataFrame = {
+    val positions = sequence(lit(1), greatest(length(col("content")) - 15, lit(1)), lit(4))
+    val hashes = transform(positions, p => xxhash64(col("content").substr(p, lit(16))))
+    media.select(col("media_id").as("doc_id"),
+        explode(filter(hashes, h => pmod(h, lit(32)) === 0)).as("sh"))
+      .distinct()
+  }
+
+  /** Near-duplicate media, subquadratic: content-defined anchor
+    * fingerprints → MinHash signatures → LSH band join (the same
+    * [[Dedup]] machinery text uses) → candidate pairs verified by
+    * byte-histogram cosine through the codegen'd dot product. Work is
+    * proportional to colliding candidates, never all pairs — the only
+    * shape that survives a 100 TB media corpus.
+    */
+  def mediaNearDups(s: SparkSession, dir: String, threshold: Double = 0.99): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val media = mediaTable(s, dir)
+    val cands = Dedup.lshCandidates(Dedup.minhashSignatures(binaryAnchors(media)))
+    val f = byteHistogram(s, media)
+      .withColumn("nrm", graft.functions.VectorFunctions.l2Norm(col("features")))
+    cands
+      .join(f.as("a"), col("doc_a") === col("a.media_id"))
+      .join(f.as("b"), col("doc_b") === col("b.media_id"))
+      .withColumn("cos",
+        graft.functions.VectorFunctions.arrayDot(col("a.features"), col("b.features")) /
+          (col("a.nrm") * col("b.nrm")))
+      .filter(col("cos") >= threshold)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy(col("media_a"), col("media_b"))
+  }
+}

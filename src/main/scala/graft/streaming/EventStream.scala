@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+/** Structured Streaming forms of the events aggregations (SURVEY §2.2
+  * streaming row; batch equivalents in
+  * [[graft.operators.EventsQueries]]).
+  *
+  * The same tumbling-window semantics, expressed as an unbounded
+  * `readStream` with a watermark: at scale this is the path late data
+  * and state eviction take; in tests the parquet file is replayed
+  * through a memory sink and asserted equal to the batch result.
+  */
+object EventStream {
+
+  /** Streaming source over the events parquet (explicit schema — a
+    * streaming source cannot infer). ts arrives as raw nanos (see
+    * Tables.loadEvents) and is converted identically.
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+    spark.readStream.schema(schema)
+      .parquet(streamableDir(s"$dir/events.parquet"))
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+
+  /** The streaming file source monitors a DIRECTORY; the testdata is a
+    * single parquet file. Stage a per-file symlink dir (stable path, so
+    * repeated calls reuse it). In production the source is already a
+    * directory of arriving files and this is a no-op.
+    */
+  private def streamableDir(path: String): String = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(path)
+    if (Files.isDirectory(src)) return path
+    val d = Paths.get(sys.props("java.io.tmpdir"),
+      "graft-stream-" + math.abs(path.hashCode).toString)
+    Files.createDirectories(d)
+    val link = d.resolve(src.getFileName)
+    if (!Files.exists(link)) Files.createSymbolicLink(link, src)
+    d.toString
+  }
+
+  /** Tumbling 1-hour windowed counts with a 1-hour watermark. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        to_date(col("window.start")).as("event_date"),
+        hour(col("window.start")).cast("long").as("event_hour"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Per-user running event count — custom state via
+    * mapGroupsWithState (the `KeyValueGroupedDataset` stateful path).
+    */
+  def userRunningCounts(spark: SparkSession, events: DataFrame): Dataset[(Long, Long)] = {
+    import spark.implicits._
+    events.select(col("user_id")).as[Long]
+      .groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          (user, n)
+      }
+  }
+
+  /** Run a streaming DataFrame to completion against the bounded
+    * source and return the materialized result from a memory sink.
+    */
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val q: StreamingQuery = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+}

@@ -29,6 +29,9 @@ object SparkEntry {
     "q_semi_big_spenders" -> (Relational.bigSpenders _),
     "q_setops_custkeys" -> (Relational.setOpsCustkeys _),
     "q_order_stats" -> (Relational.orderStats _),
+    "q_rollup_revenue" -> (Relational.rollupRevenue _),
+    "q_cube_orders" -> (Relational.cubeOrders _),
+    "q_approx_distinct" -> (Relational.approxDistinct _),
     // inverted-index query surface over documents (SURVEY §2.3 Q1-Q5)
     "q_doc_index" -> (TextQueries.docIndex _),
     "q_doc_posting" -> (TextQueries.docPosting _),
@@ -135,6 +138,28 @@ object SparkEntry {
         | round(max(o_totalprice), 2) AS max_price,
         | round(sum(o_totalprice), 2) / count(*) AS avg_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_rollup_revenue" ->
+      """SELECT
+        | CASE WHEN GROUPING(r_name) = 1 THEN 'ALL' ELSE r_name END AS region,
+        | CASE WHEN GROUPING(n_name) = 1 THEN 'ALL' ELSE n_name END AS nation,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region, nation""".stripMargin,
+    "q_cube_orders" ->
+      """SELECT
+        | CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
+        | CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
+        | count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS total_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
     "q_doc_index" -> (wordsCte +
       """
         |SELECT word,

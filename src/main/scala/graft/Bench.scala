@@ -24,7 +24,31 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // apples-to-apples vs BASELINE.md: the reference's own workload
+    // (355-file corpus -> 26 letter files), steady-state (session
+    // already up). Reference: 12.41 s sequential / 1.40 s at (4,4).
+    val indexBench: Seq[(String, Double)] = {
+      val manifest = "/root/reference/checker/test.txt"
+      if (new java.io.File(manifest).exists()) {
+        val out = java.nio.file.Files.createTempDirectory("graft-bench-index").toString
+        try {
+          // untimed warm-up on the 3-file corpus: JIT + codegen compile
+          // are one-time costs, excluded per BASELINE.md's steady-state
+          // comparison (the C reference has no such warm-up phase)
+          val smallManifest = "/root/reference/checker/test_small.txt"
+          if (new java.io.File(smallManifest).exists())
+            graft.operators.InvertedIndexJob.run(spark, smallManifest, s"$out-warm")
+          val t0 = System.nanoTime()
+          graft.operators.InvertedIndexJob.run(spark, manifest, out)
+          Seq("q0_index_corpus" -> (System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] q0_index_corpus failed: ${e.getMessage}")
+          Seq.empty
+        }
+      } else Seq.empty
+    }
+
+    val results = indexBench ++ SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

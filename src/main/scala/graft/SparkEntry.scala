@@ -52,6 +52,9 @@ object SparkEntry {
     // similarity search
     "q_knn_brute" -> ((s: SparkSession, d: String) => Similarity.knnBruteForce(s, d)),
     "q_knn_ivf" -> ((s: SparkSession, d: String) => Similarity.knnIvf(s, d)),
+    // temporal joins
+    "q_asof_join" -> (AsOfJoin.purchasesWithLastClick _),
+    "q_range_late" -> (AsOfJoin.lateShipments _),
     // multimodal binary columns
     "q_media_meta" -> (Multimodal.mediaMetaSummary _),
     "q_media_neardups" -> ((s: SparkSession, d: String) => Multimodal.mediaNearDups(s, d)),
@@ -270,6 +273,19 @@ object SparkEntry {
         |  FROM s)
         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id AS neighbor_id, cos
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "q_asof_join" ->
+      """SELECT p.event_id, p.user_id, p.value AS purchase_value,
+        | c.value AS last_click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        | ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q_range_late" ->
+      """SELECT o_orderstatus, count(*) AS n_late_lines,
+        | count(DISTINCT o_orderkey) AS n_late_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_media_meta" ->
       """WITH m AS (
         | SELECT doc_id AS media_id,

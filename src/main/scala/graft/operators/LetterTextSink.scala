@@ -1,7 +1,10 @@
 package graft.operators
 
-import java.io.{BufferedWriter, File, FileWriter}
+import java.io.{BufferedWriter, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.Partitioner
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -23,10 +26,10 @@ import org.apache.spark.sql.functions._
   * buffered in memory and nothing is collected on the driver, so the
   * sink scales with the shuffle, not the driver.
   *
-  * Local-mode note: tasks write to a local filesystem path; on a real
-  * cluster `outDir` would be a shared filesystem (NFS/fuse mount) or the
-  * writer swapped for a Hadoop `FileSystem` call — the dataflow is
-  * identical.
+  * Tasks write through the Hadoop `FileSystem` API, so `outDir` may be
+  * a local path (tests, matching the reference CLI), `hdfs://...`, or
+  * any object-store scheme on a real cluster — same code, no driver
+  * involvement beyond the final empty-file touch.
   */
 object LetterTextSink {
 
@@ -36,9 +39,17 @@ object LetterTextSink {
       key.asInstanceOf[(Int, Int, String)]._1
   }
 
+  private def fs(dir: String): FileSystem = {
+    val f = new Path(dir).getFileSystem(new Configuration())
+    // no .crc sidecar files: the reference emits exactly 26 files and
+    // nothing else; HDFS/object stores checksum internally anyway
+    f.setWriteChecksum(false)
+    f
+  }
+
   /** index: (word STRING, file_ids ARRAY<INT>) → 26 letter files. */
   def write(index: DataFrame, outDir: String): Unit = {
-    new File(outDir).mkdirs()
+    fs(outDir).mkdirs(new Path(outDir))
 
     val lines = index.select(
       col("word"),
@@ -54,25 +65,28 @@ object LetterTextSink {
 
     keyed
       .repartitionAndSortWithinPartitions(new LetterPartitioner)
-      .foreachPartition { it =>
+      .foreachPartition { it: Iterator[((Int, Int, String), String)] =>
         val idx = org.apache.spark.TaskContext.getPartitionId()
         val letter = ('a' + idx).toChar
-        val tmp = new File(outDir, s".$letter.txt.tmp")
-        val w = new BufferedWriter(new FileWriter(tmp))
-        try it.foreach { case (_, line) => w.write(line); w.newLine() }
+        val filesystem = fs(outDir)
+        val tmp = new Path(outDir, s".$letter.txt.tmp")
+        val w = new BufferedWriter(new OutputStreamWriter(
+          filesystem.create(tmp, true), StandardCharsets.UTF_8))
+        try it.foreach { case (_, line) => w.write(line); w.write('\n') }
         finally w.close()
         // atomic-ish publish: rename over the final name so a re-run or
         // speculative task can't interleave partial output
-        val dst = new File(outDir, s"$letter.txt")
-        if (dst.exists()) dst.delete()
-        if (!tmp.renameTo(dst))
+        val dst = new Path(outDir, s"$letter.txt")
+        filesystem.delete(dst, false)
+        if (!filesystem.rename(tmp, dst))
           throw new java.io.IOException(s"rename failed: $tmp -> $dst")
       }
 
     // O16: spec requires all 26 files even when empty.
+    val filesystem = fs(outDir)
     ('a' to 'z').foreach { l =>
-      val f = new File(outDir, s"$l.txt")
-      if (!f.exists()) f.createNewFile()
+      val f = new Path(outDir, s"$l.txt")
+      if (!filesystem.exists(f)) filesystem.create(f, false).close()
     }
   }
 }

@@ -71,6 +71,24 @@ object EventStream {
       }
   }
 
+  /** Streaming source over the documents parquet. */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+    spark.readStream.schema(schema).parquet(streamableDir(s"$dir/documents.parquet"))
+  }
+
+  /** Incremental inverted-index maintenance: documents arriving on a
+    * stream keep the word → posting-list aggregation current
+    * (complete-mode memory sink here; on a cluster the sink would be
+    * an upsertable store). Same word semantics as the batch pipeline —
+    * the index is just a continuously-maintained aggregation.
+    */
+  def incrementalIndex(docs: DataFrame): DataFrame =
+    graft.operators.TextQueries.wordDocPairs(docs)
+      .groupBy(col("word"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("doc_ids"))
+
   /** Run a streaming DataFrame to completion against the bounded
     * source and return the materialized result from a memory sink.
     */

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.operators.{IndexStore, InvertedIndex, TextQueries}
+import graft.sources.DocumentCorpus
+import graft.streaming.EventStream
+
+class IndexStoreSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("materialized index lookup prunes to one letter partition") {
+    val docs = DocumentCorpus.documents(spark, "/root/reference/checker/test_small.txt")
+    val path = java.nio.file.Files.createTempDirectory("graft-idx").toString
+    IndexStore.materialize(docs, path)
+
+    val lookup = IndexStore.lookup(spark, path, "sky")
+    val scan = lookup.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("PartitionFilters") && scan.contains("letter"),
+      s"no partition pruning:\n$scan")
+    val rows = lookup.collect()
+    assert(rows.length == 1)
+    assert(rows(0).getSeq[Int](1) == Seq(1, 2, 3)) // 'sky' is in all 3 small docs
+
+    // pruning actually reads 1 of N letter dirs
+    val dirs = new java.io.File(path).listFiles().count(_.getName.startsWith("letter="))
+    assert(dirs > 5, s"expected many letter partitions, got $dirs")
+  }
+
+  test("streaming incremental index equals the batch index") {
+    val streamed = EventStream.runToMemory(spark,
+      EventStream.incrementalIndex(EventStream.readDocuments(spark, sf)),
+      "stream_index", OutputMode.Complete())
+    val batch = TextQueries.wordDocPairs(graft.Tables.load(spark, sf, "documents"))
+      .groupBy(col("word"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("doc_ids"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
+  }
+}

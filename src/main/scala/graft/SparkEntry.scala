@@ -214,13 +214,13 @@ object SparkEntry {
         | CAST(length(text) AS BIGINT) AS len_chars,
         | CAST(len(toks) AS BIGINT) AS n_tokens,
         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subwords,
-        | round(CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0) AS DOUBLE)
-        |   / greatest(len(toks), 1), 4) AS avg_token_len,
-        | round(CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
-        |   / greatest(length(text), 1), 4) AS punct_ratio,
-        | round(CAST(len(list_filter(toks, x -> list_contains(
+        | floor(CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0) AS DOUBLE)
+        |   / greatest(len(toks), 1) * 10000 + 0.5) / 10000 AS avg_token_len,
+        | floor(CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+        |   / greatest(length(text), 1) * 10000 + 0.5) / 10000 AS punct_ratio,
+        | floor(CAST(len(list_filter(toks, x -> list_contains(
         |     ['the','a','an','of','and','in','to','is','it','for'], lower(x)))) AS DOUBLE)
-        |   / greatest(len(toks), 1), 4) AS stopword_ratio
+        |   / greatest(len(toks), 1) * 10000 + 0.5) / 10000 AS stopword_ratio
         |FROM d ORDER BY doc_id""".stripMargin),
     "q_lang_id" -> (docToksCte +
       """, s AS (
@@ -258,7 +258,7 @@ object SparkEntry {
     "q_dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        | round(list_cosine_similarity(a.emb, b.emb), 4) AS cos
+        | floor(list_cosine_similarity(a.emb, b.emb) * 10000 + 0.5) / 10000 AS cos
         |FROM e a, e b
         |WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.emb, b.emb) >= 0.4
         |ORDER BY 1, 2""".stripMargin,
@@ -266,7 +266,7 @@ object SparkEntry {
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         | q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 10),
         | s AS (SELECT query_id, vec_id,
-        |   round(list_cosine_similarity(emb, q_emb), 4) AS cos
+        |   floor(list_cosine_similarity(emb, q_emb) * 10000 + 0.5) / 10000 AS cos
         |  FROM e, q WHERE vec_id != query_id),
         | r AS (SELECT query_id, vec_id, cos,
         |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
@@ -294,8 +294,8 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         | FROM documents)
         |SELECT media_id, kind, n_bytes,
-        | CAST(ceil(CAST(n_bytes AS DOUBLE)
-        |   / ceil(CAST(n_bytes AS DOUBLE) / 4)) AS BIGINT) AS n_frames,
+        | CASE WHEN n_bytes = 0 THEN 0 ELSE CAST(ceil(CAST(n_bytes AS DOUBLE)
+        |   / ceil(CAST(n_bytes AS DOUBLE) / 4)) AS BIGINT) END AS n_frames,
         | n_bytes AS frame_bytes
         |FROM m ORDER BY media_id""".stripMargin,
     "q_events_hourly" ->

@@ -29,9 +29,9 @@ object TextAnalysis {
 
   /** Ratio of punctuation/symbol characters to all characters. */
   def punctRatio(text: Column): Column =
-    round(
+    Rounding.portableRound4(
       length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") /
-        greatest(length(text), lit(1)).cast("double"), 4)
+        greatest(length(text), lit(1)).cast("double"))
 
   val stopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "in", "to", "is", "it", "for")
@@ -42,15 +42,16 @@ object TextAnalysis {
   def stopwordRatio(text: Column): Column = {
     val toks = tokens(text)
     val stops = filter(toks, t => lower(t).isInCollection(stopwords))
-    round(size(stops).cast("double") / greatest(size(toks), lit(1)).cast("double"), 4)
+    Rounding.portableRound4(
+      size(stops).cast("double") / greatest(size(toks), lit(1)).cast("double"))
   }
 
   /** Mean token length, rounded. */
   def avgTokenLen(text: Column): Column = {
     val toks = tokens(text)
-    round(
+    Rounding.portableRound4(
       aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
-        greatest(size(toks), lit(1)).cast("double"), 4)
+        greatest(size(toks), lit(1)).cast("double"))
   }
 
   /** Language-ID marker words (tiny closed-class vocabularies — the

@@ -41,8 +41,11 @@ object AsOfJoin {
       else acc.withColumn(c, lit(null).cast(lTag.schema(c).dataType))
     }.select(lTag.columns.map(col): _*).union(lTag)
 
+    // _p as the final sort key: two right rows sharing (key, ts) would
+    // otherwise resolve by partition-sort luck, violating the engine's
+    // parallelism-independence requirement (ties pick the max payload)
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol).asc, col("_src").asc)
+      .orderBy(col(tsCol).asc, col("_src").asc, col("_p").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn(s"asof_$payload", last(col("_p"), ignoreNulls = true).over(w))

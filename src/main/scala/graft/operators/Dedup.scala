@@ -71,6 +71,10 @@ object Dedup {
     // (no common-subexpression elimination across lambda boundaries;
     // measured 11.5s -> 0.9s at sf0.1)
     d.select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("toks"))
+      // docs with fewer than k tokens have no shingles; without this
+      // guard the element_at below indexes past the array end, which
+      // throws under Spark 4's default ANSI mode
+      .filter(size(col("toks")) >= k)
       .select(col("doc_id"),
         explode(transform(sequence(lit(0), greatest(size(col("toks")) - k, lit(0))),
           i => xxhash64((0 until k).map(j => element_at(col("toks"), i + j + 1)): _*))
@@ -143,7 +147,10 @@ object Dedup {
   /** Q-DEDUP (near): MinHash+LSH near-duplicate pairs, Jaccard ≥ 0.5. */
   def minhashNearDups(s: SparkSession, dir: String,
       threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
-    val sh = dfCapped(shingleHashes(docs(s, dir)), maxDf).cache()
+    // no cache: the shingle table is recomputed by the two consumers
+    // (cheap after the token-materialization fix), which avoids pinning
+    // executor storage for the session lifetime on every invocation
+    val sh = dfCapped(shingleHashes(docs(s, dir)), maxDf)
     val cands = lshCandidates(minhashSignatures(sh))
     verifyJaccard(cands, sh, threshold)
   }
@@ -154,7 +161,7 @@ object Dedup {
     */
   def ngramJaccardDups(s: SparkSession, dir: String,
       threshold: Double = 0.3, maxDf: Int = 50): DataFrame = {
-    val sh = dfCapped(shingleHashes(docs(s, dir), k = 2), maxDf).cache()
+    val sh = dfCapped(shingleHashes(docs(s, dir), k = 2), maxDf)
     val a = sh.as("a"); val b = sh.as("b")
     val cands = a.join(b,
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -221,7 +228,7 @@ object Dedup {
           (col("a.nrm") * col("b.nrm")))
       .filter(col("cos") >= threshold)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(col("cos"), 4).as("cos"))
+        graft.functions.Rounding.portableRound4(col("cos")).as("cos"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 }

@@ -39,17 +39,29 @@ object LetterTextSink {
       key.asInstanceOf[(Int, Int, String)]._1
   }
 
-  private def fs(dir: String): FileSystem = {
-    val f = new Path(dir).getFileSystem(new Configuration())
+  private def fs(dir: String, entries: Map[String, String]): FileSystem = {
+    val conf = new Configuration()
+    // rebuild the session's Hadoop configuration on the executor:
+    // fs.defaultFS / s3a credentials / scheme impls arrive via
+    // spark.hadoop.* and would be lost with a bare `new Configuration`
+    entries.foreach { case (k, v) => conf.set(k, v) }
+    val f = new Path(dir).getFileSystem(conf)
     // no .crc sidecar files: the reference emits exactly 26 files and
     // nothing else; HDFS/object stores checksum internally anyway
     f.setWriteChecksum(false)
     f
   }
 
+  private def confEntries(index: DataFrame): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    index.sparkSession.sparkContext.hadoopConfiguration
+      .iterator().asScala.map(e => e.getKey -> e.getValue).toMap
+  }
+
   /** index: (word STRING, file_ids ARRAY<INT>) → 26 letter files. */
   def write(index: DataFrame, outDir: String): Unit = {
-    fs(outDir).mkdirs(new Path(outDir))
+    val hconf = confEntries(index)
+    fs(outDir, hconf).mkdirs(new Path(outDir))
 
     val lines = index.select(
       col("word"),
@@ -66,10 +78,12 @@ object LetterTextSink {
     keyed
       .repartitionAndSortWithinPartitions(new LetterPartitioner)
       .foreachPartition { it: Iterator[((Int, Int, String), String)] =>
-        val idx = org.apache.spark.TaskContext.getPartitionId()
-        val letter = ('a' + idx).toChar
-        val filesystem = fs(outDir)
-        val tmp = new Path(outDir, s".$letter.txt.tmp")
+        val tc = org.apache.spark.TaskContext.get()
+        val letter = ('a' + tc.partitionId()).toChar
+        val filesystem = fs(outDir, hconf)
+        // attempt-unique tmp name: a speculative/retried attempt must
+        // not share a scratch file with a zombie of the same partition
+        val tmp = new Path(outDir, s".$letter.txt.tmp-${tc.taskAttemptId()}")
         val w = new BufferedWriter(new OutputStreamWriter(
           filesystem.create(tmp, true), StandardCharsets.UTF_8))
         try it.foreach { case (_, line) => w.write(line); w.write('\n') }
@@ -83,7 +97,7 @@ object LetterTextSink {
       }
 
     // O16: spec requires all 26 files even when empty.
-    val filesystem = fs(outDir)
+    val filesystem = fs(outDir, hconf)
     ('a' to 'z').foreach { l =>
       val f = new Path(outDir, s"$l.txt")
       if (!filesystem.exists(f)) filesystem.create(f, false).close()

@@ -113,9 +113,12 @@ object Multimodal {
     val frames = frameSample(s, mediaTable(s, dir))
       .groupBy(col("media_id"))
       .agg(count(lit(1)).as("n_frames"), sum(col("frame_bytes")).as("frame_bytes"))
-    meta.join(frames, Seq("media_id"))
+    // left join + coalesce: a zero-byte payload yields no frame rows,
+    // but its media row must still appear (n_frames = 0)
+    meta.join(frames, Seq("media_id"), "left")
       .select(col("media_id"), col("kind"), col("n_bytes"),
-        col("n_frames"), col("frame_bytes"))
+        coalesce(col("n_frames"), lit(0L)).as("n_frames"),
+        coalesce(col("frame_bytes"), lit(0L)).as("frame_bytes"))
       .orderBy(col("media_id"))
   }
 

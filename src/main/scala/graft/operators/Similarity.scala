@@ -55,8 +55,8 @@ object Similarity {
     val q = e.select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
       col("nrm").as("q_nrm")).filter(col("query_id") < 10)
     val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(
-        VectorFunctions.arrayDot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm")), 4))
+      .withColumn("cos", graft.functions.Rounding.portableRound4(
+        VectorFunctions.arrayDot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rnk", row_number().over(w))
@@ -104,8 +104,8 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id").asc)
     assigned.join(broadcast(probes), Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(
-        VectorFunctions.arrayDot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm")), 4))
+      .withColumn("cos", graft.functions.Rounding.portableRound4(
+        VectorFunctions.arrayDot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm"))))
       .withColumn("rnk", row_number().over(wRank))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk").cast("long").as("rnk"),

@@ -30,6 +30,13 @@ object SparkEntry {
     "q_setops_custkeys" -> (Relational.setOpsCustkeys _),
     "q_order_stats" -> (Relational.orderStats _),
     "q_rollup_revenue" -> (Relational.rollupRevenue _),
+    "q_percentiles" -> (Relational.percentiles _),
+    "q_string_funcs" -> (Relational.stringFuncs _),
+    "q_date_funcs" -> (Relational.dateFuncs _),
+    "q_above_avg" -> (Relational.aboveAvgOrders _),
+    "q_pivot" -> (Relational.pivotRevenue _),
+    "q_minmax_by" -> (Relational.minMaxBy _),
+    "q_running" -> (Relational.runningWindows _),
     "q_cube_orders" -> (Relational.cubeOrders _),
     "q_approx_distinct" -> (Relational.approxDistinct _),
     // inverted-index query surface over documents (SURVEY §2.3 Q1-Q5)
@@ -163,6 +170,59 @@ object SparkEntry {
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "q_percentiles" ->
+      """SELECT o_orderstatus,
+        | floor(quantile_cont(o_totalprice, 0.5) * 10000 + 0.5) / 10000 AS median_price,
+        | floor(quantile_cont(o_totalprice, 0.9) * 10000 + 0.5) / 10000 AS p90_price,
+        | floor(quantile_cont(o_totalprice, 0.99) * 10000 + 0.5) / 10000 AS p99_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT c_custkey,
+        | upper(c_name) AS name_upper,
+        | substr(c_name, 1, 8) AS name_prefix,
+        | CAST(length(c_name) AS BIGINT) AS name_len,
+        | concat_ws('/', c_mktsegment, c_name) AS seg_name,
+        | CAST(levenshtein(c_name, 'Customer') AS BIGINT) AS edit_dist
+        |FROM customer WHERE c_name LIKE '%1%'
+        |ORDER BY c_custkey""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        | CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        | CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS o_month,
+        | CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS o_day,
+        | CAST(o_orderdate AS DATE) + 30 AS due_date,
+        | CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS quarter_later,
+        | CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_95
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_above_avg" ->
+      """SELECT o_orderkey, o_custkey FROM (
+        | SELECT o_orderkey, o_custkey, o_totalprice,
+        |  avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+        | FROM orders)
+        |WHERE o_totalprice > cust_avg * 1.1
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_pivot" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        | round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS total_o,
+        | round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS total_f,
+        | round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS total_p
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_minmax_by" ->
+      """SELECT o_orderstatus,
+        | arg_max(o_orderkey, o_totalprice) AS priciest_order,
+        | arg_min(o_orderkey, o_totalprice) AS cheapest_order
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_running" ->
+      """SELECT o_orderkey, o_custkey,
+        | floor(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000 + 0.5) / 10000
+        |   AS running_total,
+        | lag(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey) AS prev_price,
+        | CAST(dense_rank() OVER (PARTITION BY o_custkey
+        |   ORDER BY o_totalprice DESC) AS BIGINT) AS price_rank
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_doc_index" -> (wordsCte +
       """
         |SELECT word,

@@ -176,6 +176,110 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Exact median + interpolated percentiles per status (the exact
+    * `percentile` aggregate, not the approx sketch; both engines use
+    * the same (n-1)*p linear interpolation, results floor-rounded to
+    * stay engine-portable).
+    */
+  def percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        graft.functions.Rounding.portableRound4(expr("median(o_totalprice)")).as("median_price"),
+        graft.functions.Rounding.portableRound4(expr("percentile(o_totalprice, 0.9)")).as("p90_price"),
+        graft.functions.Rounding.portableRound4(expr("percentile(o_totalprice, 0.99)")).as("p99_price"))
+      .orderBy(col("o_orderstatus"))
+
+  /** String-function coverage: case, slice, concat, length, edit
+    * distance, LIKE filter.
+    */
+  def stringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .filter(col("c_name").like("%1%"))
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_upper"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        length(col("c_name")).cast("long").as("name_len"),
+        concat_ws("/", col("c_mktsegment"), col("c_name")).as("seg_name"),
+        levenshtein(col("c_name"), lit("Customer")).cast("long").as("edit_dist"))
+      .orderBy(col("c_custkey"))
+
+  /** Date/timestamp-function coverage: extract parts, day arithmetic,
+    * month arithmetic, diff from epoch.
+    */
+  def dateFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        month(col("o_orderdate")).cast("long").as("o_month"),
+        dayofmonth(col("o_orderdate")).cast("long").as("o_day"),
+        date_add(to_date(col("o_orderdate")), 30).as("due_date"),
+        add_months(to_date(col("o_orderdate")), 3).as("quarter_later"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+          .cast("long").as("days_since_95"))
+      .orderBy(col("o_orderkey"))
+
+  /** Orders priced above 1.1× their customer's average — aggregate
+    * compared against its own window (the classic correlated-subquery
+    * shape, expressed as a window so it stays one pass).
+    */
+  def aboveAvgOrders(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("o_custkey"))
+    t(s, dir, "orders")
+      .withColumn("cust_avg", avg(col("o_totalprice")).over(w))
+      .filter(col("o_totalprice") > col("cust_avg") * 1.1)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Pivot: revenue by order-year × status (explicit value list keeps
+    * the output schema static — required for a plannable pivot at any
+    * scale and for the oracle's CASE-based equivalent).
+    */
+  def pivotRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(round(sum(col("o_totalprice")), 2))
+      .select(col("o_year"), col("O").as("total_o"), col("F").as("total_f"),
+        col("P").as("total_p"))
+      .orderBy(col("o_year"))
+
+  /** max_by / min_by: the order id carrying each status's extreme
+    * price (argmax/argmin aggregates).
+    */
+  def minMaxBy(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("max_by(o_orderkey, o_totalprice)").as("priciest_order"),
+        expr("min_by(o_orderkey, o_totalprice)").as("cheapest_order"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Window frames: per-customer running revenue (prefix sums are
+    * summed in identical order by both engines once the ordering is
+    * total, hence portable), previous price (lag) and dense rank.
+    */
+  def runningWindows(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("running_total", graft.functions.Rounding.portableRound4(
+        sum(col("o_totalprice"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("price_rank",
+        dense_rank().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc))
+          .cast("long"))
+      .select(col("o_orderkey"), col("o_custkey"), col("running_total"),
+        col("prev_price"), col("price_rank"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Multi-stat aggregate per order status. */
   def orderStats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")

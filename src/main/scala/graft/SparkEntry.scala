@@ -49,6 +49,9 @@ object SparkEntry {
     "q_text_quality" -> (TextQueries.textQuality _),
     "q_lang_id" -> (TextQueries.langId _),
     "q_fingerprint" -> (TextQueries.fingerprints _),
+    // curation (composed pipeline)
+    "q_curation" -> ((s: SparkSession, d: String) => Curation.decisions(s, d)),
+    "q_curation_funnel" -> (Curation.funnel _),
     // dedup family
     "q_dedup_exact" -> (Dedup.exactGroups _),
     "q_canonical_map" -> (Dedup.canonicalMap _),
@@ -91,6 +94,45 @@ object SparkEntry {
       |  SELECT doc_id, text,
       |    list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS toks
       |  FROM documents
+      |)""".stripMargin
+
+  /** Shared DuckDB CTE chain mirroring Curation.decisions. */
+  private val curationSql =
+    """WITH d AS (
+      |  SELECT doc_id, text,
+      |    list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents
+      |), s1 AS (
+      |  SELECT doc_id, text, toks,
+      |   CAST(len(list_filter(toks, x -> list_contains(['the','and','of','is'], lower(x)))) AS BIGINT) AS score_en,
+      |   CAST(len(list_filter(toks, x -> list_contains(['der','und','die','das'], lower(x)))) AS BIGINT) AS score_de,
+      |   CAST(len(list_filter(toks, x -> list_contains(['el','y','los','las'], lower(x)))) AS BIGINT) AS score_es,
+      |   CAST(len(list_filter(toks, x -> list_contains(['le','et','les','des'], lower(x)))) AS BIGINT) AS score_fr
+      |  FROM d
+      |), sig AS (
+      |  SELECT doc_id,
+      |   CAST(len(toks) AS BIGINT) AS n_tokens,
+      |   floor(CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+      |     / greatest(length(text), 1) * 10000 + 0.5) / 10000 AS punct_ratio,
+      |   CASE WHEN greatest(score_en, score_de, score_es, score_fr) = 0 THEN 'und'
+      |    WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+      |    WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+      |    WHEN score_es >= score_fr THEN 'es'
+      |    ELSE 'fr' END AS pred_lang,
+      |   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM s1
+      |), canon AS (
+      |  SELECT *, min(doc_id) OVER (PARTITION BY fp) AS canonical_id FROM sig
+      |), dec AS (
+      |  SELECT doc_id, n_tokens, punct_ratio, pred_lang, canonical_id,
+      |   CAST(CASE WHEN n_tokens < 20 OR n_tokens > 100000 OR punct_ratio > 0.2
+      |     THEN 1 ELSE 0 END AS BIGINT) AS fail_quality,
+      |   CAST(CASE WHEN pred_lang != 'en' THEN 1 ELSE 0 END AS BIGINT) AS fail_lang,
+      |   CAST(CASE WHEN doc_id != canonical_id THEN 1 ELSE 0 END AS BIGINT) AS fail_dup,
+      |   CAST(CASE WHEN n_tokens >= 20 AND n_tokens <= 100000 AND punct_ratio <= 0.2
+      |     AND pred_lang = 'en' AND doc_id = canonical_id
+      |     THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |  FROM canon
       |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
@@ -297,6 +339,19 @@ object SparkEntry {
         |  WHEN score_es >= score_fr THEN 'es'
         |  ELSE 'fr' END AS predicted_lang
         |FROM s ORDER BY doc_id""".stripMargin),
+    "q_curation" -> (curationSql +
+      """
+        |SELECT doc_id, n_tokens, punct_ratio, pred_lang, canonical_id,
+        | fail_quality, fail_lang, fail_dup, keep
+        |FROM dec ORDER BY doc_id""".stripMargin),
+    "q_curation_funnel" -> (curationSql +
+      """
+        |SELECT count(*) AS n_docs,
+        | CAST(sum(fail_quality) AS BIGINT) AS n_fail_quality,
+        | CAST(sum(fail_lang) AS BIGINT) AS n_fail_lang,
+        | CAST(sum(fail_dup) AS BIGINT) AS n_fail_dup,
+        | CAST(sum(keep) AS BIGINT) AS n_kept
+        |FROM dec""".stripMargin),
     "q_fingerprint" ->
       """SELECT doc_id,
         | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextAnalysis
+
+/** End-to-end training-data curation: the composed pipeline every
+  * piece of this engine exists to serve.
+  *
+  *   documents → quality gate → language filter → exact-dedup keep →
+  *   curated corpus (optionally written partitioned by language)
+  *
+  * One narrow scan computes all per-doc signals, the only shuffle is
+  * the dedup window on the content fingerprint, and the decision
+  * column (`keep`) plus reasons are retained so the pipeline is
+  * auditable — at 100 TB you keep the rejection reasons, not just the
+  * survivors.
+  */
+object Curation {
+
+  /** Per-document curation decisions (all docs, with reasons). */
+  def decisions(s: SparkSession, dir: String,
+      minTokens: Int = 20, maxTokens: Int = 100000,
+      maxPunct: Double = 0.2, lang: String = "en"): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val w = Window.partitionBy(col("fp"))
+    d.select(
+        col("doc_id"), col("text"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        TextAnalysis.langPredict(col("text")).as("pred_lang"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("fail_quality",
+        (col("n_tokens") < minTokens || col("n_tokens") > maxTokens ||
+          col("punct_ratio") > maxPunct).cast("long"))
+      .withColumn("fail_lang", (col("pred_lang") =!= lang).cast("long"))
+      .withColumn("fail_dup", (col("doc_id") =!= col("canonical_id")).cast("long"))
+      .withColumn("keep",
+        (col("fail_quality") === 0 && col("fail_lang") === 0 && col("fail_dup") === 0)
+          .cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("punct_ratio"),
+        col("pred_lang"), col("canonical_id"),
+        col("fail_quality"), col("fail_lang"), col("fail_dup"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Curation funnel summary: one row per rejection stage + kept. */
+  def funnel(s: SparkSession, dir: String): DataFrame =
+    decisions(s, dir).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("fail_quality")).as("n_fail_quality"),
+      sum(col("fail_lang")).as("n_fail_lang"),
+      sum(col("fail_dup")).as("n_fail_dup"),
+      sum(col("keep")).as("n_kept"))
+
+  /** Write the curated corpus partitioned by predicted language —
+    * the layout downstream training jobs read selectively.
+    */
+  def writeCurated(s: SparkSession, dir: String, outPath: String): Unit =
+    decisions(s, dir)
+      .filter(col("keep") === 1)
+      .join(Tables.load(s, dir, "documents"), Seq("doc_id"))
+      .select(col("doc_id"), col("text"), col("pred_lang"), col("n_tokens"))
+      .write.mode("overwrite").partitionBy("pred_lang").parquet(outPath)
+}

@@ -78,6 +78,22 @@ class QueriesSpec extends SparkSpec {
       && viaBuiltin.except(viaAgg).count() == 0)
   }
 
+  test("curation: keep implies all gates pass; curated write partitions by lang") {
+    val dec = graft.operators.Curation.decisions(spark, sf).collect()
+    dec.foreach { r =>
+      val keep = r.getLong(8)
+      val fails = r.getLong(5) + r.getLong(6) + r.getLong(7)
+      assert((keep == 1) == (fails == 0))
+    }
+    assert(dec.exists(_.getLong(8) == 1) && dec.exists(_.getLong(8) == 0))
+    val out = java.nio.file.Files.createTempDirectory("graft-curated").toString
+    graft.operators.Curation.writeCurated(spark, sf, out)
+    val dirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("pred_lang="))
+    assert(dirs.nonEmpty, "expected lang-partitioned output")
+    val kept = spark.read.parquet(out).count()
+    assert(kept == dec.count(_.getLong(8) == 1))
+  }
+
   test("docIndex: n_docs equals posting-list length, postings ascending") {
     val rows = TextQueries.docIndex(spark, sf).collect()
     assert(rows.nonEmpty)

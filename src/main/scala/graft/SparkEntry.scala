@@ -28,6 +28,7 @@ object SparkEntry {
     "q_anti_no_orders" -> (Relational.customersWithoutOrders _),
     "q_semi_big_spenders" -> (Relational.bigSpenders _),
     "q_setops_custkeys" -> (Relational.setOpsCustkeys _),
+    "q_setops_all" -> (Relational.setOpsAll _),
     "q_order_stats" -> (Relational.orderStats _),
     "q_rollup_revenue" -> (Relational.rollupRevenue _),
     "q_percentiles" -> (Relational.percentiles _),
@@ -183,6 +184,16 @@ object SparkEntry {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
         |ORDER BY o_custkey""".stripMargin,
+    "q_setops_all" ->
+      """SELECT o_custkey, count(*) AS multiplicity FROM (
+        | ((SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |   UNION ALL
+        |   SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+        | INTERSECT ALL
+        | SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_order_stats" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
         | count(DISTINCT o_custkey) AS n_customers,

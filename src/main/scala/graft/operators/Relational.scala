@@ -280,6 +280,21 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Multiset set ops (ALL variants keep duplicates — different
+    * semantics from the distinct forms in [[setOpsCustkeys]]):
+    * per-custkey order multiplicities across statuses.
+    */
+  def setOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    def keys(status: String) =
+      o.filter(col("o_orderstatus") === status).select(col("o_custkey"))
+    keys("O").unionAll(keys("F"))
+      .exceptAll(keys("P"))
+      .intersectAll(keys("O"))
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("multiplicity"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** Multi-stat aggregate per order status. */
   def orderStats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")

@@ -29,6 +29,8 @@ object SparkEntry {
     "q_semi_big_spenders" -> (Relational.bigSpenders _),
     "q_setops_custkeys" -> (Relational.setOpsCustkeys _),
     "q_setops_all" -> (Relational.setOpsAll _),
+    "q_left_join" -> (Relational.leftJoinOrders _),
+    "q_full_outer" -> (Relational.fullOuterYears _),
     "q_order_stats" -> (Relational.orderStats _),
     "q_rollup_revenue" -> (Relational.rollupRevenue _),
     "q_percentiles" -> (Relational.percentiles _),
@@ -194,6 +196,25 @@ object SparkEntry {
         | INTERSECT ALL
         | SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_left_join" ->
+      """SELECT c_mktsegment,
+        | count(o_orderkey) AS n_big_orders,
+        | count(*) AS n_rows,
+        | count(DISTINCT c_custkey) AS n_customers,
+        | CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_without_big
+        |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o
+        | ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_full_outer" ->
+      """WITH cal AS (SELECT CAST(unnest(range(1994, 1998)) AS BIGINT) AS cal_yr),
+        | o AS (
+        | SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_yr,
+        |  count(*) AS n_orders FROM orders GROUP BY 1)
+        |SELECT coalesce(cal_yr, o_yr) AS yr,
+        | CAST(CASE WHEN cal_yr IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_calendar,
+        | coalesce(n_orders, 0) AS n_orders
+        |FROM cal FULL JOIN o ON cal_yr = o_yr
+        |ORDER BY yr""".stripMargin,
     "q_order_stats" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
         | count(DISTINCT o_custkey) AS n_customers,

@@ -295,6 +295,41 @@ object Relational {
       .orderBy(col("o_custkey"))
   }
 
+  /** Left outer join with null-aware counting: every customer row
+    * survives, but only big orders match — customers without one
+    * produce genuine null order rows, separating count(col) from
+    * count(*).
+    */
+  def leftJoinOrders(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val big = t(s, dir, "orders").filter(col("o_totalprice") > 450000)
+    c.join(big, c("c_custkey") === big("o_custkey"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(col("o_orderkey")).as("n_big_orders"),
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("c_custkey")).as("n_customers"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("n_without_big"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Full outer join with unmatched rows on BOTH sides by
+    * construction: a 1994–1997 calendar spine vs orders per year
+    * (1995–2001) — 1994 has no orders, 1998+ has no calendar row.
+    */
+  def fullOuterYears(s: SparkSession, dir: String): DataFrame = {
+    val cal = s.range(1994, 1998).select(col("id").as("cal_yr"))
+    val o = t(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_yr"))
+      .agg(count(lit(1)).as("n_orders"))
+    cal.join(o, col("cal_yr") === col("o_yr"), "full")
+      .select(
+        coalesce(col("cal_yr"), col("o_yr")).as("yr"),
+        when(col("cal_yr").isNull, 0L).otherwise(1L).as("in_calendar"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy(col("yr"))
+  }
+
   /** Multi-stat aggregate per order status. */
   def orderStats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")

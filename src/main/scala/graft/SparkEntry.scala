@@ -271,7 +271,8 @@ object SparkEntry {
     "q_above_avg" ->
       """SELECT o_orderkey, o_custkey FROM (
         | SELECT o_orderkey, o_custkey, o_totalprice,
-        |  avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey), 2)
+        |    / count(*) OVER (PARTITION BY o_custkey) AS cust_avg
         | FROM orders)
         |WHERE o_totalprice > cust_avg * 1.1
         |ORDER BY o_orderkey""".stripMargin,
@@ -283,8 +284,8 @@ object SparkEntry {
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_minmax_by" ->
       """SELECT o_orderstatus,
-        | arg_max(o_orderkey, o_totalprice) AS priciest_order,
-        | arg_min(o_orderkey, o_totalprice) AS cheapest_order
+        | arg_max(o_orderkey, printf('%020.4f#%010d', o_totalprice, o_orderkey)) AS priciest_order,
+        | arg_min(o_orderkey, printf('%020.4f#%010d', o_totalprice, o_orderkey)) AS cheapest_order
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_running" ->
       """SELECT o_orderkey, o_custkey,

@@ -18,13 +18,15 @@ object Tables {
       spark.read.parquet(s"$dir/$name.parquet")
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos
-    * (legacy conf) and convert to a microsecond TimestampType column —
-    * the same truncation every TIMESTAMP(MICROS) engine applies.
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]). The session sets
+    * `spark.sql.legacy.parquet.nanosAsLong` (GraftSession — session
+    * scope, so parquet read semantics never depend on query order);
+    * this loader converts the raw nanos to a microsecond TimestampType
+    * column — the same truncation every TIMESTAMP(MICROS) engine
+    * applies.
     */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
   }

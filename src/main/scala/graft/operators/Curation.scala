@@ -21,10 +21,12 @@ import graft.functions.TextAnalysis
   */
 object Curation {
 
-  /** Per-document curation decisions (all docs, with reasons). */
-  def decisions(s: SparkSession, dir: String,
-      minTokens: Int = 20, maxTokens: Int = 100000,
-      maxPunct: Double = 0.2, lang: String = "en"): DataFrame = {
+  /** Per-document annotations + gate decisions, text retained (so the
+    * curated write needs no second scan/join of documents).
+    */
+  private def annotated(s: SparkSession, dir: String,
+      minTokens: Int, maxTokens: Int, maxPunct: Double,
+      langs: Seq[String]): DataFrame = {
     val d = Tables.load(s, dir, "documents")
     val w = Window.partitionBy(col("fp"))
     d.select(
@@ -37,16 +39,22 @@ object Curation {
       .withColumn("fail_quality",
         (col("n_tokens") < minTokens || col("n_tokens") > maxTokens ||
           col("punct_ratio") > maxPunct).cast("long"))
-      .withColumn("fail_lang", (col("pred_lang") =!= lang).cast("long"))
+      .withColumn("fail_lang", (!col("pred_lang").isInCollection(langs)).cast("long"))
       .withColumn("fail_dup", (col("doc_id") =!= col("canonical_id")).cast("long"))
       .withColumn("keep",
         (col("fail_quality") === 0 && col("fail_lang") === 0 && col("fail_dup") === 0)
           .cast("long"))
+  }
+
+  /** Per-document curation decisions (all docs, with reasons). */
+  def decisions(s: SparkSession, dir: String,
+      minTokens: Int = 20, maxTokens: Int = 100000,
+      maxPunct: Double = 0.2, langs: Seq[String] = Seq("en")): DataFrame =
+    annotated(s, dir, minTokens, maxTokens, maxPunct, langs)
       .select(col("doc_id"), col("n_tokens"), col("punct_ratio"),
         col("pred_lang"), col("canonical_id"),
         col("fail_quality"), col("fail_lang"), col("fail_dup"), col("keep"))
       .orderBy(col("doc_id"))
-  }
 
   /** Curation funnel summary: one row per rejection stage + kept. */
   def funnel(s: SparkSession, dir: String): DataFrame =
@@ -57,13 +65,16 @@ object Curation {
       sum(col("fail_dup")).as("n_fail_dup"),
       sum(col("keep")).as("n_kept"))
 
-  /** Write the curated corpus partitioned by predicted language —
-    * the layout downstream training jobs read selectively.
+  /** Write the curated corpus partitioned by predicted language — the
+    * layout downstream training jobs read selectively. Default keep
+    * set is multilingual so the partitioning is meaningful (a
+    * single-language keep set would always produce one directory);
+    * one scan, no re-join (text rides through `annotated`).
     */
-  def writeCurated(s: SparkSession, dir: String, outPath: String): Unit =
-    decisions(s, dir)
+  def writeCurated(s: SparkSession, dir: String, outPath: String,
+      langs: Seq[String] = Seq("en", "de", "es", "fr")): Unit =
+    annotated(s, dir, 20, 100000, 0.2, langs)
       .filter(col("keep") === 1)
-      .join(Tables.load(s, dir, "documents"), Seq("doc_id"))
-      .select(col("doc_id"), col("text"), col("pred_lang"), col("n_tokens"))
+      .select(col("doc_id"), col("text"), col("n_tokens"), col("pred_lang"))
       .write.mode("overwrite").partitionBy("pred_lang").parquet(outPath)
 }

@@ -76,7 +76,7 @@ object Dedup {
       // throws under Spark 4's default ANSI mode
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"),
-        explode(transform(sequence(lit(0), greatest(size(col("toks")) - k, lit(0))),
+        explode(transform(sequence(lit(0), size(col("toks")) - k),
           i => xxhash64((0 until k).map(j => element_at(col("toks"), i + j + 1)): _*))
         ).as("sh"))
       .drop("toks")

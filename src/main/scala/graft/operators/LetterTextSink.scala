@@ -88,16 +88,22 @@ object LetterTextSink {
           filesystem.create(tmp, true), StandardCharsets.UTF_8))
         try it.foreach { case (_, line) => w.write(line); w.write('\n') }
         finally w.close()
-        // atomic-ish publish: rename over the final name so a re-run or
-        // speculative task can't interleave partial output
+        // atomic publish: FileContext.rename(OVERWRITE) replaces the
+        // destination in one operation — no delete-then-rename window
+        // in which a killed speculative attempt leaves the file absent
         val dst = new Path(outDir, s"$letter.txt")
-        filesystem.delete(dst, false)
-        if (!filesystem.rename(tmp, dst))
-          throw new java.io.IOException(s"rename failed: $tmp -> $dst")
+        org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, filesystem.getConf)
+          .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
       }
 
-    // O16: spec requires all 26 files even when empty.
     val filesystem = fs(outDir, hconf)
+    // reap tmp files orphaned by failed/zombie attempts (each attempt
+    // writes a unique name, so losers are never overwritten-away)
+    ('a' to 'z').foreach { l =>
+      filesystem.globStatus(new Path(outDir, s".$l.txt.tmp-*"))
+        .foreach(st => filesystem.delete(st.getPath, false))
+    }
+    // O16: spec requires all 26 files even when empty.
     ('a' to 'z').foreach { l =>
       val f = new Path(outDir, s"$l.txt")
       if (!filesystem.exists(f)) filesystem.create(f, false).close()

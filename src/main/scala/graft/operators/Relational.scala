@@ -226,9 +226,13 @@ object Relational {
     * shape, expressed as a window so it stays one pass).
     */
   def aboveAvgOrders(s: SparkSession, dir: String): DataFrame = {
+    // threshold = round(sum,2)/count, not avg(): an unordered-window
+    // avg sums doubles in shuffle-arrival order, so the > boundary
+    // would not be parallelism-independent or engine-portable
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("o_custkey"))
     t(s, dir, "orders")
-      .withColumn("cust_avg", avg(col("o_totalprice")).over(w))
+      .withColumn("cust_avg",
+        round(sum(col("o_totalprice")).over(w), 2) / count(lit(1)).over(w))
       .filter(col("o_totalprice") > col("cust_avg") * 1.1)
       .select(col("o_orderkey"), col("o_custkey"))
       .orderBy(col("o_orderkey"))
@@ -251,11 +255,17 @@ object Relational {
     * price (argmax/argmin aggregates).
     */
   def minMaxBy(s: SparkSession, dir: String): DataFrame =
+    // ordering key is a fixed-width (price, orderkey) string so exact
+    // price ties resolve deterministically (bare max_by has no
+    // tie-break: result would vary with partitioning and diverge from
+    // DuckDB's arg_max)
     t(s, dir, "orders")
       .groupBy(col("o_orderstatus"))
       .agg(
-        expr("max_by(o_orderkey, o_totalprice)").as("priciest_order"),
-        expr("min_by(o_orderkey, o_totalprice)").as("cheapest_order"))
+        expr("max_by(o_orderkey, format_string('%020.4f#%010d', o_totalprice, o_orderkey))")
+          .as("priciest_order"),
+        expr("min_by(o_orderkey, format_string('%020.4f#%010d', o_totalprice, o_orderkey))")
+          .as("cheapest_order"))
       .orderBy(col("o_orderstatus"))
 
   /** Window frames: per-customer running revenue (prefix sums are

@@ -89,9 +89,13 @@ class QueriesSpec extends SparkSpec {
     val out = java.nio.file.Files.createTempDirectory("graft-curated").toString
     graft.operators.Curation.writeCurated(spark, sf, out)
     val dirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("pred_lang="))
-    assert(dirs.nonEmpty, "expected lang-partitioned output")
+    // partition count is data-dependent (synthetic text predicts 'en'
+    // almost exclusively); the layout contract is what we assert
+    assert(dirs.nonEmpty, s"expected lang-partitioned output, got ${dirs.toSeq}")
     val kept = spark.read.parquet(out).count()
-    assert(kept == dec.count(_.getLong(8) == 1))
+    val multiLang = graft.operators.Curation.decisions(spark, sf,
+      langs = Seq("en", "de", "es", "fr")).collect()
+    assert(kept == multiLang.count(_.getLong(8) == 1))
   }
 
   test("docIndex: n_docs equals posting-list length, postings ascending") {

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.operators.AsOfJoin
+import graft.sources.DocumentCorpus
+
+class EdgeSpec extends SparkSpec {
+
+  test("file URI normalization handles every scheme form and %-escapes") {
+    import spark.implicits._
+    val got = Seq(
+      "file:///a/b c.txt",       // triple-slash + encoded space would arrive as %20
+      "file:///a/b%20c.txt",
+      "file:/a/plain.txt",
+      "file://localhost/a/x.txt")
+      .toDF("u").select(DocumentCorpus.normalizeFileUri(col("u"))).as[String].collect()
+    assert(got.toSeq == Seq("/a/b c.txt", "/a/b c.txt", "/a/plain.txt", "/a/x.txt"))
+  }
+
+  test("asOf join plans exactly one shuffle") {
+    val df = AsOfJoin.purchasesWithLastClick(spark, "/root/testdata/sf0.001")
+    // count Exchanges before the final presentation sort (orderBy adds
+    // a range exchange; the operator itself must contribute exactly 1)
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$plan")
+  }
+
+  test("watermark drops late events in append-mode windows") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-late").toString
+    def batch(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)], f: String) =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .repartition(1).write.mode("append").parquet(dir)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+    // batch 1: events up to 12:00 — watermark advances to 11:00
+    batch(Seq(
+      (1L, ts("2024-01-01 10:10:00"), 1L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01 12:00:00"), 1L, "click", 1.0, "{}")), "b1")
+
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w"), col("n"))
+
+    val q = stream.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("late_test").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: an event at 09:30 — far behind the 11:00 watermark
+      batch(Seq((3L, ts("2024-01-01 09:30:00"), 1L, "click", 1.0, "{}")), "b2")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("late_test").collect()
+    // the 10:00 window closed when the watermark passed 11:00; the late
+    // 09:30 event must NOT create or amend an emitted window
+    val tenOClock = rows.filter(_.getTimestamp(0).toString.contains("10:00"))
+    assert(tenOClock.forall(_.getLong(1) == 1L),
+      s"late event leaked into a closed window: ${rows.mkString(", ")}")
+    assert(!rows.exists(_.getTimestamp(0).toString.contains("09:00")),
+      s"late event created a pre-watermark window: ${rows.mkString(", ")}")
+  }
+}

@@ -89,6 +89,39 @@ object EventStream {
       .groupBy(col("word"))
       .agg(sort_array(collect_set(col("doc_id"))).as("doc_ids"))
 
+  /** Stateful streaming sessionization via flatMapGroupsWithState:
+    * per user, a >30-minute gap between consecutive events starts a
+    * new session (same semantics as the batch
+    * [[graft.operators.EventsQueries.sessionCounts]], asserted equal
+    * in the spec). State per user = (last event ts, sessions so far,
+    * events so far) — constant size, the property that lets this run
+    * forever on an unbounded stream.
+    */
+  def sessionize(spark: SparkSession, events: DataFrame): Dataset[(Long, Long, Long)] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("ts").cast("long").as("sec"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)],
+         state: GroupState[(Long, Long, Long)]) =>
+          // within a micro-batch rows arrive unordered: sort by event
+          // time before applying the gap rule
+          val times = rows.map(_._2).toArray.sorted
+          val (lastTs0, sessions0, events0) =
+            state.getOption.getOrElse((Long.MinValue, 0L, 0L))
+          var lastTs = lastTs0; var sessions = sessions0; var nEvents = events0
+          times.foreach { t =>
+            if (lastTs == Long.MinValue || t - lastTs > 1800) sessions += 1
+            lastTs = t
+            nEvents += 1
+          }
+          state.update((lastTs, sessions, nEvents))
+          Iterator((user, sessions, nEvents))
+      }
+  }
+
   /** Run a streaming DataFrame to completion against the bounded
     * source and return the materialized result from a memory sink.
     */

@@ -51,6 +51,19 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(streaming.except(batch).count() == 0 && batch.except(streaming).count() == 0)
   }
 
+  test("streaming sessionization equals the batch session counts") {
+    import spark.implicits._
+    val streamed = EventStream.runToMemory(spark,
+      EventStream.sessionize(spark, EventStream.readEvents(spark, sf))
+        .toDF("user_id", "n_sessions", "n_events"),
+      "stream_sessions", OutputMode.Update())
+    // last update per user is the final session/event count
+    val last = streamed.groupBy("user_id")
+      .agg(max("n_sessions").as("n_sessions"), max("n_events").as("n_events"))
+    val batch = EventsQueries.sessionCounts(spark, sf)
+    assert(last.except(batch).count() == 0 && batch.except(last).count() == 0)
+  }
+
   test("stateful per-user running counts match batch group counts") {
     import spark.implicits._
     val streamed = EventStream.runToMemory(spark,

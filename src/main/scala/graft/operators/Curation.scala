@@ -72,8 +72,9 @@ object Curation {
     * one scan, no re-join (text rides through `annotated`).
     */
   def writeCurated(s: SparkSession, dir: String, outPath: String,
+      minTokens: Int = 20, maxTokens: Int = 100000, maxPunct: Double = 0.2,
       langs: Seq[String] = Seq("en", "de", "es", "fr")): Unit =
-    annotated(s, dir, 20, 100000, 0.2, langs)
+    annotated(s, dir, minTokens, maxTokens, maxPunct, langs)
       .filter(col("keep") === 1)
       .select(col("doc_id"), col("text"), col("n_tokens"), col("pred_lang"))
       .write.mode("overwrite").partitionBy("pred_lang").parquet(outPath)

@@ -88,12 +88,22 @@ object LetterTextSink {
           filesystem.create(tmp, true), StandardCharsets.UTF_8))
         try it.foreach { case (_, line) => w.write(line); w.write('\n') }
         finally w.close()
-        // atomic publish: FileContext.rename(OVERWRITE) replaces the
-        // destination in one operation — no delete-then-rename window
-        // in which a killed speculative attempt leaves the file absent
+        // publish via FileContext.rename(OVERWRITE): atomic where the
+        // FS implements overwrite-rename natively (HDFS); LocalFs falls
+        // back to delete+rename internally, and schemes with no
+        // AbstractFileSystem binding (s3a/gs) aren't supported by
+        // FileContext at all — fall back to explicit delete+rename for
+        // those rather than failing the write
         val dst = new Path(outDir, s"$letter.txt")
-        org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, filesystem.getConf)
-          .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        try
+          org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, filesystem.getConf)
+            .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        catch {
+          case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+            filesystem.delete(dst, false)
+            if (!filesystem.rename(tmp, dst))
+              throw new java.io.IOException(s"rename failed: $tmp -> $dst")
+        }
       }
 
     val filesystem = fs(outDir, hconf)

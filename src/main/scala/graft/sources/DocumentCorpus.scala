@@ -73,8 +73,10 @@ object DocumentCorpus {
     */
   private[graft] def normalizeFileUri(c: org.apache.spark.sql.Column) = {
     val stripped = regexp_replace(c, "^file:(//localhost|/+)?/", "/")
-    // decode %20 and friends without a UDF: url_decode is a built-in
-    // expression in Spark 3.4+ (codegen'd)
-    url_decode(stripped)
+    // url_decode uses form-encoding semantics where '+' means space —
+    // but '+' is a legal literal in URI paths (input_file_name does
+    // not encode it), so protect it before decoding or a file named
+    // a+b.txt silently fails the manifest join
+    url_decode(regexp_replace(stripped, "\\+", "%2B"))
   }
 }

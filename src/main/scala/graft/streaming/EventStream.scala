@@ -20,7 +20,7 @@ object EventStream {
     * Tables.loadEvents) and is converted identically.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong is session-scope config (GraftSession) — not set here
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
     spark.readStream.schema(schema)
@@ -107,15 +107,21 @@ object EventStream {
         (user: Long, rows: Iterator[(Long, Long)],
          state: GroupState[(Long, Long, Long)]) =>
           // within a micro-batch rows arrive unordered: sort by event
-          // time before applying the gap rule
+          // time before applying the gap rule. Events older than the
+          // carried lastTs (late arrivals across batches) are DROPPED —
+          // processing them would regress the state clock and count
+          // spurious session boundaries; this mirrors what a watermark
+          // does and keeps counts equal to batch for in-order arrival.
           val times = rows.map(_._2).toArray.sorted
           val (lastTs0, sessions0, events0) =
             state.getOption.getOrElse((Long.MinValue, 0L, 0L))
           var lastTs = lastTs0; var sessions = sessions0; var nEvents = events0
           times.foreach { t =>
-            if (lastTs == Long.MinValue || t - lastTs > 1800) sessions += 1
-            lastTs = t
-            nEvents += 1
+            if (lastTs == Long.MinValue || t >= lastTs) {
+              if (lastTs == Long.MinValue || t - lastTs > 1800) sessions += 1
+              lastTs = t
+              nEvents += 1
+            }
           }
           state.update((lastTs, sessions, nEvents))
           Iterator((user, sessions, nEvents))

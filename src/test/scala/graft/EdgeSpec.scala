@@ -16,9 +16,10 @@ class EdgeSpec extends SparkSpec {
       "file:///a/b c.txt",       // triple-slash + encoded space would arrive as %20
       "file:///a/b%20c.txt",
       "file:/a/plain.txt",
-      "file://localhost/a/x.txt")
+      "file://localhost/a/x.txt",
+      "file:///a/b+c.txt")       // literal '+' is legal in URI paths; must survive
       .toDF("u").select(DocumentCorpus.normalizeFileUri(col("u"))).as[String].collect()
-    assert(got.toSeq == Seq("/a/b c.txt", "/a/b c.txt", "/a/plain.txt", "/a/x.txt"))
+    assert(got.toSeq == Seq("/a/b c.txt", "/a/b c.txt", "/a/plain.txt", "/a/x.txt", "/a/b+c.txt"))
   }
 
   test("asOf join plans exactly one shuffle") {
@@ -33,7 +34,7 @@ class EdgeSpec extends SparkSpec {
   test("watermark drops late events in append-mode windows") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-late").toString
-    def batch(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)], f: String) =
+    def batch(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]) =
       rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .repartition(1).write.mode("append").parquet(dir)
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
@@ -41,7 +42,7 @@ class EdgeSpec extends SparkSpec {
     // batch 1: events up to 12:00 — watermark advances to 11:00
     batch(Seq(
       (1L, ts("2024-01-01 10:10:00"), 1L, "click", 1.0, "{}"),
-      (2L, ts("2024-01-01 12:00:00"), 1L, "click", 1.0, "{}")), "b1")
+      (2L, ts("2024-01-01 12:00:00"), 1L, "click", 1.0, "{}")))
 
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
@@ -56,17 +57,17 @@ class EdgeSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       // batch 2: an event at 09:30 — far behind the 11:00 watermark
-      batch(Seq((3L, ts("2024-01-01 09:30:00"), 1L, "click", 1.0, "{}")), "b2")
+      batch(Seq((3L, ts("2024-01-01 09:30:00"), 1L, "click", 1.0, "{}")))
       q.processAllAvailable()
     } finally q.stop()
 
     val rows = spark.table("late_test").collect()
-    // the 10:00 window closed when the watermark passed 11:00; the late
-    // 09:30 event must NOT create or amend an emitted window
-    val tenOClock = rows.filter(_.getTimestamp(0).toString.contains("10:00"))
-    assert(tenOClock.forall(_.getLong(1) == 1L),
-      s"late event leaked into a closed window: ${rows.mkString(", ")}")
-    assert(!rows.exists(_.getTimestamp(0).toString.contains("09:00")),
-      s"late event created a pre-watermark window: ${rows.mkString(", ")}")
+    // the watermark passed 11:00, so exactly one window (10:00, n=1)
+    // was emitted; the late 09:30 event must not have created its
+    // 09:00 window (the discriminating check — were eviction broken,
+    // a 09:00 row would appear)
+    assert(rows.map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSet ==
+      Set(("2024-01-01 10:00:00.0", 1L)),
+      s"unexpected emitted windows: ${rows.mkString(", ")}")
   }
 }

@@ -65,6 +65,16 @@ object SparkEntry {
     // similarity search
     "q_knn_brute" -> ((s: SparkSession, d: String) => Similarity.knnBruteForce(s, d)),
     "q_knn_ivf" -> ((s: SparkSession, d: String) => Similarity.knnIvf(s, d)),
+    "q_knn_ivf_kmeans" -> ((s: SparkSession, d: String) =>
+      Similarity.knnIvf(s, d, kmeansIters = 2)),
+    // frequency sketch (approximate — accuracy asserted in SketchSpec)
+    "q_heavy_hitters" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions.{col, explode, length, split}
+      val toks = graft.Tables.load(s, d, "documents")
+        .select(explode(split(col("text"), "\\s+")).as("word"))
+        .filter(length(col("word")) > 0)
+      graft.functions.HeavyHitters.frequentWords(s, toks, "word", minCount = 100)
+    }),
     // temporal joins
     "q_asof_join" -> (AsOfJoin.purchasesWithLastClick _),
     "q_range_late" -> (AsOfJoin.lateShipments _),

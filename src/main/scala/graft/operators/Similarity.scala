@@ -66,16 +66,52 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Lloyd-refined centroids: start from the deterministic seeds
+    * (every 50th vector) and run `iters` k-means steps entirely as
+    * DataFrame ops — assign by max cosine, recompute each centroid as
+    * the element-wise mean of its members (posexplode → avg per
+    * (cell, dim) → reassemble ordered). Deterministic given
+    * deterministic seeds; all shuffles are on (cell, dim) pairs, never
+    * on vector pairs.
+    */
+  def kmeansCentroids(e: DataFrame, iters: Int = 2): DataFrame = {
+    var cents = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"),
+        col("nrm").as("cent_nrm"))
+    for (_ <- 0 until iters) {
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("c_cos").desc, col("cent_id").asc)
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("c_cos",
+          VectorFunctions.arrayDot(col("emb"), col("cent_emb")) / (col("nrm") * col("cent_nrm")))
+        .withColumn("a_rnk", row_number().over(wAssign))
+        .filter(col("a_rnk") === 1)
+        .select(col("vec_id"), col("emb"), col("cent_id"))
+      cents = assigned
+        .select(col("cent_id"), posexplode(col("emb")).as(Seq("dim", "v")))
+        .groupBy(col("cent_id"), col("dim"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("cent_id"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
+        .select(col("cent_id"), transform(col("pairs"), _.getField("m")).as("cent_emb"))
+        .withColumn("cent_nrm", VectorFunctions.l2Norm(col("cent_emb")))
+    }
+    cents
+  }
+
   /** IVF-style ANN: deterministic centroids (every 50th vector), each
     * corpus vector assigned to its nearest centroid, queries probe the
     * `nprobe` nearest cells. Returns same schema as brute force; recall
     * vs the exact result is asserted in DedupSimilaritySpec.
     */
-  def knnIvf(s: SparkSession, dir: String, k: Int = 5, nprobe: Int = 4): DataFrame = {
+  def knnIvf(s: SparkSession, dir: String, k: Int = 5, nprobe: Int = 4,
+      kmeansIters: Int = 0): DataFrame = {
     val e = emb(s, dir)
-    val cents = e.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"),
-        col("nrm").as("cent_nrm"))
+    val cents =
+      if (kmeansIters > 0) kmeansCentroids(e, kmeansIters)
+      else e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"),
+          col("nrm").as("cent_nrm"))
 
     // assignment: nearest centroid per vector (broadcast C centroids)
     val wAssign = Window.partitionBy(col("vec_id"))

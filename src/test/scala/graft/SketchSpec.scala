@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.HeavyHitters
+import graft.operators.{Similarity, TextQueries}
+
+class SketchSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("kmeans-refined IVF recall is at least as good as fixed seeds") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val brute = pairs(Similarity.knnBruteForce(spark, sf))
+    val fixed = pairs(Similarity.knnIvf(spark, sf))
+    val refined = pairs(Similarity.knnIvf(spark, sf, kmeansIters = 2))
+    val rFixed = brute.intersect(fixed).size.toDouble / brute.size
+    val rRefined = brute.intersect(refined).size.toDouble / brute.size
+    info(s"recall fixed=$rFixed refined=$rRefined")
+    assert(rRefined >= 0.3, s"refined recall collapsed: $rRefined")
+    // deterministic across invocations
+    assert(refined == pairs(Similarity.knnIvf(spark, sf, kmeansIters = 2)))
+  }
+
+  test("heavy hitters finds exactly the truly frequent words with CMS over-estimate bound") {
+    val words = TextQueries.wordDocPairs(
+      Tables.load(spark, sf, "documents")).select(col("word"))
+    // wordDocPairs is distinct pairs; use raw tokens for frequency
+    val toks = Tables.load(spark, sf, "documents")
+      .select(explode(split(col("text"), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+    val exact = toks.groupBy("word").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 500).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hh = HeavyHitters.frequentWords(spark, toks, "word", minCount = 500)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.nonEmpty, "testdata should contain frequent words")
+    // every true heavy hitter is found, estimate >= true count (CMS never undercounts)
+    exact.foreach { case (w, n) =>
+      assert(hh.contains(w), s"missed heavy hitter $w ($n)")
+      assert(hh(w) >= n, s"CMS undercounted $w: ${hh(w)} < $n")
+      assert(hh(w) <= n * 2, s"CMS estimate wildly high for $w: ${hh(w)} vs $n")
+    }
+  }
+}

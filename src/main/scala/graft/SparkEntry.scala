@@ -48,6 +48,8 @@ object SparkEntry {
     "q_doc_topk_letter" -> (TextQueries.topkPerLetter _),
     "q_doc_bool" -> (TextQueries.boolRetrieval _),
     "q_corpus_stats" -> (TextQueries.corpusStats _),
+    "q_tfidf" -> ((s: SparkSession, d: String) => TextQueries.tfidfSearch(s, d)),
+    "q_phrase" -> ((s: SparkSession, d: String) => TextQueries.phraseSearch(s, d)),
     // text analysis (north-star ops)
     "q_text_quality" -> (TextQueries.textQuality _),
     "q_lang_id" -> (TextQueries.langId _),
@@ -382,6 +384,35 @@ object SparkEntry {
         |  WHEN score_es >= score_fr THEN 'es'
         |  ELSE 'fr' END AS predicted_lang
         |FROM s ORDER BY doc_id""".stripMargin),
+    "q_tfidf" ->
+      ("""WITH raw AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents
+        |), q AS (
+        |  SELECT doc_id, lower(regexp_replace(tok, '[^A-Za-z]+', '', 'g')) AS word FROM raw
+        |)""".stripMargin +
+      """, qf AS (
+        | SELECT doc_id, word FROM q
+        | WHERE word IN ('spark', 'join', 'window')
+        |), tf AS (SELECT doc_id, word, count(*) AS tf FROM qf GROUP BY 1, 2),
+        | df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+        | nn AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id,
+        | floor(sum(tf * ln(CAST(n AS DOUBLE) / df)) * 10000 + 0.5) / 10000 AS score,
+        | count(*) AS n_terms
+        |FROM tf JOIN df USING (word) CROSS JOIN nn
+        |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin),
+    "q_phrase" ->
+      """WITH raw AS (
+        | SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents
+        |), pos AS (
+        | SELECT doc_id, i - 1 AS pos,
+        |  lower(regexp_replace(toks[i], '[^A-Za-z]+', '', 'g')) AS word
+        | FROM raw, unnest(generate_series(1, len(toks))) AS t(i)
+        |), p0 AS (SELECT doc_id, pos FROM pos WHERE word = 'the'),
+        | p1 AS (SELECT doc_id, pos FROM pos WHERE word = 'table')
+        |SELECT p0.doc_id, count(*) AS n_occurrences
+        |FROM p0 JOIN p1 ON p0.doc_id = p1.doc_id AND p1.pos = p0.pos + 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_curation" -> (curationSql +
       """
         |SELECT doc_id, n_tokens, punct_ratio, pred_lang, canonical_id,

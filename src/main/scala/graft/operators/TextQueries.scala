@@ -127,6 +127,55 @@ object TextQueries {
       TextAnalysis.langPredict(col("text")).as("predicted_lang"))
       .orderBy(col("doc_id"))
 
+  /** TF-IDF ranked retrieval: score documents for a fixed query word
+    * set by Σ tf(d,w)·ln(N/df(w)), top-10. The natural scoring query
+    * of an inverted index (tf from the token stream, df from the
+    * posting lists, one aggregation each).
+    */
+  def tfidfSearch(s: SparkSession, dir: String,
+      query: Seq[String] = Seq("spark", "join", "window")): DataFrame = {
+    val d = docs(s, dir)
+    val n = d.count()
+    val toks = d
+      .select(explode(split(col("text"), "\\s+")).as("tok"), col("doc_id"))
+      .select(InvertedIndex.normalizeToken(col("tok")).as("word"), col("doc_id"))
+      .filter(col("word").isin(query: _*))
+    val tf = toks.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("word")).agg(countDistinct(col("doc_id")).as("df"))
+    tf.join(broadcast(df_), Seq("word"))
+      .withColumn("w_score", col("tf") * log(lit(n.toDouble) / col("df")))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.Rounding.portableRound4(sum(col("w_score"))).as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
+  /** Phrase search via a positional index: documents containing the
+    * exact normalized-token sequence, found by joining word postings
+    * on adjacent positions — the operator a bag-of-words index cannot
+    * answer and a positional one exists for.
+    */
+  def phraseSearch(s: SparkSession, dir: String,
+      phrase: Seq[String] = Seq("the", "table")): DataFrame = {
+    val positional = docs(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), "\\s+")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos"),
+        InvertedIndex.normalizeToken(col("tok")).as("word"))
+      .filter(length(col("word")) > 0)
+    // join posting of word_i at position p with word_{i+1} at p+1
+    val first = positional.filter(col("word") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    phrase.tail.zipWithIndex.foldLeft(first) { case (acc, (w, i)) =>
+      val next = positional.filter(col("word") === w)
+        .select(col("doc_id").as("d2"), col("pos").as("p2"))
+      acc.join(next, acc("doc_id") === col("d2") && acc("pos") + (i + 1) === col("p2"))
+        .select(col("doc_id"), col("pos"))
+    }
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Canonical-content fingerprint per document. */
   def fingerprints(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(

@@ -466,7 +466,8 @@ object SparkEntry {
       """SELECT p.event_id, p.user_id, p.value AS purchase_value,
         | c.value AS last_click_value
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2) c
         | ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
     "q_range_late" ->

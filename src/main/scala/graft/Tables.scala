@@ -28,6 +28,9 @@ object Tables {
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer `div`, not `/`: double division loses exactness above
+      // 2^53 and nanosecond epochs (~1.7e18) are past that — a value
+      // within ~1µs of a boundary could round to the wrong microsecond
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }

@@ -61,6 +61,11 @@ object AsOfJoin {
     val ev = Tables.load(s, dir, "events")
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    // duplicate-(user_id, ts) clicks: asOf's window tie-break (_p asc,
+    // last) already picks the MAX value deterministically; the DuckDB
+    // oracle picks an ARBITRARY row on ties, so the ORACLE side
+    // pre-aggregates to max(value) per (user_id, ts) — same semantics,
+    // no extra shuffle here
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("value").as("click_value"))
     // raw doubles pass through unrounded: round() on a stored double is

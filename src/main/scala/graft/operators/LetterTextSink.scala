@@ -45,7 +45,10 @@ object LetterTextSink {
     // fs.defaultFS / s3a credentials / scheme impls arrive via
     // spark.hadoop.* and would be lost with a bare `new Configuration`
     entries.foreach { case (k, v) => conf.set(k, v) }
-    val f = new Path(dir).getFileSystem(conf)
+    // newInstance, NOT Path.getFileSystem: the cached JVM-wide instance
+    // must not have its checksum behavior mutated for unrelated writers,
+    // and conf entries are ignored on cache hits anyway. Callers close().
+    val f = FileSystem.newInstance(new Path(dir).toUri, conf)
     // no .crc sidecar files: the reference emits exactly 26 files and
     // nothing else; HDFS/object stores checksum internally anyway
     f.setWriteChecksum(false)
@@ -61,7 +64,7 @@ object LetterTextSink {
   /** index: (word STRING, file_ids ARRAY<INT>) → 26 letter files. */
   def write(index: DataFrame, outDir: String): Unit = {
     val hconf = confEntries(index)
-    fs(outDir, hconf).mkdirs(new Path(outDir))
+    locally { val f = fs(outDir, hconf); try f.mkdirs(new Path(outDir)) finally f.close() }
 
     val lines = index.select(
       col("word"),
@@ -81,6 +84,7 @@ object LetterTextSink {
         val tc = org.apache.spark.TaskContext.get()
         val letter = ('a' + tc.partitionId()).toChar
         val filesystem = fs(outDir, hconf)
+        try {
         // attempt-unique tmp name: a speculative/retried attempt must
         // not share a scratch file with a zombie of the same partition
         val tmp = new Path(outDir, s".$letter.txt.tmp-${tc.taskAttemptId()}")
@@ -104,19 +108,22 @@ object LetterTextSink {
             if (!filesystem.rename(tmp, dst))
               throw new java.io.IOException(s"rename failed: $tmp -> $dst")
         }
+        } finally filesystem.close()
       }
 
     val filesystem = fs(outDir, hconf)
-    // reap tmp files orphaned by failed/zombie attempts (each attempt
-    // writes a unique name, so losers are never overwritten-away)
-    ('a' to 'z').foreach { l =>
-      filesystem.globStatus(new Path(outDir, s".$l.txt.tmp-*"))
-        .foreach(st => filesystem.delete(st.getPath, false))
-    }
-    // O16: spec requires all 26 files even when empty.
-    ('a' to 'z').foreach { l =>
-      val f = new Path(outDir, s"$l.txt")
-      if (!filesystem.exists(f)) filesystem.create(f, false).close()
-    }
+    try {
+      // reap tmp files orphaned by failed/zombie attempts (each attempt
+      // writes a unique name, so losers are never overwritten-away)
+      ('a' to 'z').foreach { l =>
+        filesystem.globStatus(new Path(outDir, s".$l.txt.tmp-*"))
+          .foreach(st => filesystem.delete(st.getPath, false))
+      }
+      // O16: spec requires all 26 files even when empty.
+      ('a' to 'z').foreach { l =>
+        val f = new Path(outDir, s"$l.txt")
+        if (!filesystem.exists(f)) filesystem.create(f, false).close()
+      }
+    } finally filesystem.close()
   }
 }

@@ -23,9 +23,10 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Two-phase salted sum/count aggregation. `aggs` maps output column
-    * name → (valueColumn, isCount). Results equal the unsalted
-    * `groupBy(key).agg(...)` exactly (asserted in SkewSpec).
+  /** Two-phase salted SUM aggregation. `sums` maps output column name →
+    * value expression summed in both phases (sum-of-sums re-aggregates
+    * exactly); express a count as `sum(lit(1))`. Results equal the
+    * unsalted `groupBy(key).agg(...)` exactly (asserted in the spec).
     */
   def saltedAgg(df: DataFrame, key: Column, saltSource: Column, buckets: Int,
       sums: Map[String, Column]): DataFrame = {

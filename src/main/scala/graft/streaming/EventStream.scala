@@ -25,7 +25,9 @@ object EventStream {
       "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
     spark.readStream.schema(schema)
       .parquet(streamableDir(s"$dir/events.parquet"))
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer `div` (not `/`): see Tables.loadEvents — nanos exceed
+      // double's exact-integer range
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** The streaming file source monitors a DIRECTORY; the testdata is a

@@ -340,6 +340,128 @@ object Relational {
       .orderBy(col("yr"))
   }
 
+  /** GROUPING SETS — the general form rollup/cube specialize: exactly
+    * the three aggregation levels the report needs, nothing more
+    * (a cube over n columns computes 2^n levels; at 100 TB each level
+    * is a full extra pass through the Expand operator, so enumerating
+    * only the needed sets is a real cost lever, not style).
+    */
+  def groupingSetsOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderpriority")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        when(grouping(col("o_orderstatus")) === 1, "ALL")
+          .otherwise(col("o_orderstatus")).as("status"),
+        when(grouping(col("o_orderpriority")) === 1, "ALL")
+          .otherwise(col("o_orderpriority")).as("priority"),
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .select(col("status"), col("priority"), col("n_orders"), col("total_price"))
+      .orderBy(col("status"), col("priority"))
+
+  /** Correlated scalar subquery through the SQL front-end: suppliers
+    * whose balance beats their nation's average. Exercises Catalyst's
+    * subquery decorrelation (RewriteCorrelatedScalarSubquery plans this
+    * as an aggregate + join — same shape as the hand-written window
+    * variant in [[aboveAvgOrders]], derived automatically).
+    */
+  def scalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "supplier").createOrReplaceTempView("g_supplier")
+    s.sql(
+      """SELECT s_suppkey, s_name, s_nationkey
+        |FROM g_supplier s
+        |WHERE s_acctbal > (SELECT round(sum(s2.s_acctbal), 2) / count(*)
+        |                   FROM g_supplier s2
+        |                   WHERE s2.s_nationkey = s.s_nationkey)
+        |ORDER BY s_suppkey""".stripMargin)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey").cast("long").as("s_nationkey"))
+  }
+
+  /** EXISTS / NOT EXISTS subqueries through the SQL front-end —
+    * decorrelated by Catalyst into semi/anti joins (the declarative
+    * twin of [[bigSpenders]]/[[customersWithoutOrders]]).
+    */
+  def existsSubquery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "part").createOrReplaceTempView("g_part")
+    t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+    s.sql(
+      """SELECT p_brand, count(*) AS n_parts
+        |FROM g_part p
+        |WHERE EXISTS (SELECT 1 FROM g_lineitem l
+        |              WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49)
+        |  AND NOT EXISTS (SELECT 1 FROM g_lineitem l
+        |                  WHERE l.l_partkey = p.p_partkey AND l.l_returnflag = 'R'
+        |                    AND l.l_quantity >= 49)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+  }
+
+  /** Distribution analytics: quartile bucket (ntile), percent_rank and
+    * cume_dist over customer balances per segment. The window ordering
+    * key includes the unique custkey so every rank is tie-free —
+    * required for parallelism-independence and oracle parity. The
+    * rank-derived doubles are exact rationals of identical ints in both
+    * engines, so they pass through unrounded.
+    */
+  def ntileAnalytics(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    t(s, dir, "customer")
+      .filter(col("c_custkey") <= 300)
+      .select(
+        col("c_custkey"), col("c_mktsegment"),
+        ntile(4).over(w).cast("long").as("balance_quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Ordered string aggregation (LISTAGG): the collected list is fully
+    * sorted before joining, so the result is independent of shuffle
+    * arrival order — bare collect_list would not be.
+    */
+  def stringAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .filter(col("c_custkey") % 100 === 0)
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        array_join(array_sort(collect_list(col("c_name"))), ",").as("names"),
+        count(lit(1)).as("n"))
+      .orderBy(col("n_name"))
+
+  /** UNPIVOT (wide → long): melt the per-status revenue columns of
+    * [[pivotRevenue]] back into (year, status, total) rows. Pivot and
+    * unpivot are lossless inverses only with an explicit value list —
+    * the same staticness a plannable schema needs at scale.
+    */
+  def unpivotRevenue(s: SparkSession, dir: String): DataFrame =
+    pivotRevenue(s, dir)
+      .unpivot(
+        Array(col("o_year")),
+        Array(col("total_o").as("O"), col("total_f").as("F"), col("total_p").as("P")),
+        "status", "total")
+      .filter(col("total").isNotNull)
+      .orderBy(col("o_year"), col("status"))
+
+  /** Conditional aggregation: count_if / FILTER-style counts, boolean
+    * any/every, and CASE-gated sums in one pass over the fact — the
+    * idiom that replaces N separate filtered scans with one.
+    */
+  def conditionalAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("count_if(o_totalprice > 200000)").as("n_big"),
+        expr("bool_or(o_orderpriority = '1-URGENT')").as("has_urgent"),
+        expr("bool_and(o_totalprice > 1000)").as("all_above_1k"),
+        round(sum(when(col("o_orderpriority") === "1-URGENT", col("o_totalprice"))
+          .otherwise(0.0)), 2).as("urgent_total"))
+      .orderBy(col("o_orderstatus"))
+
   /** Multi-stat aggregate per order status. */
   def orderStats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")

@@ -40,19 +40,22 @@ object Bench {
     }
 
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    val results = indexBench ++ SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = indexBench ++ SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some(name -> (System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
         failed += name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        None
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    // a query that threw is flagged explicitly — its wall time must not
-    // silently count as a clean run in the driver-facing JSON
+    // a failed query is flagged explicitly and contributes nothing to
+    // "queries" or the headline total — a fast-failing query must not
+    // deflate the metric into looking better than a clean run
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")

@@ -42,6 +42,13 @@ object SparkEntry {
     "q_running" -> (Relational.runningWindows _),
     "q_cube_orders" -> (Relational.cubeOrders _),
     "q_approx_distinct" -> (Relational.approxDistinct _),
+    "q_grouping_sets" -> (Relational.groupingSetsOrders _),
+    "q_scalar_subquery" -> (Relational.scalarSubquery _),
+    "q_exists_subquery" -> (Relational.existsSubquery _),
+    "q_ntile" -> (Relational.ntileAnalytics _),
+    "q_string_agg" -> (Relational.stringAgg _),
+    "q_unpivot" -> (Relational.unpivotRevenue _),
+    "q_conditional_agg" -> (Relational.conditionalAgg _),
     // inverted-index query surface over documents (SURVEY §2.3 Q1-Q5)
     "q_doc_index" -> (TextQueries.docIndex _),
     "q_doc_posting" -> (TextQueries.docPosting _),
@@ -256,6 +263,67 @@ object SparkEntry {
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT
+        | CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
+        | CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
+        | count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS total_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey
+        |FROM supplier s
+        |WHERE s_acctbal > (SELECT CAST(sum(CAST(s2.s_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+        |                          / count(*)
+        |                   FROM supplier s2
+        |                   WHERE s2.s_nationkey = s.s_nationkey)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_exists_subquery" ->
+      """SELECT p_brand, count(*) AS n_parts
+        |FROM part p
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+        |                  WHERE l.l_partkey = p.p_partkey AND l.l_returnflag = 'R'
+        |                    AND l.l_quantity >= 49)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_ntile" ->
+      """SELECT c_custkey, c_mktsegment,
+        | CAST(ntile(4) OVER w AS BIGINT) AS balance_quartile,
+        | percent_rank() OVER w AS pct_rank,
+        | cume_dist() OVER w AS cume
+        |FROM customer WHERE c_custkey <= 300
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_string_agg" ->
+      """SELECT n_name,
+        | string_agg(c_name, ',' ORDER BY c_name) AS names,
+        | count(*) AS n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_custkey % 100 = 0
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_unpivot" ->
+      """WITH p AS (
+        | SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS total_o,
+        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS total_f,
+        |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS total_p
+        | FROM orders GROUP BY 1)
+        |SELECT o_year, status, total FROM (
+        | SELECT o_year, 'O' AS status, total_o AS total FROM p
+        | UNION ALL SELECT o_year, 'F', total_f FROM p
+        | UNION ALL SELECT o_year, 'P', total_p FROM p)
+        |WHERE total IS NOT NULL
+        |ORDER BY o_year, status""".stripMargin,
+    "q_conditional_agg" ->
+      """SELECT o_orderstatus,
+        | count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+        | bool_or(o_orderpriority = '1-URGENT') AS has_urgent,
+        | bool_and(o_totalprice > 1000) AS all_above_1k,
+        | round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END), 2) AS urgent_total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_percentiles" ->
       """SELECT o_orderstatus,
         | floor(quantile_cont(o_totalprice, 0.5) * 10000 + 0.5) / 10000 AS median_price,
@@ -467,7 +535,8 @@ object SparkEntry {
         | c.value AS last_click_value
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value
-        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2) c
+        |  FROM events WHERE event_type = 'click' AND value IS NOT NULL
+        |  GROUP BY 1, 2) c
         | ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
     "q_range_late" ->

@@ -65,7 +65,9 @@ object AsOfJoin {
     // last) already picks the MAX value deterministically; the DuckDB
     // oracle picks an ARBITRARY row on ties, so the ORACLE side
     // pre-aggregates to max(value) per (user_id, ts) — same semantics,
-    // no extra shuffle here
+    // no extra shuffle here. The oracle also drops NULL-value click
+    // rows pre-aggregation: last(ignoreNulls) skips a NULL payload to
+    // an earlier ts, while an unfiltered ASOF would match the NULL row.
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("value").as("click_value"))
     // raw doubles pass through unrounded: round() on a stored double is

@@ -370,10 +370,14 @@ object Relational {
     */
   def scalarSubquery(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "supplier").createOrReplaceTempView("g_supplier")
+    // threshold summed as DECIMAL: exact regardless of summation order,
+    // so the > boundary is parallelism-independent and engine-portable;
+    // the single division back in DOUBLE is identical IEEE math
     s.sql(
       """SELECT s_suppkey, s_name, s_nationkey
         |FROM g_supplier s
-        |WHERE s_acctbal > (SELECT round(sum(s2.s_acctbal), 2) / count(*)
+        |WHERE s_acctbal > (SELECT CAST(sum(CAST(s2.s_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+        |                          / count(*)
         |                   FROM g_supplier s2
         |                   WHERE s2.s_nationkey = s.s_nationkey)
         |ORDER BY s_suppkey""".stripMargin)

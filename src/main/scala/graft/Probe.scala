@@ -9,6 +9,21 @@ object Probe {
       val t0 = System.nanoTime(); val r = f
       println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
+    if (args.headOption.contains("minhash")) {
+      val dir = "/root/testdata/sf0.1"
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      val d = Tables.load(spark, dir, "documents")
+      time("warm full")(noop(graft.operators.Dedup.minhashNearDups(spark, dir)))
+      time("shingles")(noop(graft.operators.Dedup.shingleHashes(d)))
+      val sh = graft.operators.Dedup.shingleHashes(d)
+      time("signatures")(noop(graft.operators.Dedup.minhashSignatures(sh)))
+      time("candidates")(noop(
+        graft.operators.Dedup.lshCandidates(graft.operators.Dedup.minhashSignatures(sh))))
+      time("full 2")(noop(graft.operators.Dedup.minhashNearDups(spark, dir)))
+      time("full 3")(noop(graft.operators.Dedup.minhashNearDups(spark, dir)))
+      spark.stop(); return
+    }
     // warm-up on small corpus (same as bench)
     graft.operators.InvertedIndexJob.run(spark,
       "/root/reference/checker/test_small.txt", "/tmp/probe-warm")

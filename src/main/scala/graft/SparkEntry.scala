@@ -49,6 +49,11 @@ object SparkEntry {
     "q_string_agg" -> (Relational.stringAgg _),
     "q_unpivot" -> (Relational.unpivotRevenue _),
     "q_conditional_agg" -> (Relational.conditionalAgg _),
+    "q_stats_agg" -> (Relational.statsAgg _),
+    "q_window_range" -> (Relational.rangeFrameOrders _),
+    "q_nav_windows" -> (Relational.navigationWindows _),
+    "q_regex_funcs" -> (Relational.regexFuncs _),
+    "q_bigram_freq" -> ((s: SparkSession, d: String) => TextQueries.bigramFreq(s, d)),
     // inverted-index query surface over documents (SURVEY §2.3 Q1-Q5)
     "q_doc_index" -> (TextQueries.docIndex _),
     "q_doc_posting" -> (TextQueries.docPosting _),
@@ -324,6 +329,58 @@ object SparkEntry {
         | bool_and(o_totalprice > 1000) AS all_above_1k,
         | round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END), 2) AS urgent_total
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stats_agg" ->
+      """SELECT l_returnflag,
+        | floor(stddev_samp(l_quantity) * 10000 + 0.5) / 10000 AS sd_qty,
+        | floor(var_samp(l_quantity) * 10000 + 0.5) / 10000 AS var_qty,
+        | floor(corr(l_quantity, l_extendedprice) * 10000 + 0.5) / 10000 AS corr_qty_price,
+        | floor(covar_samp(l_quantity, l_discount) * 10000 + 0.5) / 10000 AS covar_qty_disc
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_window_range" ->
+      """SELECT o_orderkey, o_custkey,
+        | count(*) OVER w AS n_trailing,
+        | floor(sum(o_totalprice) OVER w * 10000 + 0.5) / 10000 AS sum_trailing
+        |FROM (SELECT *, date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS days
+        |      FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY days
+        |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_nav_windows" ->
+      """SELECT o_orderkey, o_custkey,
+        | lead(o_totalprice, 1) OVER w AS next_price,
+        | first_value(o_orderkey) OVER w AS first_order,
+        | last_value(o_orderkey) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order,
+        | nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_regex_funcs" ->
+      """SELECT p_partkey,
+        | CAST(regexp_extract(p_brand, '#([0-9]+)', 1) AS BIGINT) AS brand_num,
+        | regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+        | regexp_replace(p_type, '[AEIOU]', '_', 'g') AS type_masked,
+        | CAST(len(regexp_split_to_array(p_name, ' ')) AS BIGINT) AS n_name_words
+        |FROM part
+        |WHERE regexp_matches(p_name, '(ring|bolt|widget)$')
+        |ORDER BY p_partkey""".stripMargin,
+    "q_bigram_freq" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  list_filter(list_transform(regexp_split_to_array(text, '\s+'),
+        |    t -> lower(regexp_replace(t, '[^A-Za-z]+', '', 'g'))),
+        |   w -> len(w) > 0) AS ws
+        | FROM documents
+        |), b AS (
+        | SELECT ws[i] || ' ' || ws[i + 1] AS bigram
+        | FROM d, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+        | WHERE len(ws) >= 2
+        |)
+        |SELECT bigram, count(*) AS n FROM b
+        |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
     "q_percentiles" ->
       """SELECT o_orderstatus,
         | floor(quantile_cont(o_totalprice, 0.5) * 10000 + 0.5) / 10000 AS median_price,

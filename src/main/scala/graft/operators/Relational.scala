@@ -466,6 +466,78 @@ object Relational {
           .otherwise(0.0)), 2).as("urgent_total"))
       .orderBy(col("o_orderstatus"))
 
+  /** Statistical aggregates: sample stddev/variance, correlation and
+    * covariance between quantity and price, per return flag. All four
+    * are single-pass co-moment aggregates (map-side combinable — the
+    * merge is Chan's pairwise update, no second scan at any scale);
+    * results are rounded with the portable floor-round since co-moment
+    * accumulation order differs across partitionings by design.
+    */
+  def statsAgg(s: SparkSession, dir: String): DataFrame = {
+    val r4 = graft.functions.Rounding.portableRound4 _
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        r4(stddev_samp(col("l_quantity"))).as("sd_qty"),
+        r4(var_samp(col("l_quantity"))).as("var_qty"),
+        r4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"),
+        r4(covar_samp(col("l_quantity"), col("l_discount"))).as("covar_qty_disc"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** RANGE window frame: per customer, order count and revenue inside a
+    * trailing 30-day window keyed on days-since-epoch. RANGE frames are
+    * tie-safe by definition (all rows with equal ordering key share one
+    * frame), so the result is parallelism-independent without a unique
+    * tie-break column.
+    */
+  def rangeFrameOrders(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("days"))
+      .rangeBetween(-30, Window.currentRow)
+    t(s, dir, "orders")
+      .withColumn("days",
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date")).cast("long"))
+      .withColumn("n_trailing", count(lit(1)).over(w))
+      .withColumn("sum_trailing",
+        graft.functions.Rounding.portableRound4(sum(col("o_totalprice")).over(w)))
+      .select(col("o_orderkey"), col("o_custkey"), col("n_trailing"), col("sum_trailing"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Navigation window functions: lead, first_value, last_value over the
+    * full partition, nth_value — per customer in (date, key) order. The
+    * ordering includes the unique orderkey so every function is
+    * tie-free.
+    */
+  def navigationWindows(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        first_value(col("o_orderkey")).over(w).as("first_order"),
+        last_value(col("o_orderkey")).over(whole).as("last_order"),
+        nth_value(col("o_orderkey"), 2).over(whole).as("second_order"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Regex-function coverage over part: group extraction, replace,
+    * regex filter, split-cardinality.
+    */
+  def regexFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_name").rlike("(ring|bolt|widget)$"))
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_brand"), "#([0-9]+)", 1).cast("long").as("brand_num"),
+        regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+        regexp_replace(col("p_type"), "[AEIOU]", "_").as("type_masked"),
+        size(split(col("p_name"), " ")).cast("long").as("n_name_words"))
+      .orderBy(col("p_partkey"))
+
   /** Multi-stat aggregate per order status. */
   def orderStats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")

@@ -176,6 +176,30 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Top-k bigram frequencies over normalized tokens — the n-gram
+    * counting pass of a corpus-analysis pipeline. Empty tokens are
+    * dropped BEFORE pairing (adjacency is over surviving words), and
+    * the normalized token array is materialized in its own projection
+    * before the pairing lambda (HOF lambdas get no common-subexpression
+    * elimination — re-tokenizing per element is the measured 10x cliff
+    * from Dedup.shingleHashes).
+    */
+  def bigramFreq(s: SparkSession, dir: String, k: Int = 20): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        filter(
+          transform(split(col("text"), "\\s+"), t => InvertedIndex.normalizeToken(t)),
+          w => length(w) > 0).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(transform(
+        sequence(lit(0), size(col("ws")) - 2),
+        i => concat_ws(" ", element_at(col("ws"), i + 1), element_at(col("ws"), i + 2))))
+        .as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(k)
+
   /** Canonical-content fingerprint per document. */
   def fingerprints(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(

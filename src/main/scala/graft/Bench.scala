@@ -26,8 +26,14 @@ object Bench {
           // untimed warm-up on the same corpus: JIT + codegen compile
           // are one-time costs, excluded per BASELINE.md's steady-state
           // comparison (a 3-file warm-up left ~10 s of first-run JIT in
-          // the timed pass; the C reference has no JIT to warm)
-          graft.operators.InvertedIndexJob.run(spark, manifest, s"$out-warm")
+          // the timed pass; the C reference has no JIT to warm). The
+          // timed q0 is therefore a FULLY WARMED second run (JIT, OS
+          // page cache, shuffle/codegen caches) — flagged as "warm" in
+          // the output JSON so the 2x-of-baseline comparison is read
+          // on those terms.
+          val warmDir = s"$out-warm"
+          graft.operators.InvertedIndexJob.run(spark, manifest, warmDir)
+          deleteRecursively(new java.io.File(warmDir))
           val t0 = System.nanoTime()
           graft.operators.InvertedIndexJob.run(spark, manifest, out)
           Seq("q0_index_corpus" -> (System.nanoTime() - t0) / 1e9)
@@ -52,12 +58,20 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    // a failed query is flagged explicitly and contributes nothing to
-    // "queries" or the headline total — a fast-failing query must not
-    // deflate the metric into looking better than a clean run
+    // a failed query is flagged explicitly, and the headline total is
+    // NULLED — a partially-failed run (fewer summed queries) must never
+    // be comparable on its deflated total, even by a consumer that
+    // ignores the `failed` array
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val totalJson =
+      if (failed.nonEmpty) "null"
+      else f"${results.map(_._2).sum}%.3f"
+    println(s"""{"metric":"total","value":$totalJson,"unit":"sec","warm":true,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete()
   }
 }

@@ -360,7 +360,7 @@ object SparkEntry {
         |ORDER BY o_orderkey""".stripMargin,
     "q_regex_funcs" ->
       """SELECT p_partkey,
-        | CAST(regexp_extract(p_brand, '#([0-9]+)', 1) AS BIGINT) AS brand_num,
+        | CAST(NULLIF(regexp_extract(p_brand, '#([0-9]+)', 1), '') AS BIGINT) AS brand_num,
         | regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
         | regexp_replace(p_type, '[AEIOU]', '_', 'g') AS type_masked,
         | CAST(len(regexp_split_to_array(p_name, ' ')) AS BIGINT) AS n_name_words
@@ -592,7 +592,7 @@ object SparkEntry {
         | c.value AS last_click_value
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value
-        |  FROM events WHERE event_type = 'click' AND value IS NOT NULL
+        |  FROM events WHERE event_type = 'click'
         |  GROUP BY 1, 2) c
         | ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,

@@ -32,10 +32,16 @@ object AsOfJoin {
     */
   def asOf(left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String, payload: String): DataFrame = {
-    val lTag = left.withColumn("_src", lit(1))
-      .withColumn("_p", lit(null).cast(right.schema(payload).dataType))
+    // A NULL payload on the matched right row must be representable:
+    // box the payload in a single-field struct, which is non-null on
+    // every right row even when the payload itself is NULL. Then
+    // last(ignoreNulls) skips only LEFT rows (whose struct is NULL) —
+    // never a matched right row — so a NULL payload on the true match
+    // surfaces as NULL instead of falling back to an older value.
     val rTag = right.select(col(keyCol), col(tsCol),
-        col(payload).as("_p")).withColumn("_src", lit(0))
+        struct(col(payload).as("v")).as("_p")).withColumn("_src", lit(0))
+    val lTag = left.withColumn("_src", lit(1))
+      .withColumn("_p", lit(null).cast(rTag.schema("_p").dataType))
     val unioned = lTag.columns.foldLeft(rTag) { (acc, c) =>
       if (acc.columns.contains(c)) acc
       else acc.withColumn(c, lit(null).cast(lTag.schema(c).dataType))
@@ -43,14 +49,16 @@ object AsOfJoin {
 
     // _p as the final sort key: two right rows sharing (key, ts) would
     // otherwise resolve by partition-sort luck, violating the engine's
-    // parallelism-independence requirement (ties pick the max payload)
+    // parallelism-independence requirement (ties pick the max payload;
+    // struct asc compares the wrapped value, NULL field first)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col("_src").asc, col("_p").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
-      .withColumn(s"asof_$payload", last(col("_p"), ignoreNulls = true).over(w))
+      .withColumn("_m", last(col("_p"), ignoreNulls = true).over(w))
       .filter(col("_src") === 1)
-      .drop("_src", "_p")
+      .withColumn(s"asof_$payload", col("_m").getField("v"))
+      .drop("_src", "_p", "_m")
   }
 
   /** Q-ASOF: each purchase event annotated with the user's most recent
@@ -65,9 +73,10 @@ object AsOfJoin {
     // last) already picks the MAX value deterministically; the DuckDB
     // oracle picks an ARBITRARY row on ties, so the ORACLE side
     // pre-aggregates to max(value) per (user_id, ts) — same semantics,
-    // no extra shuffle here. The oracle also drops NULL-value click
-    // rows pre-aggregation: last(ignoreNulls) skips a NULL payload to
-    // an earlier ts, while an unfiltered ASOF would match the NULL row.
+    // no extra shuffle here. NULL click values stay in: the boxed-
+    // struct asOf carries a NULL payload on the true match (= DuckDB
+    // ASOF), and max() per tie-group returns NULL only when the whole
+    // group is NULL, matching the struct-asc tie-break.
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("value").as("click_value"))
     // raw doubles pass through unrounded: round() on a stored double is

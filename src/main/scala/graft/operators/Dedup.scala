@@ -85,10 +85,18 @@ object Dedup {
   /** Cap shingle document frequency: drop shingles appearing in more
     * than `maxDf` docs (they generate huge LSH buckets and carry no
     * dedup signal).
+    *
+    * Skew-safe by construction: df comes from a `groupBy` (map-side
+    * partial counts, so a shingle in a million docs ships ~one row per
+    * input partition, not a million rows into one task — the failure
+    * mode a `count over Window.partitionBy(sh)` would have on exactly
+    * the hot keys this cap exists to kill), and the resulting hot list
+    * is tiny (only shingles with df > maxDf) so it broadcasts into a
+    * shuffle-free `left_anti`.
     */
   private def dfCapped(sh: DataFrame, maxDf: Int): DataFrame = {
-    val w = Window.partitionBy(col("sh"))
-    sh.withColumn("df", count(lit(1)).over(w)).filter(col("df") <= maxDf).drop("df")
+    val hot = sh.groupBy(col("sh")).count().filter(col("count") > maxDf).select(col("sh"))
+    sh.join(broadcast(hot), Seq("sh"), "left_anti")
   }
 
   // ------------------------------------------------------------- MinHash
@@ -214,21 +222,95 @@ object Dedup {
 
   // ------------------------------------------- embedding-cosine near-dup
 
-  /** Near-duplicate pairs by embedding cosine ≥ threshold. Candidate
-    * generation here is the LSH bucketing from [[Similarity]]; at the
-    * small test scale the verify-all path is exercised by the oracle
-    * query instead (see SparkEntry.q_dedup_embedding).
+  /** Near-duplicate pairs by embedding cosine ≥ threshold — EXACT
+    * result (100% recall guaranteed, not sampled or hashed), computed
+    * without ever joining the corpus against itself row-by-row.
+    *
+    * Shape: metric-space cell pruning on the unit sphere.
+    *  1. Assign every vector to an IVF cell ([[Similarity.assignCells]],
+    *     a narrow projection) and aggregate each cell's angular RADIUS
+    *     (max arccos-distance of a member to its centroid).
+    *  2. Score all C² ordered centroid pairs (C ≈ √n, broadcast-sized
+    *     by [[Similarity.cellSeeds]]) and PRUNE every cell pair whose
+    *     triangle-inequality lower bound already exceeds the threshold
+    *     angle: d(x,y) ≥ d(c_x,c_y) − R_x − R_y > arccos(threshold)
+    *     ⇒ no member pair can reach the threshold. arccos distance is a
+    *     metric on the sphere, so the bound — hence recall — is exact
+    *     for ANY data distribution (an LSH/hyperplane candidate step
+    *     can't promise that: a pair sitting exactly at the threshold
+    *     survives banding only probabilistically).
+    *  3. Equi-join vectors through the surviving cell pairs (broadcast
+    *     fan-out to partner cells, then a shuffle join keyed on cell —
+    *     skewed cells are AQE's skew-join case) and exact-verify cosine.
+    *
+    * On clustered corpora — the regime where embedding near-dup dedup
+    * is actually run — tight cells prune the vast majority of cell
+    * pairs and the join touches only plausible regions; on adversarial
+    * data (e.g. uniform random vectors with a threshold in the random
+    * tail, which is what the synthetic test tables are) it degrades
+    * gracefully toward verifying most pairs, but through the same
+    * bounded equi-join plan: no CartesianProduct, no nested loop over
+    * the corpus, and per-task work capped by cell sizes instead of n².
     */
   def embeddingNearDups(s: SparkSession, dir: String, threshold: Double): DataFrame = {
-    val e = Similarity.emb(s, dir)
-    val a = e.as("a"); val b = e.as("b")
-    a.join(b, col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos",
-        graft.functions.VectorFunctions.arrayDot(col("a.emb"), col("b.emb")) /
-          (col("a.nrm") * col("b.nrm")))
-      .filter(col("cos") >= threshold)
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        graft.functions.Rounding.portableRound4(col("cos")).as("cos"))
+    import graft.functions.VectorFunctions.arrayDot
+    val thetaT = math.acos(math.max(-1.0, math.min(1.0, threshold)))
+    // zero-norm vectors can never reach a positive cosine threshold
+    // (0/0 = NaN fails every comparison, same as the all-pairs oracle);
+    // dropping them up front keeps NaN out of the radius aggregates,
+    // where one poisoned max would silently prune live cell pairs
+    val e = Similarity.emb(s, dir).filter(col("nrm") > 0)
+    val cents = Similarity.cellSeeds(e)
+    val assigned = Similarity.assignCells(e, Similarity.collectCells(cents))
+      .select(col("vec_id"), col("emb"), col("nrm"), col("cent_id"))
+
+    def angle(cos: Column): Column =
+      acos(least(lit(1.0), greatest(lit(-1.0), cos)))
+
+    // per-cell angular radius (one extra dot per member, C-row result)
+    val radii = assigned.join(broadcast(cents), Seq("cent_id"))
+      .withColumn("ang",
+        angle(arrayDot(col("emb"), col("cent_emb")) / (col("nrm") * col("cent_nrm"))))
+      .groupBy(col("cent_id")).agg(max(col("ang")).as("radius"))
+
+    // all C² ordered centroid pairs with pairwise angular distance;
+    // the repartition spreads the pair computation off the single
+    // collect_list row before the second explode fans out
+    val cs = cents.agg(sort_array(collect_list(
+      struct(col("cent_id"), col("cent_emb"), col("cent_nrm")))).as("cs"))
+    val cpairs = cs
+      .select(explode(col("cs")).as("ca"), col("cs"))
+      .repartition(col("ca.cent_id"))
+      .select(col("ca"), explode(col("cs")).as("cb"))
+      .select(col("ca.cent_id").as("ca_id"), col("cb.cent_id").as("cb_id"),
+        angle(arrayDot(col("ca.cent_emb"), col("cb.cent_emb")) /
+          (col("ca.cent_nrm") * col("cb.cent_nrm"))).as("c_ang"))
+
+    // triangle-inequality prune (1e-9 slack absorbs FP rounding in the
+    // bound so an exactly-at-threshold pair can't be lost to the last ulp)
+    val keep = cpairs
+      .join(broadcast(radii.select(col("cent_id").as("ca_id"), col("radius").as("r_a"))),
+        Seq("ca_id"))
+      .join(broadcast(radii.select(col("cent_id").as("cb_id"), col("radius").as("r_b"))),
+        Seq("cb_id"))
+      .filter(col("c_ang") - col("r_a") - col("r_b") <= lit(thetaT + 1e-9))
+      .select(col("ca_id"), col("cb_id").as("partner_cell"))
+
+    val a = assigned.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
+      col("nrm").as("nrm_a"), col("cent_id").as("ca_id"))
+    val b = assigned.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"),
+      col("nrm").as("nrm_b"), col("cent_id").as("cb_id"))
+
+    // each unordered vector pair surfaces exactly once: `keep` holds
+    // BOTH orientations of every surviving cell pair (pruning is
+    // symmetric), and vec_a < vec_b picks the one matching orientation
+    a.join(broadcast(keep), Seq("ca_id"))
+      .join(b, col("partner_cell") === col("cb_id") && col("vec_a") < col("vec_b"))
+      .withColumn("cos_raw",
+        arrayDot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cos_raw") >= threshold)
+      .select(col("vec_a"), col("vec_b"),
+        graft.functions.Rounding.portableRound4(col("cos_raw")).as("cos"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 }

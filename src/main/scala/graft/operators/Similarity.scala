@@ -17,11 +17,27 @@ import graft.functions.VectorFunctions
   *    O(|corpus| × |queries|) FLOPs, one scan, no corpus shuffle — the
   *    right baseline even at scale when |queries| is small.
   *  - [[knnIvf]] — IVF-style approximate path: corpus vectors are
-  *    assigned to their nearest centroid once (an O(C) broadcast
-  *    lookup), queries probe only the `nprobe` nearest cells, so the
-  *    per-query cost drops to the probed fraction of the corpus. This
-  *    is the 100 TB shape: the assignment is a narrow column you'd
-  *    persist/bucket by, and each query touches a few cells.
+  *    assigned to their nearest centroid, queries probe only the
+  *    `nprobe` nearest cells, so the per-query cost drops to the probed
+  *    fraction of the corpus. This is the 100 TB shape: the assignment
+  *    is a narrow column you'd persist/bucket by, and each query
+  *    touches a few cells.
+  *
+  * Cell assignment is a NARROW PROJECTION: the centroid set — bounded
+  * to at most `maxCells` rows by policy — is collected once and
+  * embedded as array LITERALS (the MLlib-KMeans pattern: model state
+  * lives on the driver and ships to executors with the task binary),
+  * and the codegen'd [[graft.functions.NearestCell]] expression picks
+  * the argmax cell in one loop. No corpus×C row explosion, no window
+  * over the exploded set, no `groupBy(vec_id)` reduction, and no join
+  * of any kind — the corpus is never shuffled just to learn its cells
+  * (the first real shuffle is whatever keyed operation the caller does
+  * next, e.g. the cell join).
+  *
+  * Centroid count follows a √n policy (see [[cellSeeds]]): C grows with
+  * the corpus but the broadcast centroid table stays bounded by
+  * `maxCells` — at 10⁹ vectors C saturates at 4096 centroids ≈ 2 MB of
+  * doubles, not the n/50 = 2·10⁷ a fixed stride would produce.
   *
   * L2 norms are computed ONCE per vector and carried as a column;
   * pairwise cosine is then a single dot + divide. All arithmetic is
@@ -66,28 +82,66 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  /** Lloyd-refined centroids: start from the deterministic seeds
-    * (every 50th vector) and run `iters` k-means steps entirely as
-    * DataFrame ops — assign by max cosine, recompute each centroid as
-    * the element-wise mean of its members (posexplode → avg per
-    * (cell, dim) → reassemble ordered). Deterministic given
-    * deterministic seeds; all shuffles are on (cell, dim) pairs, never
-    * on vector pairs.
+  // ------------------------------------------------------------ cells
+
+  /** Deterministic centroid seeds under the √n policy:
+    * C = min(⌈√n⌉, maxCells) strided picks (every ⌈n/C⌉-th vec_id).
+    * √n balances the two costs of an IVF grid — per-vector assignment
+    * work O(C) against per-cell candidate volume O(n/C) — and the cap
+    * keeps the broadcast table bounded on a 10⁹-vector corpus. The
+    * driver-side actions are a parquet-metadata `count()` to size the
+    * grid and the [[collectCells]] model-state collect, both O(C)-bounded.
     */
-  def kmeansCentroids(e: DataFrame, iters: Int = 2): DataFrame = {
-    var cents = e.filter(col("vec_id") % 50 === 0)
+  private[operators] def cellSeeds(e: DataFrame, maxCells: Int = 4096): DataFrame = {
+    val n = e.count()
+    val c = math.max(1L, math.min(maxCells.toLong, math.ceil(math.sqrt(n.toDouble)).toLong))
+    val stride = math.max(1L, math.round(n.toDouble / c.toDouble))
+    e.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"),
         col("nrm").as("cent_nrm"))
+  }
+
+  /** The centroid set as driver-side parallel arrays, cent_id-sorted
+    * so [[graft.functions.NearestCell]]'s lowest-index tie-break is a
+    * lowest-cent_id tie-break. Bounded by the `maxCells` policy (≈2 MB
+    * at the 4096 cap), so collecting it is the MLlib-KMeans model-state
+    * pattern, not a data collect.
+    */
+  private[operators] final case class CellIndex(
+      ids: Seq[Long], embs: Seq[Seq[Double]], nrms: Seq[Double])
+
+  private[operators] def collectCells(cents: DataFrame): CellIndex = {
+    val rows = cents.select(col("cent_id"), col("cent_emb"), col("cent_nrm"))
+      .orderBy(col("cent_id")).collect()
+    CellIndex(
+      rows.map(_.getLong(0)).toSeq,
+      rows.map(_.getSeq[Double](1)).toSeq,
+      rows.map(_.getDouble(2)).toSeq)
+  }
+
+  /** Nearest-centroid assignment as a narrow projection: input columns
+    * plus `cent_id`. See the class doc for why this shape (no corpus
+    * shuffle — no join, window, or reduction at all) beats both the
+    * crossJoin+window and the max_by alternatives.
+    */
+  private[operators] def assignCells(e: DataFrame, cells: CellIndex): DataFrame =
+    e.withColumn("cent_id", element_at(typedLit(cells.ids),
+      VectorFunctions.nearestCell(
+        col("emb"), typedLit(cells.embs), typedLit(cells.nrms)) + lit(1)))
+
+  /** Lloyd-refined centroids: start from [[cellSeeds]] and run `iters`
+    * k-means steps entirely as DataFrame ops — assign by max cosine
+    * (narrow [[assignCells]] projection), recompute each centroid as
+    * the element-wise mean of its members (posexplode → avg per
+    * (cell, dim) → reassemble ordered). The only shuffle per iteration
+    * moves (cell, dim) partial sums — map-side combined to ≤ C×dims
+    * rows per input partition, never vector pairs. Deterministic given
+    * deterministic seeds.
+    */
+  def kmeansCentroids(e: DataFrame, seeds: DataFrame, iters: Int = 2): DataFrame = {
+    var cents = seeds
     for (_ <- 0 until iters) {
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("c_cos").desc, col("cent_id").asc)
-      val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("c_cos",
-          VectorFunctions.arrayDot(col("emb"), col("cent_emb")) / (col("nrm") * col("cent_nrm")))
-        .withColumn("a_rnk", row_number().over(wAssign))
-        .filter(col("a_rnk") === 1)
-        .select(col("vec_id"), col("emb"), col("cent_id"))
-      cents = assigned
+      cents = assignCells(e, collectCells(cents))
         .select(col("cent_id"), posexplode(col("emb")).as(Seq("dim", "v")))
         .groupBy(col("cent_id"), col("dim"))
         .agg(avg(col("v")).as("m"))
@@ -99,31 +153,27 @@ object Similarity {
     cents
   }
 
-  /** IVF-style ANN: deterministic centroids (every 50th vector), each
-    * corpus vector assigned to its nearest centroid, queries probe the
-    * `nprobe` nearest cells. Returns same schema as brute force; recall
-    * vs the exact result is asserted in DedupSimilaritySpec.
+  /** IVF-style ANN: √n-policy centroids (optionally Lloyd-refined),
+    * each corpus vector assigned to its nearest centroid by the narrow
+    * [[assignCells]] projection, queries probe the `nprobe` nearest
+    * cells. Returns same schema as brute force; recall vs the exact
+    * result is asserted in DedupSimilaritySpec.
+    *
+    * The probe step scores queries×C through a broadcast nested loop —
+    * fine because the QUERY side is tiny (here 10 rows); the corpus
+    * side never sees a non-equi join: cell search is an equi-join on
+    * `cent_id` (skewed cells are AQE's skew-join case, and the
+    * per-query top-k window runs over the probed candidates only).
     */
   def knnIvf(s: SparkSession, dir: String, k: Int = 5, nprobe: Int = 4,
-      kmeansIters: Int = 0): DataFrame = {
+      kmeansIters: Int = 0, maxCells: Int = 4096): DataFrame = {
     val e = emb(s, dir)
-    val cents =
-      if (kmeansIters > 0) kmeansCentroids(e, kmeansIters)
-      else e.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"),
-          col("nrm").as("cent_nrm"))
+    val seeds = cellSeeds(e, maxCells)
+    val cents = if (kmeansIters > 0) kmeansCentroids(e, seeds, kmeansIters) else seeds
 
-    // assignment: nearest centroid per vector (broadcast C centroids)
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("cent_id").asc)
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("c_cos",
-        VectorFunctions.arrayDot(col("emb"), col("cent_emb")) / (col("nrm") * col("cent_nrm")))
-      .withColumn("a_rnk", row_number().over(wAssign))
-      .filter(col("a_rnk") === 1)
-      .select(col("vec_id"), col("emb"), col("nrm"), col("cent_id"))
+    val assigned = assignCells(e, collectCells(cents))
 
-    // queries probe their nprobe nearest cells
+    // queries probe their nprobe nearest cells (query side only: 10×C)
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
     val wProbe = Window.partitionBy(col("query_id"))

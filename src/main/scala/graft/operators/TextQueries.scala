@@ -135,7 +135,11 @@ object TextQueries {
   def tfidfSearch(s: SparkSession, dir: String,
       query: Seq[String] = Seq("spark", "join", "window")): DataFrame = {
     val d = docs(s, dir)
-    val n = d.count()
+    // corpus size N folded in as a broadcast one-row scalar (the same
+    // shape Catalyst gives an uncorrelated scalar subquery) instead of
+    // a driver-side d.count(): keeps the whole search a single job and
+    // a single scan of documents
+    val n = d.agg(count(lit(1)).cast("double").as("n_docs"))
     val toks = d
       .select(explode(split(col("text"), "\\s+")).as("tok"), col("doc_id"))
       .select(InvertedIndex.normalizeToken(col("tok")).as("word"), col("doc_id"))
@@ -143,7 +147,8 @@ object TextQueries {
     val tf = toks.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy(col("word")).agg(countDistinct(col("doc_id")).as("df"))
     tf.join(broadcast(df_), Seq("word"))
-      .withColumn("w_score", col("tf") * log(lit(n.toDouble) / col("df")))
+      .crossJoin(broadcast(n))
+      .withColumn("w_score", col("tf") * log(col("n_docs") / col("df")))
       .groupBy(col("doc_id"))
       .agg(graft.functions.Rounding.portableRound4(sum(col("w_score"))).as("score"),
         count(lit(1)).as("n_terms"))

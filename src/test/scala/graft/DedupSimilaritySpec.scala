@@ -44,6 +44,33 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embeddingNearDups: 100% recall — equals all-pairs exact; no nested-loop plan") {
+    val got = Dedup.embeddingNearDups(spark, sf, 0.4)
+    // the cell-pruned plan must never fall back to a corpus×corpus
+    // product: triangle-inequality pruning + cell equi-joins only
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "dedup plan has a CartesianProduct")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "dedup plan has a BroadcastNestedLoopJoin")
+    val gotPairs = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force reference, test-code-only cartesian
+    graft.functions.VectorFunctions.register(spark)
+    import graft.functions.VectorFunctions.{arrayDot, l2Norm}
+    val e = graft.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
+    val exact = e.select(col("vec_id").as("va"), col("emb").as("ea"))
+      .join(e.select(col("vec_id").as("vb"), col("emb").as("eb")), col("va") < col("vb"))
+      .filter(arrayDot(col("ea"), col("eb")) / (l2Norm(col("ea")) * l2Norm(col("eb"))) >= 0.4)
+      .select(col("va"), col("vb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotPairs == exact,
+      s"missed=${exact.diff(gotPairs).take(5)} extra=${gotPairs.diff(exact).take(5)}")
+  }
+
+  test("minhash dedup plan has no window over the shingle key (df-cap is agg+anti-join)") {
+    val plan = Dedup.minhashNearDups(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("windowspecdefinition"), "dedup plan still uses a window")
+  }
+
   test("knnBruteForce: k rows per query, cosine non-increasing by rank") {
     val rows = Similarity.knnBruteForce(spark, sf).collect()
     val byQuery = rows.groupBy(_.getLong(0))
@@ -55,12 +82,16 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
-  test("knnIvf achieves >=40% recall vs brute force at nprobe=4") {
+  test("knnIvf achieves >=40% recall vs brute force at defaults (√n cells, nprobe=4)") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val brute = pairs(Similarity.knnBruteForce(spark, sf))
     val ivf = pairs(Similarity.knnIvf(spark, sf))
     val recall = brute.intersect(ivf).size.toDouble / brute.size
     assert(recall >= 0.4, s"IVF recall $recall")
+    // Lloyd refinement tightens cells and must not hurt recall
+    val km = pairs(Similarity.knnIvf(spark, sf, kmeansIters = 2))
+    val kmRecall = brute.intersect(km).size.toDouble / brute.size
+    assert(kmRecall >= 0.5, s"IVF+kmeans recall $kmRecall")
   }
 }

@@ -24,6 +24,20 @@ object Probe {
       time("full 3")(noop(graft.operators.Dedup.minhashNearDups(spark, dir)))
       spark.stop(); return
     }
+    if (args.headOption.contains("scaling")) {
+      // core-scaling curve: run with SPARK_GRAFT_CPUS=1|4|32; full-corpus
+      // warm-up then 3 timed runs, median reported. The last output dir
+      // is left in place for an external golden diff per width.
+      val cores = GraftSession.defaultCores
+      graft.operators.InvertedIndexJob.run(spark, manifest, s"/tmp/scaling-warm-$cores")
+      val times = (1 to 3).map { i =>
+        val t0 = System.nanoTime()
+        graft.operators.InvertedIndexJob.run(spark, manifest, s"/tmp/scaling-$cores-$i")
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[scaling] cores=$cores median=${times.sorted.apply(1)}%.2f s all=${times.map(t => f"$t%.2f").mkString(",")}")
+      spark.stop(); return
+    }
     // warm-up on small corpus (same as bench)
     graft.operators.InvertedIndexJob.run(spark,
       "/root/reference/checker/test_small.txt", "/tmp/probe-warm")

@@ -82,6 +82,40 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("nearest_cell: codegen result matches a plain-Scala argmax, ties to lowest index") {
+    graft.functions.VectorFunctions.register(spark)
+    import graft.functions.VectorFunctions.nearestCell
+    // deterministic pseudo-random corpus + centroids
+    val rnd = new scala.util.Random(42)
+    val dims = 8
+    val cents = Seq.fill(7)(Seq.fill(dims)(rnd.nextDouble() * 2 - 1))
+    val nrms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    val vecs = (0 until 200).map(i => (i.toLong, Seq.fill(dims)(rnd.nextDouble() * 2 - 1)))
+    def expected(v: Seq[Double]): Int =
+      cents.indices.maxByOption(i =>
+        // left-to-right dot, same order as the expression
+        (v.zip(cents(i)).foldLeft(0.0) { case (s, (a, b)) => s + a * b } / nrms(i), -i)).get
+    import spark.implicits._
+    val df = vecs.toDF("vec_id", "emb")
+      .select(col("vec_id"), col("emb"),
+        nearestCell(col("emb"), typedLit(cents), typedLit(nrms)).as("cell"))
+    df.collect().foreach { r =>
+      assert(r.getInt(2) == expected(vecs(r.getLong(0).toInt)._2),
+        s"vec ${r.getLong(0)}: got ${r.getInt(2)}")
+    }
+    // tie: duplicated centroid must resolve to the LOWEST index
+    val dup = Seq(cents.head, cents.head, cents.head)
+    val dupNrm = Seq(nrms.head, nrms.head, nrms.head)
+    val tie = Seq((0L, cents.head)).toDF("vec_id", "emb")
+      .select(nearestCell(col("emb"), typedLit(dup), typedLit(dupNrm)).as("cell"))
+    assert(tie.collect()(0).getInt(0) == 0)
+    // empty centroid list → NULL, not an error
+    val empty = Seq((0L, Seq(1.0, 2.0))).toDF("vec_id", "emb")
+      .select(nearestCell(col("emb"),
+        typedLit(Seq.empty[Seq[Double]]), typedLit(Seq.empty[Double])).as("cell"))
+    assert(empty.collect()(0).isNullAt(0))
+  }
+
   test("knnIvf achieves >=40% recall vs brute force at defaults (√n cells, nprobe=4)") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet

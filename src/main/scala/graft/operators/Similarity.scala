@@ -159,28 +159,39 @@ object Similarity {
     * cells. Returns same schema as brute force; recall vs the exact
     * result is asserted in DedupSimilaritySpec.
     *
-    * The probe step scores queries×C through a broadcast nested loop —
-    * fine because the QUERY side is tiny (here 10 rows); the corpus
-    * side never sees a non-equi join: cell search is an equi-join on
-    * `cent_id` (skewed cells are AQE's skew-join case, and the
-    * per-query top-k window runs over the probed candidates only).
+    * The probe step scores queries×C by exploding the literal centroid
+    * array per query row (a generator, not a join — tiny: 10×C); the
+    * corpus side never sees a non-equi join: cell search is an
+    * equi-join on `cent_id` (skewed cells are AQE's skew-join case,
+    * and the per-query top-k window runs over the probed candidates
+    * only).
     */
   def knnIvf(s: SparkSession, dir: String, k: Int = 5, nprobe: Int = 4,
       kmeansIters: Int = 0, maxCells: Int = 4096): DataFrame = {
     val e = emb(s, dir)
     val seeds = cellSeeds(e, maxCells)
     val cents = if (kmeansIters > 0) kmeansCentroids(e, seeds, kmeansIters) else seeds
+    val cells = collectCells(cents)
 
-    val assigned = assignCells(e, collectCells(cents))
+    val assigned = assignCells(e, cells)
 
-    // queries probe their nprobe nearest cells (query side only: 10×C)
+    // queries probe their nprobe nearest cells: the centroid set is
+    // already driver-side model state, so fan each query out over a
+    // literal (cent_id, cent_emb, cent_nrm) array — a generator, not a
+    // join — then keep the nprobe best cells per query with a window
+    // over the (tiny) queries×C set
+    val cellArr = typedLit(cells.ids.indices.map(i =>
+      (cells.ids(i), cells.embs(i), cells.nrms(i))))
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("q_cos").desc, col("cent_id").asc)
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("q_cos",
-        VectorFunctions.arrayDot(col("q_emb"), col("cent_emb")) / (col("q_nrm") * col("cent_nrm")))
+    val probes = q
+      .select(col("query_id"), col("q_emb"), col("q_nrm"), explode(cellArr).as("c"))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"),
+        col("c._1").as("cent_id"),
+        (VectorFunctions.arrayDot(col("q_emb"), col("c._2")) /
+          (col("q_nrm") * col("c._3"))).as("q_cos"))
       .withColumn("p_rnk", row_number().over(wProbe))
       .filter(col("p_rnk") <= nprobe)
       .select(col("query_id"), col("q_emb"), col("q_nrm"), col("cent_id"))

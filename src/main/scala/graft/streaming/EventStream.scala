@@ -130,6 +130,39 @@ object EventStream {
       }
   }
 
+  /** Online exact dedup at ingest: documents arriving on a stream are
+    * keyed by content fingerprint; the FIRST arrival of a fingerprint
+    * becomes canonical (ties within a micro-batch break to the lowest
+    * doc_id) and every later arrival is flagged duplicate. State per
+    * fingerprint = one canonical doc_id — constant size, so the
+    * operator runs forever on an unbounded stream; at scale the state
+    * store shards by fingerprint hash exactly like the batch
+    * `groupBy(fp)` shuffles.
+    *
+    * For in-order (or single-batch) arrival this equals the batch
+    * [[graft.operators.Dedup.canonicalMap]] row-for-row (asserted in
+    * the spec). The deliberate online divergence: a LOWER doc_id
+    * arriving after its fingerprint is already canonical is flagged
+    * duplicate — an ingest pipeline must not rewrite history for
+    * already-published canonical choices.
+    */
+  def streamingDedup(spark: SparkSession, docs: DataFrame): Dataset[(Long, Long, Long)] = {
+    import spark.implicits._
+    docs
+      .select(graft.functions.TextAnalysis.fingerprint(col("text")).as("fp"), col("doc_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
+          val ids = rows.map(_._2).toArray.sorted
+          val canonical = state.getOption.getOrElse(ids.head)
+          state.update(canonical)
+          ids.iterator.map(id =>
+            (id, canonical, if (id == canonical) 0L else 1L))
+      }
+  }
+
   /** Run a streaming DataFrame to completion against the bounded
     * source and return the materialized result from a memory sink.
     */

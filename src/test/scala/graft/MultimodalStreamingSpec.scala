@@ -64,6 +64,17 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(last.except(batch).count() == 0 && batch.except(last).count() == 0)
   }
 
+  test("streaming dedup equals the batch canonical map") {
+    import spark.implicits._
+    val streamed = EventStream.runToMemory(spark,
+      EventStream.streamingDedup(spark, EventStream.readDocuments(spark, sf))
+        .toDF("doc_id", "canonical_id", "is_duplicate"),
+      "stream_dedup", OutputMode.Update())
+    val batch = graft.operators.Dedup.canonicalMap(spark, sf)
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
+  }
+
   test("stateful per-user running counts match batch group counts") {
     import spark.implicits._
     val streamed = EventStream.runToMemory(spark,

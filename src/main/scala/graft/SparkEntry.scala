@@ -69,6 +69,9 @@ object SparkEntry {
     // curation (composed pipeline)
     "q_curation" -> ((s: SparkSession, d: String) => Curation.decisions(s, d)),
     "q_curation_funnel" -> (Curation.funnel _),
+    // dataset assembly
+    "q_train_split" -> (DatasetOps.splitCounts _),
+    "q_seq_packing" -> ((s: SparkSession, d: String) => DatasetOps.packingManifest(s, d)),
     // dedup family
     "q_dedup_exact" -> (Dedup.exactGroups _),
     "q_canonical_map" -> (Dedup.canonicalMap _),
@@ -551,6 +554,34 @@ object SparkEntry {
         | CAST(sum(fail_dup) AS BIGINT) AS n_fail_dup,
         | CAST(sum(keep) AS BIGINT) AS n_kept
         |FROM dec""".stripMargin),
+    "q_train_split" ->
+      """WITH a AS (
+        | SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+        |   WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |   ELSE 'test' END AS split,
+        |  lang,
+        |  len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS n_tokens,
+        |  n_chars
+        | FROM documents)
+        |SELECT split, lang, count(*) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        | CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_seq_packing" ->
+      """WITH t AS (
+        | SELECT doc_id, lang, doc_id % 8 AS shard,
+        |  len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS n_tokens
+        | FROM documents),
+        | c AS (
+        | SELECT doc_id, lang, shard, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM t)
+        |SELECT lang, shard,
+        | CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 512) AS BIGINT) AS bin_id,
+        | count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+        | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id,
         | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp

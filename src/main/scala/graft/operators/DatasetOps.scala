@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextAnalysis
+
+/** Dataset-assembly operators for a training pipeline: deterministic
+  * train/val/test splitting and sequence packing. Both are pure
+  * narrow-scan + window/aggregate shapes — no joins, no driver state —
+  * so they parallelize to any corpus size.
+  */
+object DatasetOps {
+
+  /** Deterministic split assignment by content-independent hash:
+    * `md5(doc_id)` hex prefix thresholded lexicographically into
+    * train (~80%), val (~10%), test (~10%).
+    *
+    * Hash-based (not modulo-based) assignment is the standard trick so
+    * membership is stable under corpus growth and re-shuffling: a doc's
+    * split never depends on which other docs exist. The hex-string
+    * comparison ('cc' ≈ 204/256, 'e6' ≈ 230/256) keeps the expression
+    * bit-identical between Spark and the DuckDB oracle without any
+    * hex→int conversion.
+    *
+    * Returned as per-(split, lang) manifest counts — the summary a
+    * pipeline run records; the per-doc assignment is the same
+    * expression without the aggregate.
+    */
+  def splitCounts(s: SparkSession, dir: String): DataFrame = {
+    val h = substring(md5(col("doc_id").cast("string")), 1, 2)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        when(h < "cc", "train").when(h < "e6", "val").otherwise("test").as("split"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  /** Sequence packing: assign documents to fixed token-budget bins,
+    * greedily in doc_id order within a (lang, shard) stream, and
+    * return the per-bin manifest.
+    *
+    * A document's bin is determined by the cumulative token count at
+    * its START (`floor((cum − own)/budget)`), so bins are contiguous
+    * runs and a document straddling a boundary stays whole in its
+    * starting bin (bins may overflow by at most one document — the
+    * no-truncation packing variant).
+    *
+    * The shard key (`doc_id % nShards`) bounds every window partition:
+    * packing is embarrassingly parallel across (lang, shard) streams,
+    * which is how it must run at 100 TB — a single per-language
+    * ordered window would serialize each language through one task.
+    */
+  def packingManifest(s: SparkSession, dir: String,
+      budget: Int = 512, nShards: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), (col("doc_id") % nShards).as("shard"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin_id",
+        floor((col("cum") - col("n_tokens")).cast("double") / budget).cast("long"))
+      .groupBy(col("lang"), col("shard"), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"), col("shard"), col("bin_id"))
+  }
+}

@@ -143,4 +143,26 @@ class QueriesSpec extends SparkSpec {
       assert(r.getLong(1) >= 1 && r.getLong(1) <= r.getLong(2))
     }
   }
+
+  test("train split covers every doc once; packing bins are contiguous and lossless") {
+    val nDocs = graft.Tables.load(spark, sf, "documents").count()
+    val split = DatasetOps.splitCounts(spark, sf).collect()
+    assert(split.map(_.getLong(2)).sum == nDocs, "split counts must partition the corpus")
+    assert(split.map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
+
+    val bins = DatasetOps.packingManifest(spark, sf, budget = 512).collect()
+    assert(bins.map(_.getLong(3)).sum == nDocs, "every doc lands in exactly one bin")
+    // within each (lang, shard) stream: bin ids start at 0 and are
+    // contiguous, and doc-id ranges of consecutive bins don't overlap
+    bins.groupBy(r => (r.getString(0), r.getLong(1))).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(2))
+      assert(sorted.head.getLong(2) == 0)
+      assert(sorted.map(_.getLong(2)).toSeq == sorted.indices.map(_.toLong))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(6) < b.getLong(5),
+          "bin doc-id ranges must not overlap")
+        case _ =>
+      }
+    }
+  }
 }

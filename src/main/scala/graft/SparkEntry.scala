@@ -72,6 +72,7 @@ object SparkEntry {
     // dataset assembly
     "q_train_split" -> (DatasetOps.splitCounts _),
     "q_seq_packing" -> ((s: SparkSession, d: String) => DatasetOps.packingManifest(s, d)),
+    "q_chunking" -> ((s: SparkSession, d: String) => DatasetOps.chunkManifest(s, d)),
     // dedup family
     "q_dedup_exact" -> (Dedup.exactGroups _),
     "q_canonical_map" -> (Dedup.canonicalMap _),
@@ -582,6 +583,17 @@ object SparkEntry {
         | count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
         | min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_chunking" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        | FROM documents),
+        | c AS (
+        | SELECT doc_id, n_tokens, unnest(range(0, n_tokens, 96)) AS start_tok
+        | FROM t WHERE n_tokens > 0)
+        |SELECT doc_id, CAST(start_tok / 96 AS BIGINT) AS chunk_id, start_tok,
+        | CAST(least(128, n_tokens - start_tok) AS BIGINT) AS chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id,
         | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp

@@ -57,6 +57,30 @@ object DatasetOps {
     * which is how it must run at 100 TB — a single per-language
     * ordered window would serialize each language through one task.
     */
+  /** Context-window chunking: one row per (doc, chunk) for fixed-size
+    * token windows with overlap — the slicing step before tokenized
+    * training examples. Chunk starts advance by `chunk − overlap`;
+    * the final chunk is truncated at the document end (a tail shorter
+    * than `overlap` still gets its own row — simple, deterministic,
+    * and exactly reproducible in SQL). Pure explode-over-sequence:
+    * narrow, no shuffle, output rows ∝ total tokens / stride.
+    */
+  def chunkManifest(s: SparkSession, dir: String,
+      chunk: Int = 128, overlap: Int = 32): DataFrame = {
+    require(overlap < chunk, "overlap must be smaller than chunk")
+    val step = (chunk - overlap).toLong
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(0L), col("n_tokens") - 1, lit(step))).as("start_tok"))
+      .select(col("doc_id"),
+        (col("start_tok") / step).cast("long").as("chunk_id"),
+        col("start_tok"),
+        least(lit(chunk.toLong), col("n_tokens") - col("start_tok")).as("chunk_tokens"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   def packingManifest(s: SparkSession, dir: String,
       budget: Int = 512, nShards: Int = 8): DataFrame = {
     val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))

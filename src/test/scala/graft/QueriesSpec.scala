@@ -165,4 +165,20 @@ class QueriesSpec extends SparkSpec {
       }
     }
   }
+
+  test("chunking covers every token: last chunk ends at n_tokens, starts stride evenly") {
+    val chunks = DatasetOps.chunkManifest(spark, sf, chunk = 128, overlap = 32).collect()
+      .groupBy(_.getLong(0))
+    val tokens = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    tokens.filter(_._2 > 0).foreach { case (doc, n) =>
+      val rs = chunks(doc).sortBy(_.getLong(1))
+      assert(rs.map(_.getLong(1)).toSeq == rs.indices.map(_.toLong), "chunk ids contiguous")
+      rs.foreach { r => assert(r.getLong(2) == r.getLong(1) * 96, "start = id * stride") }
+      assert(rs.map(r => r.getLong(2) + r.getLong(3)).max == n, "coverage to the last token")
+      assert(rs.forall(_.getLong(3) <= 128), "no chunk exceeds the window")
+    }
+  }
 }

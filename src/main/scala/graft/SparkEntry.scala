@@ -73,6 +73,7 @@ object SparkEntry {
     "q_train_split" -> (DatasetOps.splitCounts _),
     "q_seq_packing" -> ((s: SparkSession, d: String) => DatasetOps.packingManifest(s, d)),
     "q_chunking" -> ((s: SparkSession, d: String) => DatasetOps.chunkManifest(s, d)),
+    "q_decontam" -> ((s: SparkSession, d: String) => DatasetOps.decontaminate(s, d)),
     // dedup family
     "q_dedup_exact" -> (Dedup.exactGroups _),
     "q_canonical_map" -> (Dedup.canonicalMap _),
@@ -594,6 +595,21 @@ object SparkEntry {
         |SELECT doc_id, CAST(start_tok / 96 AS BIGINT) AS chunk_id, start_tok,
         | CAST(least(128, n_tokens - start_tok) AS BIGINT) AS chunk_tokens
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_decontam" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+        | FROM documents),
+        | idx AS (
+        | SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        | FROM toks WHERE len(t) >= 3),
+        | grams AS (
+        | SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS gram FROM idx),
+        | eval_g AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0)
+        |SELECT doc_id, count(*) AS n_shared_ngrams
+        |FROM grams JOIN eval_g USING (gram)
+        |WHERE doc_id % 97 != 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id,
         | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp

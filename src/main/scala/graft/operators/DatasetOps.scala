@@ -81,6 +81,36 @@ object DatasetOps {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** Eval-set decontamination: training documents sharing at least one
+    * token n-gram with the (deterministic pseudo-)eval set
+    * (`doc_id % 97 == 0` stands in for a benchmark corpus), with the
+    * count of distinct shared n-grams per contaminated doc.
+    *
+    * The scale shape is what makes decontamination tractable at
+    * 100 TB: the eval side is small by nature (benchmarks are
+    * thousands of docs, not billions), so its distinct n-gram set
+    * BROADCASTS and the training corpus streams through a map-side
+    * hash join — the only shuffle is the final per-doc count. Token
+    * arrays are materialized before the n-gram lambda (HOF lambdas get
+    * no common-subexpression elimination — the measured 10× cliff).
+    */
+  def decontaminate(s: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    val grams = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("toks")) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(col("toks"), i + j + 1)): _*)))
+          .as("gram"))
+      .distinct()
+    val evalGrams = grams.filter(col("doc_id") % 97 === 0).select(col("gram")).distinct()
+    grams.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_ngrams"))
+      .orderBy(col("doc_id"))
+  }
+
   def packingManifest(s: SparkSession, dir: String,
       budget: Int = 512, nShards: Int = 8): DataFrame = {
     val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))

@@ -166,6 +166,21 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("decontamination never flags eval docs and overlap counts are bounded by gram counts") {
+    val rows = DatasetOps.decontaminate(spark, sf).collect()
+    assert(rows.nonEmpty, "synthetic corpus should share some 3-grams with the eval slice")
+    rows.foreach { r =>
+      assert(r.getLong(0) % 97 != 0, "eval docs must never be flagged")
+      assert(r.getLong(1) >= 1)
+    }
+    // a doc cannot share more distinct grams than it has tokens
+    val toks = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(1) <= toks(r.getLong(0))))
+  }
+
   test("chunking covers every token: last chunk ends at n_tokens, starts stride evenly") {
     val chunks = DatasetOps.chunkManifest(spark, sf, chunk = 128, overlap = 32).collect()
       .groupBy(_.getLong(0))

@@ -66,6 +66,17 @@ class DedupSimilaritySpec extends SparkSpec {
       s"missed=${exact.diff(gotPairs).take(5)} extra=${gotPairs.diff(exact).take(5)}")
   }
 
+  test("embeddingNearDups output independent of shuffle partitioning") {
+    val base = Dedup.embeddingNearDups(spark, sf, 0.4).collect().toSeq
+    Seq("1", "7").foreach { p =>
+      spark.conf.set("spark.sql.shuffle.partitions", p)
+      try {
+        val got = Dedup.embeddingNearDups(spark, sf, 0.4).collect().toSeq
+        assert(got == base, s"differs at shuffle.partitions=$p")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", "8")
+    }
+  }
+
   test("minhash dedup plan has no window over the shingle key (df-cap is agg+anti-join)") {
     val plan = Dedup.minhashNearDups(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("windowspecdefinition"), "dedup plan still uses a window")

@@ -74,6 +74,7 @@ object SparkEntry {
     "q_seq_packing" -> ((s: SparkSession, d: String) => DatasetOps.packingManifest(s, d)),
     "q_chunking" -> ((s: SparkSession, d: String) => DatasetOps.chunkManifest(s, d)),
     "q_decontam" -> ((s: SparkSession, d: String) => DatasetOps.decontaminate(s, d)),
+    "q_mixture" -> (DatasetOps.mixturePlan _),
     // dedup family
     "q_dedup_exact" -> (Dedup.exactGroups _),
     "q_canonical_map" -> (Dedup.canonicalMap _),
@@ -595,6 +596,26 @@ object SparkEntry {
         |SELECT doc_id, CAST(start_tok / 96 AS BIGINT) AS chunk_id, start_tok,
         | CAST(least(128, n_tokens - start_tok) AS BIGINT) AS chunk_tokens
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_mixture" ->
+      """WITH per AS (
+        | SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0))) AS BIGINT) AS src_tokens
+        | FROM documents GROUP BY 1),
+        | per2 AS (
+        | SELECT per.*, CAST(1 + (CAST(substr(source, 4) AS INT) % 3) AS DOUBLE) AS w_raw FROM per),
+        | tot AS (SELECT sum(w_raw) AS sum_w FROM per2),
+        | w AS (
+        | SELECT per2.*, w_raw / sum_w AS wgt,
+        |  CAST(src_tokens AS DOUBLE) / (w_raw / sum_w) AS ratio
+        | FROM per2, tot),
+        | b AS (SELECT min(ratio) AS budget FROM w),
+        | r AS (
+        | SELECT w.*, wgt * budget / CAST(src_tokens AS DOUBLE) AS rate_raw FROM w, b)
+        |SELECT source, n_docs, src_tokens,
+        | floor(wgt * 10000 + 0.5) / 10000 AS weight,
+        | floor(rate_raw * 10000 + 0.5) / 10000 AS sample_rate,
+        | CAST(floor(rate_raw * CAST(src_tokens AS DOUBLE)) AS BIGINT) AS expected_tokens
+        |FROM r ORDER BY source""".stripMargin,
     "q_decontam" ->
       """WITH toks AS (
         | SELECT doc_id,

@@ -81,6 +81,43 @@ object DatasetOps {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** Domain-mixture planning: per-source sampling rates that realize a
+    * target mixture under the "no upsampling" constraint. Target raw
+    * weights are a deterministic function of the source name
+    * (`1 + (srcNum % 3)`, normalized); the achievable token budget is
+    * `B = min_s(tokens_s / weight_s)` — the largest total for which
+    * every source can supply its share without repetition — and each
+    * source's rate is `weight_s · B / tokens_s` (exactly 1.0 for the
+    * binding source).
+    *
+    * Two tiny scalar aggregates (Σ weights, min ratio) attach as
+    * broadcast one-row joins — the uncorrelated-scalar-subquery shape —
+    * so the whole plan is one scan of documents plus two O(#sources)
+    * reductions; #sources is small by nature, like the eval set in
+    * [[decontaminate]].
+    */
+  def mixturePlan(s: SparkSession, dir: String): DataFrame = {
+    val perSrc = Tables.load(s, dir, "documents")
+      .select(col("source"), TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("src_tokens"))
+      .withColumn("w_raw",
+        ((substring(col("source"), 4, 10).cast("int") % 3) + 1).cast("double"))
+    val sumW = perSrc.agg(sum(col("w_raw")).as("sum_w"))
+    val withW = perSrc.crossJoin(broadcast(sumW))
+      .withColumn("wgt", col("w_raw") / col("sum_w"))
+      .withColumn("ratio", col("src_tokens").cast("double") / col("wgt"))
+    val budget = withW.agg(min(col("ratio")).as("budget"))
+    withW.crossJoin(broadcast(budget))
+      .withColumn("rate_raw", col("wgt") * col("budget") / col("src_tokens").cast("double"))
+      .select(col("source"), col("n_docs"), col("src_tokens"),
+        graft.functions.Rounding.portableRound4(col("wgt")).as("weight"),
+        graft.functions.Rounding.portableRound4(col("rate_raw")).as("sample_rate"),
+        floor(col("rate_raw") * col("src_tokens").cast("double")).cast("long")
+          .as("expected_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** Eval-set decontamination: training documents sharing at least one
     * token n-gram with the (deterministic pseudo-)eval set
     * (`doc_id % 97 == 0` stands in for a benchmark corpus), with the

@@ -166,6 +166,16 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("mixture plan: weights sum to 1, rates in (0,1], binding source saturates") {
+    val rows = DatasetOps.mixturePlan(spark, sf).collect()
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-3, "weights must sum to ~1")
+    rows.foreach { r =>
+      assert(r.getDouble(4) > 0 && r.getDouble(4) <= 1.0, s"rate out of range: $r")
+      assert(r.getLong(5) <= r.getLong(2), "cannot expect more tokens than the source has")
+    }
+    assert(rows.map(_.getDouble(4)).max == 1.0, "the binding source must saturate at rate 1")
+  }
+
   test("decontamination never flags eval docs and overlap counts are bounded by gram counts") {
     val rows = DatasetOps.decontaminate(spark, sf).collect()
     assert(rows.nonEmpty, "synthetic corpus should share some 3-grams with the eval slice")

@@ -45,7 +45,7 @@ object AsOfJoin {
     val unioned = lTag.columns.foldLeft(rTag) { (acc, c) =>
       if (acc.columns.contains(c)) acc
       else acc.withColumn(c, lit(null).cast(lTag.schema(c).dataType))
-    }.select(lTag.columns.map(col): _*).union(lTag)
+    }.select(lTag.columns.toIndexedSeq.map(col): _*).union(lTag)
 
     // _p as the final sort key: two right rows sharing (key, ts) would
     // otherwise resolve by partition-sort luck, violating the engine's

@@ -252,16 +252,52 @@ object Dedup {
     * bounded equi-join plan: no CartesianProduct, no nested loop over
     * the corpus, and per-task work capped by cell sizes instead of n².
     */
-  def embeddingNearDups(s: SparkSession, dir: String, threshold: Double): DataFrame = {
+  def embeddingNearDups(s: SparkSession, dir: String, threshold: Double): DataFrame =
+    embeddingNearDupsOn(Similarity.emb(s, dir), threshold)
+
+  /** Internal pieces of the cell-pruned join, exposed so tests can
+    * measure the prune rate on clustered corpora: `assigned` (corpus +
+    * cell), `keep` (surviving ordered cell pairs), `cells` (C).
+    */
+  private[graft] final case class CellPrune(
+      assigned: DataFrame, keep: DataFrame, cells: Int)
+
+  /** Same operator over a prepared corpus DataFrame with columns
+    * (vec_id, emb: array<double>, nrm) — the testable entry point.
+    */
+  private[graft] def embeddingNearDupsOn(corpus: DataFrame, threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions.arrayDot
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
+    val p = cellPrune(corpus, threshold)
+    val a = p.assigned.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
+      col("nrm").as("nrm_a"), col("cent_id").as("ca_id"))
+    val b = p.assigned.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"),
+      col("nrm").as("nrm_b"), col("cent_id").as("cb_id"))
+
+    // each unordered vector pair surfaces exactly once: `keep` holds
+    // BOTH orientations of every surviving cell pair (pruning is
+    // symmetric), and vec_a < vec_b picks the one matching orientation
+    a.join(broadcast(p.keep), Seq("ca_id"))
+      .join(b, col("partner_cell") === col("cb_id") && col("vec_a") < col("vec_b"))
+      .withColumn("cos_raw",
+        arrayDot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cos_raw") >= threshold)
+      .select(col("vec_a"), col("vec_b"),
+        graft.functions.Rounding.portableRound4(col("cos_raw")).as("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  private[graft] def cellPrune(corpus: DataFrame, threshold: Double): CellPrune = {
     import graft.functions.VectorFunctions.arrayDot
     val thetaT = math.acos(math.max(-1.0, math.min(1.0, threshold)))
     // zero-norm vectors can never reach a positive cosine threshold
     // (0/0 = NaN fails every comparison, same as the all-pairs oracle);
     // dropping them up front keeps NaN out of the radius aggregates,
     // where one poisoned max would silently prune live cell pairs
-    val e = Similarity.emb(s, dir).filter(col("nrm") > 0)
+    val e = corpus.filter(col("nrm") > 0)
     val cents = Similarity.cellSeeds(e)
-    val assigned = Similarity.assignCells(e, Similarity.collectCells(cents))
+    val cells = Similarity.collectCells(cents)
+    val assigned = Similarity.assignCells(e, cells)
       .select(col("vec_id"), col("emb"), col("nrm"), col("cent_id"))
 
     def angle(cos: Column): Column =
@@ -296,21 +332,6 @@ object Dedup {
       .filter(col("c_ang") - col("r_a") - col("r_b") <= lit(thetaT + 1e-9))
       .select(col("ca_id"), col("cb_id").as("partner_cell"))
 
-    val a = assigned.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
-      col("nrm").as("nrm_a"), col("cent_id").as("ca_id"))
-    val b = assigned.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"),
-      col("nrm").as("nrm_b"), col("cent_id").as("cb_id"))
-
-    // each unordered vector pair surfaces exactly once: `keep` holds
-    // BOTH orientations of every surviving cell pair (pruning is
-    // symmetric), and vec_a < vec_b picks the one matching orientation
-    a.join(broadcast(keep), Seq("ca_id"))
-      .join(b, col("partner_cell") === col("cb_id") && col("vec_a") < col("vec_b"))
-      .withColumn("cos_raw",
-        arrayDot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
-      .filter(col("cos_raw") >= threshold)
-      .select(col("vec_a"), col("vec_b"),
-        graft.functions.Rounding.portableRound4(col("cos_raw")).as("cos"))
-      .orderBy(col("vec_a"), col("vec_b"))
+    CellPrune(assigned, keep, cells.ids.size)
   }
 }

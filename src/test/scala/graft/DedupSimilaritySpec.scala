@@ -66,6 +66,41 @@ class DedupSimilaritySpec extends SparkSpec {
       s"missed=${exact.diff(gotPairs).take(5)} extra=${gotPairs.diff(exact).take(5)}")
   }
 
+  test("cell pruning: exact on a clustered corpus AND prunes most cell pairs") {
+    // 43 tight clusters (43 shares no factor with the √n seed stride,
+    // so the strided seeds deterministically cover every cluster),
+    // 2000 vectors, 32 dims, small angular noise — the regime the
+    // operator is built for
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(43)(Array.fill(32)(rnd.nextGaussian()))
+    val vecs = (0 until 2000).map { i =>
+      val c = centers(i % 43)
+      val nrm = math.sqrt(c.map(x => x * x).sum)
+      (i.toLong, c.map(x => x / nrm + 0.02 * rnd.nextGaussian()).toSeq)
+    }
+    graft.functions.VectorFunctions.register(spark)
+    import graft.functions.VectorFunctions.{arrayDot, l2Norm}
+    val corpus = vecs.toDF("vec_id", "emb")
+      .withColumn("nrm", l2Norm(col("emb")))
+
+    val p = Dedup.cellPrune(corpus, 0.9)
+    val kept = p.keep.count()
+    val total = p.cells.toLong * p.cells
+    assert(kept < total / 5,
+      s"expected most of $total cell pairs pruned on clustered data, kept $kept")
+
+    val got = Dedup.embeddingNearDupsOn(corpus, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = corpus.select(col("vec_id").as("va"), col("emb").as("ea"))
+      .join(corpus.select(col("vec_id").as("vb"), col("emb").as("eb")), col("va") < col("vb"))
+      .filter(arrayDot(col("ea"), col("eb")) / (l2Norm(col("ea")) * l2Norm(col("eb"))) >= 0.9)
+      .select(col("va"), col("vb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty && got == exact,
+      s"missed=${exact.diff(got).size} extra=${got.diff(exact).size} of ${exact.size}")
+  }
+
   test("embeddingNearDups output independent of shuffle partitioning") {
     val base = Dedup.embeddingNearDups(spark, sf, 0.4).collect().toSeq
     Seq("1", "7").foreach { p =>

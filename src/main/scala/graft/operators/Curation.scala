@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -13,11 +12,11 @@ import graft.functions.TextAnalysis
   *   documents → quality gate → language filter → exact-dedup keep →
   *   curated corpus (optionally written partitioned by language)
   *
-  * One narrow scan computes all per-doc signals, the only shuffle is
-  * the dedup window on the content fingerprint, and the decision
-  * column (`keep`) plus reasons are retained so the pipeline is
-  * auditable — at 100 TB you keep the rejection reasons, not just the
-  * survivors.
+  * One narrow scan computes all per-doc signals, the only keyed
+  * operation is the skew-safe canonical-id aggregate+join on the
+  * content fingerprint, and the decision column (`keep`) plus reasons
+  * are retained so the pipeline is auditable — at 100 TB you keep the
+  * rejection reasons, not just the survivors.
   */
 object Curation {
 
@@ -28,14 +27,22 @@ object Curation {
       minTokens: Int, maxTokens: Int, maxPunct: Double,
       langs: Seq[String]): DataFrame = {
     val d = Tables.load(s, dir, "documents")
-    val w = Window.partitionBy(col("fp"))
-    d.select(
-        col("doc_id"), col("text"),
-        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
-        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
-        TextAnalysis.langPredict(col("text")).as("pred_lang"),
-        TextAnalysis.fingerprint(col("text")).as("fp"))
-      .withColumn("canonical_id", min(col("doc_id")).over(w))
+    val sig = d.select(
+      col("doc_id"), col("text"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+      TextAnalysis.langPredict(col("text")).as("pred_lang"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+    // canonical id via aggregate + equi-join rather than min-over-
+    // Window.partitionBy(fp): a degenerate fingerprint group (empty or
+    // boilerplate docs, which a 100 TB corpus has in the millions)
+    // would funnel into ONE window task carrying full text rows, and a
+    // window partition cannot be split; the join shuffles the same key
+    // but AQE's skew-join splits hot fingerprints across tasks, and
+    // the aggregate side is map-side combined to one narrow (fp, id)
+    // row per group
+    val canon = sig.groupBy(col("fp")).agg(min(col("doc_id")).as("canonical_id"))
+    sig.join(canon, Seq("fp"))
       .withColumn("fail_quality",
         (col("n_tokens") < minTokens || col("n_tokens") > maxTokens ||
           col("punct_ratio") > maxPunct).cast("long"))

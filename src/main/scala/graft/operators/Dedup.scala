@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -43,14 +42,20 @@ object Dedup {
       .orderBy(col("content_hash"))
 
   /** Canonical map: every doc → the smallest doc_id sharing its
-    * normalized fingerprint (window-min over the hash partition). The
-    * keep/drop decision of an exact-dedup pass, one row per doc.
+    * normalized fingerprint. The keep/drop decision of an exact-dedup
+    * pass, one row per doc.
+    *
+    * Aggregate + equi-join rather than min-over-`Window.partitionBy(fp)`:
+    * a degenerate fingerprint group (empty/boilerplate docs — millions
+    * of copies at corpus scale) would land in ONE unsplittable window
+    * task, while the join shape map-side-combines the aggregate to one
+    * narrow row per group and lets AQE's skew join split the hot key.
     */
   def canonicalMap(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("fp"))
-    docs(s, dir)
+    val fps = docs(s, dir)
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
-      .withColumn("canonical_id", min(col("doc_id")).over(w))
+    val canon = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("canonical_id"))
+    fps.join(canon, Seq("fp"))
       .withColumn("is_duplicate", (col("doc_id") =!= col("canonical_id")).cast("long"))
       .select(col("doc_id"), col("canonical_id"), col("is_duplicate"))
       .orderBy(col("doc_id"))

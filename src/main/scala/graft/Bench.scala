@@ -10,23 +10,75 @@ import org.apache.spark.sql.SparkSession
   * Times exclude SparkSession startup (the honest steady-state
   * comparison per BASELINE.md).
   *
-  * Every reported number is the MEDIAN OF 3 timed runs: a single-shot
-  * timing on a shared machine once recorded a 2.4x phantom regression
-  * on q0 from background load; the median absorbs one bad run and —
-  * because the first of the three runs pays any per-query JIT/codegen
-  * compile — also reports steady-state rather than cold-start. q0
-  * additionally gets a dedicated untimed warm-up pass (full-corpus JIT
-  * warm-up; the C reference it is compared against has no JIT to warm).
+  * The recorded number is the MEDIAN of the timed runs, and the bench
+  * is SELF-EVIDENCING against machine load — twice in a row a recorded
+  * bench was a contamination artifact (a single-shot 2.4x phantom
+  * regression, then a fully-loaded window reporting 74.5 s for a real
+  * 46.0 s run), so the JSON now carries the evidence to audit itself:
+  *  - `runs`: every raw per-run time for every query (a contaminated
+  *    window shows up as a wide spread or a uniformly-shifted triple);
+  *  - `loadavg_before` / `loadavg_after`: /proc/loadavg (1m/5m/15m)
+  *    around the whole bench, plus `cores`; a nonzero 1-minute load
+  *    BEFORE the bench starts means the window was already dirty;
+  *  - `contended_start`: precomputed `loadavg_before[0] > cores/4` so
+  *    a consumer that ignores the raw fields still sees the flag;
+  *  - spread retry: a query whose min/max spread exceeds 2x gets up to
+  *    [[Bench.MaxExtraRuns]] extra runs (median over all of them);
+  *    queries still spread after retries land in `spread_flagged`.
   */
 object Bench {
 
   private val Runs = 3
+  private val MaxExtraRuns = 2
+  private val SpreadLimit = 2.0
 
   private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+  /** Spread over the runs AFTER the first: run 1 pays the per-query
+    * codegen/JIT compile (the median already absorbs it), so including
+    * it would flag every fast query as "spread" on compile cost rather
+    * than on machine load. Raw `runs` still carry run 1 for auditing.
+    */
+  private def spreadOk(xs: Seq[Double]): Boolean = {
+    val steady = xs.tail
+    steady.max <= steady.min * SpreadLimit
+  }
+
+  /** Time `body` [[Runs]] times; re-run while the spread exceeds
+    * [[SpreadLimit]] (up to [[MaxExtraRuns]] extras). Returns ALL raw
+    * times in run order — the caller medians and flags.
+    */
+  private def timed(body: () => Unit): Seq[Double] = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      body()
+      (System.nanoTime() - t0) / 1e9
+    }
+    var times = Seq.fill(Runs)(once())
+    var extra = 0
+    while (!spreadOk(times) && extra < MaxExtraRuns) {
+      times = times :+ once()
+      extra += 1
+    }
+    times
+  }
+
+  /** 1m/5m/15m load averages from /proc/loadavg (None off-Linux). */
+  private def loadavg(): Option[Seq[Double]] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try Some(src.mkString.trim.split("\\s+").take(3).map(_.toDouble).toSeq)
+      finally src.close()
+    } catch { case _: Throwable => None }
+
+  private def jsonArr(xs: Seq[Double]): String =
+    xs.map(x => f"$x%.3f").mkString("[", ",", "]")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local(appName = "graft-bench")
+    val loadBefore = loadavg()
+    val cores = Runtime.getRuntime.availableProcessors()
 
     // a failed query is flagged explicitly and the headline total is
     // NULLED — a partially-failed run (fewer summed queries) must never
@@ -38,22 +90,19 @@ object Bench {
     // apples-to-apples vs BASELINE.md: the reference's own workload
     // (355-file corpus -> 26 letter files), steady-state (session
     // already up). Reference: 12.41 s sequential / 1.40 s at (4,4).
-    val indexBench: Seq[(String, Double)] = {
+    val indexBench: Seq[(String, Seq[Double])] = {
       val manifest = "/root/reference/checker/test.txt"
       if (new java.io.File(manifest).exists()) {
         try {
-          // run 0 is the untimed warm-up (JIT + codegen compile are
-          // one-time costs, excluded per BASELINE.md's steady-state
-          // comparison); runs 1..Runs are timed and the median reported
-          val times = (0 to Runs).map { _ =>
+          // untimed warm-up first (JIT + codegen compile are one-time
+          // costs, excluded per BASELINE.md's steady-state comparison)
+          def runIndex(): Unit = {
             val out = java.nio.file.Files.createTempDirectory("graft-bench-index")
-            try {
-              val t0 = System.nanoTime()
-              graft.operators.InvertedIndexJob.run(spark, manifest, out.toString)
-              (System.nanoTime() - t0) / 1e9
-            } finally deleteRecursively(out.toFile)
+            try graft.operators.InvertedIndexJob.run(spark, manifest, out.toString)
+            finally deleteRecursively(out.toFile)
           }
-          Seq("q0_index_corpus" -> median(times.tail))
+          runIndex()
+          Seq("q0_index_corpus" -> timed(() => runIndex()))
         } catch { case e: Throwable =>
           failed += "q0_index_corpus"
           System.err.println(s"[bench] q0_index_corpus failed: ${e.getMessage}")
@@ -62,27 +111,33 @@ object Bench {
       } else Seq.empty
     }
 
-    val results = indexBench ++ SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      try {
-        val times = (1 to Runs).map { _ =>
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
+    val results: Seq[(String, Seq[Double])] =
+      indexBench ++ SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        try {
+          Some(name -> timed(() =>
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()))
+        } catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          None
         }
-        Some(name -> median(times))
-      } catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        None
       }
-    }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val loadAfter = loadavg()
+
+    val medians = results.map { case (k, ts) => k -> median(ts) }
+    val qs = medians.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    val runsJson = results.map { case (k, ts) => "\"" + k + "\":" + jsonArr(ts) }
+      .mkString("{", ",", "}")
+    val spreadFlagged = results.collect { case (k, ts) if !spreadOk(ts) => k }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val spreadJson = spreadFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")
     val totalJson =
       if (failed.nonEmpty) "null"
-      else f"${results.map(_._2).sum}%.3f"
-    println(s"""{"metric":"total","value":$totalJson,"unit":"sec","timing":"median_of_$Runs","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+      else f"${medians.map(_._2).sum}%.3f"
+    def loadJson(l: Option[Seq[Double]]): String = l.map(jsonArr).getOrElse("null")
+    val contended = loadBefore.exists(_.head > cores / 4.0)
+    println(s"""{"metric":"total","value":$totalJson,"unit":"sec","timing":"median_of_runs","queries":$qs,"runs":$runsJson,"spread_flagged":$spreadJson,"failed":$failedJson,"loadavg_before":${loadJson(loadBefore)},"loadavg_after":${loadJson(loadAfter)},"cores":$cores,"contended_start":$contended,"sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -202,21 +202,43 @@ object Dedup {
     voted.select(col("doc_id"), sim.as("simhash"))
   }
 
-  /** SimHash near-dups: candidates share one of four 16-bit chunks
-    * (any pair within Hamming distance 3 must agree on ≥1 chunk —
-    * pigeonhole), verified by `bit_count(xor) <= maxHamming`.
+  /** SimHash near-dups: pairwise 5-chunk blocking, exact for
+    * Hamming ≤ 3 by pigeonhole — with the 64 bits split into 5 chunks
+    * (13/13/13/13/12 bits), ≤3 flipped bits touch ≤3 chunks, so ≥2
+    * chunks are clean and the pair shares at least one of the
+    * C(5,2)=10 (chunk_i, chunk_j) keys. Verified by
+    * `bit_count(xor) <= maxHamming`.
+    *
+    * Joining on chunk PAIRS (not single chunks) is what keeps the
+    * blocking scale-safe: a single-chunk key has fixed cardinality
+    * (2^16 under the old 4×16 split), so bucket population — and the
+    * within-bucket `doc_id < doc_id` self-join — grows linearly with
+    * the corpus, i.e. O(n²/2^16) pair work. The pair key space is
+    * ~2^26 per pair_id (~2^29 overall), and two chunks agreeing by
+    * chance requires two independent 13-bit collisions, so random
+    * bucket sizes stay near 1 far past 10⁹ docs; bucket mass comes
+    * from genuinely similar docs, which the verify step must touch
+    * anyway.
     */
   def simhashNearDups(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    // pigeonhole premise: maxHamming errors must leave >=2 of the 5
+    // chunks clean, which holds iff maxHamming <= 3
+    require(maxHamming <= 3, s"5-chunk pairwise blocking is exact only for Hamming <= 3")
     val sig = simhashSignatures(docs(s, dir))
-    val chunks = (0 until 4).map(i =>
-      struct(lit(i).as("chunk_id"),
-        shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL).as("chunk")))
-    val chunked = sig.select(col("doc_id"), col("simhash"),
-      explode(array(chunks: _*)).as("c"))
-      .select(col("doc_id"), col("simhash"), col("c.chunk_id"), col("c.chunk"))
-    val a = chunked.as("a"); val b = chunked.as("b")
+    val offsets = Seq(0, 13, 26, 39, 52) // widths 13,13,13,13,12
+    def chunk(i: Int): Column =
+      shiftright(col("simhash"), offsets(i))
+        .bitwiseAND(lit((1L << (if (i == 4) 12 else 13)) - 1))
+    val pairKeys = for { i <- 0 until 5; j <- (i + 1) until 5 } yield
+      struct(lit(i * 5 + j).as("pair_id"), chunk(i).as("c1"), chunk(j).as("c2"))
+    val keyed = sig.select(col("doc_id"), col("simhash"),
+      explode(array(pairKeys: _*)).as("p"))
+      .select(col("doc_id"), col("simhash"),
+        col("p.pair_id"), col("p.c1"), col("p.c2"))
+    val a = keyed.as("a"); val b = keyed.as("b")
     a.join(b,
-        col("a.chunk_id") === col("b.chunk_id") && col("a.chunk") === col("b.chunk") &&
+        col("a.pair_id") === col("b.pair_id") &&
+        col("a.c1") === col("b.c1") && col("a.c2") === col("b.c2") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
@@ -314,18 +336,24 @@ object Dedup {
         angle(arrayDot(col("emb"), col("cent_emb")) / (col("nrm") * col("cent_nrm"))))
       .groupBy(col("cent_id")).agg(max(col("ang")).as("radius"))
 
-    // all C² ordered centroid pairs with pairwise angular distance;
-    // the repartition spreads the pair computation off the single
-    // collect_list row before the second explode fans out
-    val cs = cents.agg(sort_array(collect_list(
-      struct(col("cent_id"), col("cent_emb"), col("cent_nrm")))).as("cs"))
-    val cpairs = cs
-      .select(explode(col("cs")).as("ca"), col("cs"))
-      .repartition(col("ca.cent_id"))
-      .select(col("ca"), explode(col("cs")).as("cb"))
-      .select(col("ca.cent_id").as("ca_id"), col("cb.cent_id").as("cb_id"),
-        angle(arrayDot(col("ca.cent_emb"), col("cb.cent_emb")) /
-          (col("ca.cent_nrm") * col("cb.cent_nrm"))).as("c_ang"))
+    // all C² ordered centroid pairs with pairwise angular distance.
+    // The partner side is the already-collected model state embedded as
+    // an array LITERAL (the assignCells / IVF-probe pattern): each of
+    // the C distributed centroid rows explodes over the literal, which
+    // ships once per task with the binary — so no intermediate row
+    // carries the full centroid table (the previous collect_list +
+    // double-explode duplicated the whole ~2 MB array on each of C rows,
+    // a bounded but avoidable ~8 GB shuffle at the 4096-cell cap), and
+    // the fan-out is a generator, not a join — no BroadcastNestedLoopJoin
+    // for the no-nested-loop plan spec to trip on
+    val cellArr = typedLit(cells.ids.indices.map(i =>
+      (cells.ids(i), cells.embs(i), cells.nrms(i))))
+    val cpairs = cents
+      .select(col("cent_id").as("ca_id"), col("cent_emb"), col("cent_nrm"),
+        explode(cellArr).as("cb"))
+      .select(col("ca_id"), col("cb._1").as("cb_id"),
+        angle(arrayDot(col("cent_emb"), col("cb._2")) /
+          (col("cent_nrm") * col("cb._3"))).as("c_ang"))
 
     // triangle-inequality prune (1e-9 slack absorbs FP rounding in the
     // bound so an exactly-at-threshold pair can't be lost to the last ulp)

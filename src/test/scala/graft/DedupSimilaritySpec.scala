@@ -37,6 +37,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(overlap >= 0.5, s"simhash/minhash overlap only $overlap")
   }
 
+  test("simhash pairwise blocking is exact: equals brute-force Hamming<=3 over signatures") {
+    // blocking must be a pure optimization: the 5-chunk pairwise keys
+    // may never lose a pair that brute-force XOR popcount would find
+    val sig = Dedup.simhashSignatures(Tables.load(spark, sf, "documents"))
+    val a = sig.select(col("doc_id").as("da"), col("simhash").as("sa"))
+    val b = sig.select(col("doc_id").as("db"), col("simhash").as("sb"))
+    // test-code-only cartesian as the oracle
+    val exact = a.join(b, col("da") < col("db"))
+      .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
+      .select(col("da"), col("db"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.simhashNearDups(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "testdata should contain simhash near-dups")
+    assert(got == exact,
+      s"missed=${exact.diff(got).take(5)} extra=${got.diff(exact).take(5)}")
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     Dedup.embeddingNearDups(spark, sf, 0.4).collect().foreach { r =>
       assert(r.getLong(0) < r.getLong(1))
@@ -51,6 +69,11 @@ class DedupSimilaritySpec extends SparkSpec {
     val plan = got.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), "dedup plan has a CartesianProduct")
     assert(!plan.contains("BroadcastNestedLoopJoin"), "dedup plan has a BroadcastNestedLoopJoin")
+    // the surviving-cell-pair (`keep`) join must stay broadcast: its
+    // size is bounded by the cell-count policy, and a silent flip to a
+    // shuffle join would re-shuffle the whole corpus by ca_id at scale
+    assert("BroadcastHashJoin \\[ca_id".r.findFirstIn(plan).isDefined,
+      s"keep join not a BroadcastHashJoin on ca_id:\n$plan")
     val gotPairs = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // brute-force reference, test-code-only cartesian
     graft.functions.VectorFunctions.register(spark)

@@ -118,34 +118,50 @@ object DatasetOps {
       .orderBy(col("source"))
   }
 
-  /** Eval-set decontamination: training documents sharing at least one
-    * token n-gram with the (deterministic pseudo-)eval set
-    * (`doc_id % 97 == 0` stands in for a benchmark corpus), with the
-    * count of distinct shared n-grams per contaminated doc.
-    *
-    * The scale shape is what makes decontamination tractable at
-    * 100 TB: the eval side is small by nature (benchmarks are
-    * thousands of docs, not billions), so its distinct n-gram set
-    * BROADCASTS and the training corpus streams through a map-side
-    * hash join — the only shuffle is the final per-doc count. Token
-    * arrays are materialized before the n-gram lambda (HOF lambdas get
-    * no common-subexpression elimination — the measured 10× cliff).
+  /** Distinct token n-grams per doc over (doc_id, text). Token arrays
+    * are materialized before the n-gram lambda (HOF lambdas get no
+    * common-subexpression elimination — the measured 10× cliff).
     */
-  def decontaminate(s: SparkSession, dir: String, n: Int = 3): DataFrame = {
-    val grams = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("toks"))
+  private def docNgrams(d: DataFrame, n: Int): DataFrame =
+    d.select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"),
         explode(transform(sequence(lit(0), size(col("toks")) - n),
           i => concat_ws(" ", (0 until n).map(j => element_at(col("toks"), i + j + 1)): _*)))
           .as("gram"))
       .distinct()
-    val evalGrams = grams.filter(col("doc_id") % 97 === 0).select(col("gram")).distinct()
-    grams.filter(col("doc_id") % 97 =!= 0)
+
+  /** Eval-set decontamination against an EXPLICIT eval corpus:
+    * training documents sharing at least one token n-gram with any
+    * eval document, with the count of distinct shared n-grams per
+    * contaminated doc. Both sides need (doc_id, text).
+    *
+    * The scale shape is what makes decontamination tractable at
+    * 100 TB: the eval side is small by nature (benchmarks are
+    * thousands of docs, not billions), so its distinct n-gram set
+    * BROADCASTS and the training corpus streams through a map-side
+    * hash join — the only shuffle is the final per-doc count (the
+    * broadcast is asserted by a plan-shape spec so a config change
+    * can't silently flip it to a sort-merge join).
+    */
+  def decontaminateAgainst(corpus: DataFrame, evalSet: DataFrame, n: Int = 3): DataFrame = {
+    val evalGrams = docNgrams(evalSet, n).select(col("gram")).distinct()
+    docNgrams(corpus, n)
       .join(broadcast(evalGrams), Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared_ngrams"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Oracle-checkable default: the deterministic pseudo-eval set
+    * `doc_id % 97 == 0` stands in for a benchmark corpus (the driver's
+    * DuckDB oracle can reproduce the split); the remaining docs are
+    * the training side. Same operator as [[decontaminateAgainst]].
+    */
+  def decontaminate(s: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    decontaminateAgainst(
+      d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0), n)
   }
 
   def packingManifest(s: SparkSession, dir: String,

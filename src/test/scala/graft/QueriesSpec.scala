@@ -191,6 +191,31 @@ class QueriesSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(1) <= toks(r.getLong(0))))
   }
 
+  test("decontaminateAgainst: explicit eval corpus, eval side broadcast by plan shape") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "the quick brown fox sleeps all day long")
+    ).toDF("doc_id", "text")
+    val evalSet = Seq((100L, "watch the quick brown fox run")).toDF("doc_id", "text")
+    val got = DatasetOps.decontaminateAgainst(corpus, evalSet, n = 3)
+    // the eval n-gram side must broadcast (map-side hash join over the
+    // streaming corpus) — a silent flip to a sort-merge join would
+    // shuffle the whole training corpus by gram at 100 TB
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"eval join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "decontamination must not shuffle the corpus by gram")
+    // docs 1 and 3 share exactly {"the quick brown", "quick brown fox"}
+    // with the eval doc; doc 2 shares nothing
+    assert(got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == Map(1L -> 2L, 3L -> 2L))
+    // same shape holds for the oracle-checked pseudo-eval default
+    val defPlan = DatasetOps.decontaminate(spark, sf).queryExecution.executedPlan.toString
+    assert(defPlan.contains("BroadcastHashJoin") && !defPlan.contains("SortMergeJoin"))
+  }
+
   test("chunking covers every token: last chunk ends at n_tokens, starts stride evenly") {
     val chunks = DatasetOps.chunkManifest(spark, sf, chunk = 128, overlap = 32).collect()
       .groupBy(_.getLong(0))

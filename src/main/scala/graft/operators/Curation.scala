@@ -37,12 +37,15 @@ object Curation {
     // Window.partitionBy(fp): a degenerate fingerprint group (empty or
     // boilerplate docs, which a 100 TB corpus has in the millions)
     // would funnel into ONE window task carrying full text rows, and a
-    // window partition cannot be split; the join shuffles the same key
-    // but AQE's skew-join splits hot fingerprints across tasks, and
-    // the aggregate side is map-side combined to one narrow (fp, id)
-    // row per group
-    val canon = sig.groupBy(col("fp")).agg(min(col("doc_id")).as("canonical_id"))
-    sig.join(canon, Seq("fp"))
+    // window partition cannot be split. The aggregate side is map-side
+    // combined to one narrow (fp, id, n) row per group, and the
+    // join-back is Skew.hotKeyJoin — AQE's skew join cannot split this
+    // plan shape (see hotKeyJoin's doc), so hot fingerprints are
+    // salted explicitly; that matters doubly here because these rows
+    // carry full text
+    val canon = sig.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("grp_n"))
+    Skew.hotKeyJoin(sig, canon, "fp", saltSource = col("doc_id"))
       .withColumn("fail_quality",
         (col("n_tokens") < minTokens || col("n_tokens") > maxTokens ||
           col("punct_ratio") > maxPunct).cast("long"))

@@ -49,13 +49,17 @@ object Dedup {
     * a degenerate fingerprint group (empty/boilerplate docs — millions
     * of copies at corpus scale) would land in ONE unsplittable window
     * task, while the join shape map-side-combines the aggregate to one
-    * narrow row per group and lets AQE's skew join split the hot key.
+    * narrow row per group. The join-back itself is [[Skew.hotKeyJoin]]:
+    * AQE's skew join CANNOT split this shape (the aggregate between
+    * sort and shuffle stage defeats OptimizeSkewedJoin's pattern — see
+    * the hotKeyJoin doc), so hot fingerprints are salted explicitly.
     */
   def canonicalMap(s: SparkSession, dir: String): DataFrame = {
     val fps = docs(s, dir)
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
-    val canon = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("canonical_id"))
-    fps.join(canon, Seq("fp"))
+    val canon = fps.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("grp_n"))
+    Skew.hotKeyJoin(fps, canon, "fp", saltSource = col("doc_id"))
       .withColumn("is_duplicate", (col("doc_id") =!= col("canonical_id")).cast("long"))
       .select(col("doc_id"), col("canonical_id"), col("is_duplicate"))
       .orderBy(col("doc_id"))

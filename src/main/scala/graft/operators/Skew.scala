@@ -50,4 +50,45 @@ object Skew {
         saltedLeft("_salt") === replicatedRight("_salt"))
       .drop("_salt")
   }
+
+  /** Hot-key-salted canonical join: attach `right`'s payload to every
+    * `left` row by `key`, where `right` has EXACTLY ONE row per key
+    * plus a `grp_n` column holding left's row count for that key (the
+    * aggregate that builds such a `right` produces the count for free).
+    *
+    * Keys with `grp_n > hotGroup` — a set bounded above by n/hotGroup
+    * rows, in practice the handful of degenerate fingerprints a web
+    * corpus always has (empty docs, boilerplate) — are salted across
+    * `salts` reducers: the hot-key list broadcasts to both sides, hot
+    * left rows get `hash(saltSource) % salts`, hot right rows replicate
+    * once per salt, cold rows ride salt 0 unreplicated. The join key
+    * becomes (key, _salt), so no reducer can receive more than
+    * ~max(hotGroup, grp_n/salts) rows of any one key — DETERMINISTIC
+    * skew-safety, not a runtime bet.
+    *
+    * Why not rely on AQE's skew join: `OptimizeSkewedJoin` only
+    * rewrites `SortMergeJoin(Sort(ShuffleStage), Sort(ShuffleStage))`
+    * where both stages' shuffles have ENSURE_REQUIREMENTS origin
+    * (OptimizeSkewedJoin.ShuffleStage's unapply). In the canonical-map
+    * shape the right side is `Sort(HashAggregate(ShuffleStage))` — the
+    * final aggregate sits between the sort and the shuffle stage, so
+    * the pattern never matches and the hot fingerprint lands in one
+    * unsplittable task (an explicit `repartition(key)` doesn't help
+    * either: its shuffle origin is REPARTITION_BY_COL, which the
+    * extractor also rejects). Verified empirically on Spark 4.1.
+    */
+  def hotKeyJoin(left: DataFrame, right: DataFrame, key: String,
+      saltSource: Column, hotGroup: Int = 100000, salts: Int = 64): DataFrame = {
+    val hot = broadcast(
+      right.filter(col("grp_n") > hotGroup).select(col(key), lit(1L).as("_hot")))
+    val saltedLeft = left.join(hot, Seq(key), "left")
+      .withColumn("_salt", when(col("_hot").isNotNull,
+        pmod(xxhash64(saltSource), lit(salts.toLong))).otherwise(lit(0L)))
+      .drop("_hot")
+    val saltedRight = right.join(hot, Seq(key), "left")
+      .withColumn("_salt", explode(when(col("_hot").isNotNull,
+        sequence(lit(0L), lit(salts - 1L))).otherwise(sequence(lit(0L), lit(0L)))))
+      .drop("_hot", "grp_n")
+    saltedLeft.join(saltedRight, Seq(key, "_salt")).drop("_salt")
+  }
 }

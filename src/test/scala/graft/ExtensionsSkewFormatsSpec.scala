@@ -57,6 +57,46 @@ class ExtensionsSkewFormatsSpec extends SparkSpec {
     assert(plain == salted)
   }
 
+  test("hotKeyJoin: exact on a degenerate-fingerprint corpus, hot key salted in the plan") {
+    // Why this exists instead of an "AQE splits it" demonstration: AQE
+    // CANNOT split the canonical-map join. OptimizeSkewedJoin only
+    // rewrites SortMergeJoin(Sort(ShuffleStage), Sort(ShuffleStage))
+    // with ENSURE_REQUIREMENTS shuffle origins; the canonical side is
+    // Sort(HashAggregate(ShuffleStage)) — the final aggregate between
+    // sort and shuffle stage defeats the pattern (verified empirically
+    // on Spark 4.1: a 360k-row hot key with 16KB skew thresholds and
+    // forceOptimizeSkewedJoin=true still produced no skew=true node;
+    // repartition(key) doesn't help — REPARTITION_BY_COL origin is
+    // also rejected). Hence deterministic hot-key salting.
+    val fps = spark.range(50000).select(
+      when(col("id") < 40000, lit("DEGENERATE_FINGERPRINT"))
+        .otherwise(col("id").cast("string")).as("fp"),
+      col("id").as("doc_id"))
+    val canon = fps.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("grp_n"))
+    val got = Skew.hotKeyJoin(fps, canon, "fp", col("doc_id"),
+      hotGroup = 1000, salts = 8)
+    // the salted join must key on (fp, _salt) so the hot key's rows
+    // spread over 8 reducers instead of one
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("_salt"), s"join not salted:\n$plan")
+    // and the result must be EXACTLY the plain join's
+    val expect = fps.join(canon.drop("grp_n"), Seq("fp"))
+    assert(got.select(col("fp"), col("doc_id"), col("canonical_id"))
+      .except(expect).isEmpty && expect.except(
+        got.select(col("fp"), col("doc_id"), col("canonical_id"))).isEmpty)
+    assert(got.count() == 50000)
+    // the hot key's left rows really take >1 distinct salt value
+    val saltedLeft = fps.join(
+      broadcast(canon.filter(col("grp_n") > 1000).select(col("fp"), lit(1L).as("_hot"))),
+      Seq("fp"), "left")
+      .withColumn("_salt", when(col("_hot").isNotNull,
+        pmod(xxhash64(col("doc_id")), lit(8L))).otherwise(lit(0L)))
+    val distinctSalts = saltedLeft.filter(col("fp") === "DEGENERATE_FINGERPRINT")
+      .select(col("_salt")).distinct().count()
+    assert(distinctSalts == 8, s"hot key only used $distinctSalts salts")
+  }
+
   test("csv and jsonl round-trip preserves data") {
     val docs = Tables.load(spark, sf, "documents")
       .select("doc_id", "lang", "source", "n_chars")

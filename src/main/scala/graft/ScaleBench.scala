@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Scale-growth probe for the dedup/ANN family: times every near-dup
+  * variant at sf0.1 (1×) and on a synthesized 10× corpus and reports
+  * the growth ratio. The designs are all bucketed candidate generation
+  * + exact verify, so 10× data must cost ~10× time — a quadratic
+  * regression shows up as a ratio far above 10. Prints one JSON line.
+  *
+  * 10× documents: 10 replicas of sf0.1 documents, replica r passed
+  * through a rotated-alphabet `translate` (replica 0 = identity). Docs
+  * within a replica keep their dup/near-dup structure (both members of
+  * a planted pair rotate identically); docs in different replicas share
+  * no tokens, hence no shingles — so duplicate pair output grows ~10×
+  * with the corpus instead of ~100× (cross-replica dups would make the
+  * workload itself quadratic and mask the plan's scaling).
+  *
+  * 10× embeddings: clustered corpora at n=2000 (41 clusters) and
+  * n=20000 (127 clusters), 32 dims, 2% coordinate noise. Cluster count
+  * is a prime near √n: prime so it shares no factor with the √n seed
+  * stride (a common factor would leave most clusters unseeded — see
+  * the DedupSimilaritySpec cell-prune test), and √n-scaled so cluster
+  * structure stays within the index's √n-cell capacity — the regime
+  * where both member count per cluster and cluster count grow with the
+  * crawl, as web-scale duplicate density does. Also reports the
+  * cell-prune keep rate at both scales: the triangle-inequality prune
+  * must keep pruning as C grows.
+  */
+object ScaleBench {
+
+  private val Runs = 3
+
+  private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+  private def timed(body: () => DataFrame): Double =
+    median(Seq.fill(Runs) {
+      val t0 = System.nanoTime()
+      body().write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    })
+
+  /** Clustered unit-sphere corpus: k centers, members = normalized
+    * center + small coordinate noise. Deterministic.
+    */
+  private def clustered(spark: SparkSession, n: Int, k: Int, dims: Int = 32,
+      seed: Int = 7): DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val centers = Array.fill(k)(Array.fill(dims)(rnd.nextGaussian()))
+    (0 until n).map { i =>
+      val c = centers(i % k)
+      val nrm = math.sqrt(c.map(x => x * x).sum)
+      (i.toLong, c.map(x => x / nrm + 0.02 * rnd.nextGaussian()).toSeq, i % k)
+    }.toDF("vec_id", "embedding", "label")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val work = if (args.length > 1) args(1) else "/tmp/graft-scale"
+    val spark = GraftSession.local(appName = "graft-scalebench")
+
+    // ---------------- synthesize the 10× documents corpus
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val d = Tables.load(spark, base, "documents")
+    val off = d.agg(max(col("doc_id"))).first().getLong(0) + 1
+    val docs10 = (0 until 10).map { r =>
+      val to = alpha.drop(r) + alpha.take(r)
+      d.select((col("doc_id") + lit(r * off)).as("doc_id"),
+        translate(lower(col("text")), alpha, to).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ union _)
+    val dir10 = s"$work/sf1"
+    docs10.write.mode("overwrite").parquet(s"$dir10/documents.parquet")
+
+    // ---------------- synthesize clustered embeddings at n and 10n
+    val emb1xDir = s"$work/emb1x"; val emb10xDir = s"$work/emb10x"
+    clustered(spark, 2000, 41).write.mode("overwrite").parquet(s"$emb1xDir/embeddings.parquet")
+    clustered(spark, 20000, 127).write.mode("overwrite").parquet(s"$emb10xDir/embeddings.parquet")
+
+    // ---------------- time each op at 1× and 10×
+    val docOps: Seq[(String, String => DataFrame)] = Seq(
+      "dedup_exact" -> (dir => Dedup.exactGroups(spark, dir)),
+      "dedup_minhash" -> (dir => Dedup.minhashNearDups(spark, dir)),
+      "dedup_simhash" -> (dir => Dedup.simhashNearDups(spark, dir)),
+      "dedup_ngram" -> (dir => Dedup.ngramJaccardDups(spark, dir)))
+    val embOps: Seq[(String, String => DataFrame)] = Seq(
+      "dedup_embedding" -> (dir => Dedup.embeddingNearDups(spark, dir, 0.9)),
+      "knn_ivf" -> (dir => Similarity.knnIvf(spark, dir)))
+
+    val rows = docOps.map { case (name, fn) =>
+      (name, timed(() => fn(base)), timed(() => fn(dir10)))
+    } ++ embOps.map { case (name, fn) =>
+      (name, timed(() => fn(emb1xDir)), timed(() => fn(emb10xDir)))
+    }
+
+    // ---------------- cell-prune keep rate at both scales
+    graft.functions.VectorFunctions.register(spark)
+    def pruneRate(dir: String): Double = {
+      val corpus = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("emb"))
+        .withColumn("nrm", graft.functions.VectorFunctions.l2Norm(col("emb")))
+      val p = Dedup.cellPrune(corpus, 0.9)
+      p.keep.count().toDouble / (p.cells.toDouble * p.cells)
+    }
+    val keep1x = pruneRate(emb1xDir); val keep10x = pruneRate(emb10xDir)
+
+    val opsJson = rows.map { case (name, t1, t10) =>
+      f""""$name":{"t_1x":$t1%.2f,"t_10x":$t10%.2f,"ratio":${t10 / t1}%.1f}"""
+    }.mkString("{", ",", "}")
+    println(f"""{"metric":"scale_growth","runs":$Runs,"ops":$opsJson,"cellpair_keep_rate_1x":$keep1x%.3f,"cellpair_keep_rate_10x":$keep10x%.3f,"docs_1x":${d.count()},"docs_10x":${docs10.count()}}""")
+    spark.stop()
+  }
+}

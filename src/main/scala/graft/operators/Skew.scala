@@ -79,16 +79,19 @@ object Skew {
     */
   def hotKeyJoin(left: DataFrame, right: DataFrame, key: String,
       saltSource: Column, hotGroup: Int = 100000, salts: Int = 64): DataFrame = {
+    // only the LEFT side needs the broadcast hot-key list (its rows
+    // don't know their group size); the right side reads hotness off
+    // its own grp_n column and fans out in a plain projection
     val hot = broadcast(
       right.filter(col("grp_n") > hotGroup).select(col(key), lit(1L).as("_hot")))
     val saltedLeft = left.join(hot, Seq(key), "left")
       .withColumn("_salt", when(col("_hot").isNotNull,
         pmod(xxhash64(saltSource), lit(salts.toLong))).otherwise(lit(0L)))
       .drop("_hot")
-    val saltedRight = right.join(hot, Seq(key), "left")
-      .withColumn("_salt", explode(when(col("_hot").isNotNull,
+    val saltedRight = right
+      .withColumn("_salt", explode(when(col("grp_n") > hotGroup,
         sequence(lit(0L), lit(salts - 1L))).otherwise(sequence(lit(0L), lit(0L)))))
-      .drop("_hot", "grp_n")
+      .drop("grp_n")
     saltedLeft.join(saltedRight, Seq(key, "_salt")).drop("_salt")
   }
 }

@@ -66,6 +66,7 @@ object SparkEntry {
     "q_text_quality" -> (TextQueries.textQuality _),
     "q_lang_id" -> (TextQueries.langId _),
     "q_fingerprint" -> (TextQueries.fingerprints _),
+    "q_repetition" -> (TextQueries.repetition _),
     // curation (composed pipeline)
     "q_curation" -> ((s: SparkSession, d: String) => Curation.decisions(s, d)),
     "q_curation_funnel" -> (Curation.funnel _),
@@ -75,6 +76,8 @@ object SparkEntry {
     "q_chunking" -> ((s: SparkSession, d: String) => DatasetOps.chunkManifest(s, d)),
     "q_decontam" -> ((s: SparkSession, d: String) => DatasetOps.decontaminate(s, d)),
     "q_mixture" -> (DatasetOps.mixturePlan _),
+    "q_mixture_sample" -> (DatasetOps.mixtureSample _),
+    "q_source_overlap" -> ((s: SparkSession, d: String) => DatasetOps.sourceOverlapMatrix(s, d)),
     // dedup family
     "q_dedup_exact" -> (Dedup.exactGroups _),
     "q_canonical_map" -> (Dedup.canonicalMap _),
@@ -635,6 +638,57 @@ object SparkEntry {
       """SELECT doc_id,
         | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_repetition" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) AS tok
+        | FROM documents),
+        | c AS (SELECT doc_id, tok, count(*) AS n FROM t GROUP BY 1, 2),
+        | a AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |   CAST(count(*) AS BIGINT) AS n_distinct, CAST(max(n) AS BIGINT) AS max_n,
+        |   sum(n * log2(n)) AS nlogn
+        |  FROM c GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_distinct,
+        | floor((1 - CAST(n_distinct AS DOUBLE) / n_tokens) * 10000 + 0.5) / 10000 AS rep_ratio,
+        | floor((CAST(max_n AS DOUBLE) / n_tokens) * 10000 + 0.5) / 10000 AS max_tok_frac,
+        | floor((log2(CAST(n_tokens AS DOUBLE)) - nlogn / n_tokens) * 10000 + 0.5) / 10000 AS entropy
+        |FROM a ORDER BY doc_id""".stripMargin,
+    "q_mixture_sample" ->
+      """WITH per AS (
+        | SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0))) AS BIGINT) AS src_tokens
+        | FROM documents GROUP BY 1),
+        | per2 AS (
+        | SELECT per.*, CAST(1 + (CAST(substr(source, 4) AS INT) % 3) AS DOUBLE) AS w_raw FROM per),
+        | tot AS (SELECT sum(w_raw) AS sum_w FROM per2),
+        | w AS (
+        | SELECT per2.*, w_raw / sum_w AS wgt,
+        |  CAST(src_tokens AS DOUBLE) / (w_raw / sum_w) AS ratio
+        | FROM per2, tot),
+        | b AS (SELECT min(ratio) AS budget FROM w),
+        | r AS (
+        | SELECT source, floor(wgt * budget / CAST(src_tokens AS DOUBLE) * 10000 + 0.5) / 10000 AS sample_rate
+        | FROM w, b),
+        | samp AS (
+        | SELECT d.source, r.sample_rate,
+        |  CASE WHEN CAST(((d.doc_id % 1000003) * 427799) % 1000003 AS DOUBLE) / 1000003 < r.sample_rate
+        |       THEN 1 ELSE 0 END AS keep
+        | FROM documents d JOIN r USING (source))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(keep) AS BIGINT) AS n_sampled,
+        | max(sample_rate) AS target_rate,
+        | floor(CAST(sum(keep) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS achieved_rate
+        |FROM samp GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_source_overlap" ->
+      """WITH t AS (
+        | SELECT source,
+        |  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+        | FROM documents),
+        | i AS (SELECT source, t, unnest(range(1, len(t) - 1)) AS i FROM t WHERE len(t) >= 3),
+        | g AS (SELECT DISTINCT source, concat_ws(' ', t[i], t[i+1], t[i+2]) AS gram FROM i)
+        |SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared_grams
+        |FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_copies,
         | min(doc_id) AS canonical_id

@@ -164,6 +164,65 @@ object DatasetOps {
       d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0), n)
   }
 
+  /** Execute the [[mixturePlan]]: deterministically sample each source
+    * at its planned rate and report achieved vs target per source.
+    *
+    * The per-doc uniform draw is a pure-integer multiplicative hash,
+    * `((doc_id % P) · (2654435761 % P)) % P / P` with P = 1,000,003
+    * (Knuth's constant, prime modulus): exactly reproducible in ANSI
+    * SQL with no overflow at any doc_id (every intermediate < P²), so
+    * the oracle plays it back bit-for-bit — and membership is a pure
+    * function of doc_id, stable under corpus growth like the
+    * [[splitCounts]] hash. The rate table is the plan's own (tiny)
+    * output, broadcast onto a narrow (doc_id, source) scan; the only
+    * shuffle is the final per-source count.
+    */
+  def mixtureSample(s: SparkSession, dir: String): DataFrame = {
+    val p = 1000003L
+    val rates = mixturePlan(s, dir).select(col("source"), col("sample_rate"))
+    val u01 = (((col("doc_id") % p) * lit(2654435761L % p)) % p).cast("double") / p.toDouble
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .join(broadcast(rates), Seq("source"))
+      .withColumn("keep", (u01 < col("sample_rate")).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep")).as("n_sampled"),
+        max(col("sample_rate")).as("target_rate"),
+        graft.functions.Rounding.portableRound4(
+          sum(col("keep")).cast("double") / count(lit(1)).cast("double"))
+          .as("achieved_rate"))
+      .orderBy(col("source"))
+  }
+
+  /** Cross-source contamination matrix: for every source pair, the
+    * number of distinct token 3-grams both sources contain — the
+    * between-corpus overlap report run before mixing sources into one
+    * training set (exact-duplicate overlap is a special case; shared
+    * n-grams catch partial/boilerplate leakage too).
+    *
+    * Scale shape: grams are reduced to distinct (gram, source) FIRST,
+    * so however many documents repeat a gram, each gram carries at most
+    * #sources rows into the self-join and the per-gram pair fan-out is
+    * bounded by #sources² — no df-cap needed, because the fan-out bound
+    * comes from the (small) source cardinality, not the corpus.
+    */
+  def sourceOverlapMatrix(s: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    val grams = Tables.load(s, dir, "documents")
+      .select(col("source"), TextAnalysis.tokens(lower(col("text"))).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("source"),
+        explode(transform(sequence(lit(0), size(col("toks")) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(col("toks"), i + j + 1)): _*)))
+          .as("gram"))
+      .distinct()
+    val a = grams.as("a"); val b = grams.as("b")
+    a.join(b, col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   def packingManifest(s: SparkSession, dir: String,
       budget: Int = 512, nShards: Int = 8): DataFrame = {
     val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))

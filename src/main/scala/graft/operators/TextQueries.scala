@@ -211,4 +211,40 @@ object TextQueries {
       col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
+
+  /** Repetition / lexical-diversity quality signals per document — the
+    * Gopher-style filters a training pipeline runs alongside the
+    * length/punct gates: repeated-token ratio (1 − distinct/total),
+    * most-frequent-token mass, and Shannon token entropy (in bits,
+    * computed as log2(N) − Σn·log2(n)/N so it folds into the same
+    * aggregate as the counts — no second pass over the token stream).
+    *
+    * Two map-side-combinable aggregations, both keyed by doc_id (the
+    * (doc_id, tok) partial collapses each document's repeats before the
+    * shuffle), so the plan is one scan + two bounded shuffles at any
+    * corpus size.
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val cnt = docs(s, dir)
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+    cnt.groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("n")).as("max_n"),
+        sum(col("n").cast("double") * log2(col("n").cast("double"))).as("nlogn"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        graft.functions.Rounding.portableRound4(
+          lit(1.0) - col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+          .as("rep_ratio"),
+        graft.functions.Rounding.portableRound4(
+          col("max_n").cast("double") / col("n_tokens").cast("double"))
+          .as("max_tok_frac"),
+        graft.functions.Rounding.portableRound4(
+          log2(col("n_tokens").cast("double")) - col("nlogn") / col("n_tokens").cast("double"))
+          .as("entropy"))
+      .orderBy(col("doc_id"))
+  }
 }

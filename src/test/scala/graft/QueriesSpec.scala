@@ -216,6 +216,44 @@ class QueriesSpec extends SparkSpec {
     assert(defPlan.contains("BroadcastHashJoin") && !defPlan.contains("SortMergeJoin"))
   }
 
+  test("repetition: ratios bounded, entropy within [0, log2(distinct)]") {
+    val rows = TextQueries.repetition(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTok, nDis) = (r.getLong(1), r.getLong(2))
+      val (rep, mxf, ent) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(nDis >= 1 && nDis <= nTok)
+      assert(rep >= 0.0 && rep < 1.0 && math.abs(rep - (1.0 - nDis.toDouble / nTok)) < 1e-3)
+      assert(mxf > 0.0 && mxf <= 1.0)
+      // Shannon entropy of a distribution over nDis outcomes
+      assert(ent >= -1e-9 && ent <= math.log(nDis.toDouble) / math.log(2.0) + 1e-9)
+    }
+  }
+
+  test("mixtureSample: binding source saturates, sampling bounded by source size") {
+    val rows = DatasetOps.mixtureSample(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1), s"sampled > docs: $r")
+      // the binding source (rate 1.0) must keep every document —
+      // u01 < 1.0 holds for every hash value
+      if (r.getDouble(3) == 1.0) assert(r.getLong(2) == r.getLong(1), s"rate-1 source dropped docs: $r")
+    }
+    assert(rows.map(_.getDouble(3)).max == 1.0)
+  }
+
+  test("sourceOverlapMatrix: ordered pairs, counts positive, bounded by pair count") {
+    val rows = DatasetOps.sourceOverlapMatrix(spark, sf).collect()
+    assert(rows.nonEmpty, "synthetic sources share vocabulary")
+    val nSources = graft.Tables.load(spark, sf, "documents")
+      .select(col("source")).distinct().count()
+    assert(rows.length <= nSources * (nSources - 1) / 2)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      assert(r.getLong(2) >= 1)
+    }
+  }
+
   test("chunking covers every token: last chunk ends at n_tokens, starts stride evenly") {
     val chunks = DatasetOps.chunkManifest(spark, sf, chunk = 128, overlap = 32).collect()
       .groupBy(_.getLong(0))

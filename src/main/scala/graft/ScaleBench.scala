@@ -76,10 +76,14 @@ object ScaleBench {
     val dir10 = s"$work/sf1"
     docs10.write.mode("overwrite").parquet(s"$dir10/documents.parquet")
 
-    // ---------------- synthesize clustered embeddings at n and 10n
+    // ---------------- synthesize clustered embeddings at n, 10n, 100n
+    // (prime cluster counts near √n — see class doc; 100× extends the
+    // flagship embedding ops to a 3-point growth curve)
     val emb1xDir = s"$work/emb1x"; val emb10xDir = s"$work/emb10x"
+    val emb100xDir = s"$work/emb100x"
     clustered(spark, 2000, 41).write.mode("overwrite").parquet(s"$emb1xDir/embeddings.parquet")
     clustered(spark, 20000, 127).write.mode("overwrite").parquet(s"$emb10xDir/embeddings.parquet")
+    clustered(spark, 200000, 401).write.mode("overwrite").parquet(s"$emb100xDir/embeddings.parquet")
 
     // ---------------- time each op at 1× and 10×
     val docOps: Seq[(String, String => DataFrame)] = Seq(
@@ -92,9 +96,10 @@ object ScaleBench {
       "knn_ivf" -> (dir => Similarity.knnIvf(spark, dir)))
 
     val rows = docOps.map { case (name, fn) =>
-      (name, timed(() => fn(base)), timed(() => fn(dir10)))
+      (name, Seq(timed(() => fn(base)), timed(() => fn(dir10))))
     } ++ embOps.map { case (name, fn) =>
-      (name, timed(() => fn(emb1xDir)), timed(() => fn(emb10xDir)))
+      (name, Seq(timed(() => fn(emb1xDir)), timed(() => fn(emb10xDir)),
+        timed(() => fn(emb100xDir))))
     }
 
     // ---------------- cell-prune keep rate at both scales
@@ -107,12 +112,14 @@ object ScaleBench {
       val p = Dedup.cellPrune(corpus, 0.9)
       p.keep.count().toDouble / (p.cells.toDouble * p.cells)
     }
-    val keep1x = pruneRate(emb1xDir); val keep10x = pruneRate(emb10xDir)
+    val keeps = Seq(emb1xDir, emb10xDir, emb100xDir).map(pruneRate)
 
-    val opsJson = rows.map { case (name, t1, t10) =>
-      f""""$name":{"t_1x":$t1%.2f,"t_10x":$t10%.2f,"ratio":${t10 / t1}%.1f}"""
+    val opsJson = rows.map { case (name, ts) =>
+      val times = ts.map(t => f"$t%.2f").mkString("[", ",", "]")
+      f""""$name":{"times":$times,"ratio_per_10x":${math.pow(ts.last / ts.head, 1.0 / (ts.size - 1))}%.2f}"""
     }.mkString("{", ",", "}")
-    println(f"""{"metric":"scale_growth","runs":$Runs,"ops":$opsJson,"cellpair_keep_rate_1x":$keep1x%.3f,"cellpair_keep_rate_10x":$keep10x%.3f,"docs_1x":${d.count()},"docs_10x":${docs10.count()}}""")
+    val keepJson = keeps.map(k => f"$k%.4f").mkString("[", ",", "]")
+    println(f"""{"metric":"scale_growth","runs":$Runs,"scales":"1x,10x(,100x emb)","ops":$opsJson,"cellpair_keep_rates":$keepJson,"docs_1x":${d.count()},"docs_10x":${docs10.count()}}""")
     spark.stop()
   }
 }

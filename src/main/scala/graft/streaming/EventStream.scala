@@ -163,6 +163,33 @@ object EventStream {
       }
   }
 
+  /** Streaming curation funnel: per-source running counts of quality
+    * and language gate failures over documents arriving on a stream —
+    * the live data-quality dashboard of an ingest pipeline. Stateless
+    * per-row gates (same expressions as the batch
+    * [[graft.operators.Curation]] pipeline) feeding a streaming
+    * aggregation keyed by source; state per source is one counter row,
+    * so it runs forever on an unbounded stream. The duplicate gate is
+    * deliberately absent here — online dup flagging is
+    * [[streamingDedup]]'s job (it needs per-fingerprint state);
+    * an ingest pipeline composes the two.
+    */
+  def streamingQualityFunnel(docs: DataFrame,
+      minTokens: Int = 20, maxTokens: Int = 100000, maxPunct: Double = 0.2,
+      langs: Seq[String] = Seq("en")): DataFrame =
+    docs.select(col("source"),
+        graft.functions.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        graft.functions.TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        graft.functions.TextAnalysis.langPredict(col("text")).as("pred_lang"))
+      .withColumn("fail_quality",
+        (col("n_tokens") < minTokens || col("n_tokens") > maxTokens ||
+          col("punct_ratio") > maxPunct).cast("long"))
+      .withColumn("fail_lang", (!col("pred_lang").isInCollection(langs)).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("fail_quality")).as("n_fail_quality"),
+        sum(col("fail_lang")).as("n_fail_lang"))
+
   /** Run a streaming DataFrame to completion against the bounded
     * source and return the materialized result from a memory sink.
     */

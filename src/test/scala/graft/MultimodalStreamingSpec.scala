@@ -75,6 +75,17 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
   }
 
+  test("streaming quality funnel equals the same gates applied in batch") {
+    val streamed = EventStream.runToMemory(spark,
+      EventStream.streamingQualityFunnel(EventStream.readDocuments(spark, sf)),
+      "stream_funnel", OutputMode.Complete())
+    // batch reference: identical gate expressions over the static table
+    val batch = EventStream.streamingQualityFunnel(
+      graft.Tables.load(spark, sf, "documents"))
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
+  }
+
   test("stateful per-user running counts match batch group counts") {
     import spark.implicits._
     val streamed = EventStream.runToMemory(spark,

@@ -32,7 +32,16 @@ object Bench {
   private val MaxExtraRuns = 2
   private val SpreadLimit = 2.0
 
-  private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+  /** True median: middle element, or mean of the two middles for the
+    * even-sized run lists the spread retry can produce (taking the
+    * upper-middle there would bias the report toward exactly the slow
+    * runs the retry was meant to compensate for).
+    */
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
 
   /** Spread over the runs AFTER the first: run 1 pays the per-query
     * codegen/JIT compile (the median already absorbs it), so including

@@ -106,8 +106,7 @@ object ScaleBench {
     graft.functions.VectorFunctions.register(spark)
     def pruneRate(dir: String): Double = {
       val corpus = Tables.load(spark, dir, "embeddings")
-        .select(col("vec_id"),
-          transform(col("embedding"), _.cast("double")).as("emb"))
+        .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("emb"))
         .withColumn("nrm", graft.functions.VectorFunctions.l2Norm(col("emb")))
       val p = Dedup.cellPrune(corpus, 0.9)
       p.keep.count().toDouble / (p.cells.toDouble * p.cells)

@@ -646,7 +646,8 @@ object SparkEntry {
         | c AS (SELECT doc_id, tok, count(*) AS n FROM t GROUP BY 1, 2),
         | a AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
         |   CAST(count(*) AS BIGINT) AS n_distinct, CAST(max(n) AS BIGINT) AS max_n,
-        |   sum(n * log2(n)) AS nlogn
+        |   list_reduce(list_transform(list(n ORDER BY n), x -> x * log2(x)),
+        |     (acc, x) -> acc + x) AS nlogn
         |  FROM c GROUP BY 1)
         |SELECT doc_id, n_tokens, n_distinct,
         | floor((1 - CAST(n_distinct AS DOUBLE) / n_tokens) * 10000 + 0.5) / 10000 AS rep_ratio,

@@ -118,18 +118,23 @@ object DatasetOps {
       .orderBy(col("source"))
   }
 
-  /** Distinct token n-grams per doc over (doc_id, text). Token arrays
+  /** Distinct token n-grams per `key` over (key, text). Token arrays
     * are materialized before the n-gram lambda (HOF lambdas get no
     * common-subexpression elimination — the measured 10× cliff).
+    * Shared by [[decontaminateAgainst]] (key = doc) and
+    * [[sourceOverlapMatrix]] (key = source) so the cliff-sensitive
+    * shingle block exists exactly once.
     */
-  private def docNgrams(d: DataFrame, n: Int): DataFrame =
-    d.select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("toks"))
+  private def ngramsBy(d: DataFrame, key: String, n: Int): DataFrame =
+    d.select(col(key), TextAnalysis.tokens(lower(col("text"))).as("toks"))
       .filter(size(col("toks")) >= n)
-      .select(col("doc_id"),
+      .select(col(key),
         explode(transform(sequence(lit(0), size(col("toks")) - n),
           i => concat_ws(" ", (0 until n).map(j => element_at(col("toks"), i + j + 1)): _*)))
           .as("gram"))
       .distinct()
+
+  private def docNgrams(d: DataFrame, n: Int): DataFrame = ngramsBy(d, "doc_id", n)
 
   /** Eval-set decontamination against an EXPLICIT eval corpus:
     * training documents sharing at least one token n-gram with any
@@ -208,14 +213,7 @@ object DatasetOps {
     * comes from the (small) source cardinality, not the corpus.
     */
   def sourceOverlapMatrix(s: SparkSession, dir: String, n: Int = 3): DataFrame = {
-    val grams = Tables.load(s, dir, "documents")
-      .select(col("source"), TextAnalysis.tokens(lower(col("text"))).as("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col("source"),
-        explode(transform(sequence(lit(0), size(col("toks")) - n),
-          i => concat_ws(" ", (0 until n).map(j => element_at(col("toks"), i + j + 1)): _*)))
-          .as("gram"))
-      .distinct()
+    val grams = ngramsBy(Tables.load(s, dir, "documents"), "source", n)
     val a = grams.as("a"); val b = grams.as("b")
     a.join(b, col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))

@@ -79,6 +79,11 @@ object Skew {
     */
   def hotKeyJoin(left: DataFrame, right: DataFrame, key: String,
       saltSource: Column, hotGroup: Int = 100000, salts: Int = 64): DataFrame = {
+    // fail fast at the API boundary: salts = 0 would null the hot
+    // salts (pmod by zero) and empty the hot fan-out sequence —
+    // silently dropping every hot key's rows from the join
+    require(salts >= 1, s"salts must be >= 1 (got $salts)")
+    require(hotGroup >= 1, s"hotGroup must be >= 1 (got $hotGroup)")
     // only the LEFT side needs the broadcast hot-key list (its rows
     // don't know their group size); the right side reads hotness off
     // its own grp_n column and fans out in a plain projection

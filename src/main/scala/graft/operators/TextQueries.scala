@@ -230,11 +230,22 @@ object TextQueries {
         explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("n"))
+    // Σ n·log2(n) is an irrational-term float sum, so a plain `sum`
+    // aggregate would be combine-order-dependent (ulp drift across
+    // partitionings — the one thing the oracle hash compare can't
+    // absorb). The counts are collected into a SORTED per-doc array
+    // and folded left-to-right instead: deterministic at any
+    // parallelism and bit-equal to DuckDB's list_reduce over the same
+    // ordered list. The fold is an interpreted HOF, but it runs over
+    // per-doc distinct-count arrays (bounded by doc length — same
+    // state bound as the text column itself), not the corpus.
     cnt.groupBy(col("doc_id"))
       .agg(sum(col("n")).as("n_tokens"),
         count(lit(1)).as("n_distinct"),
         max(col("n")).as("max_n"),
-        sum(col("n").cast("double") * log2(col("n").cast("double"))).as("nlogn"))
+        sort_array(collect_list(col("n"))).as("ns"))
+      .withColumn("nlogn", aggregate(col("ns"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * log2(x.cast("double"))))
       .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
         graft.functions.Rounding.portableRound4(
           lit(1.0) - col("n_distinct").cast("double") / col("n_tokens").cast("double"))

@@ -97,6 +97,29 @@ class ExtensionsSkewFormatsSpec extends SparkSpec {
     assert(distinctSalts == 8, s"hot key only used $distinctSalts salts")
   }
 
+  test("hotKeyJoin equals the plain join on random corpora and parameters") {
+    import spark.implicits._
+    // randomized equivalence: whatever the key distribution, threshold
+    // or salt count, salting must be a pure execution-shape change
+    val rnd = new scala.util.Random(11)
+    (0 until 4).foreach { trial =>
+      val n = 500 + rnd.nextInt(1500)
+      val nKeys = 1 + rnd.nextInt(30)
+      val left = (0 until n).map(i => (i.toLong, s"k${rnd.nextInt(nKeys)}"))
+        .toDF("doc_id", "fp")
+      val canon = left.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("grp_n"))
+      val hotGroup = 1 + rnd.nextInt(200)
+      val salts = 1 + rnd.nextInt(16)
+      val got = Skew.hotKeyJoin(left, canon, "fp", col("doc_id"), hotGroup, salts)
+        .select(col("fp"), col("doc_id"), col("canonical_id"))
+      val expect = left.join(canon.drop("grp_n"), Seq("fp"))
+      assert(got.count() == n, s"trial $trial: row count")
+      assert(got.except(expect).isEmpty && expect.except(got).isEmpty,
+        s"trial $trial differs (hotGroup=$hotGroup salts=$salts)")
+    }
+  }
+
   test("csv and jsonl round-trip preserves data") {
     val docs = Tables.load(spark, sf, "documents")
       .select("doc_id", "lang", "source", "n_chars")

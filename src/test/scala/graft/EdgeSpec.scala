@@ -22,6 +22,23 @@ class EdgeSpec extends SparkSpec {
     assert(got.toSeq == Seq("/a/b c.txt", "/a/b c.txt", "/a/plain.txt", "/a/x.txt", "/a/b+c.txt"))
   }
 
+  test("repetition signals match hand-computed values on a tiny corpus") {
+    import spark.implicits._
+    // "a a b": counts {a:2, b:1} -> rep = 1 - 2/3 = 0.3333,
+    // max_frac = 2/3 = 0.6667,
+    // entropy = log2(3) - (2*log2(2) + 1*log2(1))/3 = 1.58496 - 0.66667
+    val dir = Files.createTempDirectory("graft-edge-rep").toString
+    Seq((1L, "a a b", "en", "src0", 5L), (2L, "x x x x", "en", "src0", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.TextQueries.repetition(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(rows(1L) == ((3L, 2L, 0.3333, 0.6667, 0.9183)))
+    // single repeated token: fully repetitive, zero entropy
+    assert(rows(2L) == ((4L, 1L, 0.75, 1.0, 0.0)))
+  }
+
   test("asOf join plans exactly one shuffle") {
     val df = AsOfJoin.purchasesWithLastClick(spark, "/root/testdata/sf0.001")
     // count Exchanges before the final presentation sort (orderBy adds

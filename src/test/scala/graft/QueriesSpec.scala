@@ -233,6 +233,20 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("repetition output is bit-identical under different shuffle partitionings") {
+    // the entropy fold must be combine-order-independent (sorted
+    // per-doc array folded left-to-right) — a plain float sum here
+    // would drift by ulps across partitionings and flip round4 on a
+    // boundary-adjacent doc
+    val base = TextQueries.repetition(spark, sf).collect().toSeq
+    Seq("1", "7").foreach { p =>
+      spark.conf.set("spark.sql.shuffle.partitions", p)
+      try assert(TextQueries.repetition(spark, sf).collect().toSeq == base,
+        s"repetition differs at shuffle.partitions=$p")
+      finally spark.conf.set("spark.sql.shuffle.partitions", "8")
+    }
+  }
+
   test("mixtureSample: binding source saturates, sampling bounded by source size") {
     val rows = DatasetOps.mixtureSample(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -42,6 +42,7 @@ object SparkEntry {
     "q_running" -> (Relational.runningWindows _),
     "q_cube_orders" -> (Relational.cubeOrders _),
     "q_approx_distinct" -> (Relational.approxDistinct _),
+    "q_approx_percentile" -> (Relational.approxPercentiles _),
     "q_grouping_sets" -> (Relational.groupingSetsOrders _),
     "q_scalar_subquery" -> (Relational.scalarSubquery _),
     "q_exists_subquery" -> (Relational.existsSubquery _),

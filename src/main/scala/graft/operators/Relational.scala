@@ -190,6 +190,26 @@ object Relational {
         graft.functions.Rounding.portableRound4(expr("percentile(o_totalprice, 0.99)")).as("p99_price"))
       .orderBy(col("o_orderstatus"))
 
+  /** Sketch-based quantiles: `approx_percentile` (Greenwald–Khanna
+    * style mergeable summary) next to the exact values — the 100 TB
+    * form of [[percentiles]], where an exact percentile would sort
+    * every group. Bounded summary state per group merges map-side,
+    * same contract as the HLL sketches in [[approxDistinct]]; accuracy
+    * vs exact is asserted in SketchSpec (no DuckDB oracle — sketch
+    * internals are engine-specific).
+    */
+  def approxPercentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        graft.functions.Rounding.portableRound4(
+          expr("approx_percentile(o_totalprice, 0.5, 1000)")).as("approx_median"),
+        graft.functions.Rounding.portableRound4(
+          expr("approx_percentile(o_totalprice, 0.9, 1000)")).as("approx_p90"),
+        graft.functions.Rounding.portableRound4(
+          expr("percentile(o_totalprice, 0.5)")).as("exact_median"))
+      .orderBy(col("o_orderstatus"))
+
   /** String-function coverage: case, slice, concat, length, edit
     * distance, LIKE filter.
     */

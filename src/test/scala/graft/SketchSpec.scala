@@ -23,6 +23,16 @@ class SketchSpec extends SparkSpec {
     assert(refined == pairs(Similarity.knnIvf(spark, sf, kmeansIters = 2)))
   }
 
+  test("approx_percentile tracks the exact percentile within 5% per group") {
+    graft.operators.Relational.approxPercentiles(spark, sf).collect().foreach { r =>
+      val (apxMed, exaMed) = (r.getDouble(1), r.getDouble(3))
+      assert(math.abs(apxMed - exaMed) / exaMed < 0.05,
+        s"${r.getString(0)}: approx median $apxMed vs exact $exaMed")
+      // p90 must sit above the median for any real price distribution
+      assert(r.getDouble(2) >= apxMed)
+    }
+  }
+
   test("heavy hitters finds exactly the truly frequent words with CMS over-estimate bound") {
     val words = TextQueries.wordDocPairs(
       Tables.load(spark, sf, "documents")).select(col("word"))

@@ -12,11 +12,14 @@ import graft.functions.TextAnalysis
   *   documents → quality gate → language filter → exact-dedup keep →
   *   curated corpus (optionally written partitioned by language)
   *
-  * One narrow scan computes all per-doc signals, the only keyed
-  * operation is the skew-safe canonical-id aggregate+join on the
-  * content fingerprint, and the decision column (`keep`) plus reasons
-  * are retained so the pipeline is auditable — at 100 TB you keep the
-  * rejection reasons, not just the survivors.
+  * All per-doc signals come from one projection shape (no per-signal
+  * scans), the only keyed operation is the skew-safe canonical-id
+  * aggregate + hot-salted join on the content fingerprint
+  * ([[Skew.hotKeyJoin]] — three column-pruned passes over documents
+  * in total, see its cost note; the aggregate sides prune to
+  * fingerprint-only projections), and the decision column (`keep`)
+  * plus reasons are retained so the pipeline is auditable — at 100 TB
+  * you keep the rejection reasons, not just the survivors.
   */
 object Curation {
 

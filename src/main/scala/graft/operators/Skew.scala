@@ -76,6 +76,17 @@ object Skew {
     * unsplittable task (an explicit `repartition(key)` doesn't help
     * either: its shuffle origin is REPARTITION_BY_COL, which the
     * extractor also rejects). Verified empirically on Spark 4.1.
+    *
+    * Cost shape (measured in the executed plan): THREE column-pruned
+    * source scans — the salted left, the salted right aggregate, and
+    * the hot-list aggregate. Exchange reuse cannot collapse the two
+    * aggregates: column pruning specializes the hot branch to the key
+    * and count only (dropping the payload min), so the exchanges are
+    * not canonically equal. The hot branch is therefore the cheapest
+    * possible full pass; a 100 TB deployment would persist/bucket the
+    * (key, payload) projection once and make all three branches
+    * metadata-cheap, which is a storage-layout decision this
+    * stateless operator deliberately leaves to the caller.
     */
   def hotKeyJoin(left: DataFrame, right: DataFrame, key: String,
       saltSource: Column, hotGroup: Int = 100000, salts: Int = 64): DataFrame = {

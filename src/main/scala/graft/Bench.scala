@@ -14,22 +14,34 @@ import org.apache.spark.sql.SparkSession
   * is SELF-EVIDENCING against machine load — twice in a row a recorded
   * bench was a contamination artifact (a single-shot 2.4x phantom
   * regression, then a fully-loaded window reporting 74.5 s for a real
-  * 46.0 s run), so the JSON now carries the evidence to audit itself:
-  *  - `runs`: every raw per-run time for every query (a contaminated
-  *    window shows up as a wide spread or a uniformly-shifted triple);
-  *  - `loadavg_before` / `loadavg_after`: /proc/loadavg (1m/5m/15m)
-  *    around the whole bench, plus `cores`; a nonzero 1-minute load
-  *    BEFORE the bench starts means the window was already dirty;
-  *  - `contended_start`: precomputed `loadavg_before[0] > cores/4` so
-  *    a consumer that ignores the raw fields still sees the flag;
-  *  - spread retry: a query whose min/max spread exceeds 2x gets up to
-  *    [[Bench.MaxExtraRuns]] extra runs (median over all of them);
-  *    queries still spread after retries land in `spread_flagged`.
+  * 46.0 s run), and a third time the evidence itself broke the
+  * deliverable: the r6 single-line JSON grew past the driver's
+  * stdout-tail capture and truncated away the headline. So the output
+  * is now TWO stdout lines plus a sidecar:
+  *  - line 1 (evidence, may be truncated harmlessly): `runs` — every
+  *    raw per-run time per query (a contaminated window shows up as a
+  *    wide spread or a uniformly-shifted triple) — plus the loadavg
+  *    samples; also written whole to BENCH_EVIDENCE.json in the cwd;
+  *  - LAST line (the driver contract, compact — medians only, so it
+  *    always survives a tail-capture window): total/queries plus
+  *    `spread_flagged`, `failed`, `contended_start`.
+  * Load evidence: `loadavg_before` is /proc/loadavg (1m/5m/15m)
+  * sampled BEFORE the SparkSession exists (a nonzero 1-minute load
+  * there means the window was dirty before we did any work),
+  * `loadavg_started` right after session startup, `loadavg_after` at
+  * the end; `contended_start` = `loadavg_before[0] > cores/4`.
+  * Spread retry: a query whose steady-state min/max spread exceeds 2x
+  * gets up to [[Bench.MaxExtraRuns]] extra runs (median over all of
+  * them); queries still spread after retries land in `spread_flagged`.
   */
 object Bench {
 
+  // MaxExtraRuns raised 2 -> 4 in r7: q_dedup_ngram / q_dedup_simhash
+  // stayed spread-flagged after 2 extras in r6 (shuffle-size variance
+  // at sf0.1); more retries let the median converge on an honest value
+  // and clear the flag on an idle box.
   private val Runs = 3
-  private val MaxExtraRuns = 2
+  private val MaxExtraRuns = 4
   private val SpreadLimit = 2.0
 
   /** True median: middle element, or mean of the two middles for the
@@ -85,9 +97,12 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = GraftSession.local(appName = "graft-bench")
+    // genuinely pre-work: sampled before the 32-thread session exists,
+    // so session startup load can't pollute the dirty-window signal
     val loadBefore = loadavg()
     val cores = Runtime.getRuntime.availableProcessors()
+    val spark = GraftSession.local(appName = "graft-bench")
+    val loadStarted = loadavg()
 
     // a failed query is flagged explicitly and the headline total is
     // NULLED — a partially-failed run (fewer summed queries) must never
@@ -146,7 +161,20 @@ object Bench {
       else f"${medians.map(_._2).sum}%.3f"
     def loadJson(l: Option[Seq[Double]]): String = l.map(jsonArr).getOrElse("null")
     val contended = loadBefore.exists(_.head > cores / 4.0)
-    println(s"""{"metric":"total","value":$totalJson,"unit":"sec","timing":"median_of_runs","queries":$qs,"runs":$runsJson,"spread_flagged":$spreadJson,"failed":$failedJson,"loadavg_before":${loadJson(loadBefore)},"loadavg_after":${loadJson(loadAfter)},"cores":$cores,"contended_start":$contended,"sf":"$sfDir"}""")
+    val evidence = s"""{"evidence":"graft-bench","runs":$runsJson,"loadavg_before":${loadJson(loadBefore)},"loadavg_started":${loadJson(loadStarted)},"loadavg_after":${loadJson(loadAfter)},"cores":$cores,"sf":"$sfDir"}"""
+    // sidecar survives even if both stdout lines are clipped
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_EVIDENCE.json"),
+        (evidence + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] evidence sidecar write failed: ${e.getMessage}")
+    }
+    println(evidence)
+    // the driver contract line: compact and LAST so a stdout-tail
+    // capture of any reasonable size keeps it whole (r6 lost the
+    // headline to a single oversized line — never again)
+    println(s"""{"metric":"total","value":$totalJson,"unit":"sec","timing":"median_of_runs","queries":$qs,"spread_flagged":$spreadJson,"failed":$failedJson,"contended_start":$contended,"cores":$cores,"sf":"$sfDir"}""")
     spark.stop()
   }
 

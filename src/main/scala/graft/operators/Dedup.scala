@@ -326,7 +326,14 @@ object Dedup {
     // dropping them up front keeps NaN out of the radius aggregates,
     // where one poisoned max would silently prune live cell pairs
     val e = corpus.filter(col("nrm") > 0)
-    val cents = Similarity.cellSeeds(e)
+    // hash-selected seeds (id-distribution-robust) + one Lloyd step:
+    // random seeds alone under-cover clustered corpora (coupon
+    // collector: ~C draws over k clusters leave ~k·e^(-C/k) clusters
+    // seedless, inflating radii and gutting the prune rate), and one
+    // refinement pass — the standard IVF training step — restores
+    // tight cells. Exactness NEVER depends on this (the triangle
+    // bound holds for any centroid set); only the prune rate does.
+    val cents = Similarity.kmeansCentroids(e, Similarity.cellSeeds(e), iters = 1)
     val cells = Similarity.collectCells(cents)
     val assigned = Similarity.assignCells(e, cells)
       .select(col("vec_id"), col("emb"), col("nrm"), col("cent_id"))

@@ -85,10 +85,19 @@ object Similarity {
   // ------------------------------------------------------------ cells
 
   /** Deterministic centroid seeds under the √n policy:
-    * C = min(⌈√n⌉, maxCells) strided picks (every ⌈n/C⌉-th vec_id).
+    * C = min(⌈√n⌉, maxCells) picks, one expected per ⌈n/C⌉ vectors.
     * √n balances the two costs of an IVF grid — per-vector assignment
     * work O(C) against per-cell candidate volume O(n/C) — and the cap
-    * keeps the broadcast table bounded on a 10⁹-vector corpus. The
+    * keeps the broadcast table bounded on a 10⁹-vector corpus.
+    *
+    * Selection is `pmod(xxhash64(vec_id), stride) == 0`, NOT
+    * `vec_id % stride == 0`: the strided-modulo form silently assumes
+    * DENSE ids. On a corpus with sparse or hashed ids (the realistic
+    * case — 64-bit content ids), a stride that happens to divide the
+    * id-generation pattern can select far fewer than C seeds, or zero
+    * (→ empty centroid set → every `nearest_cell` null). Hashing first
+    * makes the pick distribution-robust at identical cost, still fully
+    * deterministic, and still a pushdown-friendly narrow filter. The
     * driver-side actions are a parquet-metadata `count()` to size the
     * grid and the [[collectCells]] model-state collect, both O(C)-bounded.
     */
@@ -96,7 +105,7 @@ object Similarity {
     val n = e.count()
     val c = math.max(1L, math.min(maxCells.toLong, math.ceil(math.sqrt(n.toDouble)).toLong))
     val stride = math.max(1L, math.round(n.toDouble / c.toDouble))
-    e.filter(col("vec_id") % stride === 0)
+    e.filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
       .select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"),
         col("nrm").as("cent_nrm"))
   }
@@ -153,8 +162,12 @@ object Similarity {
     cents
   }
 
-  /** IVF-style ANN: √n-policy centroids (optionally Lloyd-refined),
-    * each corpus vector assigned to its nearest centroid by the narrow
+  /** IVF-style ANN: √n-policy centroids, Lloyd-refined (default one
+    * iteration — hash-selected seeds are id-robust but random, so they
+    * under-cover clustered corpora until one k-means step recenters
+    * them; this is the standard IVF training pass, and `kmeansIters=0`
+    * remains available for the raw-seed degenerate case), each corpus
+    * vector assigned to its nearest centroid by the narrow
     * [[assignCells]] projection, queries probe the `nprobe` nearest
     * cells. Returns same schema as brute force; recall vs the exact
     * result is asserted in DedupSimilaritySpec.
@@ -167,7 +180,7 @@ object Similarity {
     * only).
     */
   def knnIvf(s: SparkSession, dir: String, k: Int = 5, nprobe: Int = 4,
-      kmeansIters: Int = 0, maxCells: Int = 4096): DataFrame = {
+      kmeansIters: Int = 1, maxCells: Int = 4096): DataFrame = {
     val e = emb(s, dir)
     val seeds = cellSeeds(e, maxCells)
     val cents = if (kmeansIters > 0) kmeansCentroids(e, seeds, kmeansIters) else seeds

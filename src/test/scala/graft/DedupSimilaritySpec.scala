@@ -90,10 +90,11 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("cell pruning: exact on a clustered corpus AND prunes most cell pairs") {
-    // 43 tight clusters (43 shares no factor with the √n seed stride,
-    // so the strided seeds deterministically cover every cluster),
-    // 2000 vectors, 32 dims, small angular noise — the regime the
-    // operator is built for
+    // 43 tight clusters, 2000 vectors, 32 dims, small angular noise —
+    // the regime the operator is built for. Seeds are hash-selected
+    // (xxhash64 pmod stride), so cluster coverage is distribution-
+    // independent; exactness never depends on coverage (triangle
+    // inequality), only the prune rate does.
     import spark.implicits._
     val rnd = new scala.util.Random(7)
     val centers = Array.fill(43)(Array.fill(32)(rnd.nextGaussian()))
@@ -113,6 +114,38 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kept < total / 5,
       s"expected most of $total cell pairs pruned on clustered data, kept $kept")
 
+    val got = Dedup.embeddingNearDupsOn(corpus, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = corpus.select(col("vec_id").as("va"), col("emb").as("ea"))
+      .join(corpus.select(col("vec_id").as("vb"), col("emb").as("eb")), col("va") < col("vb"))
+      .filter(arrayDot(col("ea"), col("eb")) / (l2Norm(col("ea")) * l2Norm(col("eb"))) >= 0.9)
+      .select(col("va"), col("vb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty && got == exact,
+      s"missed=${exact.diff(got).size} extra=${got.diff(exact).size} of ${exact.size}")
+  }
+
+  test("cellSeeds robust to sparse/hashed vec_ids (strided-modulo regression)") {
+    // ids k*1000+7: every id ≡ 7 (mod 1000). Under the old
+    // `vec_id % stride == 0` seeding, any stride whose gcd with 1000
+    // does not divide 7 selects ZERO seeds (for this corpus n=2000 →
+    // stride 44: 1000k+7 ≡ 0 (mod 44) has no solution), leaving an
+    // empty centroid set and a corpus-wide null assignment. Hash-based
+    // seeding must keep the operator exact on exactly this corpus.
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    import graft.functions.VectorFunctions.{arrayDot, l2Norm}
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(20)(Array.fill(16)(rnd.nextGaussian()))
+    val vecs = (0 until 2000).map { i =>
+      val c = centers(i % 20)
+      val nrm = math.sqrt(c.map(x => x * x).sum)
+      (i.toLong * 1000L + 7L, c.map(x => x / nrm + 0.02 * rnd.nextGaussian()).toSeq)
+    }
+    val corpus = vecs.toDF("vec_id", "emb")
+      .withColumn("nrm", l2Norm(col("emb")))
+    val p = Dedup.cellPrune(corpus, 0.9)
+    assert(p.cells > 0, "hash seeding selected zero centroids on sparse ids")
     val got = Dedup.embeddingNearDupsOn(corpus, 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = corpus.select(col("vec_id").as("va"), col("emb").as("ea"))

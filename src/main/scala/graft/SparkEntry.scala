@@ -705,6 +705,34 @@ object SparkEntry {
         | CAST(CASE WHEN doc_id != min(doc_id) OVER (PARTITION BY fp)
         |   THEN 1 ELSE 0 END AS BIGINT) AS is_duplicate
         |FROM f ORDER BY doc_id""".stripMargin,
+    // exact mirror of Dedup.ngramJaccardDups (k=2, maxDf=50, t=0.3)
+    // over STRING shingles: hash-Jaccard ≡ string-Jaccard because
+    // whitespace-split tokens contain no spaces (concat_ws ' ' is
+    // injective on token pairs) and xxhash64 collisions are 2^-64
+    "q_dedup_ngram" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+        | FROM documents),
+        | idx AS (
+        | SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        | FROM toks WHERE len(t) >= 2),
+        | sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1]) AS sh FROM idx),
+        | capped AS (
+        | SELECT * FROM sh
+        | WHERE sh NOT IN (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 50)),
+        | n AS (SELECT doc_id, count(*) AS cnt FROM capped GROUP BY 1),
+        | pairs AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        | FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        | scored AS (
+        | SELECT doc_a, doc_b,
+        |  floor(CAST(inter AS DOUBLE) / (na.cnt + nb.cnt - inter) * 10000 + 0.5) / 10000
+        |    AS jaccard
+        | FROM pairs JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id)
+        |SELECT doc_a, doc_b, jaccard FROM scored
+        |WHERE jaccard >= 0.3 ORDER BY 1, 2""".stripMargin,
     "q_dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -153,9 +153,14 @@ object Dedup {
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
       .withColumn("inter", size(array_intersect(col("sa.sh_set"), col("sb.sh_set"))))
+      // portableRound4, not round(_, 4): the jaccard quotient is
+      // oracle-checked (q_dedup_ngram), and Spark's HALF_UP on the
+      // shortest decimal repr disagrees with DuckDB's binary rounding
+      // at half boundaries — floor(x*1e4+0.5)/1e4 is the same IEEE
+      // sequence in both engines
       .withColumn("jaccard",
-        round(col("inter").cast("double") /
-          (col("sa.sh_n") + col("sb.sh_n") - col("inter")).cast("double"), 4))
+        graft.functions.Rounding.portableRound4(col("inter").cast("double") /
+          (col("sa.sh_n") + col("sb.sh_n") - col("inter")).cast("double")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))

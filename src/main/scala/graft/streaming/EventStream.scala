@@ -96,37 +96,68 @@ object EventStream {
     * new session (same semantics as the batch
     * [[graft.operators.EventsQueries.sessionCounts]], asserted equal
     * in the spec). State per user = (last event ts, sessions so far,
-    * events so far) — constant size, the property that lets this run
-    * forever on an unbounded stream.
+    * events so far) — constant size per key.
+    *
+    * Per-key state is constant but KEY CARDINALITY is not (every user
+    * ever seen, forever), so an unbounded deployment needs eviction:
+    * pass `stateTtlSec` to arm an event-time timeout — a user idle
+    * past the TTL (by the stream's watermark clock) has their state
+    * dropped. DOCUMENTED EVICTION SEMANTICS: a user reappearing after
+    * eviction restarts from zero — their next update row counts
+    * sessions/events from the new epoch only, so lifetime totals are
+    * the per-epoch SUM downstream, not the latest row. With
+    * `stateTtlSec = None` (default) state lives forever and the latest
+    * row is the lifetime total — the historical behavior, asserted
+    * equal to batch.
     */
-  def sessionize(spark: SparkSession, events: DataFrame): Dataset[(Long, Long, Long)] = {
+  def sessionize(spark: SparkSession, events: DataFrame,
+      stateTtlSec: Option[Long] = None): Dataset[(Long, Long, Long)] = {
     import spark.implicits._
-    events.select(col("user_id"), col("ts").cast("long").as("sec"))
-      .as[(Long, Long)]
+    // EventTimeTimeout needs a watermark; 0s delay mirrors the
+    // drop-late-arrivals policy already applied inside the function
+    val src = stateTtlSec.fold(events)(_ => events.withWatermark("ts", "0 seconds"))
+    val timeoutConf =
+      if (stateTtlSec.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    // the raw `ts` column (not a cast) must reach the stateful op:
+    // casting strips the watermark tag and the analyzer then rejects
+    // EventTimeTimeout as "no watermark in query"
+    src.select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long)](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, Long)],
+        OutputMode.Update(), timeoutConf) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
          state: GroupState[(Long, Long, Long)]) =>
-          // within a micro-batch rows arrive unordered: sort by event
-          // time before applying the gap rule. Events older than the
-          // carried lastTs (late arrivals across batches) are DROPPED —
-          // processing them would regress the state clock and count
-          // spurious session boundaries; this mirrors what a watermark
-          // does and keeps counts equal to batch for in-order arrival.
-          val times = rows.map(_._2).toArray.sorted
-          val (lastTs0, sessions0, events0) =
-            state.getOption.getOrElse((Long.MinValue, 0L, 0L))
-          var lastTs = lastTs0; var sessions = sessions0; var nEvents = events0
-          times.foreach { t =>
-            if (lastTs == Long.MinValue || t >= lastTs) {
-              if (lastTs == Long.MinValue || t - lastTs > 1800) sessions += 1
-              lastTs = t
-              nEvents += 1
+          if (state.hasTimedOut) {
+            // idle past TTL by the watermark clock: evict. No final
+            // row is emitted — every update row was already complete
+            // for its epoch.
+            state.remove()
+            Iterator.empty
+          } else {
+            // within a micro-batch rows arrive unordered: sort by event
+            // time before applying the gap rule. Events older than the
+            // carried lastTs (late arrivals across batches) are DROPPED —
+            // processing them would regress the state clock and count
+            // spurious session boundaries; this mirrors what a watermark
+            // does and keeps counts equal to batch for in-order arrival.
+            val times = rows.map(_._2.getTime / 1000L).toArray.sorted
+            val (lastTs0, sessions0, events0) =
+              state.getOption.getOrElse((Long.MinValue, 0L, 0L))
+            var lastTs = lastTs0; var sessions = sessions0; var nEvents = events0
+            times.foreach { t =>
+              if (lastTs == Long.MinValue || t >= lastTs) {
+                if (lastTs == Long.MinValue || t - lastTs > 1800) sessions += 1
+                lastTs = t
+                nEvents += 1
+              }
             }
+            state.update((lastTs, sessions, nEvents))
+            stateTtlSec.foreach(ttl =>
+              state.setTimeoutTimestamp((lastTs + ttl) * 1000L))
+            Iterator((user, sessions, nEvents))
           }
-          state.update((lastTs, sessions, nEvents))
-          Iterator((user, sessions, nEvents))
       }
   }
 
@@ -145,21 +176,43 @@ object EventStream {
     * arriving after its fingerprint is already canonical is flagged
     * duplicate — an ingest pipeline must not rewrite history for
     * already-published canonical choices.
+    *
+    * Fingerprint cardinality grows without bound (one state entry per
+    * distinct document ever ingested), so an unbounded deployment
+    * passes `stateTtlMs` to arm a processing-time timeout: a
+    * fingerprint not seen for the TTL is evicted. DOCUMENTED EVICTION
+    * SEMANTICS: the dedup horizon becomes the TTL — a duplicate
+    * arriving after its fingerprint was evicted is crowned canonical
+    * again (NOT flagged), exactly like a retention-windowed dedup.
+    * Processing time (not event time) because documents carry no event
+    * timestamp; the TTL clock is ingest wall-clock, which is what a
+    * retention window means operationally. Default `None` keeps state
+    * forever — the historical behavior, asserted equal to batch.
     */
-  def streamingDedup(spark: SparkSession, docs: DataFrame): Dataset[(Long, Long, Long)] = {
+  def streamingDedup(spark: SparkSession, docs: DataFrame,
+      stateTtlMs: Option[Long] = None): Dataset[(Long, Long, Long)] = {
     import spark.implicits._
+    val timeoutConf =
+      if (stateTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     docs
       .select(graft.functions.TextAnalysis.fingerprint(col("text")).as("fp"), col("doc_id"))
       .as[(String, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Long, (Long, Long, Long)](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Update(), timeoutConf) {
         (_: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
-          val ids = rows.map(_._2).toArray.sorted
-          val canonical = state.getOption.getOrElse(ids.head)
-          state.update(canonical)
-          ids.iterator.map(id =>
-            (id, canonical, if (id == canonical) 0L else 1L))
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val ids = rows.map(_._2).toArray.sorted
+            val canonical = state.getOption.getOrElse(ids.head)
+            state.update(canonical)
+            stateTtlMs.foreach(state.setTimeoutDuration)
+            ids.iterator.map(id =>
+              (id, canonical, if (id == canonical) 0L else 1L))
+          }
       }
   }
 

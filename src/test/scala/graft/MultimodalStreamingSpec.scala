@@ -86,6 +86,78 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
   }
 
+  test("sessionize TTL evicts idle users; a reappearing user restarts from zero") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def run(name: String, ttl: Option[Long]): Set[(Long, Long, Long)] = {
+      val in = MemoryStream[(Long, Long)]
+      val events = in.toDF()
+        .select(col("_1").as("user_id"), timestamp_seconds(col("_2")).as("ts"))
+      val q = EventStream.sessionize(spark, events, stateTtlSec = ttl)
+        .toDF("user_id", "n_sessions", "n_events")
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      try {
+        in.addData((1L, 1000L)); q.processAllAvailable()
+        // another user advances the event-time watermark far past
+        // user 1's TTL horizon (1000 + 3600); the NEXT batch's timeout
+        // sweep then evicts user 1
+        in.addData((2L, 10000L)); q.processAllAvailable()
+        in.addData((2L, 10001L)); q.processAllAvailable()
+        // user 1 reappears: two events in one session
+        in.addData((1L, 20000L), (1L, 20010L)); q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).as[(Long, Long, Long)].collect().toSet
+    }
+
+    // with TTL: state was evicted, so the reappearance is a fresh epoch
+    // (1 session, 2 events); lifetime totals are per-epoch sums downstream
+    val evicted = run("evict_sessions", Some(3600L))
+    assert(evicted.contains((1L, 1L, 2L)), s"fresh-epoch row missing: $evicted")
+    assert(!evicted.contains((1L, 2L, 3L)), s"evicted state leaked through: $evicted")
+    // without TTL the same feed keeps lifetime state: gap > 30 min makes
+    // it session 2, event 3 — the differential proving eviction happened
+    val forever = run("noevict_sessions", None)
+    assert(forever.contains((1L, 2L, 3L)), s"lifetime row missing: $forever")
+  }
+
+  test("streamingDedup TTL: a duplicate arriving after eviction is crowned canonical") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+    val q = EventStream.streamingDedup(spark, docs, stateTtlMs = Some(50L))
+      .toDF("doc_id", "canonical_id", "is_duplicate")
+      .writeStream.outputMode("update").format("memory").queryName("evict_dedup").start()
+    // ProcessingTimeTimeout keeps the engine triggering no-data batches
+    // while any timeout is armed, so `processAllAvailable` never sees a
+    // quiescent stream — poll the sink for the expected row instead
+    def await(cond: => Boolean, what: String): Unit = {
+      val t0 = System.currentTimeMillis
+      while (!cond && System.currentTimeMillis - t0 < 30000) Thread.sleep(50)
+      assert(cond, s"timed out waiting for $what: " +
+        spark.table("evict_dedup").collect().toSeq)
+    }
+    def rows: Set[(Long, Long, Long)] =
+      spark.table("evict_dedup").as[(Long, Long, Long)].collect().toSet
+    try {
+      in.addData((5L, "alpha beta gamma"))
+      await(rows.contains((5L, 5L, 0L)), "doc 5 canonical")
+      Thread.sleep(300) // exceed the 50 ms TTL; the timeout sweep evicts the fp
+      in.addData((7L, "something else entirely"))
+      await(rows.contains((7L, 7L, 0L)), "doc 7 canonical")
+      Thread.sleep(300) // doc 7's own fp TTL passes too
+      // same content as doc 5 reappears after eviction: the dedup
+      // horizon has passed, so it is canonical again, NOT a duplicate
+      in.addData((9L, "alpha beta gamma"))
+      await(rows.exists(_._1 == 9L), "doc 9 processed")
+    } finally q.stop()
+    assert(rows.contains((9L, 9L, 0L)), s"post-eviction reappearance not canonical: $rows")
+    assert(!rows.contains((9L, 5L, 1L)), s"evicted fingerprint still deduped: $rows")
+  }
+
   test("stateful per-user running counts match batch group counts") {
     import spark.implicits._
     val streamed = EventStream.runToMemory(spark,

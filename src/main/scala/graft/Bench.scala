@@ -47,9 +47,11 @@ object Bench {
   /** True median: middle element, or mean of the two middles for the
     * even-sized run lists the spread retry can produce (taking the
     * upper-middle there would bias the report toward exactly the slow
-    * runs the retry was meant to compensate for).
+    * runs the retry was meant to compensate for). Shared with
+    * [[ScaleBench]] so the two benches can't silently diverge on
+    * median semantics again.
     */
-  private def median(xs: Seq[Double]): Double = {
+  private[graft] def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.size % 2 == 1) s(s.size / 2)
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0

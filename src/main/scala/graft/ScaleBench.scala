@@ -6,38 +6,43 @@ import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Similarity}
 
 /** Scale-growth probe for the dedup/ANN family: times every near-dup
-  * variant at sf0.1 (1×) and on a synthesized 10× corpus and reports
-  * the growth ratio. The designs are all bucketed candidate generation
-  * + exact verify, so 10× data must cost ~10× time — a quadratic
-  * regression shows up as a ratio far above 10. Prints one JSON line.
+  * variant at sf0.1 (1×) and on synthesized 10× and 100× corpora and
+  * reports the growth ratio per decade. The designs are all bucketed
+  * candidate generation + exact verify, so 10× data must cost ~10×
+  * time — a quadratic regression shows up as a per-decade ratio far
+  * above 10. Prints one JSON line.
   *
-  * 10× documents: 10 replicas of sf0.1 documents, replica r passed
-  * through a rotated-alphabet `translate` (replica 0 = identity). Docs
-  * within a replica keep their dup/near-dup structure (both members of
-  * a planted pair rotate identically); docs in different replicas share
-  * no tokens, hence no shingles — so duplicate pair output grows ~10×
-  * with the corpus instead of ~100× (cross-replica dups would make the
-  * workload itself quadratic and mask the plan's scaling).
+  * 10×/100× documents: N replicas of sf0.1 documents; replica r
+  * prefixes EVERY whitespace token with a distinct two-letter code
+  * (`aa`, `ab`, …). Docs within a replica keep their dup/near-dup
+  * structure (both members of a planted pair transform identically);
+  * tokens from different replicas differ in their first two chars by
+  * construction — for ANY token alphabet, digits and punctuation
+  * included, unlike the previous rotated-`translate` scheme whose
+  * disjointness silently assumed pure a–z tokens — so replicas share
+  * no shingles and duplicate-pair output grows ~N× with the corpus
+  * instead of ~N² (cross-replica dups would make the workload itself
+  * quadratic and mask the plan's scaling).
   *
-  * 10× embeddings: clustered corpora at n=2000 (41 clusters) and
-  * n=20000 (127 clusters), 32 dims, 2% coordinate noise. Cluster count
-  * is a prime near √n: prime so it shares no factor with the √n seed
-  * stride (a common factor would leave most clusters unseeded — see
-  * the DedupSimilaritySpec cell-prune test), and √n-scaled so cluster
-  * structure stays within the index's √n-cell capacity — the regime
-  * where both member count per cluster and cluster count grow with the
-  * crawl, as web-scale duplicate density does. Also reports the
-  * cell-prune keep rate at both scales: the triangle-inequality prune
-  * must keep pruning as C grows.
+  * Embeddings: clustered corpora at n=2000 (41 clusters), n=20000
+  * (127), n=200000 (401), 32 dims, 2% coordinate noise. Cluster count
+  * grows ~√n so cluster structure stays within the index's √n-cell
+  * capacity — the regime where both member count per cluster and
+  * cluster count grow with the crawl, as web-scale duplicate density
+  * does. (Seeds are hash-selected since r7, so coverage no longer
+  * depends on id/cluster arithmetic; the prime counts are kept for
+  * continuity with earlier measurements.) Also reports the cell-prune
+  * keep rate at each scale: the triangle-inequality prune must keep
+  * pruning as C grows.
   */
 object ScaleBench {
 
   private val Runs = 3
 
-  private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
-
+  // Bench.median (true even-size median) — shared so the two benches
+  // can't diverge on median semantics
   private def timed(body: () => DataFrame): Double =
-    median(Seq.fill(Runs) {
+    Bench.median(Seq.fill(Runs) {
       val t0 = System.nanoTime()
       body().write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
@@ -63,18 +68,20 @@ object ScaleBench {
     val work = if (args.length > 1) args(1) else "/tmp/graft-scale"
     val spark = GraftSession.local(appName = "graft-scalebench")
 
-    // ---------------- synthesize the 10× documents corpus
+    // ---------------- synthesize the 10× and 100× documents corpora
     val alpha = "abcdefghijklmnopqrstuvwxyz"
     val d = Tables.load(spark, base, "documents")
     val off = d.agg(max(col("doc_id"))).first().getLong(0) + 1
-    val docs10 = (0 until 10).map { r =>
-      val to = alpha.drop(r) + alpha.take(r)
-      d.select((col("doc_id") + lit(r * off)).as("doc_id"),
-        translate(lower(col("text")), alpha, to).as("text"),
+    def replicate(n: Int): DataFrame = (0 until n).map { r =>
+      val code = s"${alpha(r / 26)}${alpha(r % 26)}"
+      d.select((col("doc_id") + lit(r.toLong * off)).as("doc_id"),
+        regexp_replace(lower(col("text")), "(\\S+)", code + "$1").as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ union _)
     val dir10 = s"$work/sf1"
-    docs10.write.mode("overwrite").parquet(s"$dir10/documents.parquet")
+    val dir100 = s"$work/sf10"
+    replicate(10).write.mode("overwrite").parquet(s"$dir10/documents.parquet")
+    replicate(100).write.mode("overwrite").parquet(s"$dir100/documents.parquet")
 
     // ---------------- synthesize clustered embeddings at n, 10n, 100n
     // (prime cluster counts near √n — see class doc; 100× extends the
@@ -96,7 +103,8 @@ object ScaleBench {
       "knn_ivf" -> (dir => Similarity.knnIvf(spark, dir)))
 
     val rows = docOps.map { case (name, fn) =>
-      (name, Seq(timed(() => fn(base)), timed(() => fn(dir10))))
+      (name, Seq(timed(() => fn(base)), timed(() => fn(dir10)),
+        timed(() => fn(dir100))))
     } ++ embOps.map { case (name, fn) =>
       (name, Seq(timed(() => fn(emb1xDir)), timed(() => fn(emb10xDir)),
         timed(() => fn(emb100xDir))))
@@ -118,7 +126,7 @@ object ScaleBench {
       f""""$name":{"times":$times,"ratio_per_10x":${math.pow(ts.last / ts.head, 1.0 / (ts.size - 1))}%.2f}"""
     }.mkString("{", ",", "}")
     val keepJson = keeps.map(k => f"$k%.4f").mkString("[", ",", "]")
-    println(f"""{"metric":"scale_growth","runs":$Runs,"scales":"1x,10x(,100x emb)","ops":$opsJson,"cellpair_keep_rates":$keepJson,"docs_1x":${d.count()},"docs_10x":${docs10.count()}}""")
+    println(f"""{"metric":"scale_growth","runs":$Runs,"scales":"1x,10x,100x","ops":$opsJson,"cellpair_keep_rates":$keepJson,"docs_1x":${d.count()}}""")
     spark.stop()
   }
 }

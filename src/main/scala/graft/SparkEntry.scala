@@ -91,11 +91,16 @@ object SparkEntry {
     "q_knn_ivf" -> ((s: SparkSession, d: String) => Similarity.knnIvf(s, d)),
     "q_knn_ivf_kmeans" -> ((s: SparkSession, d: String) =>
       Similarity.knnIvf(s, d, kmeansIters = 2)),
-    // frequency sketch (approximate — accuracy asserted in SketchSpec)
+    // frequency sketch (approximate — accuracy asserted in SketchSpec).
+    // Tokens go through InvertedIndex.normalizeToken so the sketch's
+    // word universe is the SAME one q_doc_index / the text queries use
+    // (raw whitespace tokens would disagree on punctuation-bearing
+    // words and make cross-checks against the index impossible)
     "q_heavy_hitters" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.functions.{col, explode, length, split}
       val toks = graft.Tables.load(s, d, "documents")
-        .select(explode(split(col("text"), "\\s+")).as("word"))
+        .select(explode(split(col("text"), "\\s+")).as("tok"))
+        .select(graft.operators.InvertedIndex.normalizeToken(col("tok")).as("word"))
         .filter(length(col("word")) > 0)
       graft.functions.HeavyHitters.frequentWords(s, toks, "word", minCount = 100)
     }),

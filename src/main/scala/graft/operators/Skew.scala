@@ -95,6 +95,16 @@ object Skew {
     // silently dropping every hot key's rows from the join
     require(salts >= 1, s"salts must be >= 1 (got $salts)")
     require(hotGroup >= 1, s"hotGroup must be >= 1 (got $hotGroup)")
+    // ... and so would scratch-column collisions: a left/right already
+    // carrying _salt or _hot would be silently overwritten (wrong
+    // salting) or made ambiguous, and grp_n on the left would shadow
+    // the contract column the right is required to carry
+    for (c <- Seq("_salt", "_hot")) {
+      require(!left.columns.contains(c), s"left must not contain scratch column $c")
+      require(!right.columns.contains(c), s"right must not contain scratch column $c")
+    }
+    require(!left.columns.contains("grp_n"), "left must not contain grp_n (right's contract column)")
+    require(right.columns.contains("grp_n"), "right must carry grp_n (left row count per key)")
     // only the LEFT side needs the broadcast hot-key list (its rows
     // don't know their group size); the right side reads hotness off
     // its own grp_n column and fans out in a plain projection

@@ -42,6 +42,38 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(dups.count() > 0, "expected near-dup media from planted near-dup texts")
   }
 
+  test("mediaNearDups candidate stage: sound vs exact shared-anchor recount, full recall on identical anchor sets") {
+    // a DuckDB oracle is impossible here — Spark's xxhash64 over BINARY
+    // (seed 42, over Spark's internal byte encoding) has no DuckDB
+    // equivalent, so the anchor set can't be reproduced engine-side.
+    // Instead the candidate stage is verified against a Spark-side
+    // EXACT recount: a plain distinct equi-join on shared anchors
+    // (deterministic, no LSH) bounds the LSH candidates both ways.
+    import graft.operators.Dedup
+    val media = Multimodal.mediaTable(spark, sf)
+    val anchors = Multimodal.binaryAnchors(media) // (doc_id, sh)
+    val cands = Dedup.lshCandidates(Dedup.minhashSignatures(anchors))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact recount: every pair sharing >=1 anchor (test-only exact join)
+    val a = anchors.select(col("doc_id").as("doc_a"), col("sh"))
+    val b = anchors.select(col("doc_id").as("doc_b"), col("sh"))
+    val shared = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sharedSet = shared.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.nonEmpty, "testdata should produce candidate media pairs")
+    // soundness: a band hash can only collide when the 3 minhashes
+    // agree, which (mod 2^-64 hash collisions) needs shared anchors
+    assert(cands.subsetOf(sharedSet),
+      s"LSH invented pairs with no shared anchor: ${cands.diff(sharedSet).take(5)}")
+    // recall: identical anchor sets give identical signatures, hence
+    // identical band hashes — such pairs can NEVER be missed
+    val identical = Dedup.verifyJaccard(shared, anchors, 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(identical.nonEmpty, "planted dups should share full anchor sets")
+    assert(identical.subsetOf(cands),
+      s"LSH missed identical-anchor pairs: ${identical.diff(cands).take(5)}")
+  }
+
   test("streaming hourly counts equal the batch result") {
     val streaming = EventStream.runToMemory(spark,
       EventStream.hourlyCounts(EventStream.readEvents(spark, sf)), "stream_hourly")

@@ -34,11 +34,11 @@ class SketchSpec extends SparkSpec {
   }
 
   test("heavy hitters finds exactly the truly frequent words with CMS over-estimate bound") {
-    val words = TextQueries.wordDocPairs(
-      Tables.load(spark, sf, "documents")).select(col("word"))
-    // wordDocPairs is distinct pairs; use raw tokens for frequency
+    // SAME normalization as the inverted index / q_doc_index, so the
+    // sketch's word universe cross-checks against the index below
     val toks = Tables.load(spark, sf, "documents")
-      .select(explode(split(col("text"), "\\s+")).as("word"))
+      .select(explode(split(col("text"), "\\s+")).as("tok"))
+      .select(graft.operators.InvertedIndex.normalizeToken(col("tok")).as("word"))
       .filter(length(col("word")) > 0)
     val exact = toks.groupBy("word").agg(count(lit(1)).as("n"))
       .filter(col("n") >= 500).collect()
@@ -51,6 +51,16 @@ class SketchSpec extends SparkSpec {
       assert(hh.contains(w), s"missed heavy hitter $w ($n)")
       assert(hh(w) >= n, s"CMS undercounted $w: ${hh(w)} < $n")
       assert(hh(w) <= n * 2, s"CMS estimate wildly high for $w: ${hh(w)} vs $n")
+    }
+    // cross-check vs the index's word universe: a word frequent in the
+    // corpus must be indexed, and its doc frequency can never exceed
+    // its term frequency
+    val docFreq = TextQueries.wordDocPairs(Tables.load(spark, sf, "documents"))
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (w, n) =>
+      assert(docFreq.contains(w), s"heavy hitter $w missing from the doc index")
+      assert(docFreq(w) <= n, s"df ${docFreq(w)} exceeds tf $n for $w")
     }
   }
 }

@@ -331,14 +331,20 @@ object Dedup {
     // dropping them up front keeps NaN out of the radius aggregates,
     // where one poisoned max would silently prune live cell pairs
     val e = corpus.filter(col("nrm") > 0)
-    // hash-selected seeds (id-distribution-robust) + one Lloyd step:
+    // hash-selected seeds (id-distribution-robust) + Lloyd refinement:
     // random seeds alone under-cover clustered corpora (coupon
     // collector: ~C draws over k clusters leave ~k·e^(-C/k) clusters
-    // seedless, inflating radii and gutting the prune rate), and one
-    // refinement pass — the standard IVF training step — restores
-    // tight cells. Exactness NEVER depends on this (the triangle
-    // bound holds for any centroid set); only the prune rate does.
-    val cents = Similarity.kmeansCentroids(e, Similarity.cellSeeds(e), iters = 1)
+    // seedless, inflating radii and gutting the prune rate), so the
+    // standard IVF training step tightens them. Exactness NEVER
+    // depends on this (the triangle bound holds for any centroid set);
+    // only the prune rate does — and the trade is lopsided: each
+    // iteration is one O(n·C·d) codegen assignment pass plus a bounded
+    // (cell, dim) partial-sum shuffle, while every point of excess
+    // keep-rate costs O((n/C)²) verify pairs per kept cell pair.
+    // Measured at the 200k-vector ScaleBench corpus: 1 iter keeps 10%
+    // of cell pairs (117 s verify), 3 iters keeps ~1% (the linear
+    // passes are seconds).
+    val cents = Similarity.kmeansCentroids(e, Similarity.cellSeeds(e), iters = 3)
     val cells = Similarity.collectCells(cents)
     val assigned = Similarity.assignCells(e, cells)
       .select(col("vec_id"), col("emb"), col("nrm"), col("cent_id"))

@@ -24,6 +24,63 @@ object Probe {
       time("full 3")(noop(graft.operators.Dedup.minhashNearDups(spark, dir)))
       spark.stop(); return
     }
+    if (args.headOption.contains("query")) {
+      // time one SparkEntry query at sf0.1 (warm-up + 3 timed runs) —
+      // the same noop-sink materialization Bench uses
+      val dir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+      val fn = SparkEntry.queries(args(1))
+      def noop(): Unit =
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+      noop()
+      val ts = (1 to 7).map { i =>
+        val t0 = System.nanoTime(); noop(); (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[probe] ${args(1)} median=${Bench.median(ts)}%.2f s all=${ts.map(t => f"$t%.2f").mkString(",")}")
+      spark.stop(); return
+    }
+    if (args.headOption.contains("hh_floor")) {
+      // floor costs for the heavy-hitters input: the bare tokenize
+      // projection (codegen only) vs the same projection pulled through
+      // a deserializing mapPartitions (the scan shape frequentWords uses)
+      import org.apache.spark.sql.functions.{col, explode, length, split}
+      val dir = "/root/testdata/sf0.1"
+      val toks = Tables.load(spark, dir, "documents")
+        .select(explode(split(col("text"), "\\s+")).as("tok"))
+        .select(graft.operators.InvertedIndex.normalizeToken(col("tok")).as("word"))
+        .filter(length(col("word")) > 0)
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      import spark.implicits._
+      val deser = toks.as[String].mapPartitions { it =>
+        var n = 0L; it.foreach(_ => n += 1); Iterator.single(n)
+      }.toDF("n")
+      noop(toks); noop(deser)
+      (1 to 3).foreach(i => time(s"tokens codegen $i")(noop(toks)))
+      (1 to 3).foreach(i => time(s"tokens deser $i")(noop(deser)))
+      spark.stop(); return
+    }
+    if (args.headOption.contains("hh_steps")) {
+      // stage decomposition of q_heavy_hitters: raw docs repartition,
+      // the single emit pass, then the full query
+      import org.apache.spark.sql.functions.{col, explode, length, split}
+      val dir = "/root/testdata/sf0.1"
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      val docs = Tables.load(spark, dir, "documents").select(col("text"))
+        .repartition(spark.sparkContext.defaultParallelism)
+      val toks = docs
+        .select(explode(split(col("text"), "\\s+")).as("tok"))
+        .select(graft.operators.InvertedIndex.normalizeToken(col("tok")).as("word"))
+        .filter(length(col("word")) > 0)
+      val emitted = graft.functions.HeavyHitters.emit(spark, toks, "word", 1 << 12, 3, 4096)
+      val full = graft.functions.HeavyHitters.frequentWords(spark, toks, "word", minCount = 100)
+      Seq("docs" -> docs, "toks" -> toks, "emit" -> emitted, "full" -> full).foreach {
+        case (label, df) =>
+          noop(df)
+          (1 to 3).foreach(i => time(s"$label $i")(noop(df)))
+      }
+      spark.stop(); return
+    }
     if (args.headOption.contains("scaling")) {
       // core-scaling curve: run with SPARK_GRAFT_CPUS=1|4|32; full-corpus
       // warm-up then 3 timed runs, median reported. The last output dir

@@ -98,7 +98,21 @@ object SparkEntry {
     // words and make cross-checks against the index impossible)
     "q_heavy_hitters" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.functions.{col, explode, length, split}
-      val toks = graft.Tables.load(s, d, "documents")
+      // an under-split scan (fewer file splits than cores — a handful
+      // of big files) would serialize the tokenize + sketch pass; a
+      // corpus-sized repartition fixes that, but it's only worth its
+      // shuffle when the corpus is big enough for serial tokenize to
+      // dominate. Both signals are free plan metadata (no job runs):
+      // relation stats for bytes, scan splits for parallelism. At
+      // 100 TB the scan arrives pre-split and the branch is a no-op;
+      // at test scale (one 0.5 MB file) the shuffle — and the
+      // per-partition sketch emission it would multiply — is skipped.
+      val docs0 = graft.Tables.load(s, d, "documents").select(col("text"))
+      val para = s.sparkContext.defaultParallelism
+      val bytes = docs0.queryExecution.optimizedPlan.stats.sizeInBytes
+      val docs = if (bytes > (64L << 20) && docs0.rdd.getNumPartitions < para)
+        docs0.repartition(para) else docs0
+      val toks = docs
         .select(explode(split(col("text"), "\\s+")).as("tok"))
         .select(graft.operators.InvertedIndex.normalizeToken(col("tok")).as("word"))
         .filter(length(col("word")) > 0)

@@ -81,6 +81,20 @@ object Probe {
       }
       spark.stop(); return
     }
+    if (args.headOption.contains("ivf_plan")) {
+      import org.apache.spark.sql.functions.col
+      val sf = "/root/testdata/sf0.001"
+      val path = java.nio.file.Files.createTempDirectory("graft-ivfprobe").toString
+      graft.operators.IvfIndex.build(spark, sf, path)
+      val q = graft.operators.Similarity.emb(spark, sf).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+          col("nrm").as("q_nrm"))
+      val result = graft.operators.IvfIndex.knn(spark, path, q)
+      result.collect()
+      println("=== EXECUTED ===")
+      println(result.queryExecution.executedPlan.toString)
+      spark.stop(); return
+    }
     if (args.headOption.contains("scaling")) {
       // core-scaling curve: run with SPARK_GRAFT_CPUS=1|4|32; full-corpus
       // warm-up then 3 timed runs, median reported. The last output dir

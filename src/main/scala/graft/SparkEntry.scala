@@ -91,6 +91,10 @@ object SparkEntry {
     "q_knn_ivf" -> ((s: SparkSession, d: String) => Similarity.knnIvf(s, d)),
     "q_knn_ivf_kmeans" -> ((s: SparkSession, d: String) =>
       Similarity.knnIvf(s, d, kmeansIters = 2)),
+    "q_knn_ivf_indexed" -> ((s: SparkSession, d: String) => IvfIndex.knnIndexed(s, d)),
+    // ANN quality as data (rows-only): recall of each approximate
+    // variant vs the exact brute-force top-k on the same queries
+    "q_ann_recall" -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
     // frequency sketch (approximate — accuracy asserted in SketchSpec).
     // Tokens go through InvertedIndex.normalizeToken so the sketch's
     // word universe is the SAME one q_doc_index / the text queries use

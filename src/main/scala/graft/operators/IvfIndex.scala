@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Materialized IVF index: the build-once counterpart of
+  * [[Similarity.knnIvf]], the same move [[IndexStore]] makes for the
+  * letter index. `knnIvf` recomputes seed selection, k-means, and cell
+  * assignment on every call — the right shape for a one-off query, but
+  * at 100 TB the assignment is an artifact you build once and persist
+  * PARTITIONED BY `cent_id`, so each query reads only its probed cells'
+  * directories (a `PartitionFilters` prune, verified in
+  * IvfIndexSpec) and the per-query cost is metadata + a few cells, not
+  * a corpus pass.
+  *
+  * Layout under `path`:
+  *  - `assigned/` — (vec_id, emb, nrm, label) partitioned by cent_id;
+  *  - `centroids/` — (cent_id, cent_emb, cent_nrm), ≤ maxCells rows
+  *    (bounded driver model state, same policy as [[Similarity]]).
+  *
+  * The probed cell ids are collected to the driver before the scan —
+  * ≤ queries × nprobe longs, bounded model state, and the price of
+  * turning a runtime join into a STATIC partition prune the scan can
+  * apply before reading a byte of data.
+  */
+object IvfIndex {
+
+  /** Build + persist: √n-policy seeds, optional Lloyd refinement, every
+    * corpus vector assigned to its nearest centroid by the narrow
+    * [[Similarity.assignCells]] projection. One corpus pass plus the
+    * partitioned write.
+    */
+  def build(s: SparkSession, dir: String, path: String,
+      kmeansIters: Int = 1, maxCells: Int = 4096): Unit = {
+    val e = Similarity.emb(s, dir)
+    val seeds = Similarity.cellSeeds(e, maxCells)
+    val cents = if (kmeansIters > 0) Similarity.kmeansCentroids(e, seeds, kmeansIters)
+      else seeds
+    val cells = Similarity.collectCells(cents)
+    Similarity.assignCells(e, cells)
+      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/assigned")
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Top-k ANN over the persisted index. `queries` carries
+    * (query_id, q_emb, q_nrm) — see [[Similarity.emb]] for the norm
+    * convention. Same schema and semantics as [[Similarity.knnIvf]]
+    * with identical centroids; only the execution differs: the corpus
+    * side is a partition-pruned scan of the probed cells.
+    */
+  def knn(s: SparkSession, path: String, queries: DataFrame,
+      k: Int = 5, nprobe: Int = 4): DataFrame = {
+    VectorFunctions.register(s)
+    val cells = Similarity.collectCells(s.read.parquet(s"$path/centroids"))
+    val probes = Similarity.probeCells(queries, cells, nprobe)
+    // the probed cell set is ≤ queries × nprobe ids; as literals it
+    // becomes a PartitionFilter the scan applies before reading data
+    val probedIds = probes.select(col("cent_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val assigned = s.read.parquet(s"$path/assigned")
+      .filter(col("cent_id").isin(probedIds: _*))
+    Similarity.searchCells(assigned, probes, k)
+  }
+
+  /** The q_knn_ivf_indexed entry: build the index for `dir` once under
+    * /tmp (keyed by corpus path; reused across calls — that is the
+    * point of a persisted index), query with the standard vec_id < 10
+    * set. Results match knnIvf(kmeansIters = 1) exactly — same seeds,
+    * same Lloyd step, same probe policy (asserted in IvfIndexSpec).
+    */
+  def knnIndexed(s: SparkSession, dir: String, k: Int = 5,
+      nprobe: Int = 4): DataFrame = {
+    val path = s"/tmp/graft-ivf/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}"
+    if (!new java.io.File(s"$path/centroids/_SUCCESS").exists())
+      build(s, dir, path)
+    val q = Similarity.emb(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    knn(s, path, q, k, nprobe)
+  }
+}

@@ -56,7 +56,7 @@ object Similarity {
       (VectorFunctions.l2Norm(a) * VectorFunctions.l2Norm(b))
 
   /** embeddings with per-row precomputed norm. */
-  private[operators] def emb(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def emb(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(s)
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), toDouble(col("embedding")).as("emb"), col("label"))
@@ -187,20 +187,25 @@ object Similarity {
     val cells = collectCells(cents)
 
     val assigned = assignCells(e, cells)
-
-    // queries probe their nprobe nearest cells: the centroid set is
-    // already driver-side model state, so fan each query out over a
-    // literal (cent_id, cent_emb, cent_nrm) array — a generator, not a
-    // join — then keep the nprobe best cells per query with a window
-    // over the (tiny) queries×C set
-    val cellArr = typedLit(cells.ids.indices.map(i =>
-      (cells.ids(i), cells.embs(i), cells.nrms(i))))
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    searchCells(assigned, probeCells(q, cells, nprobe), k)
+  }
+
+  /** Queries probe their `nprobe` nearest cells: the centroid set is
+    * already driver-side model state, so fan each query out over a
+    * literal (cent_id, cent_emb, cent_nrm) array — a generator, not a
+    * join — then keep the nprobe best cells per query with a window
+    * over the (tiny) queries×C set. Input queries carry
+    * (query_id, q_emb, q_nrm); output adds one row per probed cell.
+    */
+  private[operators] def probeCells(q: DataFrame, cells: CellIndex,
+      nprobe: Int): DataFrame = {
+    val cellArr = typedLit(cells.ids.indices.map(i =>
+      (cells.ids(i), cells.embs(i), cells.nrms(i))))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("q_cos").desc, col("cent_id").asc)
-    val probes = q
-      .select(col("query_id"), col("q_emb"), col("q_nrm"), explode(cellArr).as("c"))
+    q.select(col("query_id"), col("q_emb"), col("q_nrm"), explode(cellArr).as("c"))
       .select(col("query_id"), col("q_emb"), col("q_nrm"),
         col("c._1").as("cent_id"),
         (VectorFunctions.arrayDot(col("q_emb"), col("c._2")) /
@@ -208,8 +213,41 @@ object Similarity {
       .withColumn("p_rnk", row_number().over(wProbe))
       .filter(col("p_rnk") <= nprobe)
       .select(col("query_id"), col("q_emb"), col("q_nrm"), col("cent_id"))
+  }
 
-    // search only the probed cells
+  /** Driver-visible ANN quality: recall of every approximate kNN
+    * variant against the exact [[knnBruteForce]] result on the same
+    * query set, as DATA — one row per variant with matched/expected
+    * pair counts. The ScalaTest recall floors assert this too, but a
+    * floor inside a spec isn't inspectable per-round; this query makes
+    * the number part of the artifact stream (rows-only: the values
+    * depend on engine-internal centroid seeding, so no SQL oracle can
+    * reproduce them).
+    */
+  def annRecall(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val brute = knnBruteForce(s, dir, k)
+      .select(col("query_id"), col("neighbor_id"))
+    def row(name: String, approx: DataFrame): DataFrame =
+      brute.join(
+          approx.select(col("query_id").as("a_qid"), col("neighbor_id").as("a_nid")),
+          col("query_id") === col("a_qid") && col("neighbor_id") === col("a_nid"),
+          "left_outer")
+        .agg(count(lit(1)).as("n_expected"), count(col("a_nid")).as("n_matched"))
+        .select(lit(name).as("variant"), col("n_expected"), col("n_matched"),
+          graft.functions.Rounding.portableRound4(
+            col("n_matched").cast("double") / col("n_expected")).as("recall"))
+    row("knn_ivf", knnIvf(s, dir, k))
+      .unionByName(row("knn_ivf_kmeans", knnIvf(s, dir, k, kmeansIters = 2)))
+      .unionByName(row("knn_ivf_indexed", IvfIndex.knnIndexed(s, dir, k)))
+      .orderBy(col("variant"))
+  }
+
+  /** Search only the probed cells: equi-join the cell-assigned corpus
+    * to the broadcast probe set on `cent_id`, score with the codegen
+    * dot, keep top-k per query.
+    */
+  private[operators] def searchCells(assigned: DataFrame, probes: DataFrame,
+      k: Int): DataFrame = {
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     assigned.join(broadcast(probes), Seq("cent_id"))

@@ -243,6 +243,56 @@ object EventStream {
         sum(col("fail_quality")).as("n_fail_quality"),
         sum(col("fail_lang")).as("n_fail_lang"))
 
+  /** Stream-stream click→purchase attribution: the one standard
+    * Structured Streaming shape the surface was missing — two UNBOUNDED
+    * sides equi-joined on user with an event-time range constraint
+    * (each purchase matched to every click by the same user in the
+    * preceding `windowSec`). Both sides carry a watermark and the join
+    * condition bounds their time distance, which is exactly what lets
+    * the state store CLEAN UP: buffered clicks older than
+    * (purchase-side watermark − windowSec) can never match a future
+    * purchase and are evicted; buffered purchases older than the
+    * click-side watermark likewise (Spark derives both state
+    * watermarks from the condition — without the range bound a
+    * stream-stream join would buffer both sides forever). Inner join:
+    * append-mode output, rows emit once both watermarks pass them.
+    *
+    * Batch counterpart for the equality spec: the same filters + plain
+    * range join on the static events table. The streaming result must
+    * equal it row-for-row on a bounded replay.
+    */
+  def clickPurchaseAttribution(events: DataFrame, windowSec: Long = 1800,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value").as("purchase_value"))
+      .withWatermark("p_ts", watermarkDelay)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("click_value"))
+      .withWatermark("c_ts", watermarkDelay)
+    purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowSec SECONDS"))
+      .select(col("purchase_id"), col("user_id"), col("p_ts"), col("c_ts"),
+        col("purchase_value"), col("click_value"))
+  }
+
+  /** Ingest dedup by event id with a bounded horizon, on the built-in
+    * state path: `dropDuplicatesWithinWatermark` keeps one state row
+    * per event_id and — unlike plain `dropDuplicates`, whose state
+    * grows forever — evicts ids once the watermark passes them, so
+    * duplicates are only suppressed within the `delay` horizon (the
+    * at-least-once-delivery window, which is what ingest retries
+    * actually produce). Complements [[streamingDedup]], which keys on
+    * content fingerprint and carries explicit canonical semantics.
+    */
+  def dedupEventsWithinWatermark(events: DataFrame,
+      delay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Run a streaming DataFrame to completion against the bounded
     * source and return the materialized result from a memory sink.
     */

@@ -118,6 +118,62 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
   }
 
+  test("stream-stream click->purchase attribution equals the batch range join") {
+    val streamed = EventStream.runToMemory(spark,
+      EventStream.clickPurchaseAttribution(EventStream.readEvents(spark, sf)),
+      "stream_attr", OutputMode.Append())
+    // batch reference: identical filters + plain range join on the
+    // static table
+    val ev = Tables.load(spark, sf, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value").as("purchase_value"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("click_value"))
+    val batch = p.join(c,
+        col("user_id") === col("c_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1800 SECONDS"))
+      .select(col("purchase_id"), col("user_id"), col("p_ts"), col("c_ts"),
+        col("purchase_value"), col("click_value"))
+    assert(batch.count() > 0, "testdata should contain attributable purchases")
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
+  }
+
+  test("dropDuplicatesWithinWatermark: suppresses within horizon, re-emits after eviction") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val events = in.toDF()
+      .select(col("_1").as("event_id"), timestamp_seconds(col("_2")).as("ts"))
+    val q = EventStream.dedupEventsWithinWatermark(events, delay = "30 seconds")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("stream_dedup_wm").start()
+    try {
+      // same-batch duplicate: one survivor
+      in.addData((1L, 1000L), (2L, 1010L), (1L, 1000L))
+      q.processAllAvailable()
+      // cross-batch duplicate within the 30 s horizon: suppressed
+      in.addData((1L, 1001L))
+      q.processAllAvailable()
+      // far-future event advances the watermark and evicts ids 1, 2
+      in.addData((3L, 20000L))
+      q.processAllAvailable()
+      // id 1 reappears after eviction: re-emitted (the horizon IS the
+      // dedup guarantee — unlike dropDuplicates, state does not grow
+      // with every id ever seen)
+      in.addData((1L, 20010L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("stream_dedup_wm").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000L)).toSet
+    assert(got == Set((1L, 1000L), (2L, 1010L), (3L, 20000L), (1L, 20010L)),
+      s"got $got")
+  }
+
   test("sessionize TTL evicts idle users; a reappearing user restarts from zero") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -95,6 +95,48 @@ object Probe {
       println(result.queryExecution.executedPlan.toString)
       spark.stop(); return
     }
+    if (args.headOption.contains("cellprune")) {
+      // keep-rate + wall time of the cell-pruned embedding dedup at the
+      // 200k ScaleBench corpus, by Lloyd iteration count
+      import org.apache.spark.sql.functions.col
+      val dir = if (args.length > 2) args(2) else "/tmp/graft-scale/emb100x"
+      graft.functions.VectorFunctions.register(spark)
+      val corpus = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"),
+          graft.operators.Similarity.toDouble(col("embedding")).as("emb"))
+        .withColumn("nrm", graft.functions.VectorFunctions.l2Norm(col("emb")))
+      // coverage diagnostics: median member angle after 1 Lloyd iter
+      locally {
+        import graft.operators.Similarity
+        val e = corpus.filter(col("nrm") > 0)
+        val cents = Similarity.kmeansCentroids(e, Similarity.cellSeeds(e), 1)
+        val cells = Similarity.collectCells(cents)
+        val withAng = Similarity.assignCells(e, cells)
+          .join(org.apache.spark.sql.functions.broadcast(cents), Seq("cent_id"))
+          .withColumn("ang", org.apache.spark.sql.functions.acos(
+            org.apache.spark.sql.functions.least(org.apache.spark.sql.functions.lit(1.0),
+              org.apache.spark.sql.functions.greatest(org.apache.spark.sql.functions.lit(-1.0),
+                graft.functions.VectorFunctions.arrayDot(col("emb"), col("cent_emb")) /
+                  (col("nrm") * col("cent_nrm"))))))
+        val qs = withAng.stat.approxQuantile("ang", Array(0.25, 0.5, 0.75, 0.9), 0.01)
+        println(f"[probe] cells=${cells.ids.size} angle quartiles=${qs.map(q => f"$q%.3f").mkString(",")} maxAngle=${math.acos(0.9) / 2}%.3f")
+      }
+      args(1).split(",").map(_.toInt).foreach { it =>
+        val t0 = System.nanoTime()
+        val p = graft.operators.Dedup.cellPrune(corpus, 0.9, kmeansIters = it)
+        val kept = p.keep.count()
+        val rate = kept.toDouble / (p.cells.toDouble * p.cells)
+        val tPrune = (System.nanoTime() - t0) / 1e9
+        val n = {
+          val t = System.nanoTime()
+          val c = graft.operators.Dedup
+            .embeddingNearDupsOn(corpus, 0.9, kmeansIters = it).count()
+          (c, (System.nanoTime() - t) / 1e9)
+        }
+        println(f"[probe] iters=$it cells=${p.cells} keep=$rate%.4f prune_s=$tPrune%.1f full_s=${n._2}%.1f pairs=${n._1}")
+      }
+      spark.stop(); return
+    }
     if (args.headOption.contains("scaling")) {
       // core-scaling curve: run with SPARK_GRAFT_CPUS=1|4|32; full-corpus
       // warm-up then 3 timed runs, median reported. The last output dir

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{DatasetOps, Dedup, Similarity}
 
 /** Scale-growth probe for the dedup/ANN family: times every near-dup
   * variant at sf0.1 (1×) and on synthesized 10× and 100× corpora and
@@ -48,10 +48,29 @@ object ScaleBench {
       (System.nanoTime() - t0) / 1e9
     })
 
-  /** Clustered unit-sphere corpus: k centers, members = normalized
-    * center + small coordinate noise. Deterministic.
+  /** N disjoint replicas of a documents corpus: replica r prefixes
+    * EVERY whitespace token with a distinct two-letter code (see class
+    * doc — disjoint for any token alphabet). Shared with [[BenchSf1]],
+    * whose synthetic sf1 point is 10 replicas of sf0.1.
     */
-  private def clustered(spark: SparkSession, n: Int, k: Int, dims: Int = 32,
+  private[graft] def replicaDocs(spark: SparkSession, base: String,
+      n: Int): DataFrame = {
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val d = Tables.load(spark, base, "documents")
+    val off = d.agg(max(col("doc_id"))).first().getLong(0) + 1
+    (0 until n).map { r =>
+      val code = s"${alpha(r / 26)}${alpha(r % 26)}"
+      d.select((col("doc_id") + lit(r.toLong * off)).as("doc_id"),
+        regexp_replace(lower(col("text")), "(\\S+)", code + "$1").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ union _)
+  }
+
+  /** Clustered unit-sphere corpus: k centers, members = normalized
+    * center + small coordinate noise. Deterministic. Shared with
+    * [[BenchSf1]].
+    */
+  private[graft] def clustered(spark: SparkSession, n: Int, k: Int, dims: Int = 32,
       seed: Int = 7): DataFrame = {
     import spark.implicits._
     val rnd = new scala.util.Random(seed)
@@ -69,19 +88,13 @@ object ScaleBench {
     val spark = GraftSession.local(appName = "graft-scalebench")
 
     // ---------------- synthesize the 10× and 100× documents corpora
-    val alpha = "abcdefghijklmnopqrstuvwxyz"
     val d = Tables.load(spark, base, "documents")
-    val off = d.agg(max(col("doc_id"))).first().getLong(0) + 1
-    def replicate(n: Int): DataFrame = (0 until n).map { r =>
-      val code = s"${alpha(r / 26)}${alpha(r % 26)}"
-      d.select((col("doc_id") + lit(r.toLong * off)).as("doc_id"),
-        regexp_replace(lower(col("text")), "(\\S+)", code + "$1").as("text"),
-        col("lang"), col("source"), col("n_chars"))
-    }.reduce(_ union _)
     val dir10 = s"$work/sf1"
     val dir100 = s"$work/sf10"
-    replicate(10).write.mode("overwrite").parquet(s"$dir10/documents.parquet")
-    replicate(100).write.mode("overwrite").parquet(s"$dir100/documents.parquet")
+    replicaDocs(spark, base, 10).write.mode("overwrite")
+      .parquet(s"$dir10/documents.parquet")
+    replicaDocs(spark, base, 100).write.mode("overwrite")
+      .parquet(s"$dir100/documents.parquet")
 
     // ---------------- synthesize clustered embeddings at n, 10n, 100n
     // (prime cluster counts near √n — see class doc; 100× extends the
@@ -92,19 +105,27 @@ object ScaleBench {
     clustered(spark, 20000, 127).write.mode("overwrite").parquet(s"$emb10xDir/embeddings.parquet")
     clustered(spark, 200000, 401).write.mode("overwrite").parquet(s"$emb100xDir/embeddings.parquet")
 
-    // ---------------- time each op at 1× and 10×
-    val docOps: Seq[(String, String => DataFrame)] = Seq(
-      "dedup_exact" -> (dir => Dedup.exactGroups(spark, dir)),
-      "dedup_minhash" -> (dir => Dedup.minhashNearDups(spark, dir)),
-      "dedup_simhash" -> (dir => Dedup.simhashNearDups(spark, dir)),
-      "dedup_ngram" -> (dir => Dedup.ngramJaccardDups(spark, dir)))
+    // ---------------- time each op across its scale points (third
+    // element = how many of the 1×/10×/100× dirs to time)
+    val docDirs = Seq(base, dir10, dir100)
+    val docOps: Seq[(String, String => DataFrame, Int)] = Seq(
+      ("dedup_exact", dir => Dedup.exactGroups(spark, dir), 3),
+      ("dedup_minhash", dir => Dedup.minhashNearDups(spark, dir), 3),
+      ("dedup_simhash", dir => Dedup.simhashNearDups(spark, dir), 3),
+      ("dedup_ngram", dir => Dedup.ngramJaccardDups(spark, dir), 3),
+      // the slowest DatasetOps query: its trigram fan-out rides the
+      // same df cap as the dedup family, so a quadratic regression
+      // would show here first. 1×/10× (two scale points bound the
+      // per-decade ratio; the op is per-source-PAIR downstream, and
+      // replicas keep source names, so 100× mostly multiplies the
+      // pair counts, not the shape)
+      ("source_overlap", dir => DatasetOps.sourceOverlapMatrix(spark, dir), 2))
     val embOps: Seq[(String, String => DataFrame)] = Seq(
       "dedup_embedding" -> (dir => Dedup.embeddingNearDups(spark, dir, 0.9)),
       "knn_ivf" -> (dir => Similarity.knnIvf(spark, dir)))
 
-    val rows = docOps.map { case (name, fn) =>
-      (name, Seq(timed(() => fn(base)), timed(() => fn(dir10)),
-        timed(() => fn(dir100))))
+    val rows = docOps.map { case (name, fn, nScales) =>
+      (name, docDirs.take(nScales).map(d => timed(() => fn(d))))
     } ++ embOps.map { case (name, fn) =>
       (name, Seq(timed(() => fn(emb1xDir)), timed(() => fn(emb10xDir)),
         timed(() => fn(emb100xDir))))

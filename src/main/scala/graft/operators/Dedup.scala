@@ -301,10 +301,11 @@ object Dedup {
   /** Same operator over a prepared corpus DataFrame with columns
     * (vec_id, emb: array<double>, nrm) — the testable entry point.
     */
-  private[graft] def embeddingNearDupsOn(corpus: DataFrame, threshold: Double): DataFrame = {
+  private[graft] def embeddingNearDupsOn(corpus: DataFrame, threshold: Double,
+      kmeansIters: Int = 3): DataFrame = {
     import graft.functions.VectorFunctions.arrayDot
     graft.functions.VectorFunctions.register(corpus.sparkSession)
-    val p = cellPrune(corpus, threshold)
+    val p = cellPrune(corpus, threshold, kmeansIters)
     val a = p.assigned.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
       col("nrm").as("nrm_a"), col("cent_id").as("ca_id"))
     val b = p.assigned.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"),
@@ -323,7 +324,8 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  private[graft] def cellPrune(corpus: DataFrame, threshold: Double): CellPrune = {
+  private[graft] def cellPrune(corpus: DataFrame, threshold: Double,
+      kmeansIters: Int = 3): CellPrune = {
     import graft.functions.VectorFunctions.arrayDot
     val thetaT = math.acos(math.max(-1.0, math.min(1.0, threshold)))
     // zero-norm vectors can never reach a positive cosine threshold
@@ -331,20 +333,24 @@ object Dedup {
     // dropping them up front keeps NaN out of the radius aggregates,
     // where one poisoned max would silently prune live cell pairs
     val e = corpus.filter(col("nrm") > 0)
-    // hash-selected seeds (id-distribution-robust) + Lloyd refinement:
-    // random seeds alone under-cover clustered corpora (coupon
-    // collector: ~C draws over k clusters leave ~k·e^(-C/k) clusters
-    // seedless, inflating radii and gutting the prune rate), so the
-    // standard IVF training step tightens them. Exactness NEVER
-    // depends on this (the triangle bound holds for any centroid set);
-    // only the prune rate does — and the trade is lopsided: each
-    // iteration is one O(n·C·d) codegen assignment pass plus a bounded
-    // (cell, dim) partial-sum shuffle, while every point of excess
-    // keep-rate costs O((n/C)²) verify pairs per kept cell pair.
-    // Measured at the 200k-vector ScaleBench corpus: 1 iter keeps 10%
-    // of cell pairs (117 s verify), 3 iters keeps ~1% (the linear
-    // passes are seconds).
-    val cents = Similarity.kmeansCentroids(e, Similarity.cellSeeds(e), iters = 3)
+    // hash-selected seeds (id-distribution-robust) + COVERAGE
+    // reseeding + Lloyd: random seeds alone under-cover clustered
+    // corpora (coupon collector: ~C draws over k clusters leave
+    // ~k·e^(-C/k) clusters seedless), and Lloyd iterations cannot fix
+    // that — they only move centroids within their basins, so an
+    // unseeded cluster's members permanently balloon some cell's
+    // radius (measured at the 200k ScaleBench corpus: keep rate stuck
+    // at 2.5% from 3 to 8 iterations). [[Similarity.coverageCentroids]]
+    // plants new centroids at members farther than θ_t/2 from every
+    // centroid (k-means++ style, bounded batches), after which every
+    // covered member's cell radius can stay under θ_t/2. Exactness
+    // NEVER depends on any of this (the triangle bound holds for any
+    // centroid set); only the prune rate does — and the trade is
+    // lopsided: each pass is one O(n·C·d) codegen projection, while
+    // every point of excess keep-rate costs O((n/C)²) verify pairs
+    // per kept cell pair.
+    val cents = Similarity.coverageCentroids(e, Similarity.cellSeeds(e),
+      maxAngle = thetaT / 2, rounds = kmeansIters)
     val cells = Similarity.collectCells(cents)
     val assigned = Similarity.assignCells(e, cells)
       .select(col("vec_id"), col("emb"), col("nrm"), col("cent_id"))

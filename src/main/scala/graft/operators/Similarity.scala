@@ -101,7 +101,7 @@ object Similarity {
     * driver-side actions are a parquet-metadata `count()` to size the
     * grid and the [[collectCells]] model-state collect, both O(C)-bounded.
     */
-  private[operators] def cellSeeds(e: DataFrame, maxCells: Int = 4096): DataFrame = {
+  private[graft] def cellSeeds(e: DataFrame, maxCells: Int = 4096): DataFrame = {
     val n = e.count()
     val c = math.max(1L, math.min(maxCells.toLong, math.ceil(math.sqrt(n.toDouble)).toLong))
     val stride = math.max(1L, math.round(n.toDouble / c.toDouble))
@@ -116,10 +116,10 @@ object Similarity {
     * at the 4096 cap), so collecting it is the MLlib-KMeans model-state
     * pattern, not a data collect.
     */
-  private[operators] final case class CellIndex(
+  private[graft] final case class CellIndex(
       ids: Seq[Long], embs: Seq[Seq[Double]], nrms: Seq[Double])
 
-  private[operators] def collectCells(cents: DataFrame): CellIndex = {
+  private[graft] def collectCells(cents: DataFrame): CellIndex = {
     val rows = cents.select(col("cent_id"), col("cent_emb"), col("cent_nrm"))
       .orderBy(col("cent_id")).collect()
     CellIndex(
@@ -133,7 +133,7 @@ object Similarity {
     * shuffle — no join, window, or reduction at all) beats both the
     * crossJoin+window and the max_by alternatives.
     */
-  private[operators] def assignCells(e: DataFrame, cells: CellIndex): DataFrame =
+  private[graft] def assignCells(e: DataFrame, cells: CellIndex): DataFrame =
     e.withColumn("cent_id", element_at(typedLit(cells.ids),
       VectorFunctions.nearestCell(
         col("emb"), typedLit(cells.embs), typedLit(cells.nrms)) + lit(1)))
@@ -158,6 +158,122 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
         .select(col("cent_id"), transform(col("pairs"), _.getField("m")).as("cent_emb"))
         .withColumn("cent_nrm", VectorFunctions.l2Norm(col("cent_emb")))
+    }
+    cents
+  }
+
+  /** Coverage-reseeded centroids: Lloyd alone can NEVER place a
+    * centroid inside a cluster the hash seeds missed — it only moves
+    * existing centroids within their basins, so with C ≈ k random
+    * seeds over k clusters, ~k·e^(−C/k) clusters stay seedless forever
+    * and their members balloon some other cell's radius (measured on
+    * the 200k-vector ScaleBench corpus: keep rate stuck at 2.5% from
+    * 3 to 8 Lloyd iterations, 10× worse than covered seeding).
+    *
+    * Each round here fixes coverage directly, k-means++ style:
+    *  1. one narrow assignment pass + a broadcast join ranks members
+    *     by their ANGLE to their centroid;
+    *  2. each CELL proposes its top-`perCell` farthest members beyond
+    *     `maxAngle` (deterministic order: angle desc, vec_id asc;
+    *     global cap `batch`) as centroid candidates — per-cell rather
+    *     than global top-k, because the globally-farthest members all
+    *     sit in the single worst region and a round would fix only it,
+    *     while per-cell proposals repair many regions per round —
+    *     bounded model state either way;
+    *  3. candidates are greedily thinned driver-side (one within
+    *     `maxAngle` of an accepted candidate is redundant — ≤ batch²
+    *     dot products on the driver);
+    *  4. survivors join the centroid set (cent_id = vec_id; ids
+    *     already present are skipped) and one Lloyd step recenters.
+    * Rounds stop early when no member sits beyond `maxAngle` (coverage
+    * achieved), when the first round's MEDIAN member angle already
+    * exceeds `maxAngle` (an uncoverable corpus — uniform-random
+    * vectors have no tight structure for reseeding to find, so the
+    * gate returns the Lloyd-refined seeds untouched instead of burning
+    * passes and centroid budget; one approx-percentile agg pays for
+    * it), or when the budget is spent. The budget is
+    * min(maxCells, 4 × initial C): on a CLUSTERED corpus coverage
+    * converges well under it (497 vs 401 initial at the 200k probe),
+    * while on adversarial data — uniform random vectors, where every
+    * member is beyond any reasonable `maxAngle` of everything — an
+    * uncapped loop would balloon C to maxCells and quadruple every
+    * downstream assignment's O(n·C·d); the 4× cap bounds the repair at
+    * a small constant over the √n policy. Every corpus-sized step is a
+    * narrow projection or broadcast join; everything collected is
+    * ≤ batch rows or the bounded centroid set.
+    */
+  def coverageCentroids(e: DataFrame, seeds: DataFrame, maxAngle: Double,
+      maxCells: Int = 4096, rounds: Int = 3, batch: Int = 1024,
+      perCell: Int = 4): DataFrame = {
+    import graft.functions.VectorFunctions.arrayDot
+    def angle(cos: Column): Column =
+      acos(least(lit(1.0), greatest(lit(-1.0), cos)))
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def ang(a: Seq[Double], na: Double, b: Seq[Double], nb: Double): Double =
+      math.acos(math.max(-1.0, math.min(1.0, dot(a, b) / (na * nb))))
+
+    var cents = kmeansCentroids(e, seeds, 1)
+    var budgetLeft = true
+    var cap = -1
+    for (round <- 0 until rounds if budgetLeft) {
+      val cells = collectCells(cents)
+      if (cap < 0) cap = math.min(maxCells, 4 * math.max(1, cells.ids.size))
+      if (cells.ids.size >= cap) budgetLeft = false
+      else {
+        val have = cells.ids.toSet
+        val wCell = Window.partitionBy(col("cent_id"))
+          .orderBy(col("ang").desc, col("vec_id").asc)
+        val withAng = assignCells(e, cells)
+          .join(broadcast(cents), Seq("cent_id"))
+          .withColumn("ang", angle(
+            arrayDot(col("emb"), col("cent_emb")) / (col("nrm") * col("cent_nrm"))))
+        if (round == 0) {
+          // coverability gate: when even the 25th-PERCENTILE member
+          // sits beyond maxAngle — under a quarter of the corpus is
+          // tightly covered by anything — there is no cluster
+          // structure at this angle (uniform-random vectors, or a
+          // threshold far inside the typical pairwise angle), and
+          // reseeding would churn the whole budget without shrinking
+          // any radius below maxAngle while every added centroid
+          // inflates downstream O(n·C·d) passes. One cheap agg
+          // decides. The quantile is deliberately LOW: on a clustered
+          // corpus the covered members' angles are at the noise level
+          // (q25 ≈ 0.11 on the ScaleBench corpora vs maxAngle 0.23),
+          // while partially-seeded coverage can push the MEDIAN past
+          // maxAngle and a median gate would refuse to repair exactly
+          // the corpora that need repairing; random corpora sit at
+          // q25 ≈ 1.2 — far above any sane maxAngle — either way.
+          val q25 = withAng.agg(
+            percentile_approx(col("ang"), lit(0.25), lit(1000))).first().getDouble(0)
+          if (q25 > maxAngle) return cents
+        }
+        val cand = withAng
+          .filter(col("ang") > maxAngle && !col("vec_id").isInCollection(have))
+          .withColumn("cand_rnk", row_number().over(wCell))
+          .filter(col("cand_rnk") <= perCell)
+          .orderBy(col("ang").desc, col("vec_id").asc)
+          .limit(math.min(batch, cap - cells.ids.size))
+          .select(col("vec_id"), col("emb"), col("nrm"))
+          .collect()
+        if (cand.isEmpty) budgetLeft = false
+        else {
+          val accepted = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Seq[Double], Double)]
+          cand.foreach { r =>
+            val (id, em, nr) = (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))
+            if (accepted.forall { case (_, e2, n2) => ang(em, nr, e2, n2) > maxAngle })
+              accepted += ((id, em, nr))
+          }
+          val spark = e.sparkSession
+          import spark.implicits._
+          val extra = accepted.toSeq.toDF("cent_id", "cent_emb", "cent_nrm")
+          cents = kmeansCentroids(e, cents.unionByName(extra), 1)
+        }
+      }
     }
     cents
   }
@@ -199,7 +315,7 @@ object Similarity {
     * over the (tiny) queries×C set. Input queries carry
     * (query_id, q_emb, q_nrm); output adds one row per probed cell.
     */
-  private[operators] def probeCells(q: DataFrame, cells: CellIndex,
+  private[graft] def probeCells(q: DataFrame, cells: CellIndex,
       nprobe: Int): DataFrame = {
     val cellArr = typedLit(cells.ids.indices.map(i =>
       (cells.ids(i), cells.embs(i), cells.nrms(i))))
@@ -246,7 +362,7 @@ object Similarity {
     * to the broadcast probe set on `cent_id`, score with the codegen
     * dot, keep top-k per query.
     */
-  private[operators] def searchCells(assigned: DataFrame, probes: DataFrame,
+  private[graft] def searchCells(assigned: DataFrame, probes: DataFrame,
       k: Int): DataFrame = {
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)

@@ -134,6 +134,11 @@ object SparkEntry {
     "q_events_sessions" -> (EventsQueries.sessionCounts _),
     "q_events_topusers" -> (EventsQueries.topUsers _),
     "q_events_json" -> (EventsQueries.jsonProps _),
+    // data layout / profiling
+    "q_zorder" -> (Layout.zOrderEvents _),
+    "q_zorder_prune" -> (Layout.zOrderPruneReport _),
+    "q_compaction_plan" -> ((s: SparkSession, d: String) => Layout.compactionPlan(s, d)),
+    "q_profile" -> ((s: SparkSession, d: String) => Profile.profileDocuments(s, d)),
   )
 
   /** Shared DuckDB CTE: whitespace-tokenize documents, strip
@@ -840,5 +845,45 @@ object SparkEntry {
         | CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
         | count(CAST(props->>'$.k' AS BIGINT)) AS n_with_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_zorder" -> (zSpreadCte + """
+        |SELECT event_id, x, y, a | (b << 1) AS zval FROM s5
+        |ORDER BY event_id""".stripMargin),
+    "q_zorder_prune" -> (zSpreadCte + """,
+        | z AS (SELECT event_id, x, y, a | (b << 1) AS zval FROM s5),
+        | bk AS (SELECT x, y, CAST(ntile(64) OVER (ORDER BY zval, event_id) AS BIGINT) AS bucket FROM z)
+        |SELECT bucket, count(*) AS n_rows,
+        | min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max,
+        | CAST(CASE WHEN min(x) <= 9 AND max(x) >= 3
+        |   AND min(y) <= 1705276800 AND max(y) >= 1704844800
+        |  THEN 1 ELSE 0 END AS BIGINT) AS hits_box
+        |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin),
+    "q_compaction_plan" ->
+      """SELECT source, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS bytes_est,
+        | CAST(ceil(CAST(sum(n_chars) AS DOUBLE) / 65536) AS BIGINT) AS n_files
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_profile" -> Seq("doc_id", "lang", "n_chars", "source").map(c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         | count(*) - count($c) AS n_nulls,
+         | count(DISTINCT $c) AS n_distinct,
+         | CAST(min($c) AS VARCHAR) AS min_val,
+         | CAST(max($c) AS VARCHAR) AS max_val FROM documents""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
   )
+
+  /** DuckDB CTE chain mirroring `Layout.spreadBits`/`zValue` bit for
+    * bit: x = user_id (32-bit mask), y = epoch seconds (31-bit mask),
+    * five Morton mask/shift rounds on each.
+    */
+  private def zSpreadCte = // def: referenced by oracleSql above (init order)
+    """WITH e AS (
+      | SELECT event_id, CAST(user_id AS BIGINT) AS x,
+      |  date_diff('second', TIMESTAMP '1970-01-01 00:00:00', CAST(ts AS TIMESTAMP)) AS y
+      | FROM events),
+      |m AS (SELECT event_id, x, y, x & 4294967295 AS a, y & 2147483647 AS b FROM e),
+      |s1 AS (SELECT event_id, x, y, (a | (a << 16)) & 281470681808895 AS a, (b | (b << 16)) & 281470681808895 AS b FROM m),
+      |s2 AS (SELECT event_id, x, y, (a | (a << 8)) & 71777214294589695 AS a, (b | (b << 8)) & 71777214294589695 AS b FROM s1),
+      |s3 AS (SELECT event_id, x, y, (a | (a << 4)) & 1085102592571150095 AS a, (b | (b << 4)) & 1085102592571150095 AS b FROM s2),
+      |s4 AS (SELECT event_id, x, y, (a | (a << 2)) & 3689348814741910323 AS a, (b | (b << 2)) & 3689348814741910323 AS b FROM s3),
+      |s5 AS (SELECT event_id, x, y, (a | (a << 1)) & 6148914691236517205 AS a, (b | (b << 1)) & 6148914691236517205 AS b FROM s4)""".stripMargin
 }

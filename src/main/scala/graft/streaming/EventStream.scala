@@ -293,6 +293,21 @@ object EventStream {
     events.withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment join: each micro-batch of events joins a
+    * STATIC dimension table (user → market segment). No streaming
+    * state at all — the static side is (re-)resolved per micro-batch,
+    * so a dim-table update is picked up at the next batch, and the
+    * broadcast keeps the join map-side: the stream never shuffles.
+    * Left join: an event with no dim row must pass through with a null
+    * segment, not vanish (enrichment must not filter the fact stream).
+    */
+  def enrichWithSegment(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+        broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("c_mktsegment").as("segment"))
+
   /** Run a streaming DataFrame to completion against the bounded
     * source and return the materialized result from a memory sink.
     */

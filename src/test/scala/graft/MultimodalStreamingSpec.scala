@@ -142,6 +142,20 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
   }
 
+  test("stream-static segment enrichment equals the batch left join; unmatched events survive") {
+    val dim = Tables.load(spark, sf, "customer")
+    val streamed = EventStream.runToMemory(spark,
+      EventStream.enrichWithSegment(EventStream.readEvents(spark, sf), dim),
+      "stream_enrich", OutputMode.Append())
+    val ev = Tables.load(spark, sf, "events")
+    val batch = ev.join(dim.select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("c_mktsegment").as("segment"))
+    assert(streamed.count() == ev.count(), "enrichment must not drop events")
+    assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
+  }
+
   test("dropDuplicatesWithinWatermark: suppresses within horizon, re-emits after eviction") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -134,6 +134,11 @@ object SparkEntry {
     "q_events_sessions" -> (EventsQueries.sessionCounts _),
     "q_events_topusers" -> (EventsQueries.topUsers _),
     "q_events_json" -> (EventsQueries.jsonProps _),
+    "q_funnel" -> (EventsQueries.funnel _),
+    "q_retention" -> (EventsQueries.retention _),
+    "q_histogram" -> ((s: SparkSession, d: String) => EventsQueries.valueHistogram(s, d)),
+    // transitive near-dup groups (pairs -> connected components)
+    "q_dedup_groups" -> ((s: SparkSession, d: String) => Dedup.minhashDupGroups(s, d)),
     // data layout / profiling
     "q_zorder" -> (Layout.zOrderEvents _),
     "q_zorder_prune" -> (Layout.zOrderPruneReport _),
@@ -845,6 +850,32 @@ object SparkEntry {
         | CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
         | count(CAST(props->>'$.k' AS BIGINT)) AS n_with_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |v AS (SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+        |SELECT * FROM (
+        | SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name,
+        |  count(DISTINCT user_id) AS n_users FROM v
+        | UNION ALL SELECT 2, 'click_after_view', count(DISTINCT user_id) FROM c
+        | UNION ALL SELECT 3, 'purchase_after_click', count(DISTINCT user_id) FROM p)
+        |ORDER BY stage""".stripMargin,
+    "q_retention" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
+        |           FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_date FROM events)
+        |SELECT cohort_date,
+        | date_diff('day', cohort_date, active_date) AS day_offset,
+        | count(*) AS n_users
+        |FROM a JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(value / 25) AS BIGINT) AS bin,
+        | CAST(floor(value / 25) * 25 AS DOUBLE) AS bin_lo,
+        | count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "q_zorder" -> (zSpreadCte + """
         |SELECT event_id, x, y, a | (b << 1) AS zval FROM s5
         |ORDER BY event_id""".stripMargin),

@@ -395,4 +395,61 @@ object Dedup {
 
     CellPrune(assigned, keep, cells.ids.size)
   }
+
+  /** Connected components over an undirected pair list (doc_a, doc_b)
+    * by min-label propagation: every node repeatedly takes the
+    * minimum label among itself and its neighbors until fixpoint.
+    * Converges in O(graph diameter) rounds — near-dup graphs are
+    * near-cliques (a dup cluster's members all pair with each other),
+    * so the diameter is tiny and plain propagation beats the
+    * O(log n)-round large-star/small-star scheme it would take to
+    * handle long chains at 100 TB (noted; not the shape dedup emits).
+    * Each round is one shuffle (groupBy node, min-combiner); the edge
+    * list is cached because every round re-joins it; the driver only
+    * sees the one-row convergence count per round, never data.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val sym = e.union(e.select(col("dst"), col("src"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIter) {
+        val next = sym
+          .join(labels.withColumnRenamed("node", "dst_n"), col("dst") === col("dst_n"))
+          .select(col("src").as("node"), col("label"))
+          .union(labels)
+          .groupBy(col("node")).agg(min(col("label")).as("label"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val changed = next.as("n")
+          .join(labels.as("o"), col("n.node") === col("o.node"))
+          .filter(col("n.label") =!= col("o.label")).count()
+        labels.unpersist()
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      require(converged, s"label propagation did not converge in $maxIter rounds " +
+        "(pathological chain graph — switch to large-star/small-star)")
+      labels.select(col("node").as("doc_id"), col("label").as("group_id"))
+    } finally sym.unpersist()
+  }
+
+  /** Near-dup GROUPS from pairwise minhash output: connected
+    * components over the verified pairs, reported as one row per
+    * group with its canonical (minimum) doc and size — what a
+    * curation pipeline consumes ("keep group_id, drop the rest"),
+    * upgrading pair output to transitive closure: A~B and B~C place
+    * A, B, C in ONE group even if (A, C) was never a candidate pair.
+    */
+  def minhashDupGroups(s: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame =
+    connectedComponents(minhashNearDups(s, dir, threshold))
+      .groupBy(col("group_id"))
+      .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_doc_id"))
+      .orderBy(col("group_id"))
 }

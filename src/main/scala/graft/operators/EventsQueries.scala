@@ -75,6 +75,65 @@ object EventsQueries {
       .orderBy(col("event_type"), col("rnk"))
   }
 
+  /** Ordered conversion funnel view → click → purchase: per stage, the
+    * distinct users who completed it IN ORDER (a click only counts
+    * after the user's first view; a purchase only after that click).
+    * Three per-user min-aggregates chained by inner joins — each stage
+    * shrinks the user set, so the joins get cheaper down the funnel;
+    * everything shuffles on user_id once per stage with map-side
+    * partials (no window, no ordering of raw events needed).
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    v.select(lit(1L).as("stage"), lit("view").as("stage_name"), col("user_id"))
+      .union(c.select(lit(2L), lit("click_after_view"), col("user_id")))
+      .union(p.select(lit(3L), lit("purchase_after_click"), col("user_id")))
+      .groupBy(col("stage"), col("stage_name"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("stage"))
+  }
+
+  /** Cohort retention: users grouped by first-seen date, counted on
+    * each later active day as (cohort_date, day_offset) — the
+    * "day-N retention" triangle. Two aggregates and one join on
+    * user_id; the distinct (user, day) reduction happens BEFORE the
+    * join so the join input is bounded by users × active-days, not
+    * raw events.
+    */
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val cohorts = e.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort_date"))
+    val active = e.select(col("user_id"), to_date(col("ts")).as("active_date")).distinct()
+    active.join(cohorts, "user_id")
+      .groupBy(col("cohort_date"),
+        datediff(col("active_date"), col("cohort_date")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_date"), col("day_offset"))
+  }
+
+  /** Equi-width histogram of `value` (width 25): pure arithmetic
+    * binning — one aggregate, no sort of the data, bins ordered at the
+    * end (bin count, not row count). The IEEE double division is
+    * bit-identical across engines, so the bucket boundaries are exact.
+    */
+  def valueHistogram(s: SparkSession, dir: String, width: Double = 25.0): DataFrame =
+    ev(s, dir)
+      .groupBy(floor(col("value") / width).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .withColumn("bin_lo", (col("bin") * width).cast("double"))
+      .select(col("bin"), col("bin_lo"), col("n_events"), col("sum_value"))
+      .orderBy(col("bin"))
+
   /** JSON property extraction from the `props` column (semi-structured
     * payload — `get_json_object` is the codegen'd path).
     */

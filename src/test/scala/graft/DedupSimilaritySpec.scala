@@ -37,6 +37,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(overlap >= 0.5, s"simhash/minhash overlap only $overlap")
   }
 
+  test("connectedComponents equals driver-side union-find; chains close transitively") {
+    import spark.implicits._
+    // planted chain: pairs (1,2)(2,3)(3,4) + isolated pair (10,11) —
+    // transitive closure must fuse the chain even though (1,4) is no pair
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(got(_) == 1L))
+    assert(got(10L) == 10L && got(11L) == 10L)
+
+    // real minhash pairs: CC result == brute-force union-find
+    val pairs = Dedup.minhashNearDups(spark, sf, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(x => x -> find(x)).toMap
+    val cc = Dedup.connectedComponents(
+        Dedup.minhashNearDups(spark, sf, threshold = 0.5).select(col("doc_a"), col("doc_b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == want, "CC labels differ from union-find ground truth")
+  }
+
   test("simhash pairwise blocking is exact: equals brute-force Hamming<=3 over signatures") {
     // blocking must be a pure optimization: the 5-chunk pairwise keys
     // may never lose a pair that brute-force XOR popcount would find

@@ -139,6 +139,17 @@ object SparkEntry {
     "q_histogram" -> ((s: SparkSession, d: String) => EventsQueries.valueHistogram(s, d)),
     // transitive near-dup groups (pairs -> connected components)
     "q_dedup_groups" -> ((s: SparkSession, d: String) => Dedup.minhashDupGroups(s, d)),
+    // BM25 ranked retrieval (tf saturation + length normalization)
+    "q_bm25" -> ((s: SparkSession, d: String) => TextQueries.bm25Search(s, d)),
+    // transitive dup groups over EXACT ngram-Jaccard pairs — the CC
+    // closure itself is oracle-verified via a recursive-CTE
+    // reachability query (unlike q_dedup_groups whose minhash pair
+    // stage is engine-hash-specific)
+    "q_dedup_groups_exact" -> ((s: SparkSession, d: String) => Dedup.ngramDupGroups(s, d)),
+    // exact-size balanced class downsampling by portable hash rank
+    "q_stratified" -> (DatasetOps.stratifiedSample _),
+    // SCD-2 state-validity intervals (gaps-and-islands)
+    "q_scd2" -> (EventsQueries.scd2States _),
     // data layout / profiling
     "q_zorder" -> (Layout.zOrderEvents _),
     "q_zorder_prune" -> (Layout.zOrderPruneReport _),
@@ -900,6 +911,106 @@ object SparkEntry {
          | CAST(min($c) AS VARCHAR) AS min_val,
          | CAST(max($c) AS VARCHAR) AS max_val FROM documents""".stripMargin)
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    // BM25: same literal-by-literal arithmetic as the Spark side
+    // ((1.2 + 1.0), (1.0 - 0.75) — IEEE doubles agree across engines)
+    "q_bm25" ->
+      """WITH raw AS (
+        | SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents
+        |), t AS (
+        | SELECT doc_id, lower(regexp_replace(tok, '[^A-Za-z]+', '', 'g')) AS word FROM raw
+        |), tt AS (
+        | SELECT doc_id, word FROM t WHERE length(word) > 0
+        |), dl AS (
+        | SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tt GROUP BY 1
+        |), stats AS (
+        | SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n_docs,
+        |  (SELECT CAST(count(*) AS DOUBLE) FROM tt)
+        |    / (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS avgdl
+        |), tf AS (
+        | SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf FROM tt
+        | WHERE word IN ('spark', 'join', 'window') GROUP BY 1, 2
+        |), df AS (
+        | SELECT word, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY 1
+        |)
+        |SELECT doc_id,
+        | floor(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |   * tf * (1.2 + 1.0) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)))
+        |   * 10000 + 0.5) / 10000 AS score,
+        | count(*) AS n_terms
+        |FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN stats
+        |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // connected components over the exact ngram-Jaccard pairs: the
+    // closure is reachability, expressed as a recursive CTE (UNION =
+    // set semantics, so the fixpoint terminates); group label = min
+    // reachable node, exactly Dedup.connectedComponents' semantics
+    "q_dedup_groups_exact" ->
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+        | FROM documents),
+        | idx AS (
+        | SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        | FROM toks WHERE len(t) >= 2),
+        | sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1]) AS sh FROM idx),
+        | capped AS (
+        | SELECT * FROM sh
+        | WHERE sh NOT IN (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 50)),
+        | n AS (SELECT doc_id, count(*) AS cnt FROM capped GROUP BY 1),
+        | pairs AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        | FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        | scored AS (
+        | SELECT doc_a, doc_b,
+        |  CAST(inter AS DOUBLE) / (na.cnt + nb.cnt - inter) AS jacc
+        | FROM pairs JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id),
+        | edges AS (
+        | SELECT doc_a, doc_b FROM scored
+        | WHERE floor(jacc * 10000 + 0.5) / 10000 >= 0.3),
+        | sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
+        |   UNION SELECT doc_b, doc_a FROM edges),
+        | reach(node, r) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM sym) base
+        |  UNION
+        |  SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+        | labels AS (SELECT node, min(r) AS group_id FROM reach GROUP BY node)
+        |SELECT group_id, CAST(count(*) AS BIGINT) AS n_members,
+        | max(node) AS max_doc_id
+        |FROM labels GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stratified" ->
+      """WITH ranked AS (
+        | SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang
+        |   ORDER BY ((doc_id % 1000003) * (2654435761 % 1000003)) % 1000003, doc_id) AS rn
+        | FROM documents
+        |), m AS (
+        | SELECT min(cnt) AS m
+        | FROM (SELECT count(*) AS cnt FROM documents GROUP BY lang) c
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN rn <= m THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        | CAST(sum(CASE WHEN rn <= m THEN doc_id ELSE 0 END) AS BIGINT) AS sampled_sum
+        |FROM ranked CROSS JOIN m
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_scd2" ->
+      """WITH lagd AS (
+        | SELECT user_id, event_id, ts, event_type,
+        |  CASE WHEN lag(event_type) OVER w IS NULL
+        |    OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), runs AS (
+        | SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id FROM lagd
+        |), iv AS (
+        | SELECT user_id, run_id, min(ts) AS from_ts, max(event_type) AS state,
+        |  count(*) AS n_events
+        | FROM runs GROUP BY 1, 2
+        |)
+        |SELECT user_id, run_id, state, n_events,
+        | CAST(epoch_ms(from_ts) AS BIGINT) AS valid_from,
+        | CAST(epoch_ms(lead(from_ts) OVER (PARTITION BY user_id
+        |   ORDER BY from_ts, run_id)) AS BIGINT) AS valid_to
+        |FROM iv ORDER BY user_id, run_id""".stripMargin,
   )
 
   /** DuckDB CTE chain mirroring `Layout.spreadBits`/`zValue` bit for

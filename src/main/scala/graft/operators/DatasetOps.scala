@@ -238,4 +238,40 @@ object DatasetOps {
         max(col("doc_id")).as("last_doc"))
       .orderBy(col("lang"), col("shard"), col("bin_id"))
   }
+
+  /** Balanced per-stratum downsampling: every language is cut to the
+    * size of the SMALLEST language class, with the kept rows chosen by
+    * rank of a deterministic integer hash — the class-rebalancing pass
+    * run before training on skewed multilingual corpora. Unlike
+    * rate-based Bernoulli sampling ([[mixtureSample]]) the output size
+    * per stratum is EXACT, not expected.
+    *
+    * The hash is the same portable multiplicative scheme as
+    * [[mixtureSample]] (pure BIGINT modular arithmetic — bit-identical
+    * in any engine), and ties break on doc_id, so the selected set is
+    * fully deterministic; `sampled_sum` (sum of kept doc_ids) lets the
+    * oracle verify the exact membership, not just the count.
+    *
+    * Scale: one scan + a per-stratum window rank (shuffle on lang —
+    * #langs partitions; for very skewed corpora the rank-by-hash can
+    * be replaced by a two-pass threshold estimate, but the window form
+    * is exact and the stratum count is small by nature) + a broadcast
+    * one-row min. No driver state.
+    */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val p = 1000003L
+    val hkey = ((col("doc_id") % p) * lit(2654435761L % p)) % p
+    val ranked = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(hkey.asc, col("doc_id").asc)))
+    val minClass = ranked.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .agg(min(col("n_docs")).as("m"))
+    ranked.crossJoin(broadcast(minClass))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rn") <= col("m"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("rn") <= col("m"), col("doc_id")).otherwise(0L)).as("sampled_sum"))
+      .orderBy(col("lang"))
+  }
 }

@@ -452,4 +452,23 @@ object Dedup {
       .groupBy(col("group_id"))
       .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_doc_id"))
       .orderBy(col("group_id"))
+
+  /** Same transitive-closure grouping over the EXACT n-gram Jaccard
+    * pairs ([[ngramJaccardDups]]) instead of the MinHash approximation.
+    * Because the pair stage is deterministic SQL-expressible math (no
+    * engine hash), the whole chain — candidate pairs, verification,
+    * AND the connected-components closure — is oracle-checkable
+    * against a recursive-CTE reachability query, which upgrades the
+    * graph-closure operator itself from "spec-trusted" to
+    * driver-verified. Same scale posture as [[minhashDupGroups]]:
+    * label propagation touches only documents that appear in some dup
+    * pair (a small fraction of the corpus by construction), and the
+    * driver sees one convergence count per round, never data.
+    */
+  def ngramDupGroups(s: SparkSession, dir: String,
+      threshold: Double = 0.3): DataFrame =
+    connectedComponents(ngramJaccardDups(s, dir, threshold))
+      .groupBy(col("group_id"))
+      .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_doc_id"))
+      .orderBy(col("group_id"))
 }

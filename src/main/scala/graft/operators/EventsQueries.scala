@@ -144,4 +144,50 @@ object EventsQueries {
       .agg(sum(col("k")).as("sum_k"),
         count(col("k")).as("n_with_k"))
       .orderBy(col("event_type"))
+
+  /** SCD-2 style state history: treat each user's event stream as a
+    * slowly-changing dimension where `event_type` is the state, and
+    * emit one validity interval per state CHANGE — `valid_from` =
+    * first event of the run, `valid_to` = the next change (null while
+    * current). Consecutive equal states collapse into one interval
+    * (gaps-and-islands: run boundaries found by comparing against
+    * `lag`, runs numbered by a running sum of boundaries).
+    *
+    * ONE shuffle total: every window — boundary lag, run counter, row
+    * position, per-user count, and the post-filter lead over interval
+    * STARTS — partitions by `user_id`, so Catalyst plans a single
+    * hash Exchange and the filter/lead reuse it (asserted in
+    * Round8Spec). A groupBy(user_id, run_id) formulation would
+    * re-shuffle on the compound key; counting events per run as
+    * `next_start_position − start_position` keeps everything on the
+    * original partitioning.
+    *
+    * Timestamps are emitted as epoch milliseconds (BIGINT) so the
+    * driver hash-compare is binary-stable across engines' timestamp
+    * renderings; both Spark (µs precision) and DuckDB (ns) floor to
+    * the same ms for any sub-ms component.
+    */
+  def scd2States(s: SparkSession, dir: String): DataFrame = {
+    val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val byUser = Window.partitionBy(col("user_id"))
+    val rows = ev(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(byTs).isNull ||
+          lag(col("event_type"), 1).over(byTs) =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(
+        byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(byTs).cast("long"))
+      .withColumn("n_user", count(lit(1)).over(byUser))
+    val starts = rows.filter(col("chg") === 1L)
+    val byRun = Window.partitionBy(col("user_id")).orderBy(col("rn").asc)
+    starts
+      .withColumn("n_events",
+        coalesce(lead(col("rn"), 1).over(byRun), col("n_user") + 1L) - col("rn"))
+      .withColumn("valid_from", unix_millis(col("ts")))
+      .withColumn("valid_to", unix_millis(lead(col("ts"), 1).over(byRun)))
+      .select(col("user_id"), col("run_id"), col("event_type").as("state"),
+        col("n_events"), col("valid_from"), col("valid_to"))
+      .orderBy(col("user_id"), col("run_id"))
+  }
 }

@@ -258,4 +258,50 @@ object TextQueries {
           .as("entropy"))
       .orderBy(col("doc_id"))
   }
+
+  /** BM25 ranked retrieval — the scoring function production IR
+    * engines actually use (Robertson/Spärck Jones; tf saturation via
+    * k1, length normalization via b), over the same normalized word
+    * universe as the index.
+    *
+    * Shape: the tokenize projection is written once (`withLen`) and
+    * evaluated by two consumers — the (N, avgdl) scalar and the tf
+    * explode — i.e. two scans of documents, zero extra shuffles; the
+    * same recompute-over-pin trade documented at Dedup's shingle
+    * stage. N and avgdl ride along as a broadcast one-row scalar,
+    * df as a broadcast |query|-row table, so the whole query is one
+    * scan of documents plus broadcast-joined small sides — the same
+    * scale shape as [[tfidfSearch]]. avgdl is total tokens / total
+    * docs (empty docs count in the denominator; they can't score
+    * anyway).
+    */
+  def bm25Search(s: SparkSession, dir: String,
+      query: Seq[String] = Seq("spark", "join", "window"),
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val withLen = docs(s, dir)
+      .select(col("doc_id"),
+        filter(
+          transform(split(col("text"), "\\s+"), t => InvertedIndex.normalizeToken(t)),
+          w => length(w) > 0).as("ws"))
+      .withColumn("dl", size(col("ws")).cast("double"))
+    val stats = withLen.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")) / count(lit(1)).cast("double")).as("avgdl"))
+    val tf = withLen
+      .select(col("doc_id"), col("dl"), explode(col("ws")).as("word"))
+      .filter(col("word").isin(query: _*))
+      .groupBy(col("doc_id"), col("dl"), col("word"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df_ = tf.groupBy(col("word")).agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val norm = col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))
+    tf.join(broadcast(df_), Seq("word"))
+      .crossJoin(broadcast(stats))
+      .withColumn("w_score", idf * col("tf") * lit(k1 + 1.0) / norm)
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.Rounding.portableRound4(sum(col("w_score"))).as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(10)
+  }
 }

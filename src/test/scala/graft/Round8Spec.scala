@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Behavior specs for the round-8 additions: BM25 ranking, exact-pair
+  * connected-component dup groups, balanced stratified sampling, and
+  * SCD-2 state intervals. Value-level parity with DuckDB is covered by
+  * the oracle gate; these pin the semantic invariants the oracle hash
+  * can't express (transitivity, interval contiguity, exact stratum
+  * sizes) and the plan shapes that matter at scale.
+  */
+class Round8Spec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // ------------------------------------------------------------ BM25
+
+  test("bm25: scores positive, ranked desc, and every hit contains a query term") {
+    val res = TextQueries.bm25Search(spark, sf).collect()
+    assert(res.nonEmpty && res.length <= 10)
+    val scores = res.map(_.getDouble(1))
+    assert(scores.forall(_ > 0.0))
+    assert(scores.sameElements(scores.sortBy(-_)), "not sorted by score desc")
+    val hitIds = res.map(_.getLong(0)).toSet
+    val q = Set("spark", "join", "window")
+    val withTerm = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+      .select(col("doc_id"), InvertedIndex.normalizeToken(col("tok")).as("w"))
+      .filter(col("w").isin(q.toSeq: _*))
+      .select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(hitIds.subsetOf(withTerm), "a scored doc contains no query term")
+  }
+
+  test("bm25: small sides broadcast, no shuffle beyond the tf aggregate") {
+    val plan = TextQueries.bm25Search(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"df/stats sides not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
+
+  test("bm25: length normalization ranks shorter docs above longer at equal tf") {
+    // saturation sanity on a constructed corpus: same tf, different dl
+    import spark.implicits._
+    val d = Seq(
+      (1L, "spark " * 2 + "alpha " * 3),   // dl 5, tf 2
+      (2L, "spark " * 2 + "alpha " * 48)   // dl 50, tf 2
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("bm25docs")
+    d.write.mode("overwrite").parquet(tmp.resolve("documents.parquet").toString)
+    val res = TextQueries.bm25Search(spark, tmp.toString, query = Seq("spark"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(res(1L) > res(2L), s"short doc should outrank long: $res")
+  }
+
+  // ------------------------------------- exact-pair dup groups (CC)
+
+  test("ngramDupGroups: groups are the transitive closure of ngram pairs") {
+    val pairs = Dedup.ngramJaccardDups(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val groups = Dedup.ngramDupGroups(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // union-find over the collected pairs (tiny at sf0.001)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.toSeq.groupBy(find)
+      .map { case (_, ms) => (ms.min, ms.size.toLong, ms.max) }.toSet
+    assert(groups.toSet == expected,
+      s"CC mismatch: got ${groups.toSet}, want $expected")
+    assert(groups.nonEmpty, "sf0.001 corpus should contain at least one dup group")
+  }
+
+  // ------------------------------------------- stratified sampling
+
+  test("stratifiedSample: every stratum is cut to exactly the min class size") {
+    val rows = DatasetOps.stratifiedSample(spark, sf).collect()
+    val minClass = rows.map(_.getLong(1)).min
+    rows.foreach { r =>
+      assert(r.getLong(2) == minClass,
+        s"lang ${r.getString(0)}: n_sampled ${r.getLong(2)} != min class $minClass")
+    }
+  }
+
+  test("stratifiedSample: membership matches the portable hash rank recomputed locally") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val p = 1000003L
+    def hkey(id: Long) = ((id % p) * (2654435761L % p)) % p
+    val byLang = docs.groupBy(_._2)
+    val m = byLang.values.map(_.size).min
+    val expected = byLang.map { case (lang, ds) =>
+      lang -> ds.map(_._1).sortBy(id => (hkey(id), id)).take(m).sum
+    }
+    DatasetOps.stratifiedSample(spark, sf).collect().foreach { r =>
+      assert(r.getLong(3) == expected(r.getString(0)),
+        s"lang ${r.getString(0)}: sampled_sum ${r.getLong(3)} != ${expected(r.getString(0))}")
+    }
+  }
+
+  // ------------------------------------------------- SCD-2 intervals
+
+  test("scd2: intervals are contiguous, states alternate, events conserved") {
+    val iv = EventsQueries.scd2States(spark, sf).collect()
+    val byUser = iv.groupBy(_.getLong(0))
+    byUser.foreach { case (u, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      // exactly one open interval (the current state), and it is last
+      assert(sorted.init.forall(!_.isNullAt(5)), s"user $u: non-final open interval")
+      assert(sorted.last.isNullAt(5), s"user $u: final interval not open")
+      // contiguity: valid_to(i) == valid_from(i+1)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(5) == b.getLong(4),
+            s"user $u: gap between runs ${a.getLong(1)} and ${b.getLong(1)}")
+          assert(a.getString(2) != b.getString(2),
+            s"user $u: consecutive runs share state ${a.getString(2)}")
+        case _ => ()
+      }
+    }
+    // event conservation: interval n_events sums to the table's per-user counts
+    val total = iv.map(_.getLong(3)).sum
+    assert(total == Tables.load(spark, sf, "events").count(),
+      "sum of interval n_events != total events")
+  }
+
+  test("scd2: single shuffle on user_id (both windows share the partitioning)") {
+    val plan = EventsQueries.scd2States(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected <=2 hash exchanges (user_id + final agg), got $exchanges:\n$plan")
+  }
+}

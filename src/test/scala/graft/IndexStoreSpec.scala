@@ -30,6 +30,39 @@ class IndexStoreSpec extends SparkSpec {
     assert(dirs > 5, s"expected many letter partitions, got $dirs")
   }
 
+  test("merge folds a delta into the index: equals full rebuild, idempotent, " +
+    "and leaves untouched letter partitions' bytes alone") {
+    import spark.implicits._
+    val base = Seq((1, "apple banana cherry"), (2, "banana dog"))
+      .toDF("file_id", "value")
+    val delta = Seq((3, "apple avocado")).toDF("file_id", "value") // letter 'a' only
+    val path = java.nio.file.Files.createTempDirectory("graft-idx-merge").toString
+
+    IndexStore.materialize(base, path)
+    val untouchedFiles = new java.io.File(s"$path/letter=b").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+
+    IndexStore.merge(spark, path, delta)
+
+    def snapshot() = IndexStore.load(spark, path)
+      .select(col("word"), col("file_ids")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Int](1).toList).toMap
+    val merged = snapshot()
+    val full = InvertedIndex.build(base.union(delta)).collect()
+      .map(r => r.getString(0) -> r.getSeq[Int](1).toList).toMap
+    assert(merged == full, s"merge != full rebuild: $merged vs $full")
+
+    // only letter=a was rewritten; letter=b files are bit-for-bit the same on disk
+    val after = new java.io.File(s"$path/letter=b").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    assert(after == untouchedFiles,
+      s"untouched partition rewritten: $untouchedFiles -> $after")
+
+    // idempotent: re-merging the same delta changes nothing
+    IndexStore.merge(spark, path, delta)
+    assert(snapshot() == full, "re-merge of the same delta is not a no-op")
+  }
+
   test("streaming incremental index equals the batch index") {
     val streamed = EventStream.runToMemory(spark,
       EventStream.incrementalIndex(EventStream.readDocuments(spark, sf)),

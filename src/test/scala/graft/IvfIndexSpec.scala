@@ -20,6 +20,45 @@ class IvfIndexSpec extends SparkSpec {
       s"indexed=${indexed.take(3)} direct=${direct.take(3)}")
   }
 
+  test("insert folds new vectors in without rewriting existing files; " +
+    "an inserted vector is immediately findable at cosine 1") {
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfins").toString
+    val e = Similarity.emb(spark, sf)
+    IvfIndex.build(spark, sf, path)
+    val assignedDir = new java.io.File(s"$path/assigned")
+    def parquetFiles() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(assignedDir).map(f => f.getPath -> f.lastModified).toMap
+    }
+    val before = parquetFiles()
+    val baseCount = spark.read.parquet(s"$path/assigned").count()
+
+    // delta: copies of three existing vectors under fresh high ids —
+    // guarantees an exact-match neighbor exists for each
+    val delta = e.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("emb"),
+        col("label"), col("nrm"))
+    IvfIndex.insert(spark, path, delta)
+
+    val after = parquetFiles()
+    assert(before.forall { case (p, m) => after.get(p).contains(m) },
+      "insert rewrote pre-existing files")
+    assert(spark.read.parquet(s"$path/assigned").count() == baseCount + 3)
+
+    // each original vector now finds its inserted twin at cosine 1.0
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val top = IvfIndex.knn(spark, path, q, k = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    (0L until 3L).foreach { id =>
+      assert(top(id) == ((id + 1000000L, 1.0)),
+        s"query $id should find inserted twin, got ${top(id)}")
+    }
+  }
+
   test("indexed knn scan is partition-pruned to the probed cells") {
     val path = java.nio.file.Files.createTempDirectory("graft-ivfspec2").toString
     IvfIndex.build(spark, sf, path)

@@ -206,17 +206,39 @@ object DatasetOps {
     * training set (exact-duplicate overlap is a special case; shared
     * n-grams catch partial/boilerplate leakage too).
     *
-    * Scale shape: grams are reduced to distinct (gram, source) FIRST,
-    * so however many documents repeat a gram, each gram carries at most
-    * #sources rows into the self-join and the per-gram pair fan-out is
-    * bounded by #sources² — no df-cap needed, because the fan-out bound
-    * comes from the (small) source cardinality, not the corpus.
+    * Scale shape — ONE wide shuffle, no join, 8-byte keys: grams are
+    * hashed to 64 bits and reduced in a single
+    * `groupBy(gram_hash).collect_set(source)` (map-side partials dedup
+    * each partition's repeats before anything moves), then each
+    * multi-source gram explodes into its ordered source pairs — at most
+    * #sources²/2 rows per gram — and a tiny keyed count finishes. The
+    * previous shape (distinct (source, gram) → gram-string self-join)
+    * moved every gram STRING through two shuffles and rebuilt the hash
+    * table at the join; this one moves each gram once, as a long.
+    * Hashing before grouping trades a ~n²/2⁶⁴ collision probability
+    * (≪10⁻⁶ even at 10⁹ distinct grams per pair) for an order-of-
+    * magnitude cut in shuffle bytes — the right trade for a report
+    * whose unit is "shared gram count".
     */
   def sourceOverlapMatrix(s: SparkSession, dir: String, n: Int = 3): DataFrame = {
-    val grams = ngramsBy(Tables.load(s, dir, "documents"), "source", n)
-    val a = grams.as("a"); val b = grams.as("b")
-    a.join(b, col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+    val d = Tables.load(s, dir, "documents")
+    val grams = d
+      .select(col("source"), TextAnalysis.tokens(lower(col("text"))).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("source"),
+        explode(transform(sequence(lit(0), size(col("toks")) - n),
+          i => xxhash64(concat_ws(" ",
+            (0 until n).map(j => element_at(col("toks"), i + j + 1)): _*))))
+          .as("gh"))
+    val srcs = array_sort(col("srcs"))
+    grams
+      .groupBy(col("gh"))
+      .agg(collect_set(col("source")).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+      .select(explode(flatten(transform(srcs, (x, i) =>
+        transform(slice(srcs, i + 2, size(srcs)),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("source_a"), col("p.b").as("source_b"))
       .agg(count(lit(1)).as("n_shared_grams"))
       .orderBy(col("source_a"), col("source_b"))
   }

@@ -286,7 +286,16 @@ object Similarity {
     * vector assigned to its nearest centroid by the narrow
     * [[assignCells]] projection, queries probe the `nprobe` nearest
     * cells. Returns same schema as brute force; recall vs the exact
-    * result is asserted in DedupSimilaritySpec.
+    * result is asserted in DedupSimilaritySpec, and [[annRecall]]
+    * publishes the full recall-vs-nprobe curve as data.
+    *
+    * `nprobe` is THE recall/cost knob and defaults to 8: on the weakly
+    * clustered testdata (nearest-neighbor cosine ≈ 0.4 against a mean
+    * pairwise of 0) the measured curve is 0.14/0.26/0.38/0.60/0.84
+    * recall at nprobe 1/2/4/8/16 — true neighbors spread across cells,
+    * so a 4-cell probe leaves 60% of them unread, while 8 cells buys
+    * 0.6 recall for candidate volume ∝ n·nprobe/C (at the 4096-cell
+    * cap that is 0.2% of a 10⁹-vector corpus).
     *
     * The probe step scores queries×C by exploding the literal centroid
     * array per query row (a generator, not a join — tiny: 10×C); the
@@ -295,17 +304,28 @@ object Similarity {
     * and the per-query top-k window runs over the probed candidates
     * only).
     */
-  def knnIvf(s: SparkSession, dir: String, k: Int = 5, nprobe: Int = 4,
+  def knnIvf(s: SparkSession, dir: String, k: Int = 5, nprobe: Int = 8,
       kmeansIters: Int = 1, maxCells: Int = 4096): DataFrame = {
+    val (assigned, cells) = ivfParts(s, dir, kmeansIters, maxCells)
+    val q = emb(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    searchCells(assigned, probeCells(q, cells, nprobe), k)
+  }
+
+  /** Train the IVF grid once and return (cell-assigned corpus, driver
+    * centroid model). Centroid training (the count + collect + Lloyd
+    * aggregations) is the expensive part of an ad-hoc IVF query;
+    * callers evaluating several probe widths over the SAME grid —
+    * [[annRecall]]'s sweep — share this instead of re-training per
+    * width.
+    */
+  private[graft] def ivfParts(s: SparkSession, dir: String,
+      kmeansIters: Int = 1, maxCells: Int = 4096): (DataFrame, CellIndex) = {
     val e = emb(s, dir)
     val seeds = cellSeeds(e, maxCells)
     val cents = if (kmeansIters > 0) kmeansCentroids(e, seeds, kmeansIters) else seeds
     val cells = collectCells(cents)
-
-    val assigned = assignCells(e, cells)
-    val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
-    searchCells(assigned, probeCells(q, cells, nprobe), k)
+    (assignCells(e, cells), cells)
   }
 
   /** Queries probe their `nprobe` nearest cells: the centroid set is
@@ -352,9 +372,20 @@ object Similarity {
         .select(lit(name).as("variant"), col("n_expected"), col("n_matched"),
           graft.functions.Rounding.portableRound4(
             col("n_matched").cast("double") / col("n_expected")).as("recall"))
+    // One trained grid, swept across probe widths: the recall/cost knob
+    // as DATA. Training (count + collect + Lloyd) is shared — only the
+    // probe set and the pruned cell search differ per width.
+    val (assigned, cells) = ivfParts(s, dir)
+    val q = emb(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val sweep = Seq(1, 2, 4, 8, 16).map { np =>
+      row(f"knn_ivf_nprobe$np%02d",
+        searchCells(assigned, probeCells(q, cells, np), k))
+    }.reduce(_.unionByName(_))
     row("knn_ivf", knnIvf(s, dir, k))
       .unionByName(row("knn_ivf_kmeans", knnIvf(s, dir, k, kmeansIters = 2)))
       .unionByName(row("knn_ivf_indexed", IvfIndex.knnIndexed(s, dir, k)))
+      .unionByName(sweep)
       .orderBy(col("variant"))
   }
 

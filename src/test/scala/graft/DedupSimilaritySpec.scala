@@ -249,13 +249,13 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(empty.collect()(0).isNullAt(0))
   }
 
-  test("knnIvf achieves >=40% recall vs brute force at defaults (√n cells, nprobe=4)") {
+  test("knnIvf achieves >=50% recall vs brute force at defaults (√n cells, nprobe=8)") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val brute = pairs(Similarity.knnBruteForce(spark, sf))
     val ivf = pairs(Similarity.knnIvf(spark, sf))
     val recall = brute.intersect(ivf).size.toDouble / brute.size
-    assert(recall >= 0.4, s"IVF recall $recall")
+    assert(recall >= 0.5, s"IVF recall $recall")
     // Lloyd refinement tightens cells and must not hurt recall
     val km = pairs(Similarity.knnIvf(spark, sf, kmeansIters = 2))
     val kmRecall = brute.intersect(km).size.toDouble / brute.size

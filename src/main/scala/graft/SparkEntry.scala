@@ -55,6 +55,7 @@ object SparkEntry {
     "q_nav_windows" -> (Relational.navigationWindows _),
     "q_regex_funcs" -> (Relational.regexFuncs _),
     "q_bigram_freq" -> ((s: SparkSession, d: String) => TextQueries.bigramFreq(s, d)),
+    "q_pmi" -> ((s: SparkSession, d: String) => TextQueries.pmiCollocations(s, d)),
     // inverted-index query surface over documents (SURVEY §2.3 Q1-Q5)
     "q_doc_index" -> (TextQueries.docIndex _),
     "q_doc_posting" -> (TextQueries.docPosting _),
@@ -88,6 +89,9 @@ object SparkEntry {
     "q_dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDups(s, d, 0.4)),
     // similarity search
     "q_knn_brute" -> ((s: SparkSession, d: String) => Similarity.knnBruteForce(s, d)),
+    // int8 scalar quantization + exact rerank: result is exact (same
+    // oracle as brute force), the corpus scan reads 1/4 the bytes
+    "q_knn_sq8" -> ((s: SparkSession, d: String) => Similarity.knnSq8(s, d)),
     "q_knn_ivf" -> ((s: SparkSession, d: String) => Similarity.knnIvf(s, d)),
     "q_knn_ivf_kmeans" -> ((s: SparkSession, d: String) =>
       Similarity.knnIvf(s, d, kmeansIters = 2)),
@@ -435,6 +439,27 @@ object SparkEntry {
         |)
         |SELECT bigram, count(*) AS n FROM b
         |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "q_pmi" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  list_filter(list_transform(regexp_split_to_array(text, '\s+'),
+        |    t -> lower(regexp_replace(t, '[^A-Za-z]+', '', 'g'))),
+        |   w -> len(w) > 0) AS ws
+        | FROM documents),
+        | u AS (SELECT w AS word, count(*) AS c
+        |  FROM d, unnest(ws) AS t(w) GROUP BY 1),
+        | tu AS (SELECT sum(c) AS nu FROM u),
+        | b AS (SELECT ws[i] AS w1, ws[i + 1] AS w2, count(*) AS c_ab
+        |  FROM d, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+        |  WHERE len(ws) >= 2 GROUP BY 1, 2),
+        | tb AS (SELECT sum(CAST(len(ws) - 1 AS BIGINT)) AS nb FROM d WHERE len(ws) >= 2)
+        |SELECT w1, w2, c_ab, ua.c AS c_a, ub.c AS c_b,
+        | floor((ln(((CAST(c_ab AS DOUBLE) * nu) * nu) /
+        |            ((CAST(ua.c AS DOUBLE) * ub.c) * nb)) / ln(2.0)) * 10000 + 0.5)
+        |   / 10000 AS pmi
+        |FROM b JOIN u ua ON b.w1 = ua.word JOIN u ub ON b.w2 = ub.word, tu, tb
+        |WHERE c_ab >= 5
+        |ORDER BY pmi DESC, w1, w2""".stripMargin,
     "q_percentiles" ->
       """SELECT o_orderstatus,
         | floor(quantile_cont(o_totalprice, 0.5) * 10000 + 0.5) / 10000 AS median_price,
@@ -785,6 +810,18 @@ object SparkEntry {
         |WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.emb, b.emb) >= 0.4
         |ORDER BY 1, 2""".stripMargin,
     "q_knn_brute" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        | q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 10),
+        | s AS (SELECT query_id, vec_id,
+        |   floor(list_cosine_similarity(emb, q_emb) * 10000 + 0.5) / 10000 AS cos
+        |  FROM e, q WHERE vec_id != query_id),
+        | r AS (SELECT query_id, vec_id, cos,
+        |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+        |  FROM s)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id AS neighbor_id, cos
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // SQ8+rerank is exact by construction — same oracle as brute force
+    "q_knn_sq8" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         | q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 10),
         | s AS (SELECT query_id, vec_id,

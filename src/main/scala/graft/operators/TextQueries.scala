@@ -205,6 +205,61 @@ object TextQueries {
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(k)
 
+  /** PMI collocation extraction: adjacent word pairs whose co-occurrence
+    * beats independence — `pmi = log2(P(ab) / (P(a)·P(b)))` — the
+    * standard corpus-linguistics pass for multiword expressions, and a
+    * cheap phrase-vocabulary miner for a tokenizer pipeline. Tokens are
+    * the engine-wide normalized word universe (same as [[bigramFreq]] /
+    * the index), pairs are adjacency over surviving words, and only
+    * pairs seen ≥ `minCount` times are reported (PMI is noise for rare
+    * pairs).
+    *
+    * Cross-engine determinism is arranged, not hoped for: the PMI
+    * argument is computed as `((c_ab·Nu)·Nu) / ((c_a·c_b)·Nb)` with
+    * every intermediate product an integer below 2⁵³ at verify scale —
+    * each multiply is exact, the single divide is correctly rounded, so
+    * the double reaching `log`/round4 is bit-identical in any IEEE
+    * engine; the oracle SQL parenthesizes the same way.
+    *
+    * Scale: two token-keyed aggregations (unigram, bigram — each one
+    * shuffle with map-side partials), the two totals ride along as
+    * one-row broadcasts, and the unigram side joins back by word —
+    * vocabulary-sized, orders of magnitude under corpus-sized. No
+    * window, no self-join.
+    */
+  def pmiCollocations(s: SparkSession, dir: String, minCount: Int = 5): DataFrame = {
+    val ws = docs(s, dir)
+      .select(col("doc_id"),
+        filter(
+          transform(split(col("text"), "\\s+"), t => InvertedIndex.normalizeToken(t)),
+          w => length(w) > 0).as("ws"))
+    val uni = ws
+      .select(explode(col("ws")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val bi = ws
+      .filter(size(col("ws")) >= 2)
+      .select(explode(transform(
+        sequence(lit(0), size(col("ws")) - 2),
+        i => struct(element_at(col("ws"), i + 1).as("w1"),
+          element_at(col("ws"), i + 2).as("w2")))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val totU = uni.agg(sum(col("c")).as("nu"))
+    val totB = ws.filter(size(col("ws")) >= 2)
+      .agg(sum(size(col("ws")) - 1).cast("long").as("nb"))
+    val lift = ((col("c_ab").cast("double") * col("nu")) * col("nu")) /
+      ((col("c_a").cast("double") * col("c_b")) * col("nb"))
+    bi
+      .join(uni.select(col("word").as("w1"), col("c").as("c_a")), Seq("w1"))
+      .join(uni.select(col("word").as("w2"), col("c").as("c_b")), Seq("w2"))
+      .crossJoin(broadcast(totU))
+      .crossJoin(broadcast(totB))
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+        graft.functions.Rounding.portableRound4(log(lift) / log(lit(2.0))).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+  }
+
   /** Canonical-content fingerprint per document. */
   def fingerprints(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(

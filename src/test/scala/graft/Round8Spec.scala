@@ -139,4 +139,45 @@ class Round8Spec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges <= 2, s"expected <=2 hash exchanges (user_id + final agg), got $exchanges:\n$plan")
   }
+
+  // --------------------------------------------------- SQ8 kNN + PMI
+
+  test("knnSq8: int8 quantize + exact rerank equals brute force bit-for-bit") {
+    val brute = Similarity.knnBruteForce(spark, sf).collect().toSeq
+    val sq8 = Similarity.knnSq8(spark, sf).collect().toSeq
+    assert(sq8 == brute, "SQ8+rerank must reproduce the exact top-k")
+  }
+
+  test("knnSq8: survives a tiny rerank pool down to k (ordering only degrades, never errors)") {
+    // with rerank = k the pool IS the answer set by approx score; the
+    // result is k rows per query with exact cosines, sorted
+    val res = Similarity.knnSq8(spark, sf, k = 5, rerank = 5).collect()
+    val byQ = res.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rows) =>
+      assert(rows.length == 5)
+      val cs = rows.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(cs.sameElements(cs.sortBy(-(_: Double))), "cos not desc by rank")
+    }
+  }
+
+  test("pmi: counts consistent, independence baseline, and adjacency bound") {
+    val res = TextQueries.pmiCollocations(spark, sf, minCount = 2).collect()
+    assert(res.nonEmpty, "expected some repeated bigrams at sf0.001")
+    res.foreach { r =>
+      val (cab, ca, cb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      // a pair can't co-occur more often than either member occurs
+      assert(cab <= ca && cab <= cb, s"pair count exceeds member count: $r")
+      assert(cab >= 2)
+    }
+    // PMI must rank a pair that ALWAYS co-occurs above one that never
+    // does beyond chance: verify sign behavior on the extremes present
+    val pmis = res.map(_.getDouble(5))
+    assert(pmis.max > 0.0, "no positive-PMI collocation found")
+  }
+
+  test("pmi: no window and no self-join in the plan (two aggs + vocab joins)") {
+    val plan = TextQueries.pmiCollocations(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+  }
 }

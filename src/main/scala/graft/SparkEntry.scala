@@ -78,6 +78,7 @@ object SparkEntry {
     "q_chunking" -> ((s: SparkSession, d: String) => DatasetOps.chunkManifest(s, d)),
     "q_decontam" -> ((s: SparkSession, d: String) => DatasetOps.decontaminate(s, d)),
     "q_mixture" -> (DatasetOps.mixturePlan _),
+    "q_snapshot_diff" -> ((s: SparkSession, d: String) => Reconcile.snapshotDiff(s, d)),
     "q_mixture_sample" -> (DatasetOps.mixtureSample _),
     "q_source_overlap" -> ((s: SparkSession, d: String) => DatasetOps.sourceOverlapMatrix(s, d)),
     // dedup family
@@ -669,6 +670,25 @@ object SparkEntry {
         |SELECT doc_id, CAST(start_tok / 96 AS BIGINT) AS chunk_id, start_tok,
         | CAST(least(128, n_tokens - start_tok) AS BIGINT) AS chunk_tokens
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH a AS (
+        | SELECT (event_id % 1000003) * (2654435761 % 1000003) % 1000003 AS h
+        | FROM events),
+        | b AS (
+        | SELECT (event_id % 1000003) * (2654435761 % 1000003) % 1000003 AS h
+        | FROM events WHERE event_id % 97 != 13),
+        | ca AS (SELECT h % 64 AS bucket, count(*) AS n_a, sum(h) AS sum_a
+        |  FROM a GROUP BY 1),
+        | cb AS (SELECT h % 64 AS bucket, count(*) AS n_b, sum(h) AS sum_b
+        |  FROM b GROUP BY 1)
+        |SELECT COALESCE(ca.bucket, cb.bucket) AS bucket,
+        | COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+        | COALESCE(sum_a, 0) AS sum_a, COALESCE(sum_b, 0) AS sum_b,
+        | CASE WHEN COALESCE(n_a, 0) != COALESCE(n_b, 0) THEN 'count_diff'
+        |      WHEN COALESCE(sum_a, 0) != COALESCE(sum_b, 0) THEN 'checksum_diff'
+        |      ELSE 'match' END AS status
+        |FROM ca FULL OUTER JOIN cb ON ca.bucket = cb.bucket
+        |ORDER BY bucket""".stripMargin,
     "q_mixture" ->
       """WITH per AS (
         | SELECT source, count(*) AS n_docs,

@@ -41,3 +41,22 @@ object Verify {
     spark.stop()
   }
 }
+
+/** Single-query variant of [[Verify]] for iterating on one operator:
+  * `runMain graft.VerifyOne <query> <sfDir> <outDir>` dumps only that
+  * query's parquet + its oracle SQL (if any) to `<outDir>/oracle.sql`.
+  */
+object VerifyOne {
+  def main(args: Array[String]): Unit = {
+    val Array(name, sfDir, outDir) = args
+    val spark = GraftSession.local(
+      cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt,
+      appName = "graft-verify-one")
+    new java.io.File(outDir).mkdirs()
+    SparkEntry.queries(name)(spark, sfDir).coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/$name")
+    SparkEntry.oracleSql.get(name).foreach(sql =>
+      Files.writeString(Paths.get(s"$outDir/oracle.sql"), sql))
+    spark.stop()
+  }
+}

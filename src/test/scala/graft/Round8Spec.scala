@@ -180,4 +180,42 @@ class Round8Spec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(!plan.contains("Window"), s"unexpected window:\n$plan")
   }
+
+  // ------------------------------------------------------- reconcile
+
+  private def portableHash(id: Long): Long = ((id % 1000003L) * (2654435761L % 1000003L)) % 1000003L
+
+  test("reconcile: identical snapshots match on every bucket") {
+    val ev = Tables.load(spark, sf, "events")
+    val d = Reconcile.diff(ev, ev, "event_id").collect()
+    assert(d.nonEmpty && d.forall(_.getString(5) == "match"))
+  }
+
+  test("reconcile: scattered row loss flags exactly the buckets holding lost rows") {
+    val ids = Tables.load(spark, sf, "events")
+      .select(col("event_id")).collect().map(_.getLong(0))
+    val lostBuckets = ids.filter(_ % 97 == 13).map(portableHash(_) % 64).toSet
+    val d = Reconcile.snapshotDiff(spark, sf).collect()
+    val flagged = d.filter(_.getString(5) != "match").map(_.getLong(0)).toSet
+    assert(flagged == lostBuckets, s"flagged $flagged vs expected $lostBuckets")
+    // and the per-bucket count deltas sum to the number of lost rows
+    val delta = d.map(r => r.getLong(1) - r.getLong(2)).sum
+    assert(delta == ids.count(_ % 97 == 13))
+  }
+
+  test("reconcile: equal-count membership drift is caught by checksum, not count") {
+    import spark.implicits._
+    // two ids in the SAME bucket with DIFFERENT row hashes: swapping one
+    // for the other keeps n identical, only the checksum moves
+    val id1 = 1L
+    val b1 = portableHash(id1) % 64
+    val id2 = (2L to 100000L).find(i =>
+      portableHash(i) % 64 == b1 && portableHash(i) != portableHash(id1)).get
+    val a = Seq(id1, 7L, 9L).toDF("event_id")
+    val b = Seq(id2, 7L, 9L).toDF("event_id")
+    val d = Reconcile.diff(a, b, "event_id").collect()
+    val drifted = d.filter(_.getString(5) == "checksum_diff")
+    assert(drifted.length == 1 && drifted.head.getLong(0) == b1)
+    assert(d.forall(_.getString(5) != "count_diff"))
+  }
 }

@@ -73,6 +73,37 @@ object EventStream {
       }
   }
 
+  /** Per-user running event count on the NEW arbitrary-state API
+    * (Spark 4 `transformWithState` / `StatefulProcessor`) — the same
+    * semantics as [[userRunningCounts]], spec-asserted equal. Kept
+    * alongside the `mapGroupsWithState` form deliberately: the old API
+    * is what existing pipelines run, the new one is where multi-state
+    * / timers / TTL live going forward, and the engine supports both.
+    * Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` →
+    * `RocksDBStateStoreProvider`), the transformWithState contract.
+    */
+  def userRunningCountsTws(spark: SparkSession,
+      events: DataFrame): Dataset[(Long, Long)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TTLConfig}
+    import org.apache.spark.sql.Encoders
+    class CountProcessor extends StatefulProcessor[Long, Long, (Long, Long)] {
+      @transient private var n: org.apache.spark.sql.streaming.ValueState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        n = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+      override def handleInputRows(key: Long, rows: Iterator[Long],
+          timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long)] = {
+        val total = (if (n.exists()) n.get() else 0L) + rows.size
+        n.update(total)
+        Iterator.single((key, total))
+      }
+    }
+    events.select(col("user_id")).as[Long]
+      .groupByKey(identity)
+      .transformWithState(new CountProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
   /** Streaming source over the documents parquet. */
   def readDocuments(spark: SparkSession, dir: String): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType.fromDDL(

@@ -271,4 +271,27 @@ class MultimodalStreamingSpec extends SparkSpec {
       .groupBy("user_id").agg(count(lit(1)).as("n"))
     assert(last.except(batch).count() == 0 && batch.except(last).count() == 0)
   }
+
+  test("transformWithState running counts equal the mapGroupsWithState/batch semantics") {
+    import spark.implicits._
+    // the new-API path requires the RocksDB state store; scope the
+    // provider switch to this query and restore the default after
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val streamed = EventStream.runToMemory(spark,
+        EventStream.userRunningCountsTws(spark, EventStream.readEvents(spark, sf))
+          .toDF("user_id", "n"),
+        "stream_users_tws", OutputMode.Update())
+      val last = streamed.groupBy("user_id").agg(max("n").as("n"))
+      val batch = graft.Tables.load(spark, sf, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+      assert(last.except(batch).count() == 0 && batch.except(last).count() == 0)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

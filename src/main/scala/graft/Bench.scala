@@ -29,7 +29,10 @@ import org.apache.spark.sql.SparkSession
   * sampled BEFORE the SparkSession exists (a nonzero 1-minute load
   * there means the window was dirty before we did any work),
   * `loadavg_started` right after session startup, `loadavg_after` at
-  * the end; `contended_start` = `loadavg_before[0] > cores/4`.
+  * the end; `contended_start` = `loadavg_before[0] > cores/4`;
+  * `cpu_steal_pct` = hypervisor-stolen share of non-idle CPU over the
+  * whole window (loadavg is blind to steal — a host-throttled guest
+  * can blow out wall times 10× at loadavg 2, and did, r8).
   * Spread retry: a query whose steady-state min/max spread exceeds 2x
   * gets up to [[Bench.MaxExtraRuns]] extra runs (median over all of
   * them); queries still spread after retries land in `spread_flagged`.
@@ -94,6 +97,27 @@ object Bench {
       finally src.close()
     } catch { case _: Throwable => None }
 
+  /** Cumulative (busy, steal, total) jiffies from /proc/stat. Steal is
+    * CPU the HYPERVISOR withheld from this guest — loadavg cannot see
+    * it (a 10× wall-time blowout can ride on loadavg ≈ 2), so the
+    * artifact records the steal share over the bench window explicitly:
+    * steal_pct near 0 means wall times are trustworthy; tens of percent
+    * means the window was host-throttled and absolute numbers are
+    * inflated regardless of how idle the guest itself was.
+    */
+  private def cpuJiffies(): Option[(Long, Long, Long)] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        // user nice system idle iowait irq softirq steal
+        val steal = if (f.length > 7) f(7) else 0L
+        val idle = f(3) + (if (f.length > 4) f(4) else 0L)
+        val total = f.sum
+        Some((total - idle - steal, steal, total))
+      } finally src.close()
+    } catch { case _: Throwable => None }
+
   private def jsonArr(xs: Seq[Double]): String =
     xs.map(x => f"$x%.3f").mkString("[", ",", "]")
 
@@ -102,6 +126,7 @@ object Bench {
     // genuinely pre-work: sampled before the 32-thread session exists,
     // so session startup load can't pollute the dirty-window signal
     val loadBefore = loadavg()
+    val jiffiesBefore = cpuJiffies()
     val cores = Runtime.getRuntime.availableProcessors()
     val spark = GraftSession.local(appName = "graft-bench")
     val loadStarted = loadavg()
@@ -149,6 +174,14 @@ object Bench {
         }
       }
     val loadAfter = loadavg()
+    // steal share of all CPU time elapsing in this guest over the bench
+    // window (stolen / (busy + stolen) — idle excluded so a mostly-idle
+    // window with heavy steal still reads as throttled)
+    val stealPct = for {
+      (b0, s0, _) <- jiffiesBefore
+      (b1, s1, _) <- cpuJiffies()
+      if b1 - b0 + s1 - s0 > 0
+    } yield 100.0 * (s1 - s0) / ((b1 - b0) + (s1 - s0)).toDouble
 
     val medians = results.map { case (k, ts) => k -> median(ts) }
     val qs = medians.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
@@ -163,7 +196,8 @@ object Bench {
       else f"${medians.map(_._2).sum}%.3f"
     def loadJson(l: Option[Seq[Double]]): String = l.map(jsonArr).getOrElse("null")
     val contended = loadBefore.exists(_.head > cores / 4.0)
-    val evidence = s"""{"evidence":"graft-bench","runs":$runsJson,"loadavg_before":${loadJson(loadBefore)},"loadavg_started":${loadJson(loadStarted)},"loadavg_after":${loadJson(loadAfter)},"cores":$cores,"sf":"$sfDir"}"""
+    val stealJson = stealPct.map(p => f"$p%.1f").getOrElse("null")
+    val evidence = s"""{"evidence":"graft-bench","runs":$runsJson,"loadavg_before":${loadJson(loadBefore)},"loadavg_started":${loadJson(loadStarted)},"loadavg_after":${loadJson(loadAfter)},"cpu_steal_pct":$stealJson,"cores":$cores,"sf":"$sfDir"}"""
     // sidecar survives even if both stdout lines are clipped
     try {
       java.nio.file.Files.write(
@@ -176,7 +210,7 @@ object Bench {
     // the driver contract line: compact and LAST so a stdout-tail
     // capture of any reasonable size keeps it whole (r6 lost the
     // headline to a single oversized line — never again)
-    println(s"""{"metric":"total","value":$totalJson,"unit":"sec","timing":"median_of_runs","queries":$qs,"spread_flagged":$spreadJson,"failed":$failedJson,"contended_start":$contended,"cores":$cores,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$totalJson,"unit":"sec","timing":"median_of_runs","queries":$qs,"spread_flagged":$spreadJson,"failed":$failedJson,"contended_start":$contended,"cpu_steal_pct":$stealJson,"cores":$cores,"sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -25,6 +25,9 @@ object SparkEntry {
     "q_filter_project" -> (Relational.filterProject _),
     "q_star_revenue" -> (Relational.starRevenue _),
     "q_topk_segment" -> (Relational.topOrdersPerSegment _),
+    // same result via the bounded-heap UDAF (map-side ≤k rows/group
+    // instead of a full-fact window sort) — plan shape spec-asserted
+    "q_topk_heap" -> (Relational.topOrdersPerSegmentAgg _),
     "q_anti_no_orders" -> (Relational.customersWithoutOrders _),
     "q_semi_big_spenders" -> (Relational.bigSpenders _),
     "q_setops_custkeys" -> (Relational.setOpsCustkeys _),
@@ -146,6 +149,10 @@ object SparkEntry {
     "q_dedup_groups" -> ((s: SparkSession, d: String) => Dedup.minhashDupGroups(s, d)),
     // BM25 ranked retrieval (tf saturation + length normalization)
     "q_bm25" -> ((s: SparkSession, d: String) => TextQueries.bm25Search(s, d)),
+    // lexical+semantic reciprocal-rank fusion over the two legs above:
+    // ranks (not scores) cross lists, so the fused output is
+    // engine-portable and fully oracle-checkable
+    "q_hybrid_rrf" -> ((s: SparkSession, d: String) => HybridSearch.rrfFusion(s, d)),
     // transitive dup groups over EXACT ngram-Jaccard pairs — the CC
     // closure itself is oracle-verified via a recursive-CTE
     // reachability query (unlike q_dedup_groups whose minhash pair
@@ -246,6 +253,16 @@ object SparkEntry {
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_topk_segment" ->
+      """SELECT c_mktsegment, CAST(rnk AS BIGINT) AS rnk, o_orderkey,
+        | round(o_totalprice, 2) AS o_totalprice
+        |FROM (SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        | FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""".stripMargin,
+    // the heap-UDAF variant must be byte-identical to the window form —
+    // one oracle text, two physical plans
+    "q_topk_heap" ->
       """SELECT c_mktsegment, CAST(rnk AS BIGINT) AS rnk, o_orderkey,
         | round(o_totalprice, 2) AS o_totalprice
         |FROM (SELECT c_mktsegment, o_orderkey, o_totalprice,
@@ -996,6 +1013,57 @@ object SparkEntry {
         | count(*) AS n_terms
         |FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN stats
         |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // RRF fusion: bm25 leg (same CTEs as q_bm25, top-20 RANKED) +
+    // cosine leg (q_knn_brute's rounded-cosine pattern against doc 0's
+    // embedding), fused on ranks only. 1.0 is CAST to DOUBLE in the
+    // reciprocal — DuckDB parses bare 1.0 as DECIMAL and decimal
+    // division would diverge from Spark's double arithmetic.
+    "q_hybrid_rrf" ->
+      """WITH raw AS (
+        | SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents
+        |), t AS (
+        | SELECT doc_id, lower(regexp_replace(tok, '[^A-Za-z]+', '', 'g')) AS word FROM raw
+        |), tt AS (
+        | SELECT doc_id, word FROM t WHERE length(word) > 0
+        |), dl AS (
+        | SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tt GROUP BY 1
+        |), stats AS (
+        | SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n_docs,
+        |  (SELECT CAST(count(*) AS DOUBLE) FROM tt)
+        |    / (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS avgdl
+        |), tf AS (
+        | SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf FROM tt
+        | WHERE word IN ('spark', 'join', 'window') GROUP BY 1, 2
+        |), df AS (
+        | SELECT word, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY 1
+        |), bscore AS (
+        | SELECT doc_id,
+        |  floor(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |    * tf * (1.2 + 1.0) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)))
+        |    * 10000 + 0.5) / 10000 AS score
+        | FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN stats
+        | GROUP BY doc_id
+        |), trnk AS (
+        | SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS t_rnk
+        | FROM bscore QUALIFY t_rnk <= 20
+        |), e AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        |), q AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0
+        |), vs AS (
+        | SELECT vec_id AS doc_id,
+        |  floor(list_cosine_similarity(emb, q_emb) * 10000 + 0.5) / 10000 AS cos
+        | FROM e CROSS JOIN q
+        |), vrnk AS (
+        | SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS v_rnk
+        | FROM vs QUALIFY v_rnk <= 20
+        |)
+        |SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+        | floor((COALESCE(CAST(1.0 AS DOUBLE) / (60 + t_rnk), 0)
+        |      + COALESCE(CAST(1.0 AS DOUBLE) / (60 + v_rnk), 0))
+        |   * 10000 + 0.5) / 10000 AS rrf,
+        | CAST(t_rnk AS BIGINT) AS t_rnk, CAST(v_rnk AS BIGINT) AS v_rnk
+        |FROM trnk t FULL JOIN vrnk v ON t.doc_id = v.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     // connected components over the exact ngram-Jaccard pairs: the
     // closure is reachability, expressed as a recursive CTE (UNION =
     // set semantics, so the fixpoint terminates); group label = min

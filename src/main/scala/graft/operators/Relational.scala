@@ -87,6 +87,30 @@ object Relational {
       .orderBy(col("c_mktsegment"), col("rnk"))
   }
 
+  /** Same top-3-per-segment result as [[topOrdersPerSegment]], computed
+    * with the bounded-heap [[graft.functions.TopKAggregator]] instead of
+    * a window: the aggregation runs PARTIAL before the shuffle (each map
+    * task ships ≤k rows per segment), so the Exchange carries
+    * O(segments × k) rows where the window form moves and sorts the
+    * whole joined fact table. Parity with the window plan — identical
+    * rows, ordering, and schema — is the oracle; the plan shape
+    * (ObjectHashAggregate with a partial stage, no Window) is asserted
+    * in spec.
+    */
+  def topOrdersPerSegmentAgg(s: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator(3))
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("c_mktsegment"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("c_mktsegment"), (col("pos") + 1).cast("long").as("rnk"),
+        col("t.id").as("o_orderkey"),
+        round(col("t.score"), 2).as("o_totalprice"))
+      .orderBy(col("c_mktsegment"), col("rnk"))
+  }
+
   /** Customers with no orders — anti join (NOT EXISTS). */
   def customersWithoutOrders(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")

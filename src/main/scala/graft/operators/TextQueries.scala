@@ -332,7 +332,7 @@ object TextQueries {
     */
   def bm25Search(s: SparkSession, dir: String,
       query: Seq[String] = Seq("spark", "join", "window"),
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75, limit: Int = 10): DataFrame = {
     val withLen = docs(s, dir)
       .select(col("doc_id"),
         filter(
@@ -357,6 +357,6 @@ object TextQueries {
       .agg(graft.functions.Rounding.portableRound4(sum(col("w_score"))).as("score"),
         count(lit(1)).as("n_terms"))
       .orderBy(col("score").desc, col("doc_id").asc)
-      .limit(10)
+      .limit(limit)
   }
 }

@@ -189,11 +189,17 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("embeddingNearDups output independent of shuffle partitioning") {
-    val base = Dedup.embeddingNearDups(spark, sf, 0.4).collect().toSeq
+    // kmeansIters=1 (one coverage round instead of three): invariance
+    // is a property of the JOIN/AGG pipeline, not of how refined the
+    // centroids are, and this test re-trains the grid three times —
+    // the exactness tests above keep the default training path covered
+    def run() = Dedup.embeddingNearDupsOn(
+      Similarity.emb(spark, sf), 0.4, kmeansIters = 1).collect().toSeq
+    val base = run()
     Seq("1", "7").foreach { p =>
       spark.conf.set("spark.sql.shuffle.partitions", p)
       try {
-        val got = Dedup.embeddingNearDups(spark, sf, 0.4).collect().toSeq
+        val got = run()
         assert(got == base, s"differs at shuffle.partitions=$p")
       } finally spark.conf.set("spark.sql.shuffle.partitions", "8")
     }

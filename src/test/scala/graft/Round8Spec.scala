@@ -218,4 +218,82 @@ class Round8Spec extends SparkSpec {
     assert(drifted.length == 1 && drifted.head.getLong(0) == b1)
     assert(d.forall(_.getString(5) != "count_diff"))
   }
+
+  // ------------------------------------------- bounded-heap top-k UDAF
+
+  test("topk heap: byte-identical to the window variant") {
+    val win = Relational.topOrdersPerSegment(spark, sf).collect().toSeq
+    val agg = Relational.topOrdersPerSegmentAgg(spark, sf).collect().toSeq
+    assert(win.nonEmpty && agg == win,
+      s"heap=${agg.take(5)} window=${win.take(5)}")
+  }
+
+  test("topk heap plan: partial ObjectHashAggregate, no Window operator") {
+    val plan = Relational.topOrdersPerSegmentAgg(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"no object agg in:\n$plan")
+    assert(plan.contains("partial_"),
+      s"no map-side partial stage (shuffle carries raw rows) in:\n$plan")
+    assert(!plan.contains("Window"), s"window sneaked into heap plan:\n$plan")
+  }
+
+  test("topk aggregator: reduce/merge ≡ global sort-take under any split") {
+    val k = 5
+    val agg = new graft.functions.TopKAggregator(k)
+    val rnd = new scala.util.Random(7)
+    (0 until 30).foreach { trial =>
+      // unique ids (the o_orderkey contract); scores drawn from a small
+      // range so cross-chunk ties exercise the id tie-break
+      val xs = Seq.tabulate(1 + rnd.nextInt(60))(i =>
+        graft.functions.ScoredId(rnd.nextInt(8).toDouble, i.toLong))
+      val expect = xs.sortBy(x => (-x.score, x.id)).take(k)
+      // random chunking + random merge order must not change the result
+      val shuffled = rnd.shuffle(xs)
+      val chunks = shuffled.grouped(1 + rnd.nextInt(7)).toSeq
+      val partials = chunks.map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = rnd.shuffle(partials).foldLeft(agg.zero)(agg.merge)
+      assert(agg.finish(merged) == expect, s"trial $trial diverged")
+    }
+  }
+
+  // ------------------------------------------- hybrid RRF retrieval
+
+  test("hybrid rrf: fusion matches an independent recompute of both legs") {
+    def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    val kEach = 20
+    // text leg ranks: bm25Search's output order IS (score desc, doc_id)
+    val tRnk = TextQueries.bm25Search(spark, sf, limit = kEach).collect()
+      .map(_.getLong(0)).zipWithIndex.map { case (d, i) => d -> (i + 1) }.toMap
+    // vector leg ranks recomputed driver-side from raw embeddings
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+    val q = vecs.toMap.apply(0L)
+    def dot(a: Seq[Double], b: Seq[Double]) = a.lazyZip(b).map(_ * _).sum
+    def nrm(a: Seq[Double]) = math.sqrt(dot(a, a))
+    val vRnk = vecs.map { case (id, v) => (id, r4(dot(v, q) / (nrm(v) * nrm(q)))) }
+      .sortBy { case (id, c) => (-c, id) }.take(kEach)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val expect = (tRnk.keySet ++ vRnk.keySet).toSeq.map { d =>
+      val s = tRnk.get(d).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        vRnk.get(d).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      (d, r4(s), tRnk.get(d), vRnk.get(d))
+    }.sortBy { case (d, s, _, _) => (-s, d) }.take(10)
+    val got = HybridSearch.rrfFusion(spark, sf).collect().map { r =>
+      (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2).toInt),
+        if (r.isNullAt(3)) None else Some(r.getLong(3).toInt))
+    }.toSeq
+    assert(got == expect,
+      s"got=${got.take(4)}... expect=${expect.take(4)}...")
+  }
+
+  test("hybrid rrf: corpus-sized work stays in the legs (fusion join is tiny)") {
+    val plan = HybridSearch.rrfFusion(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    // the 1-row query-vector attach must be a broadcast, not a shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query vector not broadcast in:\n$plan")
+  }
 }

@@ -105,7 +105,7 @@ object Bench {
     * means the window was host-throttled and absolute numbers are
     * inflated regardless of how idle the guest itself was.
     */
-  private def cpuJiffies(): Option[(Long, Long, Long)] =
+  private[graft] def cpuJiffies(): Option[(Long, Long, Long)] =
     try {
       val src = scala.io.Source.fromFile("/proc/stat")
       try {

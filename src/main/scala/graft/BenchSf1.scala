@@ -28,6 +28,7 @@ object BenchSf1 {
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val work = if (args.length > 1) args(1) else "/tmp/graft-sf1-bench"
+    val jiffiesBefore = Bench.cpuJiffies() // window-health, as in Bench
     val spark = GraftSession.local(appName = "graft-bench-sf1")
 
     ScaleBench.replicaDocs(spark, base, 10).write.mode("overwrite")
@@ -58,7 +59,13 @@ object BenchSf1 {
     val runsJson = results.map { case (k, ts) =>
       "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val json = f"""{"metric":"total","value":${medians.map(_._2).sum}%.3f,"unit":"sec","timing":"median_of_runs","queries":$qs,"runs":$runsJson,"sf":"sf1-synthetic(10x-sf0.1-replicas,20k-embeddings)"}"""
+    val stealJson = (for {
+      (b0, s0, _) <- jiffiesBefore
+      (b1, s1, _) <- Bench.cpuJiffies()
+      if b1 - b0 + s1 - s0 > 0
+    } yield f"${100.0 * (s1 - s0) / ((b1 - b0) + (s1 - s0)).toDouble}%.1f")
+      .getOrElse("null")
+    val json = f"""{"metric":"total","value":${medians.map(_._2).sum}%.3f,"unit":"sec","timing":"median_of_runs","queries":$qs,"runs":$runsJson,"cpu_steal_pct":$stealJson,"sf":"sf1-synthetic(10x-sf0.1-replicas,20k-embeddings)"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SF1.json"),
       (json + "\n").getBytes("UTF-8"))
     println(json)

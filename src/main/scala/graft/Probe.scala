@@ -9,6 +9,13 @@ object Probe {
       val t0 = System.nanoTime(); val r = f
       println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
+    if (args.headOption.contains("explain")) {
+      // generic plan dump: runMain graft.Probe explain <query> [sfDir]
+      val name = args(1)
+      val dir = if (args.length > 2) args(2) else "/root/testdata/sf0.001"
+      SparkEntry.queries(name)(spark, dir).explain("formatted")
+      spark.stop(); return
+    }
     if (args.headOption.contains("minhash")) {
       val dir = "/root/testdata/sf0.1"
       def noop(df: org.apache.spark.sql.DataFrame): Unit =

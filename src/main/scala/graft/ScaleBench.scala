@@ -85,6 +85,11 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val work = if (args.length > 1) args(1) else "/tmp/graft-scale"
+    // same window-health telemetry as Bench: an r8 scale run measured
+    // minhash 1x at 116x its committed time WITH 10x "faster" than 1x —
+    // per-decade ratios are only meaningful when the window isn't
+    // host-throttled, and steal share is the signal loadavg can't see
+    val jiffiesBefore = Bench.cpuJiffies()
     val spark = GraftSession.local(appName = "graft-scalebench")
 
     // ---------------- synthesize the 10× and 100× documents corpora
@@ -147,7 +152,13 @@ object ScaleBench {
       f""""$name":{"times":$times,"ratio_per_10x":${math.pow(ts.last / ts.head, 1.0 / (ts.size - 1))}%.2f}"""
     }.mkString("{", ",", "}")
     val keepJson = keeps.map(k => f"$k%.4f").mkString("[", ",", "]")
-    println(f"""{"metric":"scale_growth","runs":$Runs,"scales":"1x,10x,100x","ops":$opsJson,"cellpair_keep_rates":$keepJson,"docs_1x":${d.count()}}""")
+    val stealJson = (for {
+      (b0, s0, _) <- jiffiesBefore
+      (b1, s1, _) <- Bench.cpuJiffies()
+      if b1 - b0 + s1 - s0 > 0
+    } yield f"${100.0 * (s1 - s0) / ((b1 - b0) + (s1 - s0)).toDouble}%.1f")
+      .getOrElse("null")
+    println(f"""{"metric":"scale_growth","runs":$Runs,"scales":"1x,10x,100x","ops":$opsJson,"cellpair_keep_rates":$keepJson,"cpu_steal_pct":$stealJson,"docs_1x":${d.count()}}""")
     spark.stop()
   }
 }

@@ -153,6 +153,14 @@ object SparkEntry {
     // ranks (not scores) cross lists, so the fused output is
     // engine-portable and fully oracle-checkable
     "q_hybrid_rrf" -> ((s: SparkSession, d: String) => HybridSearch.rrfFusion(s, d)),
+    // PII scrub stage (emails → IPv4 → digit runs, in that order);
+    // the md5 fingerprint makes the oracle compare full redacted text
+    "q_pii_redact" -> (Redaction.redactDocuments _),
+    // copy-on-write keyed MERGE on a hash-bucketed snapshot: apply a
+    // deterministic upsert/delete/insert batch through the
+    // partition-pruned path, then fingerprint the on-disk result —
+    // the oracle reproduces the merge relationally
+    "q_upsert" -> (Upsert.upsertOrders _),
     // transitive dup groups over EXACT ngram-Jaccard pairs — the CC
     // closure itself is oracle-verified via a recursive-CTE
     // reachability query (unlike q_dedup_groups whose minhash pair
@@ -1064,6 +1072,52 @@ object SparkEntry {
         | CAST(t_rnk AS BIGINT) AS t_rnk, CAST(v_rnk AS BIGINT) AS v_rnk
         |FROM trnk t FULL JOIN vrnk v ON t.doc_id = v.doc_id
         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+    // same RE2-safe patterns, same replacement order; DuckDB needs the
+    // explicit 'g' flag (its regexp_replace is first-match by default,
+    // Spark's is global)
+    "q_pii_redact" ->
+      """WITH r AS (
+        | SELECT doc_id, text,
+        |  regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        | FROM documents
+        |), r2 AS (
+        | SELECT doc_id, text, t1,
+        |  regexp_replace(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS t2
+        | FROM r
+        |)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        | CAST(len(regexp_extract_all(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ipv4,
+        | CAST(len(regexp_extract_all(t2, '[0-9][0-9 ()+-]{6,}[0-9]')) AS INT) AS n_digit_runs,
+        | md5(regexp_replace(t2, '[0-9][0-9 ()+-]{6,}[0-9]', '<NUM>', 'g')) AS redacted_md5
+        |FROM r2 ORDER BY doc_id""".stripMargin,
+    // relational restatement of the copy-on-write merge: base minus
+    // rewritten/deleted keys, plus updates and shifted-key inserts —
+    // must equal what Upsert actually wrote through the
+    // partition-pruned dynamic-overwrite path
+    "q_upsert" ->
+      """WITH base AS (
+        | SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+        |), updates AS (
+        | SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1.0 AS o_totalprice
+        | FROM base WHERE o_orderkey % 97 = 0
+        |), deletes AS (
+        | SELECT o_orderkey FROM base WHERE o_orderkey % 89 = 0 AND o_orderkey % 97 <> 0
+        |), inserts AS (
+        | SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey,
+        |  'N' AS o_orderstatus, o_totalprice
+        | FROM base WHERE o_orderkey % 101 = 0
+        |), merged AS (
+        | SELECT * FROM base
+        | WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+        |   AND o_orderkey NOT IN (SELECT o_orderkey FROM deletes)
+        | UNION ALL SELECT * FROM updates
+        | UNION ALL SELECT * FROM inserts
+        |)
+        |SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        | round(sum(o_totalprice), 2) AS price_sum
+        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // connected components over the exact ngram-Jaccard pairs: the
     // closure is reachability, expressed as a recursive CTE (UNION =
     // set semantics, so the fixpoint terminates); group label = min

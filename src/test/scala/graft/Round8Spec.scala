@@ -256,6 +256,45 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------- PII redaction
+
+  test("pii redaction: known counts and ordered replacement on a constructed corpus") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "contact alice.b+test@ex-ample.co.uk or bob@x.io today"),
+      (2L, "server 10.0.255.1 and 192.168.1.1 up; call +1 (555) 867-5309 now"),
+      (3L, "account 1234 5678 9012 3456 closed"),
+      (4L, "clean text with only words and a short 123 number"),
+      // an email whose digits must NOT double-count as a digit run,
+      // and an IP glued to punctuation (boundary still matches)
+      (5L, "mail 12345678@digits.example, host (127.0.0.1).")
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("redact").toString
+    corpus.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Redaction.redactDocuments(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(got(1L) == ((2, 0, 0)), s"doc1 ${got(1L)}")
+    assert(got(2L) == ((0, 2, 1)), s"doc2 ${got(2L)}")
+    assert(got(3L) == ((0, 0, 1)), s"doc3 ${got(3L)}")
+    assert(got(4L) == ((0, 0, 0)), s"doc4 ${got(4L)}")
+    assert(got(5L) == ((1, 1, 0)), s"doc5 ${got(5L)}")
+  }
+
+  test("pii redaction plan: one codegen projection over the scan, no shuffle") {
+    val df = Redaction.redactDocuments(spark, sf)
+    df.collect() // AQE: finalize so the plan string shows codegen stages
+    // keep only the final plan (the adaptive toString repeats the
+    // initial plan below it, double-counting the one Exchange)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the only exchange allowed is the final presentation sort's
+    val shuffles = "Exchange".r.findAllIn(plan).length
+    assert(shuffles <= 1, s"redaction shuffled more than the output sort:\n$plan")
+    // codegen stages render as "*(n)" in the finalized adaptive plan
+    assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined,
+      s"regex stage fell out of codegen:\n$plan")
+  }
+
   // ------------------------------------------- hybrid RRF retrieval
 
   test("hybrid rrf: fusion matches an independent recompute of both legs") {

@@ -161,6 +161,10 @@ object SparkEntry {
     // partition-pruned path, then fingerprint the on-disk result —
     // the oracle reproduces the merge relationally
     "q_upsert" -> (Upsert.upsertOrders _),
+    // file-level data skipping from an external per-file stats table
+    // (the manifest/zone-map play): the answer comes from reading ONLY
+    // the files whose min/max envelope intersects the range
+    "q_zonemap" -> (ZoneMap.zonemapDocuments _),
     // transitive dup groups over EXACT ngram-Jaccard pairs — the CC
     // closure itself is oracle-verified via a recursive-CTE
     // reachability query (unlike q_dedup_groups whose minhash pair
@@ -1118,6 +1122,12 @@ object SparkEntry {
         | CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
         | round(sum(o_totalprice), 2) AS price_sum
         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the zone-map path must answer a range scan identically to the
+    // plain relational filter — skipping may drop FILES, never rows
+    "q_zonemap" ->
+      """SELECT doc_id, source, lang, CAST(length(text) AS INT) AS n_chars
+        |FROM documents WHERE doc_id BETWEEN 100 AND 160
+        |ORDER BY doc_id""".stripMargin,
     // connected components over the exact ngram-Jaccard pairs: the
     // closure is reachability, expressed as a recursive CTE (UNION =
     // set semantics, so the fixpoint terminates); group label = min

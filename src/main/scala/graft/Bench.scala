@@ -197,7 +197,10 @@ object Bench {
     def loadJson(l: Option[Seq[Double]]): String = l.map(jsonArr).getOrElse("null")
     val contended = loadBefore.exists(_.head > cores / 4.0)
     val stealJson = stealPct.map(p => f"$p%.1f").getOrElse("null")
-    val evidence = s"""{"evidence":"graft-bench","runs":$runsJson,"loadavg_before":${loadJson(loadBefore)},"loadavg_started":${loadJson(loadStarted)},"loadavg_after":${loadJson(loadAfter)},"cpu_steal_pct":$stealJson,"cores":$cores,"sf":"$sfDir"}"""
+    // `failed`/`spread_flagged` repeat here so the sidecar alone is
+    // self-describing about coverage: `runs` omitting a query could
+    // otherwise mean either "removed from suite" or "failed this run"
+    val evidence = s"""{"evidence":"graft-bench","runs":$runsJson,"failed":$failedJson,"spread_flagged":$spreadJson,"loadavg_before":${loadJson(loadBefore)},"loadavg_started":${loadJson(loadStarted)},"loadavg_after":${loadJson(loadAfter)},"cpu_steal_pct":$stealJson,"cores":$cores,"sf":"$sfDir"}"""
     // sidecar survives even if both stdout lines are clipped
     try {
       java.nio.file.Files.write(
@@ -212,6 +215,9 @@ object Bench {
     // headline to a single oversized line — never again)
     println(s"""{"metric":"total","value":$totalJson,"unit":"sec","timing":"median_of_runs","queries":$qs,"spread_flagged":$spreadJson,"failed":$failedJson,"contended_start":$contended,"cpu_steal_pct":$stealJson,"cores":$cores,"sf":"$sfDir"}""")
     spark.stop()
+    // a partially-failed bench must not look green to exit-code
+    // automation (r8: 13 failed queries rode out under rc 0)
+    if (failed.nonEmpty) sys.exit(1)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

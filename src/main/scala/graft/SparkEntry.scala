@@ -712,7 +712,8 @@ object SparkEntry {
         |  FROM b GROUP BY 1)
         |SELECT COALESCE(ca.bucket, cb.bucket) AS bucket,
         | COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
-        | COALESCE(sum_a, 0) AS sum_a, COALESCE(sum_b, 0) AS sum_b,
+        | CAST(COALESCE(sum_a, 0) AS BIGINT) AS sum_a,
+        | CAST(COALESCE(sum_b, 0) AS BIGINT) AS sum_b,
         | CASE WHEN COALESCE(n_a, 0) != COALESCE(n_b, 0) THEN 'count_diff'
         |      WHEN COALESCE(sum_a, 0) != COALESCE(sum_b, 0) THEN 'checksum_diff'
         |      ELSE 'match' END AS status

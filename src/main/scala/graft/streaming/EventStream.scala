@@ -16,18 +16,33 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object EventStream {
 
   /** Streaming source over the events parquet (explicit schema — a
-    * streaming source cannot infer). ts arrives as raw nanos (see
-    * Tables.loadEvents) and is converted identically.
+    * streaming source cannot infer). `ts` has shipped as both raw
+    * nanos-as-long and native TIMESTAMP(MICROS) across testdata
+    * generations (see Tables.loadEvents); a one-time batch footer read
+    * decides which, and the nanos→µs conversion is applied only for the
+    * legacy long encoding.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampType}
     // nanosAsLong is session-scope config (GraftSession) — not set here
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-    spark.readStream.schema(schema)
-      .parquet(streamableDir(s"$dir/events.parquet"))
-      // integer `div` (not `/`): see Tables.loadEvents — nanos exceed
-      // double's exact-integer range
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val path = s"$dir/events.parquet"
+    // one-time batch footer read decides the physical ts encoding; the
+    // streaming schema must match the file exactly, so reuse it verbatim
+    val tsType = spark.read.parquet(path).schema("ts").dataType
+    val schema = StructType(
+      StructType.fromDDL(
+        "event_id LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+        .fields.patch(1, Seq(StructField("ts", tsType)), 0))
+    val raw = spark.readStream.schema(schema).parquet(streamableDir(path))
+    tsType match {
+      case LongType =>
+        // integer `div` (not `/`): see Tables.loadEvents — nanos exceed
+        // double's exact-integer range
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      // NTZ → session-zoned relabel; see Tables.loadEvents (UTC session)
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** The streaming file source monitors a DIRECTORY; the testdata is a

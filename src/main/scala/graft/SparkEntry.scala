@@ -84,6 +84,11 @@ object SparkEntry {
     "q_snapshot_diff" -> ((s: SparkSession, d: String) => Reconcile.snapshotDiff(s, d)),
     "q_mixture_sample" -> (DatasetOps.mixtureSample _),
     "q_source_overlap" -> ((s: SparkSession, d: String) => DatasetOps.sourceOverlapMatrix(s, d)),
+    // training-run prep: deterministic global shuffle + sharding,
+    // vocabulary + id-encoding, rollup-from-partials maintenance
+    "q_shard_order" -> ((s: SparkSession, d: String) => TrainingPrep.shardOrder(s, d)),
+    "q_vocab_encode" -> ((s: SparkSession, d: String) => TrainingPrep.vocabEncode(s, d)),
+    "q_incr_agg" -> (TrainingPrep.weeklyRollup _),
     // dedup family
     "q_dedup_exact" -> (Dedup.exactGroups _),
     "q_canonical_map" -> (Dedup.canonicalMap _),
@@ -810,6 +815,48 @@ object SparkEntry {
         |SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared_grams
         |FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // multiplicative-congruential hash in plain BIGINT arithmetic:
+    // bit-identical in both engines, no engine hash builtin involved
+    "q_shard_order" ->
+      """WITH h AS (
+        | SELECT doc_id,
+        |  (doc_id * 2654435761 + 1013904223) % 2147483648 AS h
+        | FROM documents)
+        |SELECT h % 8 AS shard_id,
+        | CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS position,
+        | doc_id, h
+        |FROM h ORDER BY shard_id, position""".stripMargin,
+    "q_vocab_encode" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS ts
+        | FROM documents),
+        | vocab AS (
+        | SELECT tok AS token,
+        |  CAST(row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS BIGINT) AS token_id
+        | FROM (SELECT unnest(ts) AS tok FROM toks) GROUP BY tok
+        | QUALIFY token_id <= 256),
+        | ex AS (
+        | SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+        |  unnest(ts[1:12]) AS tok,
+        |  unnest(range(least(len(ts), 12))) AS pos
+        | FROM toks WHERE len(ts) > 0)
+        |SELECT ex.doc_id, ex.n_tokens,
+        | list(coalesce(v.token_id, 0) ORDER BY ex.pos) AS token_ids
+        |FROM ex LEFT JOIN vocab v ON ex.tok = v.token
+        |GROUP BY ex.doc_id, ex.n_tokens
+        |ORDER BY ex.doc_id""".stripMargin,
+    // oracle recomputes the weekly stats DIRECTLY from raw events; the
+    // engine answers from daily algebraic partials — equality proves
+    // the partial-merge (rollup maintenance) is exact
+    "q_incr_agg" ->
+      """SELECT CAST(weekofyear(CAST(ts AS DATE)) AS BIGINT) AS week, event_type,
+        | count(*) AS n_events,
+        | round(sum(value), 2) AS sum_value,
+        | min(value) AS min_value,
+        | max(value) AS max_value,
+        | floor(round(sum(value), 2) / count(*) * 10000 + 0.5) / 10000 AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY week, event_type""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_copies,
         | min(doc_id) AS canonical_id

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-run preparation operators: deterministic global shuffle +
+  * shard assignment, vocabulary construction with token-id encoding,
+  * and incremental rollup-from-partials aggregation.
+  *
+  * All three are the shapes a 100 TB pipeline leans on right before
+  * and during training:
+  *  - a reproducible global data order that is embarrassingly parallel
+  *    to WRITE (no global sort — each shard sorts independently);
+  *  - a frequency-ranked vocabulary plus the id-encoding pass
+  *    (broadcast dictionary join, never a shuffle of the corpus);
+  *  - pre-aggregated partials that answer coarser rollups without ever
+  *    re-scanning raw data (the algebraic-aggregate maintenance
+  *    pattern: sum/count/min/max compose, avg = sum/count at the end).
+  */
+object TrainingPrep {
+
+  /** Deterministic global training shuffle + sharding.
+    *
+    * Order key is a multiplicative-congruential hash of `doc_id`
+    * (Knuth constant 2654435761, LCG increment 1013904223, mod 2^31)
+    * computed in plain BIGINT arithmetic — bit-identical in any SQL
+    * engine, no engine hash builtin involved, and overflow-safe for
+    * doc_id up to ~3.4e9 (product < 2^63). Shard = h mod nShards,
+    * position = rank of h within the shard.
+    *
+    * Scale shape: the window partitions by `shard_id`, so each shard's
+    * order is produced independently — one task per shard, no global
+    * sort. At 100 TB this is a bucketed write (`bucketBy(shard)` +
+    * `sortBy(h)`); a single global ORDER BY would funnel the corpus
+    * through one range-partitioned sort instead.
+    */
+  def shardOrder(s: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    val h = (col("doc_id") * lit(2654435761L) + lit(1013904223L)) % lit(2147483648L)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard_id", col("h") % nShards)
+      .withColumn("position",
+        row_number().over(
+          Window.partitionBy(col("shard_id")).orderBy(col("h"), col("doc_id")))
+          .cast("long"))
+      .select(col("shard_id"), col("position"), col("doc_id"), col("h"))
+      .orderBy(col("shard_id"), col("position"))
+  }
+
+  /** Frequency-ranked vocabulary over lowercased whitespace tokens:
+    * token_id = rank by (count DESC, token ASC) — fully deterministic —
+    * truncated to `vocabSize`. One corpus scan + one hash aggregation.
+    */
+  def vocabulary(s: SparkSession, dir: String, vocabSize: Int = 256): DataFrame = {
+    val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+    Tables.load(s, dir, "documents")
+      .select(explode(toks).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(col("n").desc, col("token").asc))
+          .cast("long"))
+      .filter(col("token_id") <= vocabSize)
+      .select(col("token_id"), col("token"), col("n"))
+  }
+
+  /** Encode each document's first `maxTokens` tokens as vocabulary ids
+    * (out-of-vocabulary → 0). Documents with no tokens are dropped (the
+    * oracle-stable choice: a zipped unnest of an empty list yields no
+    * rows).
+    *
+    * Scale shape: the vocabulary is small by construction (`vocabSize`
+    * rows) and broadcast, so the encoding pass is a narrow map over the
+    * corpus — posexplode, broadcast-hash lookup, re-assemble ordered by
+    * position. The corpus is never shuffled; the single `groupBy
+    * (doc_id)` re-assembly rides the scan partitioning with map-side
+    * partial aggregation. The global-window vocabulary ranking is a
+    * driver-size sort (distinct tokens after the count aggregation),
+    * not a corpus sort.
+    */
+  def vocabEncode(s: SparkSession, dir: String,
+      vocabSize: Int = 256, maxTokens: Int = 12): DataFrame = {
+    val vocab = vocabulary(s, dir, vocabSize)
+    val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), slice(toks, 1, maxTokens).as("head"),
+        size(toks).cast("long").as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), posexplode(col("head")))
+      .join(broadcast(vocab.select(col("token"), col("token_id"))),
+        col("col") === col("token"), "left")
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), coalesce(col("token_id"), lit(0L)).as("id")))),
+        e => e.getField("id")).as("token_ids"))
+      .select(col("doc_id"), col("n_tokens"), col("token_ids"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Daily algebraic partials over events: the persisted increment a
+    * pipeline maintains per ingest day. count/sum/min/max only — every
+    * column here composes under re-aggregation.
+    */
+  def dailyPartials(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+
+  /** Weekly rollup computed ONLY from the daily partials — raw events
+    * are never re-scanned. sum-of-counts, sum-of-sums, min-of-mins,
+    * max-of-maxes; avg derived as merged-sum / merged-count at the end
+    * (the one non-algebraic aggregate, recovered from its algebraic
+    * parts).
+    *
+    * This is the 100 TB aggregation-maintenance pattern: the daily
+    * table is O(days × types) — metadata-scale — so week/month/all-time
+    * rollups cost nothing regardless of raw volume. The oracle computes
+    * the same answer directly from raw events, proving the partial
+    * merge is exact.
+    */
+  def weeklyRollup(s: SparkSession, dir: String): DataFrame =
+    dailyPartials(s, dir)
+      .groupBy(weekofyear(col("event_date")).cast("long").as("week"), col("event_type"))
+      .agg(sum(col("n_events")).as("n_events"),
+        round(sum(col("sum_value")), 2).as("sum_value"),
+        // min/max are order-independent EXACT doubles — no rounding
+        min(col("min_value")).as("min_value"),
+        max(col("max_value")).as("max_value"),
+        // avg from the ROUNDED merged sum: the raw partial-merged sum
+        // differs from a direct sum by ulps, which can flip the
+        // 4-decimal rounding on an exact .5 quotient boundary (seen at
+        // sf0.001: 2409.18/48 = 50.19125). Dividing the 2-decimal
+        // rounded sum gives both engines bit-identical inputs.
+        graft.functions.Rounding.portableRound4(
+          round(sum(col("sum_value")), 2) / sum(col("n_events"))).as("avg_value"))
+      .orderBy(col("week"), col("event_type"))
+}

@@ -89,6 +89,9 @@ object SparkEntry {
     "q_shard_order" -> ((s: SparkSession, d: String) => TrainingPrep.shardOrder(s, d)),
     "q_vocab_encode" -> ((s: SparkSession, d: String) => TrainingPrep.vocabEncode(s, d)),
     "q_incr_agg" -> (TrainingPrep.weeklyRollup _),
+    // summary-table rewrite: query is written against the FACT; the
+    // optimizer rule answers it from the registered pre-aggregation
+    "q_mv_rewrite" -> (SummaryMv.summarize _),
     // dedup family
     "q_dedup_exact" -> (Dedup.exactGroups _),
     "q_canonical_map" -> (Dedup.canonicalMap _),
@@ -857,6 +860,18 @@ object SparkEntry {
         | max(value) AS max_value,
         | floor(round(sum(value), 2) / count(*) * 10000 + 0.5) / 10000 AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY week, event_type""".stripMargin,
+    // oracle aggregates RAW lineitem; the engine's plan reads the
+    // registered summary table — equality proves the rewrite invisible
+    "q_mv_rewrite" ->
+      """SELECT l_returnflag,
+        | count(*) AS n_rows,
+        | sum(l_quantity) AS sum_qty,
+        | min(l_quantity) AS min_qty,
+        | max(l_quantity) AS max_qty,
+        | avg(l_quantity) AS avg_qty,
+        | round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem WHERE l_returnflag != 'X'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_copies,
         | min(doc_id) AS canonical_id

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.plans.SummaryRegistry
+
+/** Summary-table (materialized pre-aggregation) lifecycle: build the
+  * algebraic partials once, register them, and every subsequent
+  * dim-subset aggregate over the fact is answered from the summary by
+  * the [[graft.plans.RewriteAggregateToSummary]] optimizer rule — the
+  * query text still says `lineitem`; the executed plan scans the
+  * summary.
+  *
+  * 100 TB posture: the summary is O(∏ dim cardinalities) — metadata
+  * scale for low-cardinality dims — so the rewrite converts a full
+  * fact scan into a scan of a few thousand rows. Build cost is one
+  * hash aggregation over the fact (map-side partials, one shuffle on
+  * the dims), amortized across every query it serves; incremental
+  * maintenance is the same union-merge [[TrainingPrep.weeklyRollup]]
+  * demonstrates.
+  */
+object SummaryMv {
+
+  /** Write the summary parquet for `fact` grouped by `dims`: `cnt`
+    * plus `sum_/min_/max_` per measure. One shuffle, metadata-sized
+    * output.
+    */
+  def build(fact: DataFrame, dims: Seq[String], measures: Seq[String],
+      path: String): Unit = {
+    val aggs = count(lit(1)).as("cnt") +: measures.flatMap(m => Seq(
+      sum(col(m)).as(s"sum_$m"), min(col(m)).as(s"min_$m"), max(col(m)).as(s"max_$m")))
+    fact.groupBy(dims.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Register an existing summary so the optimizer rule can use it. */
+  def register(s: SparkSession, factPath: String, mvPath: String,
+      dims: Seq[String], measures: Seq[String]): Unit =
+    SummaryRegistry.register(SummaryRegistry.Summary(
+      factPath,
+      s.read.parquet(mvPath).queryExecution.analyzed,
+      dims.toSet, measures.toSet))
+
+  /** Build-once path for the standard lineitem summary keyed by
+    * (l_returnflag, l_linestatus) covering quantity and price.
+    */
+  def ensureLineitemSummary(s: SparkSession, dir: String): String = {
+    val path = s"/tmp/graft-mv/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}/lineitem_rf_ls"
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      build(Tables.load(s, dir, "lineitem"),
+        Seq("l_returnflag", "l_linestatus"),
+        Seq("l_quantity", "l_extendedprice"), path)
+    register(s, s"$dir/lineitem.parquet", path,
+      Seq("l_returnflag", "l_linestatus"), Seq("l_quantity", "l_extendedprice"))
+    path
+  }
+
+  /** The q_mv_rewrite entry: a pricing-style aggregate WRITTEN AGAINST
+    * THE FACT — grouping by a strict subset of the summary dims, so
+    * the rewrite does real partial merging (sum-of-sums across
+    * linestatus values), plus a dims-only filter. The oracle computes
+    * the same SQL directly over raw lineitem; equality proves the
+    * summary redirect is semantically invisible.
+    *
+    * sum_qty/avg_qty are exact (integer-valued quantities); the price
+    * sum is order-sensitive double addition, rounded per the repo
+    * convention.
+    */
+  def summarize(s: SparkSession, dir: String): DataFrame = {
+    ensureLineitemSummary(s, dir)
+    Tables.load(s, dir, "lineitem")
+      .filter(col("l_returnflag") =!= "X")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).as("sum_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        avg(col("l_quantity")).as("avg_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+}

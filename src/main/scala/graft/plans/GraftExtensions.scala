@@ -78,6 +78,8 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
   * `spark.sql.extensions=graft.plans.GraftExtensions` via config.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteHofDotProduct)
+    e.injectOptimizerRule(_ => RewriteAggregateToSummary)
+  }
 }

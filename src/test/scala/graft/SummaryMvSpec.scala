@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.plans.SummaryRegistry
+
+/** Specs for the summary-table rewrite rule: the executed plan must
+  * actually read the summary (that is the entire point — fact scan
+  * avoided), results must be byte-equal to the direct computation, and
+  * every non-matching shape must fall through untouched.
+  */
+class SummaryMvSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def withSummary[A](body: => A): A =
+    try { SummaryMv.ensureLineitemSummary(spark, sf); body }
+    finally SummaryRegistry.clear()
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("rewrite fires: executed plan scans the summary, not the fact") {
+    withSummary {
+      val df = SummaryMv.summarize(spark, sf)
+      val plan = planOf(df)
+      assert(plan.contains("graft-mv"), s"summary path absent from plan:\n$plan")
+      assert(!plan.contains("lineitem.parquet"), s"fact still scanned:\n$plan")
+    }
+  }
+
+  test("rewritten results equal the direct fact aggregation exactly") {
+    val direct = SummaryMv.summarize(spark, sf).collect().map(_.toSeq)
+    val rewritten = withSummary {
+      SummaryMv.summarize(spark, sf).collect().map(_.toSeq)
+    }
+    // count/sum_qty/min/max/avg exact (integer-valued quantities);
+    // sum_price is rounded identically on both paths BUT merges in a
+    // different order — compare with a 1-cent tolerance there and
+    // exactly everywhere else
+    assert(direct.length == rewritten.length)
+    direct.zip(rewritten).foreach { case (d, r) =>
+      assert(d.take(6) == r.take(6), s"exact columns differ: $d vs $r")
+      val (dp, rp) = (d(6).asInstanceOf[Double], r(6).asInstanceOf[Double])
+      assert(math.abs(dp - rp) <= 0.01, s"sum_price drifted: $dp vs $rp")
+    }
+  }
+
+  test("global aggregate (no grouping) also rewrites") {
+    withSummary {
+      val df = Tables.load(spark, sf, "lineitem")
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sq"))
+      assert(planOf(df).contains("graft-mv"), "global agg not rewritten")
+      val row = df.collect().head
+      val want = Tables.load(spark, sf, "lineitem").count()
+      assert(row.getLong(0) == want)
+    }
+  }
+
+  test("non-covered shapes fall through: uncovered column, distinct, non-dim grouping") {
+    withSummary {
+      // aggregate over a column the summary doesn't carry
+      val uncovered = Tables.load(spark, sf, "lineitem")
+        .groupBy(col("l_returnflag")).agg(sum(col("l_discount")))
+      assert(!planOf(uncovered).contains("graft-mv"), "uncovered measure rewritten")
+      // DISTINCT aggregates are not algebraic
+      val dist = Tables.load(spark, sf, "lineitem")
+        .groupBy(col("l_returnflag")).agg(countDistinct(col("l_quantity")))
+      assert(!planOf(dist).contains("graft-mv"), "distinct agg rewritten")
+      // grouping by a non-dim column
+      val nonDim = Tables.load(spark, sf, "lineitem")
+        .groupBy(col("l_suppkey")).agg(sum(col("l_quantity")))
+      assert(!planOf(nonDim).contains("graft-mv"), "non-dim grouping rewritten")
+      // filter on a non-dim column
+      val nonDimFilter = Tables.load(spark, sf, "lineitem")
+        .filter(col("l_suppkey") > 10)
+        .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")))
+      assert(!planOf(nonDimFilter).contains("graft-mv"), "non-dim filter rewritten")
+    }
+  }
+
+  test("unregistered session state: no registry entry, no rewrite") {
+    SummaryRegistry.clear()
+    val df = SummaryMv.summarize(spark, sf)
+    // summarize registers as a side effect, so clear again and build a
+    // plain aggregate to probe the empty-registry path
+    SummaryRegistry.clear()
+    val plain = Tables.load(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")))
+    assert(!planOf(plain).contains("graft-mv"))
+    assert(df.columns.length == 7)
+  }
+
+  test("summary table is metadata-scale") {
+    withSummary {
+      val mvPath = SummaryMv.ensureLineitemSummary(spark, sf)
+      val mvRows = spark.read.parquet(mvPath).count()
+      val dims = Tables.load(spark, sf, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus")).distinct().count()
+      assert(mvRows == dims, "summary not exactly one row per dim combination")
+    }
+  }
+}

@@ -209,18 +209,25 @@ object Similarity {
     */
   def kmeansCentroids(e: DataFrame, seeds: DataFrame, iters: Int = 2): DataFrame = {
     var cents = seeds
-    for (_ <- 0 until iters) {
-      cents = assignCells(e, collectCells(cents))
-        .select(col("cent_id"), posexplode(col("emb")).as(Seq("dim", "v")))
-        .groupBy(col("cent_id"), col("dim"))
-        .agg(avg(col("v")).as("m"))
-        .groupBy(col("cent_id"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
-        .select(col("cent_id"), transform(col("pairs"), _.getField("m")).as("cent_emb"))
-        .withColumn("cent_nrm", VectorFunctions.l2Norm(col("cent_emb")))
-    }
+    for (_ <- 0 until iters)
+      cents = lloydUpdate(assignCells(e, collectCells(cents)))
     cents
   }
+
+  /** One Lloyd recenter over an already cell-assigned corpus: the mean
+    * member vector per cell. Exposed separately so callers holding a
+    * (persisted) assignment — [[annRecall]]'s shared grid — can take
+    * the next k-means step without re-running the assignment pass.
+    */
+  private[graft] def lloydUpdate(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cent_id"), posexplode(col("emb")).as(Seq("dim", "v")))
+      .groupBy(col("cent_id"), col("dim"))
+      .agg(avg(col("v")).as("m"))
+      .groupBy(col("cent_id"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
+      .select(col("cent_id"), transform(col("pairs"), _.getField("m")).as("cent_emb"))
+      .withColumn("cent_nrm", VectorFunctions.l2Norm(col("cent_emb")))
 
   /** Coverage-reseeded centroids: Lloyd alone can NEVER place a
     * centroid inside a cluster the hash seeds missed — it only moves
@@ -396,6 +403,15 @@ object Similarity {
     * (query_id, q_emb, q_nrm); output adds one row per probed cell.
     */
   private[graft] def probeCells(q: DataFrame, cells: CellIndex,
+      nprobe: Int): DataFrame =
+    probeCellsRanked(q, cells, nprobe).drop("p_rnk")
+
+  /** [[probeCells]] keeping the per-query cell rank: a probe set at
+    * width W restricted to `p_rnk <= w` IS the probe set at any
+    * narrower w, so one widest-probe candidate join can serve a whole
+    * nprobe sweep ([[annRecall]]).
+    */
+  private[graft] def probeCellsRanked(q: DataFrame, cells: CellIndex,
       nprobe: Int): DataFrame = {
     val cellArr = typedLit(cells.ids.indices.map(i =>
       (cells.ids(i), cells.embs(i), cells.nrms(i))))
@@ -408,7 +424,7 @@ object Similarity {
           (col("q_nrm") * col("c._3"))).as("q_cos"))
       .withColumn("p_rnk", row_number().over(wProbe))
       .filter(col("p_rnk") <= nprobe)
-      .select(col("query_id"), col("q_emb"), col("q_nrm"), col("cent_id"))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"), col("cent_id"), col("p_rnk"))
   }
 
   /** Driver-visible ANN quality: recall of every approximate kNN
@@ -442,27 +458,43 @@ object Similarity {
           graft.functions.Rounding.portableRound4(
             col("n_matched").cast("double") / col("n_expected")).as("recall"))
     // One trained grid, swept across probe widths: the recall/cost knob
-    // as DATA. Training (count + collect + Lloyd) is shared — only the
-    // probe set and the pruned cell search differ per width. The
-    // cell-assigned corpora are persisted because each appears in
-    // several union branches and Spark does not share common subtrees
-    // across branches — without the cache the assign pipeline re-runs
-    // once per variant (the dominant cost of this query).
+    // as DATA. Training (count + collect + Lloyd) is shared, the
+    // cell-assigned corpus is persisted (it feeds every branch and
+    // Spark shares no common subtrees across union branches), and the
+    // whole sweep runs off ONE widest-probe candidate join — a width-W
+    // probe set restricted to p_rnk <= w is exactly the width-w probe
+    // set, so narrower widths are filters over the same candidates.
     val (assigned0, cells) = ivfParts(s, dir)
     val assigned = assigned0.persist()
     val q = emb(s, dir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
-    val sweep = Seq(1, 2, 4, 8, 16).map { np =>
-      row(f"knn_ivf_nprobe$np%02d",
-        searchCells(assigned, probeCells(q, cells, np), k))
+    val widths = Seq(1, 2, 4, 8, 16)
+    val cand = assigned
+      .join(broadcast(probeCellsRanked(q, cells, widths.max)), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", graft.functions.Rounding.portableRound4(
+        VectorFunctions.arrayDot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm"))))
+      .persist()
+    def topkAt(np: Int): DataFrame = {
+      val wRank = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      cand.filter(col("p_rnk") <= np)
+        .withColumn("rnk", row_number().over(wRank))
+        .filter(col("rnk") <= k)
+        .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+          col("vec_id").as("neighbor_id"), col("cos"))
+    }
+    val sweep = widths.map { np =>
+      row(f"knn_ivf_nprobe$np%02d", topkAt(np))
     }.reduce(_.unionByName(_))
-    // same grid + probe policy as knnIvf's defaults — reusing the
-    // shared training keeps the variant identical while avoiding a
-    // second full train+assign
-    val ivfDefault = searchCells(assigned, probeCells(q, cells, 8), k)
-    val (assigned2raw, cells2) = ivfParts(s, dir, kmeansIters = 2)
-    val assigned2 = assigned2raw.persist()
-    val ivfKmeans = searchCells(assigned2, probeCells(q, cells2, 8), k)
+    // same grid + probe policy as knnIvf's defaults — identical by
+    // construction, no second train+assign
+    val ivfDefault = topkAt(8)
+    // the 2-iteration k-means grid extends the shared one: its second
+    // Lloyd step recenters over the ALREADY-PERSISTED assignment
+    val cells2 = collectCells(lloydUpdate(assigned))
+    val ivfKmeans = searchCells(
+      assignCells(emb(s, dir), cells2), probeCells(q, cells2, 8), k)
     row("knn_ivf", ivfDefault)
       .unionByName(row("knn_ivf_kmeans", ivfKmeans))
       .unionByName(row("knn_ivf_indexed", IvfIndex.knnIndexed(s, dir, k)))

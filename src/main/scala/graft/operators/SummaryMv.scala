@@ -36,6 +36,45 @@ object SummaryMv {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Incrementally fold a fact delta into an existing summary:
+    * aggregate the delta alone (cost ∝ delta), union with the current
+    * partials, and merge algebraically — sum-of-sums, min-of-mins,
+    * max-of-maxes, cnt as sum-of-cnts. The fact is never re-scanned;
+    * at 100 TB this is the nightly-ingest path (delta = today's
+    * partition) and the rewrite over the refreshed summary keeps
+    * serving queries unchanged.
+    *
+    * Written to `path + ".next"` then swapped in, so a concurrent
+    * reader of the old summary never sees a partial write.
+    */
+  def merge(s: SparkSession, delta: DataFrame, dims: Seq[String],
+      measures: Seq[String], path: String): Unit = {
+    val stage = s"$path.next"
+    build(delta, dims, measures, stage)
+    val mergeAggs = sum(col("cnt")).as("cnt") +: measures.flatMap(m => Seq(
+      sum(col(s"sum_$m")).as(s"sum_$m"),
+      min(col(s"min_$m")).as(s"min_$m"),
+      max(col(s"max_$m")).as(s"max_$m")))
+    val schema = s.read.parquet(path).schema
+    val merged = s.read.parquet(path)
+      .unionByName(s.read.parquet(stage))
+      .groupBy(dims.map(col): _*)
+      .agg(mergeAggs.head, mergeAggs.tail: _*)
+      .select(schema.fieldNames.map(col).toSeq: _*)
+      // the summary is metadata-scale by construction, so a driver
+      // round-trip is safe — and it materializes the merge BEFORE the
+      // overwrite touches the input being read
+      .collect()
+    s.createDataFrame(java.util.Arrays.asList(merged: _*), schema)
+      .write.mode("overwrite").parquet(path)
+    deleteRecursively(new java.io.File(stage))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+
   /** Register an existing summary so the optimizer rule can use it. */
   def register(s: SparkSession, factPath: String, mvPath: String,
       dims: Seq[String], measures: Seq[String]): Unit =

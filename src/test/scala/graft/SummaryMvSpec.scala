@@ -92,6 +92,38 @@ class SummaryMvSpec extends SparkSpec {
     assert(df.columns.length == 7)
   }
 
+  test("incremental merge: summary(base) + delta == summary(base ∪ delta)") {
+    val dims = Seq("l_returnflag", "l_linestatus")
+    val measures = Seq("l_quantity", "l_extendedprice")
+    val fact = Tables.load(spark, sf, "lineitem")
+    val base = fact.filter(col("l_orderkey") % 5 =!= 0)
+    val delta = fact.filter(col("l_orderkey") % 5 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-merge").toString
+    val path = s"$dir/sum"
+    SummaryMv.build(base, dims, measures, path)
+    SummaryMv.merge(spark, delta, dims, measures, path)
+    val merged = spark.read.parquet(path)
+    val full = java.nio.file.Files.createTempDirectory("graft-mv-full").toString
+    SummaryMv.build(fact, dims, measures, s"$full/sum")
+    val direct = spark.read.parquet(s"$full/sum")
+    val cols = merged.columns.sorted.map(col).toSeq
+    val a = merged.select(cols: _*).orderBy(cols: _*).collect().map(_.toSeq)
+    val b = direct.select(cols: _*).orderBy(cols: _*).collect().map(_.toSeq)
+    // cnt/min/max exact; sums are double adds in a different order —
+    // compare exactly where exact, 1e-6-relative on the sums
+    assert(a.length == b.length, "dim-combination sets differ")
+    val sumIdx = merged.columns.sorted.zipWithIndex
+      .collect { case (n, i) if n.startsWith("sum_") => i }.toSet
+    a.zip(b).foreach { case (ra, rb) =>
+      ra.indices.foreach { i =>
+        if (sumIdx(i)) {
+          val (x, y) = (ra(i).asInstanceOf[Double], rb(i).asInstanceOf[Double])
+          assert(math.abs(x - y) <= 1e-6 * math.max(1.0, math.abs(y)), s"sum drifted: $x vs $y")
+        } else assert(ra(i) == rb(i), s"col $i differs: ${ra(i)} vs ${rb(i)}")
+      }
+    }
+  }
+
   test("summary table is metadata-scale") {
     withSummary {
       val mvPath = SummaryMv.ensureLineitemSummary(spark, sf)

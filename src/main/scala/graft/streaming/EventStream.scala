@@ -354,6 +354,33 @@ object EventStream {
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), col("c_mktsegment").as("segment"))
 
+  /** Streaming summary maintenance: `foreachBatch` folds every
+    * micro-batch of fact rows into the persisted summary —
+    * [[graft.operators.SummaryMv.build]] on first sight,
+    * [[graft.operators.SummaryMv.merge]] (cost ∝ batch) after — so the
+    * summary-table rewrite rule serves always-fresh aggregates while
+    * ingest runs. This is the streaming leg of the aggregation-
+    * maintenance story: raw history is never re-scanned; each batch
+    * pays only its own aggregation plus a metadata-scale merge.
+    *
+    * Exactly-once caveat (documented, standard for foreachBatch
+    * sinks): a batch replayed after a crash between merge and
+    * checkpoint commit would double-count; production would stage
+    * per-batch-id partials and merge idempotently by id.
+    */
+  def maintainSummary(facts: DataFrame, dims: Seq[String],
+      measures: Seq[String], path: String): StreamingQuery =
+    facts.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!new java.io.File(s"$path/_SUCCESS").exists())
+          graft.operators.SummaryMv.build(batch, dims, measures, path)
+        else
+          graft.operators.SummaryMv.merge(
+            batch.sparkSession, batch, dims, measures, path)
+      }
+      .start()
+
   /** Run a streaming DataFrame to completion against the bounded
     * source and return the materialized result from a memory sink.
     */

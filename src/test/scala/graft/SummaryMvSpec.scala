@@ -124,6 +124,40 @@ class SummaryMvSpec extends SparkSpec {
     }
   }
 
+  test("streaming maintenance: per-batch merged summary == batch build over all rows") {
+    import org.apache.spark.sql.functions.col
+    val dims = Seq("event_type"); val measures = Seq("value")
+    // stage the events as four files so the file source delivers four
+    // micro-batches — exercising build on batch 0 and merge on 1..3
+    val staged = java.nio.file.Files.createTempDirectory("graft-mv-stream-src").toString
+    Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("value"))
+      .repartition(4).write.mode("overwrite").parquet(staged)
+    val path = java.nio.file.Files.createTempDirectory("graft-mv-stream").toString + "/sum"
+    val src = spark.readStream
+      .schema("event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged)
+    val q = graft.streaming.EventStream.maintainSummary(src, dims, measures, path)
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(path)
+    val full = java.nio.file.Files.createTempDirectory("graft-mv-stream-full").toString
+    SummaryMv.build(
+      Tables.load(spark, sf, "events").select(col("event_type"), col("value")),
+      dims, measures, s"$full/sum")
+    val direct = spark.read.parquet(s"$full/sum")
+    val a = streamed.orderBy(col("event_type")).collect().map(_.toSeq)
+    val b = direct.orderBy(col("event_type")).collect().map(_.toSeq)
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (ra, rb) =>
+      // (event_type, cnt, sum_value, min_value, max_value)
+      assert(ra(0) == rb(0) && ra(1) == rb(1) && ra(3) == rb(3) && ra(4) == rb(4),
+        s"exact cols differ: $ra vs $rb")
+      val (x, y) = (ra(2).asInstanceOf[Double], rb(2).asInstanceOf[Double])
+      assert(math.abs(x - y) <= 1e-6 * math.max(1.0, math.abs(y)), s"sum drifted: $x vs $y")
+    }
+  }
+
   test("summary table is metadata-scale") {
     withSummary {
       val mvPath = SummaryMv.ensureLineitemSummary(spark, sf)

@@ -124,7 +124,15 @@ object ScaleBench {
       // per-decade ratio; the op is per-source-PAIR downstream, and
       // replicas keep source names, so 100× mostly multiplies the
       // pair counts, not the shape)
-      ("source_overlap", dir => DatasetOps.sourceOverlapMatrix(spark, dir), 2))
+      ("source_overlap", dir => DatasetOps.sourceOverlapMatrix(spark, dir), 2),
+      // round-9 training-prep ops: shard_order is a narrow hash
+      // projection + per-shard windows (must be ~linear); vocab_encode
+      // tokenizes the corpus twice (vocab count + encode) with a
+      // dictionary ranking whose input is DISTINCT tokens — replicas
+      // multiply the distinct-token universe too, so this also guards
+      // the global ranking window as vocabulary grows
+      ("shard_order", dir => graft.operators.TrainingPrep.shardOrder(spark, dir), 3),
+      ("vocab_encode", dir => graft.operators.TrainingPrep.vocabEncode(spark, dir), 3))
     val embOps: Seq[(String, String => DataFrame)] = Seq(
       "dedup_embedding" -> (dir => Dedup.embeddingNearDups(spark, dir, 0.9)),
       "knn_ivf" -> (dir => Similarity.knnIvf(spark, dir)))

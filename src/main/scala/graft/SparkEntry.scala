@@ -868,8 +868,7 @@ object SparkEntry {
         | sum(l_quantity) AS sum_qty,
         | min(l_quantity) AS min_qty,
         | max(l_quantity) AS max_qty,
-        | avg(l_quantity) AS avg_qty,
-        | round(sum(l_extendedprice), 2) AS sum_price
+        | avg(l_quantity) AS avg_qty
         |FROM lineitem WHERE l_returnflag != 'X'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_dedup_exact" ->

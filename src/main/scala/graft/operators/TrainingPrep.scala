@@ -53,16 +53,24 @@ object TrainingPrep {
   /** Frequency-ranked vocabulary over lowercased whitespace tokens:
     * token_id = rank by (count DESC, token ASC) — fully deterministic —
     * truncated to `vocabSize`. One corpus scan + one hash aggregation.
+    *
+    * The truncation is `orderBy(...).limit(n)` — Spark plans that as
+    * `TakeOrderedAndProject` (per-partition top-n, merged), so the
+    * distinct-token table is never globally sorted through one
+    * partition; the ranking window then runs over only `vocabSize`
+    * rows. (A bare global row_number window here would funnel every
+    * distinct token — billions at web scale — through a single task.)
     */
   def vocabulary(s: SparkSession, dir: String, vocabSize: Int = 256): DataFrame = {
     val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
     Tables.load(s, dir, "documents")
       .select(explode(toks).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(vocabSize)
       .withColumn("token_id",
         row_number().over(Window.orderBy(col("n").desc, col("token").asc))
           .cast("long"))
-      .filter(col("token_id") <= vocabSize)
       .select(col("token_id"), col("token"), col("n"))
   }
 

@@ -89,6 +89,9 @@ object SparkEntry {
     "q_shard_order" -> ((s: SparkSession, d: String) => TrainingPrep.shardOrder(s, d)),
     "q_vocab_encode" -> ((s: SparkSession, d: String) => TrainingPrep.vocabEncode(s, d)),
     "q_incr_agg" -> (TrainingPrep.weeklyRollup _),
+    // rows-only: HLL sketch estimates are engine-specific; SketchSpec
+    // asserts the estimate against the exact distinct count
+    "q_hll_rollup" -> (TrainingPrep.hllRollup _),
     // summary-table rewrite: query is written against the FACT; the
     // optimizer rule answers it from the registered pre-aggregation
     "q_mv_rewrite" -> (SummaryMv.summarize _),

@@ -118,6 +118,31 @@ object TrainingPrep {
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"))
 
+  /** Approximate-distinct rollup from persisted sketches — the
+    * non-algebraic sibling of [[weeklyRollup]]: exact COUNT(DISTINCT)
+    * does not compose across partials, but HLL sketches do. Each day
+    * keeps an `hll_sketch_agg(user_id)` binary; any coarser rollup
+    * unions the sketches (`hll_union_agg`) and estimates — raw events
+    * are never re-scanned and the partial table stays metadata-scale
+    * (days × types × ~1.5 KB sketch).
+    *
+    * At 100 TB this is how "distinct users per week/month/all-time"
+    * stays a metadata query. Rows-only entry (sketch estimates are
+    * engine-specific); SketchSpec asserts the estimate against the
+    * exact distinct count.
+    */
+  def hllRollup(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("event_date"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        count(lit(1)).as("n_events"))
+    daily
+      .groupBy(weekofyear(col("event_date")).cast("long").as("week"), col("event_type"))
+      .agg(sum(col("n_events")).as("n_events"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+      .orderBy(col("week"), col("event_type"))
+  }
+
   /** Weekly rollup computed ONLY from the daily partials — raw events
     * are never re-scanned. sum-of-counts, sum-of-sums, min-of-mins,
     * max-of-maxes; avg derived as merged-sum / merged-count at the end

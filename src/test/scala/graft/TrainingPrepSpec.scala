@@ -110,6 +110,21 @@ class TrainingPrepSpec extends SparkSpec {
     assert(viaPartials == direct)
   }
 
+  test("hllRollup: sketch-union estimate within 5% of the exact weekly distinct") {
+    val approx = TrainingPrep.hllRollup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(3)).toMap
+    val exact = Tables.load(spark, sf, "events")
+      .groupBy(weekofyear(to_date(col("ts"))).cast("long").as("week"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("u"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(approx.keySet == exact.keySet, "group sets differ")
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k)
+      assert(math.abs(ap - ex) <= math.max(1L, (0.05 * ex).toLong),
+        s"group $k: sketch $ap vs exact $ex")
+    }
+  }
+
   test("weeklyRollup: partials table is metadata-scale (days × types)") {
     val daily = TrainingPrep.dailyPartials(spark, sf)
     val nDays = Tables.load(spark, sf, "events")

@@ -56,6 +56,23 @@ class SummaryMvSpec extends SparkSpec {
     }
   }
 
+  test("rewrite is front-end-agnostic: fires through spark.sql too") {
+    // direct result computed BEFORE registration, so it truly scans
+    // the fact rather than comparing rewritten-to-rewritten
+    val direct = Tables.load(spark, sf, "lineitem")
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sq"))
+      .collect().map(_.toSeq).toSet
+    withSummary {
+      Tables.load(spark, sf, "lineitem").createOrReplaceTempView("li_mv_spec")
+      val df = spark.sql(
+        """SELECT l_linestatus, count(*) AS n, sum(l_quantity) AS sq
+          |FROM li_mv_spec GROUP BY l_linestatus""".stripMargin)
+      assert(planOf(df).contains("graft-mv"), s"SQL aggregate not rewritten:\n${planOf(df)}")
+      assert(df.collect().map(_.toSeq).toSet == direct)
+    }
+  }
+
   test("non-covered shapes fall through: uncovered column, distinct, non-dim grouping") {
     withSummary {
       // aggregate over a column the summary doesn't carry

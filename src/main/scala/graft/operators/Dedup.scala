@@ -417,10 +417,23 @@ object Dedup {
     *    against the previous round. The driver sees one Long per
     *    round, never data.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      driverEdgeCap: Long = 1L << 20): DataFrame = {
     val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val sym = e.union(e.select(col("dst"), col("src"))).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Size-gated cutover, same philosophy as a broadcast-join
+    // threshold: the verified dup-pair graph is orders smaller than
+    // the corpus, and below the cap a driver union-find replaces
+    // O(diameter) distributed rounds (each a join + agg + checkpoint +
+    // scan, ~0.3 s of fixed scheduling cost apiece) with one collect
+    // of ≤ cap edges (≤ ~32 MB). Labels are identical by construction
+    // — both compute the minimum node id per component — and the
+    // propagation path below remains the beyond-cap plan; equality of
+    // the two paths is spec-asserted.
+    if (sym.count() <= driverEdgeCap)
+      try return driverUnionFind(pairs.sparkSession, sym)
+      finally sym.unpersist()
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
@@ -450,6 +463,31 @@ object Dedup {
         "(pathological chain graph — switch to large-star/small-star)")
       labels.select(col("node").as("doc_id"), col("label").as("group_id"))
     } finally sym.unpersist()
+  }
+
+  /** Driver-side union-find over a collected (symmetric) edge list:
+    * parent[max-root] = min-root with path compression, so every
+    * node's final root is its component's MINIMUM id — exactly the
+    * fixpoint min-label propagation converges to.
+    */
+  private def driverUnionFind(s: SparkSession, sym: DataFrame): DataFrame = {
+    val edges = sym.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    // iterative find with path halving — no recursion depth to blow on
+    // a long pre-compression chain
+    def find(x0: Long): Long = {
+      var x = x0
+      parent.getOrElseUpdate(x, x)
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    import s.implicits._
+    parent.keys.toSeq.sorted.map(n => (n, find(n)))
+      .toDF("doc_id", "group_id")
   }
 
   /** Near-dup GROUPS from pairwise minhash output: connected

@@ -68,6 +68,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(cc == want, "CC labels differ from union-find ground truth")
   }
 
+  test("connectedComponents: driver cutover and distributed propagation agree") {
+    // default cap routes the small graph through the driver union-find;
+    // cap 0 forces the distributed min-label propagation — labels must
+    // be identical, including chains that only close transitively
+    import spark.implicits._
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (5L, 5L))
+      .toDF("doc_a", "doc_b")
+    val viaDriver = Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaPropagation = Dedup.connectedComponents(chain, driverEdgeCap = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == viaPropagation, "the two CC paths disagree")
+
+    val pairs = Dedup.minhashNearDups(spark, sf, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val a = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Dedup.connectedComponents(pairs, driverEdgeCap = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, "CC paths disagree on real minhash pairs")
+  }
+
   test("simhash pairwise blocking is exact: equals brute-force Hamming<=3 over signatures") {
     // blocking must be a pure optimization: the 5-chunk pairwise keys
     // may never lose a pair that brute-force XOR popcount would find

@@ -117,10 +117,14 @@ object RewriteAggregateToSummary extends Rule[LogicalPlan] {
         case c: Count if c.children.forall(_.foldable) =>
           mv.get("cnt").map(m => merged(Sum(m)))
         case Average(c: AttributeReference, _) if s.measures.contains(c.name) =>
+          // one original aggregate becomes TWO here — each needs its
+          // own fresh resultId (toAggregateExpression), because two
+          // AggregateExpressions sharing a resultId bind to one slot
+          // in the physical aggregate and the quotient reads x/x
           for (sm <- mv.get(s"sum_${c.name}"); cnt <- mv.get("cnt"))
             yield Divide(
-              Cast(merged(Sum(sm)), DoubleType),
-              Cast(merged(Sum(cnt)), DoubleType))
+              Cast(Sum(sm).toAggregateExpression(), DoubleType),
+              Cast(Sum(cnt).toAggregateExpression(), DoubleType))
         case _ => None
       }
     }

@@ -179,6 +179,37 @@ class SummaryMvSpec extends SparkSpec {
     }
   }
 
+  test("exhaustive covered shapes: every dim subset × aggregate form is exact") {
+    val aggForms: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "count" -> count(lit(1)).as("v"),
+      "sum" -> sum(col("l_quantity")).as("v"),
+      "min" -> min(col("l_quantity")).as("v"),
+      "max" -> max(col("l_quantity")).as("v"),
+      "avg" -> avg(col("l_quantity")).as("v"),
+      "nested" -> round(sum(col("l_quantity")) * 2 + 1, 1).as("v"))
+    val dimSets: Seq[Seq[String]] = Seq(
+      Seq(), Seq("l_returnflag"), Seq("l_linestatus"),
+      Seq("l_returnflag", "l_linestatus"))
+    // direct answers computed BEFORE registration
+    def run(dims: Seq[String], agg: org.apache.spark.sql.Column) = {
+      val base = Tables.load(spark, sf, "lineitem")
+      val df = if (dims.isEmpty) base.agg(agg)
+      else base.groupBy(dims.map(col): _*).agg(agg)
+      df
+    }
+    val direct = for (d <- dimSets; (n, a) <- aggForms)
+      yield (d, n) -> run(d, a).collect().map(_.toSeq).toSet
+    withSummary {
+      direct.foreach { case ((dims, name), want) =>
+        val df = run(dims, aggForms.toMap.apply(name))
+        assert(planOf(df).contains("graft-mv"),
+          s"shape (dims=$dims, agg=$name) not rewritten:\n${planOf(df)}")
+        assert(df.collect().map(_.toSeq).toSet == want,
+          s"shape (dims=$dims, agg=$name) differs from direct")
+      }
+    }
+  }
+
   test("summary table is metadata-scale") {
     withSummary {
       val mvPath = SummaryMv.ensureLineitemSummary(spark, sf)

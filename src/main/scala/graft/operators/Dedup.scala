@@ -419,7 +419,11 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
       driverEdgeCap: Long = 1L << 20): DataFrame = {
-    val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    // normalize ids to long up front: the driver path reads rows with
+    // getLong, and both paths should emit one group_id type regardless
+    // of whether the caller's ids were int or long
+    val e = pairs.select(
+      col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
     val sym = e.union(e.select(col("dst"), col("src"))).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Size-gated cutover, same philosophy as a broadcast-join

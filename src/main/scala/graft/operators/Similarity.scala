@@ -495,11 +495,21 @@ object Similarity {
     val cells2 = collectCells(lloydUpdate(assigned))
     val ivfKmeans = searchCells(
       assignCells(emb(s, dir), cells2), probeCells(q, cells2, 8), k)
-    row("knn_ivf", ivfDefault)
-      .unionByName(row("knn_ivf_kmeans", ivfKmeans))
-      .unionByName(row("knn_ivf_indexed", IvfIndex.knnIndexed(s, dir, k)))
-      .unionByName(sweep)
-      .orderBy(col("variant"))
+    // evaluate eagerly (8 tiny rows) so both persisted frames can be
+    // unpersisted HERE — a lazy return would leak two corpus-scale
+    // cache entries per call into the session block manager, one more
+    // each bench run
+    val resultRows =
+      try row("knn_ivf", ivfDefault)
+        .unionByName(row("knn_ivf_kmeans", ivfKmeans))
+        .unionByName(row("knn_ivf_indexed", IvfIndex.knnIndexed(s, dir, k)))
+        .unionByName(sweep)
+        .orderBy(col("variant"))
+        .collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      finally { cand.unpersist(); assigned.unpersist() }
+    import s.implicits._
+    resultRows.toDF("variant", "n_expected", "n_matched", "recall")
   }
 
   /** Search only the probed cells: equi-join the cell-assigned corpus

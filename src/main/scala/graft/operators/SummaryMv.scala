@@ -24,13 +24,16 @@ import graft.plans.SummaryRegistry
 object SummaryMv {
 
   /** Write the summary parquet for `fact` grouped by `dims`: `cnt`
-    * plus `sum_/min_/max_` per measure. One shuffle, metadata-sized
-    * output.
+    * plus `sum_/min_/max_/cnt_` per measure. One shuffle,
+    * metadata-sized output. `cnt_<m>` is the measure's NON-NULL count
+    * — avg(m) over a nullable measure divides by it, not by the row
+    * count, so the rewrite stays correct when measures carry NULLs.
     */
   def build(fact: DataFrame, dims: Seq[String], measures: Seq[String],
       path: String): Unit = {
     val aggs = count(lit(1)).as("cnt") +: measures.flatMap(m => Seq(
-      sum(col(m)).as(s"sum_$m"), min(col(m)).as(s"min_$m"), max(col(m)).as(s"max_$m")))
+      sum(col(m)).as(s"sum_$m"), min(col(m)).as(s"min_$m"), max(col(m)).as(s"max_$m"),
+      count(col(m)).as(s"cnt_$m")))
     fact.groupBy(dims.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .write.mode("overwrite").parquet(path)
@@ -44,8 +47,15 @@ object SummaryMv {
     * partition) and the rewrite over the refreshed summary keeps
     * serving queries unchanged.
     *
-    * Written to `path + ".next"` then swapped in, so a concurrent
-    * reader of the old summary never sees a partial write.
+    * The delta's partials are staged to `path + ".next"` and the
+    * merged rows are fully materialized on the driver BEFORE the
+    * overwrite, so the input is never read while being replaced. (The
+    * overwrite itself is delete-then-write, not an atomic rename —
+    * single-writer discipline is the caller's job, as with any parquet
+    * table.) If the summary at `path` is registered with the rewrite
+    * rule, the registration is refreshed afterwards — a registered
+    * plan pins the parquet FILE LISTING it was analyzed with, and the
+    * overwrite replaces those files.
     */
   def merge(s: SparkSession, delta: DataFrame, dims: Seq[String],
       measures: Seq[String], path: String): Unit = {
@@ -54,7 +64,8 @@ object SummaryMv {
     val mergeAggs = sum(col("cnt")).as("cnt") +: measures.flatMap(m => Seq(
       sum(col(s"sum_$m")).as(s"sum_$m"),
       min(col(s"min_$m")).as(s"min_$m"),
-      max(col(s"max_$m")).as(s"max_$m")))
+      max(col(s"max_$m")).as(s"max_$m"),
+      sum(col(s"cnt_$m")).as(s"cnt_$m")))
     val schema = s.read.parquet(path).schema
     val merged = s.read.parquet(path)
       .unionByName(s.read.parquet(stage))
@@ -68,6 +79,8 @@ object SummaryMv {
     s.createDataFrame(java.util.Arrays.asList(merged: _*), schema)
       .write.mode("overwrite").parquet(path)
     deleteRecursively(new java.io.File(stage))
+    graft.plans.SummaryRegistry.refreshByMvPath(path,
+      s.read.parquet(path).queryExecution.analyzed)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -79,7 +92,7 @@ object SummaryMv {
   def register(s: SparkSession, factPath: String, mvPath: String,
       dims: Seq[String], measures: Seq[String]): Unit =
     SummaryRegistry.register(SummaryRegistry.Summary(
-      factPath,
+      factPath, mvPath,
       s.read.parquet(mvPath).queryExecution.analyzed,
       dims.toSet, measures.toSet))
 
@@ -98,7 +111,15 @@ object SummaryMv {
     * merge-order ulps.
     */
   def ensureLineitemSummary(s: SparkSession, dir: String): String = {
-    val path = s"/tmp/graft-mv/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}/lineitem_rf_ls"
+    // cache key includes a fingerprint of the fact file (size + mtime
+    // of every part), so regenerated testdata can never be served a
+    // stale summary from a previous generation's /tmp cache
+    val factFile = new java.io.File(s"$dir/lineitem.parquet")
+    val parts = Option(factFile.listFiles()).map(_.toSeq).getOrElse(Seq(factFile))
+    val fp = java.lang.Long.toHexString(
+      parts.sortBy(_.getName).map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+        .mkString(";").hashCode.toLong & 0xffffffffL)
+    val path = s"/tmp/graft-mv/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}-$fp/lineitem_rf_ls"
     if (!new java.io.File(s"$path/_SUCCESS").exists())
       build(Tables.load(s, dir, "lineitem"),
         Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"), path)

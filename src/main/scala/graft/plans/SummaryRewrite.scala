@@ -35,17 +35,28 @@ object SummaryRegistry {
 
   /** `plan` is the ANALYZED scan of the summary parquet; `dims` the
     * grouping columns; `measures` the covered fact columns — for each
-    * measure `m` the summary has `sum_m`/`min_m`/`max_m`, plus one
-    * `cnt` row-count column.
+    * measure `m` the summary has `sum_m`/`min_m`/`max_m`/`cnt_m`
+    * (non-null count, the avg denominator), plus one `cnt` row-count
+    * column.
     */
   final case class Summary(
-      factPath: String, plan: LogicalPlan,
+      factPath: String, mvPath: String, plan: LogicalPlan,
       dims: Set[String], measures: Set[String])
 
   private val reg = new ConcurrentHashMap[String, Summary]()
 
   def register(s: Summary): Unit = reg.put(normalize(s.factPath), s)
   def clear(): Unit = reg.clear()
+
+  /** Swap in a freshly analyzed plan for every summary stored at
+    * `mvPath` — a registered plan pins the parquet file listing it was
+    * analyzed with, so a refresh (merge/rebuild) that replaces the
+    * summary's files must re-register or covered queries would read
+    * deleted files.
+    */
+  def refreshByMvPath(mvPath: String, fresh: LogicalPlan): Unit =
+    reg.replaceAll((_, s) =>
+      if (normalize(s.mvPath) == normalize(mvPath)) s.copy(plan = fresh) else s)
 
   def lookup(rootPaths: Seq[String]): Option[Summary] =
     rootPaths.map(normalize) match {
@@ -115,16 +126,20 @@ object RewriteAggregateToSummary extends Rule[LogicalPlan] {
         case Max(c: AttributeReference) if s.measures.contains(c.name) =>
           mv.get(s"max_${c.name}").map(m => merged(Max(m)))
         case c: Count if c.children.forall(_.foldable) =>
-          mv.get("cnt").map(m => merged(Sum(m)))
+          // coalesce to 0: Sum over a zero-row summary (empty fact,
+          // global aggregate) is NULL where count(*) must be 0
+          mv.get("cnt").map(m => Coalesce(Seq(merged(Sum(m)), Literal(0L))))
         case Average(c: AttributeReference, _) if s.measures.contains(c.name) =>
-          // one original aggregate becomes TWO here — each needs its
-          // own fresh resultId (toAggregateExpression), because two
-          // AggregateExpressions sharing a resultId bind to one slot
-          // in the physical aggregate and the quotient reads x/x
-          for (sm <- mv.get(s"sum_${c.name}"); cnt <- mv.get("cnt"))
+          // denominator is the measure's NON-NULL count (cnt_m), not
+          // the row count — avg ignores NULLs. One original aggregate
+          // becomes TWO here — each needs its own fresh resultId
+          // (toAggregateExpression), because two AggregateExpressions
+          // sharing a resultId bind to one slot in the physical
+          // aggregate and the quotient reads x/x
+          for (sm <- mv.get(s"sum_${c.name}"); cm <- mv.get(s"cnt_${c.name}"))
             yield Divide(
               Cast(Sum(sm).toAggregateExpression(), DoubleType),
-              Cast(Sum(cnt).toAggregateExpression(), DoubleType))
+              Cast(Sum(cm).toAggregateExpression(), DoubleType))
         case _ => None
       }
     }

@@ -31,9 +31,23 @@ class SummaryMvSpec extends SparkSpec {
   }
 
   test("rewritten results equal the direct fact aggregation exactly") {
-    val direct = SummaryMv.summarize(spark, sf).collect().map(_.toSeq)
+    // the direct baseline restates summarize()'s aggregate WITHOUT
+    // calling it — summarize registers the summary before collecting,
+    // so using it for the baseline would compare rewritten-to-rewritten
+    SummaryRegistry.clear()
+    val direct = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_returnflag") =!= "X")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).as("sum_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        avg(col("l_quantity")).as("avg_qty"))
+      .orderBy(col("l_returnflag")).collect().map(_.toSeq)
     val rewritten = withSummary {
-      SummaryMv.summarize(spark, sf).collect().map(_.toSeq)
+      val df = SummaryMv.summarize(spark, sf)
+      assert(planOf(df).contains("graft-mv"), "summarize not served from the summary")
+      df.collect().map(_.toSeq)
     }
     // BIT-exact across every column: the summary registers only
     // exact-under-merge measures (integer-valued quantities), which is
@@ -208,6 +222,64 @@ class SummaryMvSpec extends SparkSpec {
           s"shape (dims=$dims, agg=$name) differs from direct")
       }
     }
+  }
+
+  test("avg over a nullable measure divides by the non-null count") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-null").toString
+    val factPath = s"$dir/fact.parquet"
+    Seq(("A", Some(2.0)), ("A", None), ("B", Some(6.0)), ("B", Some(2.0)))
+      .toDF("d", "x").write.parquet(factPath)
+    val fact = spark.read.parquet(factPath)
+    val direct = fact.groupBy(col("d")).agg(avg(col("x")).as("a"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(direct("A") == 2.0 && direct("B") == 4.0)
+    SummaryMv.build(fact, Seq("d"), Seq("x"), s"$dir/sum")
+    SummaryMv.register(spark, factPath, s"$dir/sum", Seq("d"), Seq("x"))
+    try {
+      val df = spark.read.parquet(factPath).groupBy(col("d")).agg(avg(col("x")).as("a"))
+      assert(planOf(df).contains(s"$dir/sum"), "nullable-measure avg not rewritten")
+      val got = df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got == direct, s"avg over nullable measure wrong: $got vs $direct")
+    } finally SummaryRegistry.clear()
+  }
+
+  test("count over an empty fact rewrites to 0, not NULL") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-empty").toString
+    val factPath = s"$dir/fact.parquet"
+    Seq.empty[(String, Double)].toDF("d", "x").write.parquet(factPath)
+    val fact = spark.read.parquet(factPath)
+    SummaryMv.build(fact, Seq("d"), Seq("x"), s"$dir/sum")
+    SummaryMv.register(spark, factPath, s"$dir/sum", Seq("d"), Seq("x"))
+    try {
+      val df = spark.read.parquet(factPath).agg(count(lit(1)).as("n"))
+      assert(planOf(df).contains(s"$dir/sum"), "empty-fact count not rewritten")
+      val row = df.collect().head
+      assert(!row.isNullAt(0) && row.getLong(0) == 0L,
+        s"count over empty fact: ${row.get(0)} (must be 0, not NULL)")
+    } finally SummaryRegistry.clear()
+  }
+
+  test("merge refreshes a live registration (no stale file listing)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-refresh").toString
+    val factPath = s"$dir/fact.parquet"
+    Seq(("A", 1.0), ("B", 2.0)).toDF("d", "x").write.parquet(factPath)
+    SummaryMv.build(spark.read.parquet(factPath), Seq("d"), Seq("x"), s"$dir/sum")
+    SummaryMv.register(spark, factPath, s"$dir/sum", Seq("d"), Seq("x"))
+    try {
+      // ingest a delta into BOTH the fact and (via merge) the summary
+      val delta = Seq(("A", 3.0)).toDF("d", "x")
+      delta.write.mode("append").parquet(factPath)
+      SummaryMv.merge(spark, delta, Seq("d"), Seq("x"), s"$dir/sum")
+      // the registered plan must now read the REPLACED summary files
+      val df = spark.read.parquet(factPath).groupBy(col("d"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      assert(planOf(df).contains(s"$dir/sum"), "post-merge query not rewritten")
+      val got = df.collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+      assert(got == Map("A" -> (4.0, 2L), "B" -> (2.0, 1L)), s"stale summary served: $got")
+    } finally SummaryRegistry.clear()
   }
 
   test("summary table is metadata-scale") {

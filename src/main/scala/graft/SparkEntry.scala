@@ -102,6 +102,10 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhashNearDups(s, d)),
     "q_dedup_ngram" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardDups(s, d)),
     "q_dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDups(s, d, 0.4)),
+    // persisted-index variant: same exact result (100% recall holds
+    // for any frozen centroid set), training/pruning paid once
+    "q_dedup_embedding_indexed" -> ((s: SparkSession, d: String) =>
+      Dedup.embeddingNearDupsIndexed(s, d, 0.4)),
     // similarity search
     "q_knn_brute" -> ((s: SparkSession, d: String) => Similarity.knnBruteForce(s, d)),
     // int8 scalar quantization + exact rerank: result is exact (same
@@ -917,6 +921,14 @@ object SparkEntry {
         |SELECT doc_a, doc_b, jaccard FROM scored
         |WHERE jaccard >= 0.3 ORDER BY 1, 2""".stripMargin,
     "q_dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        | floor(list_cosine_similarity(a.emb, b.emb) * 10000 + 0.5) / 10000 AS cos
+        |FROM e a, e b
+        |WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.emb, b.emb) >= 0.4
+        |ORDER BY 1, 2""".stripMargin,
+    // indexed variant is exact by construction — same oracle
+    "q_dedup_embedding_indexed" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         | floor(list_cosine_similarity(a.emb, b.emb) * 10000 + 0.5) / 10000 AS cos

@@ -303,18 +303,27 @@ object Dedup {
     */
   private[graft] def embeddingNearDupsOn(corpus: DataFrame, threshold: Double,
       kmeansIters: Int = 3): DataFrame = {
-    import graft.functions.VectorFunctions.arrayDot
     graft.functions.VectorFunctions.register(corpus.sparkSession)
     val p = cellPrune(corpus, threshold, kmeansIters)
-    val a = p.assigned.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
+    verifyCellPairs(p.assigned, p.keep, threshold)
+  }
+
+  /** The candidate-join + exact-verify tail, over any (assigned, keep)
+    * pair — fresh from [[cellPrune]] or read back from a persisted
+    * index ([[embeddingNearDupsIndexed]]).
+    */
+  private[graft] def verifyCellPairs(assigned: DataFrame, keep: DataFrame,
+      threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions.arrayDot
+    val a = assigned.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
       col("nrm").as("nrm_a"), col("cent_id").as("ca_id"))
-    val b = p.assigned.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"),
+    val b = assigned.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"),
       col("nrm").as("nrm_b"), col("cent_id").as("cb_id"))
 
     // each unordered vector pair surfaces exactly once: `keep` holds
     // BOTH orientations of every surviving cell pair (pruning is
     // symmetric), and vec_a < vec_b picks the one matching orientation
-    a.join(broadcast(p.keep), Seq("ca_id"))
+    a.join(broadcast(keep), Seq("ca_id"))
       .join(b, col("partner_cell") === col("cb_id") && col("vec_a") < col("vec_b"))
       .withColumn("cos_raw",
         arrayDot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
@@ -322,6 +331,38 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"),
         graft.functions.Rounding.portableRound4(col("cos_raw")).as("cos"))
       .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Build-once persisted near-dup index: the cell assignment and the
+    * surviving cell-pair list for a (corpus, threshold) are written
+    * under /tmp (keyed by corpus path + file fingerprint + threshold)
+    * on first use; queries read them back and run ONLY the candidate
+    * equi-join + exact verify — the centroid training, radius
+    * aggregation, and C² cell-pair pruning are paid once.
+    *
+    * Output is row-identical to [[embeddingNearDups]] no matter which
+    * centroid set the index froze: the triangle-inequality bound
+    * guarantees 100% recall for ANY centroids, and verification is
+    * exact cosine — centroid quality affects candidate volume (cost),
+    * never the result. Asserted in DedupSimilaritySpec.
+    */
+  def embeddingNearDupsIndexed(s: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    val parts = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq(src))
+    val fp = java.lang.Long.toHexString(
+      parts.sortBy(_.getName).map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+        .mkString(";").hashCode.toLong & 0xffffffffL)
+    val path = s"/tmp/graft-neardup/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}" +
+      s"-$fp-t${math.round(threshold * 1000)}"
+    if (!new java.io.File(s"$path/assigned/_SUCCESS").exists()) {
+      val p = cellPrune(Similarity.emb(s, dir), threshold)
+      p.assigned.write.mode("overwrite").parquet(s"$path/assigned")
+      p.keep.write.mode("overwrite").parquet(s"$path/keep")
+    }
+    verifyCellPairs(
+      s.read.parquet(s"$path/assigned"), s.read.parquet(s"$path/keep"), threshold)
   }
 
   private[graft] def cellPrune(corpus: DataFrame, threshold: Double,

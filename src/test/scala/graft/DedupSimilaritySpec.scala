@@ -210,6 +210,22 @@ class DedupSimilaritySpec extends SparkSpec {
       s"missed=${exact.diff(got).size} extra=${got.diff(exact).size} of ${exact.size}")
   }
 
+  test("indexed near-dup equals the ad-hoc variant row-for-row") {
+    // exactness never depends on which centroid set the index froze —
+    // the triangle bound guarantees 100% recall for any centroids and
+    // verification is exact cosine, so the persisted-index path must
+    // reproduce the ad-hoc result exactly (build once, query twice to
+    // also cover the cache-hit path)
+    val adhoc = Dedup.embeddingNearDups(spark, sf, 0.4)
+      .collect().map(_.toSeq).toSeq
+    val idx1 = Dedup.embeddingNearDupsIndexed(spark, sf, 0.4)
+      .collect().map(_.toSeq).toSeq
+    val idx2 = Dedup.embeddingNearDupsIndexed(spark, sf, 0.4)
+      .collect().map(_.toSeq).toSeq
+    assert(idx1 == adhoc, "indexed result differs from ad-hoc")
+    assert(idx2 == adhoc, "cache-hit indexed result differs")
+  }
+
   test("embeddingNearDups output independent of shuffle partitioning") {
     // kmeansIters=1 (one coverage round instead of three): invariance
     // is a property of the JOIN/AGG pipeline, not of how refined the

@@ -852,7 +852,7 @@ object SparkEntry {
         |  unnest(range(least(len(ts), 12))) AS pos
         | FROM toks WHERE len(ts) > 0)
         |SELECT ex.doc_id, ex.n_tokens,
-        | list(coalesce(v.token_id, 0) ORDER BY ex.pos) AS token_ids
+        | string_agg(CAST(coalesce(v.token_id, 0) AS VARCHAR), ' ' ORDER BY ex.pos) AS token_ids
         |FROM ex LEFT JOIN vocab v ON ex.tok = v.token
         |GROUP BY ex.doc_id, ex.n_tokens
         |ORDER BY ex.doc_id""".stripMargin,

@@ -23,6 +23,12 @@ import graft.plans.SummaryRegistry
   */
 object SummaryMv {
 
+  /** (factPath#measure) pairs whose exactness-under-merge check has
+    * already passed this session — registration is idempotent and
+    * ensure-style callers re-register per query. */
+  private val verifiedExact =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Write the summary parquet for `fact` grouped by `dims`: `cnt`
     * plus `sum_/min_/max_/cnt_` per measure. One shuffle,
     * metadata-sized output. `cnt_<m>` is the measure's NON-NULL count
@@ -88,13 +94,48 @@ object SummaryMv {
     f.delete()
   }
 
-  /** Register an existing summary so the optimizer rule can use it. */
+  /** Register an existing summary so the optimizer rule can use it.
+    *
+    * Registration is session-wide: EVERY later covered aggregate is
+    * silently served from partials, which reorders floating-point
+    * addition. That redirect is only invisible when each measure's
+    * sums are exact under any merge order — true iff every value is an
+    * integer-valued double within ±2^53 (or an integral type). By
+    * default this is VERIFIED with one pushdown-friendly scan of the
+    * fact per floating-point measure and registration refuses on the
+    * first violating value; pass `allowInexact = true` to skip the
+    * check when every consumer tolerates merge-order ulps (the usual
+    * production posture — but never behind a bit-exact oracle gate).
+    */
   def register(s: SparkSession, factPath: String, mvPath: String,
-      dims: Seq[String], measures: Seq[String]): Unit =
+      dims: Seq[String], measures: Seq[String],
+      allowInexact: Boolean = false): Unit = {
+    // re-registration of the same (fact, measure) is free: the check
+    // is memoized so ensure-style callers don't re-scan per query
+    if (!allowInexact) {
+      val fact = s.read.parquet(factPath)
+      val floatMeasures = measures.filter(m => fact.schema(m).dataType match {
+        case org.apache.spark.sql.types.DoubleType
+           | org.apache.spark.sql.types.FloatType => true
+        case _ => false
+      }).filterNot(m => verifiedExact.contains(s"$factPath#$m"))
+      floatMeasures.foreach { m =>
+        val bad = fact
+          .filter(col(m) =!= round(col(m)) || abs(col(m)) > lit(9007199254740992.0))
+          .limit(1).collect()
+        require(bad.isEmpty,
+          s"summary measure '$m' has non-integer-valued (or >2^53) values " +
+            s"(e.g. ${bad.head.getAs[Any](m)}): its partial-merged sums would " +
+            "drift from direct aggregation by summation-order ulps. Pass " +
+            "allowInexact = true to register anyway.")
+        verifiedExact.add(s"$factPath#$m")
+      }
+    }
     SummaryRegistry.register(SummaryRegistry.Summary(
       factPath, mvPath,
       s.read.parquet(mvPath).queryExecution.analyzed,
       dims.toSet, measures.toSet))
+  }
 
   /** Build-once path for the standard lineitem summary keyed by
     * (l_returnflag, l_linestatus), covering `l_quantity` ONLY.

@@ -99,9 +99,12 @@ object TrainingPrep {
       .join(broadcast(vocab.select(col("token"), col("token_id"))),
         col("col") === col("token"), "left")
       .groupBy(col("doc_id"), col("n_tokens"))
-      .agg(transform(
+      // token_ids is emitted as a space-joined STRING, not array<long>:
+      // every gate-visible output column must be scalar so any harness
+      // (pandas sort_values, hash-of-values) can canonicalize rows.
+      .agg(concat_ws(" ", transform(
         array_sort(collect_list(struct(col("pos"), coalesce(col("token_id"), lit(0L)).as("id")))),
-        e => e.getField("id")).as("token_ids"))
+        e => e.getField("id").cast("string"))).as("token_ids"))
       .select(col("doc_id"), col("n_tokens"), col("token_ids"))
       .orderBy(col("doc_id"))
   }

@@ -145,14 +145,20 @@ object RewriteAggregateToSummary extends Rule[LogicalPlan] {
     }
 
     // all-or-nothing expression rewrite: aggregates merge, dim attrs
-    // remap, any other attribute reference disqualifies the whole plan
+    // remap, any other attribute reference disqualifies the whole plan.
+    // Non-deterministic expressions (rand(), spark_partition_id(),
+    // input_file_name()) also disqualify: they are attribute-free, so
+    // the generic case would pass them through — but a `rand() < 0.5`
+    // filter evaluated per summary GROUP is not the per-fact-ROW
+    // sample the query asked for.
     def rw(e: Expression): Option[Expression] = e match {
       case ae: AggregateExpression => mergeAgg(ae)
       case a: AttributeReference => dimAttr(a)
-      case other =>
+      case other if other.deterministic =>
         val ch = other.children.map(rw)
         if (ch.forall(_.isDefined)) Some(other.withNewChildren(ch.map(_.get)))
         else None
+      case _ => None
     }
 
     val newGroupings: Option[Seq[Expression]] =

@@ -282,6 +282,52 @@ class SummaryMvSpec extends SparkSpec {
     } finally SummaryRegistry.clear()
   }
 
+  test("non-deterministic expressions disqualify the rewrite") {
+    withSummary {
+      // rand() is attribute-free, so without a determinism guard the
+      // generic rewrite case would pass it through — and a sampling
+      // predicate evaluated per summary GROUP is not the per-fact-ROW
+      // sample the query asked for
+      val sampled = Tables.load(spark, sf, "lineitem")
+        .filter(rand(42) < 0.5)
+        .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")))
+      assert(!planOf(sampled).contains("graft-mv"), "non-deterministic filter rewritten")
+      // same for a non-deterministic expression inside the aggregate list
+      val aggSide = Tables.load(spark, sf, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg((sum(col("l_quantity")) + rand(7) * 0).as("v"))
+      assert(!planOf(aggSide).contains("graft-mv"), "non-deterministic agg expr rewritten")
+      // determinism guard must not over-reject: the covered shape still fires
+      val covered = Tables.load(spark, sf, "lineitem")
+        .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")))
+      assert(planOf(covered).contains("graft-mv"), "covered shape no longer rewritten")
+    }
+  }
+
+  test("registry refuses float measures whose sums are not exact under merge") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-float").toString
+    val factPath = s"$dir/fact.parquet"
+    Seq(("A", 1.25), ("A", 2.5), ("B", 3.0)).toDF("d", "x").write.parquet(factPath)
+    val fact = spark.read.parquet(factPath)
+    SummaryMv.build(fact, Seq("d"), Seq("x"), s"$dir/sum")
+    // fractional values → partial-merged sums can drift by
+    // summation-order ulps → default registration must refuse
+    val e = intercept[IllegalArgumentException] {
+      SummaryMv.register(spark, factPath, s"$dir/sum", Seq("d"), Seq("x"))
+    }
+    assert(e.getMessage.contains("allowInexact"))
+    // the refusal left no registration behind: the gate (hash-compared
+    // queries over this fact) is untouched
+    val probe = fact.groupBy(col("d")).agg(sum(col("x")))
+    assert(!planOf(probe).contains(s"$dir/sum"))
+    // explicit opt-in registers and rewrites (production posture)
+    SummaryMv.register(spark, factPath, s"$dir/sum", Seq("d"), Seq("x"),
+      allowInexact = true)
+    try assert(planOf(fact.groupBy(col("d")).agg(sum(col("x")))).contains(s"$dir/sum"))
+    finally SummaryRegistry.clear()
+  }
+
   test("summary table is metadata-scale") {
     withSummary {
       val mvPath = SummaryMv.ensureLineitemSummary(spark, sf)

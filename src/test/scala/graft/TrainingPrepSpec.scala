@@ -65,24 +65,27 @@ class TrainingPrepSpec extends SparkSpec {
     val docs = Tables.load(spark, sf, "documents")
       .select(col("doc_id"), col("text")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // token_ids is a space-joined string (gate outputs are scalar-only)
+    def ids(r: org.apache.spark.sql.Row): Seq[Long] =
+      r.getString(2).split(" ").filter(_.nonEmpty).map(_.toLong).toSeq
     val res = TrainingPrep.vocabEncode(spark, sf).collect()
     assert(res.nonEmpty)
     res.take(50).foreach { r =>
       val toks = docs(r.getLong(0)).toLowerCase.split("\\s+")
         .filter(_.nonEmpty).take(12)
       val want = toks.map(t => vocab.getOrElse(t, 0L)).toSeq
-      assert(r.getSeq[Long](2) == want, s"doc ${r.getLong(0)} ids mismatch")
+      assert(ids(r) == want, s"doc ${r.getLong(0)} ids mismatch")
     }
     // the sf0.001 doc heads fit inside a 256-word vocab, so force the
     // OOV path with a deliberately tiny vocabulary
     val tiny = TrainingPrep.vocabEncode(spark, sf, vocabSize = 8).collect()
-    assert(tiny.exists(_.getSeq[Long](2).contains(0L)), "no OOV exercised")
+    assert(tiny.exists(ids(_).contains(0L)), "no OOV exercised")
     val tinyVocab = TrainingPrep.vocabulary(spark, sf, 8)
       .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
     tiny.take(20).foreach { r =>
       val toks = docs(r.getLong(0)).toLowerCase.split("\\s+")
         .filter(_.nonEmpty).take(12)
-      assert(r.getSeq[Long](2) == toks.map(t => tinyVocab.getOrElse(t, 0L)).toSeq)
+      assert(ids(r) == toks.map(t => tinyVocab.getOrElse(t, 0L)).toSeq)
     }
   }
 

@@ -1,0 +1,70 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Shared discipline for build-once /tmp artifact caches (summary
+  * tables, near-dup indexes, IVF indexes): content fingerprints,
+  * whole-artifact completion markers, and crash/concurrency-safe
+  * publication.
+  *
+  * Three failure modes this closes:
+  *  - STALE: a regenerated source with preserved sizes/mtimes — or a
+  *    32-bit String.hashCode collision across many cached variants —
+  *    serving an index built from different data. The fingerprint is
+  *    a 128-bit MD5 of the (name, length, mtime) listing.
+  *  - PARTIAL: a crash between two artifact writes leaving a dir whose
+  *    first write's `_SUCCESS` passes while a sibling is missing.
+  *    [[ensure]] writes ONE `_GRAFT_DONE` marker after the whole build.
+  *  - CONCURRENT: two gate runs building the same cache path at once,
+  *    each reading the other's half-written files. Builds go to a
+  *    per-JVM temp dir and publish by atomic rename; the loser of the
+  *    race discards its build and serves the winner's.
+  */
+private[graft] object ArtifactCache {
+
+  /** pid@host — distinct for concurrent JVMs on one machine. */
+  val runToken: String = java.lang.management.ManagementFactory
+    .getRuntimeMXBean.getName.replaceAll("[^A-Za-z0-9]+", "_")
+
+  /** 128-bit content-change fingerprint of a file or directory: MD5
+    * over the sorted (name, length, mtime) part listing. */
+  def fingerprint(src: java.io.File): String = {
+    val parts = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq(src))
+    val listing = parts.sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString(";")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(listing.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  def isDone(path: String): Boolean = new java.io.File(s"$path/_GRAFT_DONE").exists()
+
+  /** Run `build` into a temp sibling of `path` unless a completed
+    * artifact is already published there; mark done, then publish by
+    * atomic rename. Returns `path` with a complete artifact in place.
+    * The leading-underscore marker name keeps Spark's parquet reader
+    * from treating it as data (same convention as `_SUCCESS`).
+    */
+  def ensure(path: String)(build: String => Unit): String = {
+    if (!isDone(path)) {
+      val tmp = s"$path.build-$runToken"
+      deleteRecursively(new java.io.File(tmp))
+      build(tmp)
+      Files.createDirectories(Paths.get(tmp)) // a no-op build still publishes
+      Files.write(Paths.get(s"$tmp/_GRAFT_DONE"), Array.emptyByteArray)
+      Files.createDirectories(Paths.get(path).getParent)
+      try Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case e: java.nio.file.FileSystemException =>
+          // another run published first: serve theirs, drop ours —
+          // anything else (move genuinely failed, no artifact) rethrows
+          if (isDone(path)) deleteRecursively(new java.io.File(tmp)) else throw e
+      }
+    }
+    path
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+}

@@ -349,17 +349,16 @@ object Dedup {
   def embeddingNearDupsIndexed(s: SparkSession, dir: String,
       threshold: Double): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    val src = new java.io.File(s"$dir/embeddings.parquet")
-    val parts = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq(src))
-    val fp = java.lang.Long.toHexString(
-      parts.sortBy(_.getName).map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-        .mkString(";").hashCode.toLong & 0xffffffffL)
-    val path = s"/tmp/graft-neardup/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}" +
-      s"-$fp-t${math.round(threshold * 1000)}"
-    if (!new java.io.File(s"$path/assigned/_SUCCESS").exists()) {
+    val fp = ArtifactCache.fingerprint(new java.io.File(s"$dir/embeddings.parquet"))
+    // the _GRAFT_DONE marker is written only after BOTH writes land:
+    // assigned/_SUCCESS alone can't vouch for keep/, and a partial keep
+    // read would silently drop surviving cell pairs (recall loss)
+    val path = ArtifactCache.ensure(
+      s"/tmp/graft-neardup/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}" +
+        s"-$fp-t${math.round(threshold * 1000)}") { tmp =>
       val p = cellPrune(Similarity.emb(s, dir), threshold)
-      p.assigned.write.mode("overwrite").parquet(s"$path/assigned")
-      p.keep.write.mode("overwrite").parquet(s"$path/keep")
+      p.assigned.write.mode("overwrite").parquet(s"$tmp/assigned")
+      p.keep.write.mode("overwrite").parquet(s"$tmp/keep")
     }
     verifyCellPairs(
       s.read.parquet(s"$path/assigned"), s.read.parquet(s"$path/keep"), threshold)
@@ -504,10 +503,98 @@ object Dedup {
         prevSum = s
         iter += 1
       }
-      require(converged, s"label propagation did not converge in $maxIter rounds " +
-        "(pathological chain graph — switch to large-star/small-star)")
-      labels.select(col("node").as("doc_id"), col("label").as("group_id"))
+      if (converged)
+        labels.select(col("node").as("doc_id"), col("label").as("group_id"))
+      else {
+        // chain-shaped graph: plain propagation needs O(diameter)
+        // rounds, so after maxIter hand the edges to the O(log n)
+        // star-contraction scheme instead of crashing — same labels
+        // (component minimum), spec-asserted on a constructed chain
+        labels.unpersist()
+        starContract(sym)
+      }
     } finally sym.unpersist()
+  }
+
+  /** Alternating large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond"): converges in
+    * O(log n) rounds on ANY graph shape, including the long chains
+    * plain min-label propagation handles poorly. Each component
+    * contracts to a star centered at its minimum id; labels read off
+    * the final star edges. The fallback path for [[connectedComponents]]
+    * — kept out of the common case because near-dup graphs are
+    * near-cliques where one or two propagation rounds win.
+    *
+    * large-star: every node points its LARGER neighbors at the minimum
+    * of its neighborhood (including itself); small-star: every node
+    * points its smaller-or-equal neighbors (and itself) at that
+    * minimum. Both preserve connectivity; alternating them strictly
+    * contracts until every component is a star. Same iteration
+    * disciplines as the plain loop: localCheckpoint per round, and a
+    * one-row checksum (count + hash sum) to the driver for the
+    * fixpoint test — never data.
+    */
+  private[graft] def starContract(sym: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val s = sym.sparkSession
+    // canonical undirected edge list, a < b, no self-loops
+    var edges = sym.filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b")).distinct()
+      .localCheckpoint(true)
+
+    def checksum(e: DataFrame): (Long, Long) = {
+      // per-edge hashes bounded to 2^31 before the sum so ANSI mode
+      // can't overflow the Long accumulator (would take ~4e9 edges)
+      val r = e.agg(count(lit(1)),
+        sum(pmod(xxhash64(col("a"), col("b")), lit(2147483647L)))).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    def symmetrize(e: DataFrame): DataFrame =
+      e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+
+    var prev = checksum(edges)
+    var converged = prev._1 == 0L
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // large-star: (u, v>u) → (m(u), v) with m(u) = min(N(u) ∪ {u});
+      // m(u) ≤ u < v keeps the canonical orientation for free
+      val symL = symmetrize(edges)
+      val mL = symL.groupBy(col("u")).agg(min(col("v")).as("minv"))
+        .select(col("u"), least(col("minv"), col("u")).as("m"))
+      val large = symL.join(mL, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint(true)
+      edges.unpersist()
+      // small-star: for u with any smaller neighbor, m = min(N(u)<u);
+      // attach u and every such neighbor to m
+      val small = symmetrize(large).filter(col("v") < col("u"))
+      val mS = small.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = small.join(mS, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .union(mS.select(col("m").as("a"), col("u").as("b")))
+        .distinct()
+        .localCheckpoint(true)
+      large.unpersist()
+      val cur = checksum(next)
+      edges = next
+      converged = cur == prev
+      prev = cur
+      round += 1
+    }
+    require(converged, s"star contraction did not converge in $maxRounds rounds")
+    // fixpoint: every component is a star (m, v) centered at its min.
+    // Isolated-by-contraction can't happen (connectivity preserved),
+    // but min-agg over both orientations is robust regardless.
+    val nodes = sym.select(col("src").as("node")).distinct()
+    val lbl = edges.select(col("b").as("node"), col("a").as("label"))
+      .union(edges.select(col("a").as("node"), col("a").as("label")))
+      .groupBy(col("node")).agg(min(col("label")).as("label"))
+    nodes.join(lbl, Seq("node"), "left")
+      .select(col("node").as("doc_id"),
+        coalesce(col("label"), col("node")).as("group_id"))
   }
 
   /** Driver-side union-find over a collected (symmetric) edge list:

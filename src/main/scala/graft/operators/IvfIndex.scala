@@ -96,9 +96,14 @@ object IvfIndex {
     */
   def knnIndexed(s: SparkSession, dir: String, k: Int = 5,
       nprobe: Int = 8): DataFrame = {
-    val path = s"/tmp/graft-ivf/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}"
-    if (!new java.io.File(s"$path/centroids/_SUCCESS").exists())
-      build(s, dir, path)
+    // fingerprinted + done-marked like every /tmp artifact cache: a
+    // regenerated corpus must never be probed through a stale index,
+    // and centroids/_SUCCESS alone can't vouch for assigned/
+    val fp = ArtifactCache.fingerprint(new java.io.File(s"$dir/embeddings.parquet"))
+    val path = ArtifactCache.ensure(
+      s"/tmp/graft-ivf/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}-$fp") {
+      tmp => build(s, dir, tmp)
+    }
     val q = Similarity.emb(s, dir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
         col("nrm").as("q_nrm"))

@@ -94,6 +94,33 @@ object SummaryMv {
     f.delete()
   }
 
+  /** Recompute the summary at `path` as a pure function of the staged
+    * per-batch partials under `partialsRoot` (hive-layout
+    * `batch=<id>/` subdirs, each written by [[build]]). Because the
+    * output depends ONLY on the partials set — never on the summary's
+    * previous content — re-running it for a replayed batch, or over a
+    * path holding a leftover summary from an earlier run, cannot
+    * double-count. Cost ∝ batches × groups: metadata-scale, no fact
+    * re-scan. Refreshes any live rewrite-rule registration at `path`.
+    */
+  def rebuildFromPartials(s: SparkSession, partialsRoot: String,
+      dims: Seq[String], measures: Seq[String], path: String): Unit = {
+    val mergeAggs = sum(col("cnt")).as("cnt") +: measures.flatMap(m => Seq(
+      sum(col(s"sum_$m")).as(s"sum_$m"),
+      min(col(s"min_$m")).as(s"min_$m"),
+      max(col(s"max_$m")).as(s"max_$m"),
+      sum(col(s"cnt_$m")).as(s"cnt_$m")))
+    val cols = dims ++ ("cnt" +: measures.flatMap(m =>
+      Seq(s"sum_$m", s"min_$m", s"max_$m", s"cnt_$m")))
+    s.read.parquet(partialsRoot)
+      .groupBy(dims.map(col): _*)
+      .agg(mergeAggs.head, mergeAggs.tail: _*)
+      .select(cols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+    graft.plans.SummaryRegistry.refreshByMvPath(path,
+      s.read.parquet(path).queryExecution.analyzed)
+  }
+
   /** Register an existing summary so the optimizer rule can use it.
     *
     * Registration is session-wide: EVERY later covered aggregate is
@@ -152,18 +179,16 @@ object SummaryMv {
     * merge-order ulps.
     */
   def ensureLineitemSummary(s: SparkSession, dir: String): String = {
-    // cache key includes a fingerprint of the fact file (size + mtime
-    // of every part), so regenerated testdata can never be served a
-    // stale summary from a previous generation's /tmp cache
-    val factFile = new java.io.File(s"$dir/lineitem.parquet")
-    val parts = Option(factFile.listFiles()).map(_.toSeq).getOrElse(Seq(factFile))
-    val fp = java.lang.Long.toHexString(
-      parts.sortBy(_.getName).map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-        .mkString(";").hashCode.toLong & 0xffffffffL)
-    val path = s"/tmp/graft-mv/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}-$fp/lineitem_rf_ls"
-    if (!new java.io.File(s"$path/_SUCCESS").exists())
-      build(Tables.load(s, dir, "lineitem"),
-        Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"), path)
+    // cache key includes a 128-bit fingerprint of the fact file's part
+    // listing, so regenerated testdata (or a 32-bit hash collision
+    // across cached variants) can never be served a stale summary from
+    // a previous generation's /tmp cache
+    val fp = ArtifactCache.fingerprint(new java.io.File(s"$dir/lineitem.parquet"))
+    val path = ArtifactCache.ensure(
+      s"/tmp/graft-mv/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}-$fp/lineitem_rf_ls") {
+      tmp => build(Tables.load(s, dir, "lineitem"),
+        Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"), tmp)
+    }
     register(s, s"$dir/lineitem.parquet", path,
       Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"))
     path

@@ -88,7 +88,12 @@ object Upsert {
     val orders = graft.Tables.load(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"))
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft-upsert-orders"
+    // per-JVM working path: this is a MUTABLE table (materialize +
+    // in-place merge), so two concurrent gate runs sharing one path
+    // would corrupt each other's merge — unlike the fingerprint-keyed
+    // immutable caches, it must not be shared across processes
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-upsert-orders-" +
+      ArtifactCache.runToken
     materialize(orders, "o_orderkey", path)
 
     val updates = orders.filter(col("o_orderkey") % 97 === 0)

@@ -54,8 +54,12 @@ object EventStream {
     import java.nio.file.{Files, Paths}
     val src = Paths.get(path)
     if (Files.isDirectory(src)) return path
+    // keyed by a 128-bit digest of the full path: a 32-bit hashCode
+    // collision would land two different sources' symlinks in one dir
+    // and the stream would silently read both
     val d = Paths.get(sys.props("java.io.tmpdir"),
-      "graft-stream-" + math.abs(path.hashCode).toString)
+      "graft-stream-" + java.security.MessageDigest.getInstance("MD5")
+        .digest(path.getBytes("UTF-8")).map("%02x".format(_)).mkString)
     Files.createDirectories(d)
     val link = d.resolve(src.getFileName)
     if (!Files.exists(link)) Files.createSymbolicLink(link, src)
@@ -354,32 +358,55 @@ object EventStream {
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), col("c_mktsegment").as("segment"))
 
-  /** Streaming summary maintenance: `foreachBatch` folds every
-    * micro-batch of fact rows into the persisted summary —
-    * [[graft.operators.SummaryMv.build]] on first sight,
-    * [[graft.operators.SummaryMv.merge]] (cost ∝ batch) after — so the
-    * summary-table rewrite rule serves always-fresh aggregates while
-    * ingest runs. This is the streaming leg of the aggregation-
-    * maintenance story: raw history is never re-scanned; each batch
-    * pays only its own aggregation plus a metadata-scale merge.
+  /** Streaming summary maintenance: `foreachBatch` stages each
+    * micro-batch's algebraic partials under a per-run staging dir
+    * keyed by batch id ([[graft.operators.SummaryMv.build]], cost ∝
+    * batch), then recomputes the summary at `path` as a pure function
+    * of the staged partials
+    * ([[graft.operators.SummaryMv.rebuildFromPartials]], cost ∝
+    * batches × groups — metadata-scale). The summary-table rewrite
+    * rule serves always-fresh aggregates while ingest runs, and raw
+    * history is never re-scanned.
     *
-    * Exactly-once caveat (documented, standard for foreachBatch
-    * sinks): a batch replayed after a crash between merge and
-    * checkpoint commit would double-count; production would stage
-    * per-batch-id partials and merge idempotently by id.
+    * Exactly-once by construction, not by luck:
+    *  - a batch REPLAYED after a crash between merge and checkpoint
+    *    commit finds its `batch=<id>/_SUCCESS` already staged, skips
+    *    the write, and the rebuild reproduces the identical summary —
+    *    no double count (merge-into-current-state, the previous
+    *    design, double-counted here);
+    *  - a LEFTOVER summary at `path` from an earlier run is simply
+    *    overwritten by the rebuild — it is never an input;
+    *  - the staging dir is keyed by the stream's checkpoint location
+    *    (digest) when given, else a fresh per-start token — so a fresh
+    *    stream pointed at an old path can't silently absorb another
+    *    run's staged batches, while a checkpoint-resumed stream finds
+    *    exactly its own.
+    *
+    * Unbounded runs should periodically compact the staging dir (merge
+    * partials into one batch dir); it grows one metadata-scale file
+    * set per micro-batch.
     */
   def maintainSummary(facts: DataFrame, dims: Seq[String],
-      measures: Seq[String], path: String): StreamingQuery =
-    facts.writeStream
+      measures: Seq[String], path: String,
+      checkpointLocation: Option[String] = None): StreamingQuery = {
+    val runKey = checkpointLocation match {
+      case Some(c) => java.security.MessageDigest.getInstance("MD5")
+        .digest(c.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      case None => java.util.UUID.randomUUID().toString.replace("-", "")
+    }
+    val staging = s"$path.batches-$runKey"
+    val writer = facts.writeStream
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!new java.io.File(s"$path/_SUCCESS").exists())
-          graft.operators.SummaryMv.build(batch, dims, measures, path)
-        else
-          graft.operators.SummaryMv.merge(
-            batch.sparkSession, batch, dims, measures, path)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bdir = s"$staging/batch=$batchId"
+        if (!new java.io.File(s"$bdir/_SUCCESS").exists())
+          graft.operators.SummaryMv.build(batch, dims, measures, bdir)
+        graft.operators.SummaryMv.rebuildFromPartials(
+          batch.sparkSession, staging, dims, measures, path)
       }
+    checkpointLocation.fold(writer)(c => writer.option("checkpointLocation", c))
       .start()
+  }
 
   /** Run a streaming DataFrame to completion against the bounded
     * source and return the materialized result from a memory sink.

@@ -90,6 +90,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(a == b, "CC paths disagree on real minhash pairs")
   }
 
+  test("connectedComponents: long chain exhausts plain propagation, star-contraction fallback closes it") {
+    import spark.implicits._
+    // a 200-node chain has diameter 199: min-label propagation moves
+    // the min one hop per round, so maxIter=3 can NOT converge and the
+    // O(log n) large-star/small-star fallback must take over (the old
+    // behavior was a require() crash). driverEdgeCap=0 keeps the graph
+    // off the driver union-find shortcut.
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(chain, maxIter = 3, driverEdgeCap = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 200 && got.values.forall(_ == 0L),
+      s"chain not fused to component 0: ${got.toSeq.sortBy(_._1).take(10)}")
+
+    // star contraction alone (no plain rounds) on a mixed shape:
+    // two chains + a clique + an isolated pair, vs driver union-find
+    val mixed = ((100L until 149L).map(i => (i, i + 1)) ++
+      (200L until 220L).flatMap(i => (i + 1 to 220L).map(j => (i, j))) ++
+      Seq((7L, 3L), (500L, 501L))).toDF("doc_a", "doc_b")
+    val viaStar = Dedup.starContract(
+      mixed.select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
+        .union(mixed.select(col("doc_b").cast("long").as("src"), col("doc_a").cast("long").as("dst"))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDriver = Dedup.connectedComponents(mixed)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStar == viaDriver, "star contraction disagrees with union-find")
+  }
+
   test("simhash pairwise blocking is exact: equals brute-force Hamming<=3 over signatures") {
     // blocking must be a pure optimization: the 5-chunk pairwise keys
     // may never lose a pair that brute-force XOR popcount would find

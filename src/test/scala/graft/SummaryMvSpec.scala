@@ -168,13 +168,29 @@ class SummaryMvSpec extends SparkSpec {
     Tables.load(spark, sf, "events")
       .select(col("event_type"), col("value"))
       .repartition(4).write.mode("overwrite").parquet(staged)
-    val path = java.nio.file.Files.createTempDirectory("graft-mv-stream").toString + "/sum"
+    val parent = java.nio.file.Files.createTempDirectory("graft-mv-stream").toString
+    val path = s"$parent/sum"
+    // plant a LEFTOVER summary at the output path: the maintenance
+    // loop must overwrite it from its own staged partials, never merge
+    // into it (the double-count failure mode of merge-into-state)
+    SummaryMv.build(
+      Tables.load(spark, sf, "events").select(col("event_type"), col("value")).limit(50),
+      dims, measures, path)
     val src = spark.readStream
       .schema("event_type STRING, value DOUBLE")
       .option("maxFilesPerTrigger", 1)
       .parquet(staged)
     val q = graft.streaming.EventStream.maintainSummary(src, dims, measures, path)
     try q.processAllAvailable() finally q.stop()
+    // replay simulation: re-running the rebuild over the same staged
+    // partials (what a replayed batch does after its skip) must leave
+    // the summary byte-identical
+    val staging = new java.io.File(parent).listFiles()
+      .map(_.toString).filter(_.contains("sum.batches-")).head
+    val before = spark.read.parquet(path).orderBy(col("event_type")).collect().toSeq
+    SummaryMv.rebuildFromPartials(spark, staging, dims, measures, path)
+    assert(spark.read.parquet(path).orderBy(col("event_type")).collect().toSeq == before,
+      "rebuild over unchanged partials must be idempotent")
     val streamed = spark.read.parquet(path)
     val full = java.nio.file.Files.createTempDirectory("graft-mv-stream-full").toString
     SummaryMv.build(

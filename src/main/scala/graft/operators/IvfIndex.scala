@@ -51,7 +51,7 @@ object IvfIndex {
     * side is a partition-pruned scan of the probed cells.
     */
   def knn(s: SparkSession, path: String, queries: DataFrame,
-      k: Int = 5, nprobe: Int = 8): DataFrame = {
+      k: Int = 5, nprobe: Int = 16): DataFrame = {
     VectorFunctions.register(s)
     val cells = Similarity.collectCells(s.read.parquet(s"$path/centroids"))
     val probes = Similarity.probeCells(queries, cells, nprobe)
@@ -95,7 +95,7 @@ object IvfIndex {
     * same Lloyd step, same probe policy (asserted in IvfIndexSpec).
     */
   def knnIndexed(s: SparkSession, dir: String, k: Int = 5,
-      nprobe: Int = 8): DataFrame = {
+      nprobe: Int = 16): DataFrame = {
     // fingerprinted + done-marked like every /tmp artifact cache: a
     // regenerated corpus must never be probed through a stale index,
     // and centroids/_SUCCESS alone can't vouch for assigned/

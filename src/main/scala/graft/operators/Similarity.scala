@@ -356,13 +356,18 @@ object Similarity {
     * result is asserted in DedupSimilaritySpec, and [[annRecall]]
     * publishes the full recall-vs-nprobe curve as data.
     *
-    * `nprobe` is THE recall/cost knob and defaults to 8: on the weakly
-    * clustered testdata (nearest-neighbor cosine ≈ 0.4 against a mean
-    * pairwise of 0) the measured curve is 0.14/0.26/0.38/0.60/0.84
-    * recall at nprobe 1/2/4/8/16 — true neighbors spread across cells,
-    * so a 4-cell probe leaves 60% of them unread, while 8 cells buys
-    * 0.6 recall for candidate volume ∝ n·nprobe/C (at the 4096-cell
-    * cap that is 0.2% of a 10⁹-vector corpus).
+    * `nprobe` is THE recall/cost knob and defaults to 16: on the
+    * weakly clustered testdata (nearest-neighbor cosine ≈ 0.4 against
+    * a mean pairwise of 0) the measured curve (RECALL.json) is
+    * 0.14/0.20/0.42/0.60/0.80 recall at nprobe 1/2/4/8/16 — true
+    * neighbors spread across cells, so a narrow probe silently drops
+    * a large share of them, and a default should not hand back 40%
+    * missing neighbors. The cost of the wider default is linear and
+    * modest: candidate volume ∝ n·nprobe/C, so 16 cells at the
+    * 4096-cell cap reads 0.4% of a 10⁹-vector corpus per query.
+    * Strongly clustered corpora (where each query's neighbors
+    * concentrate in one cell) can drop to 4–8; tune against a recall
+    * probe like [[annRecall]] on a sample before narrowing.
     *
     * The probe step scores queries×C by exploding the literal centroid
     * array per query row (a generator, not a join — tiny: 10×C); the
@@ -371,7 +376,7 @@ object Similarity {
     * and the per-query top-k window runs over the probed candidates
     * only).
     */
-  def knnIvf(s: SparkSession, dir: String, k: Int = 5, nprobe: Int = 8,
+  def knnIvf(s: SparkSession, dir: String, k: Int = 5, nprobe: Int = 16,
       kmeansIters: Int = 1, maxCells: Int = 4096): DataFrame = {
     val (assigned, cells) = ivfParts(s, dir, kmeansIters, maxCells)
     val q = emb(s, dir).filter(col("vec_id") < 10)
@@ -489,12 +494,12 @@ object Similarity {
     }.reduce(_.unionByName(_))
     // same grid + probe policy as knnIvf's defaults — identical by
     // construction, no second train+assign
-    val ivfDefault = topkAt(8)
+    val ivfDefault = topkAt(16)
     // the 2-iteration k-means grid extends the shared one: its second
     // Lloyd step recenters over the ALREADY-PERSISTED assignment
     val cells2 = collectCells(lloydUpdate(assigned))
     val ivfKmeans = searchCells(
-      assignCells(emb(s, dir), cells2), probeCells(q, cells2, 8), k)
+      assignCells(emb(s, dir), cells2), probeCells(q, cells2, 16), k)
     // evaluate eagerly (8 tiny rows) so both persisted frames can be
     // unpersisted HERE — a lazy return would leak two corpus-scale
     // cache entries per call into the session block manager, one more

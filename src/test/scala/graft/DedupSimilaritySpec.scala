@@ -320,16 +320,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(empty.collect()(0).isNullAt(0))
   }
 
-  test("knnIvf achieves >=50% recall vs brute force at defaults (√n cells, nprobe=8)") {
+  test("knnIvf achieves >=70% recall vs brute force at defaults (√n cells, nprobe=16)") {
+    // the default path must not silently drop a large share of true
+    // neighbors: nprobe=16 measures 0.80 recall on the weakly
+    // clustered sf0.1 corpus (RECALL.json curve); the floor here is
+    // 0.70 to absorb seed sensitivity at sf0.001
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val brute = pairs(Similarity.knnBruteForce(spark, sf))
     val ivf = pairs(Similarity.knnIvf(spark, sf))
     val recall = brute.intersect(ivf).size.toDouble / brute.size
-    assert(recall >= 0.5, s"IVF recall $recall")
+    assert(recall >= 0.7, s"IVF recall $recall")
     // Lloyd refinement tightens cells and must not hurt recall
     val km = pairs(Similarity.knnIvf(spark, sf, kmeansIters = 2))
     val kmRecall = brute.intersect(km).size.toDouble / brute.size
-    assert(kmRecall >= 0.5, s"IVF+kmeans recall $kmRecall")
+    assert(kmRecall >= 0.7, s"IVF+kmeans recall $kmRecall")
   }
 }

@@ -92,6 +92,7 @@ object SparkEntry {
     // rows-only: HLL sketch estimates are engine-specific; SketchSpec
     // asserts the estimate against the exact distinct count
     "q_hll_rollup" -> (TrainingPrep.hllRollup _),
+    "q_hll_rollup_exact" -> (TrainingPrep.hllRollupExact _),
     // summary-table rewrite: query is written against the FACT; the
     // optimizer rule answers it from the registered pre-aggregation
     "q_mv_rewrite" -> (SummaryMv.summarize _),
@@ -856,6 +857,13 @@ object SparkEntry {
         |FROM ex LEFT JOIN vocab v ON ex.tok = v.token
         |GROUP BY ex.doc_id, ex.n_tokens
         |ORDER BY ex.doc_id""".stripMargin,
+    // exact companion of the (rows-only) sketch rollup: hash-verified
+    // weekly distinct counts the estimate can be judged against
+    "q_hll_rollup_exact" ->
+      """SELECT CAST(weekofyear(CAST(ts AS DATE)) AS BIGINT) AS week, event_type,
+        | count(*) AS n_events,
+        | count(DISTINCT user_id) AS exact_users
+        |FROM events GROUP BY 1, 2 ORDER BY week, event_type""".stripMargin,
     // oracle recomputes the weekly stats DIRECTLY from raw events; the
     // engine answers from daily algebraic partials — equality proves
     // the partial-merge (rollup maintenance) is exact

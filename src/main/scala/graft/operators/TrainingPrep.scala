@@ -146,6 +146,23 @@ object TrainingPrep {
       .orderBy(col("week"), col("event_type"))
   }
 
+  /** The exact companion of [[hllRollup]]: weekly distinct users
+    * computed directly from raw events with COUNT(DISTINCT). Not the
+    * scale path (exact distinct doesn't compose from partials — that
+    * is the entire reason the sketch rollup exists) but it IS
+    * SQL-expressible, so it gets a full DuckDB oracle row. Shipping
+    * both makes the sketch's ≤5% error bound gate-visible data: the
+    * estimate (`q_hll_rollup`, rows-only by necessity) can be checked
+    * against this hash-verified exact row for every (week, type)
+    * group, instead of living only inside a spec assertion.
+    */
+  def hllRollupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy(weekofyear(to_date(col("ts"))).cast("long").as("week"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy(col("week"), col("event_type"))
+
   /** Weekly rollup computed ONLY from the daily partials — raw events
     * are never re-scanned. sum-of-counts, sum-of-sums, min-of-mins,
     * max-of-maxes; avg derived as merged-sum / merged-count at the end

@@ -36,6 +36,11 @@ import org.apache.spark.sql.SparkSession
   * Spread retry: a query whose steady-state min/max spread exceeds 2x
   * gets up to [[Bench.MaxExtraRuns]] extra runs (median over all of
   * them); queries still spread after retries land in `spread_flagged`.
+  * Steal gate: an attempt whose window steal exceeds
+  * [[Bench.StealLimitPct]] is discarded and re-measured (up to
+  * [[Bench.MaxAttempts]]); if every attempt is contaminated the
+  * artifact publishes `steal_contaminated: true` with a NULL total —
+  * a 77.8%-steal run (r9) must never lock a round as comparable.
   */
 object Bench {
 
@@ -121,14 +126,27 @@ object Bench {
   private def jsonArr(xs: Seq[Double]): String =
     xs.map(x => f"$x%.3f").mkString("[", ",", "]")
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // genuinely pre-work: sampled before the 32-thread session exists,
-    // so session startup load can't pollute the dirty-window signal
+  /** One full measurement pass over q0 + every query, with its own
+    * load/steal window. */
+  private final case class Attempt(
+      results: Seq[(String, Seq[Double])], failed: Seq[String],
+      loadBefore: Option[Seq[Double]], loadStarted: Option[Seq[Double]],
+      loadAfter: Option[Seq[Double]], stealPct: Option[Double])
+
+  /** Steal above this share of non-idle CPU over the bench window makes
+    * wall times incomparable (r9 shipped a 77.8%-steal artifact whose
+    * 63 common queries slowed 1.7×–6.3× uniformly); such an attempt is
+    * discarded and re-run, and a final still-contaminated attempt is
+    * published with `steal_contaminated: true` and a NULL total so it
+    * can never lock a round as comparable evidence.
+    */
+  private val StealLimitPct = 5.0
+  private val MaxAttempts = 3
+  private val RetryPauseMs = 90000L
+
+  private def measure(spark: SparkSession, sfDir: String): Attempt = {
     val loadBefore = loadavg()
     val jiffiesBefore = cpuJiffies()
-    val cores = Runtime.getRuntime.availableProcessors()
-    val spark = GraftSession.local(appName = "graft-bench")
     val loadStarted = loadavg()
 
     // a failed query is flagged explicitly and the headline total is
@@ -182,6 +200,33 @@ object Bench {
       (b1, s1, _) <- cpuJiffies()
       if b1 - b0 + s1 - s0 > 0
     } yield 100.0 * (s1 - s0) / ((b1 - b0) + (s1 - s0)).toDouble
+    Attempt(results, failed.toSeq, loadBefore, loadStarted, loadAfter, stealPct)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cores = Runtime.getRuntime.availableProcessors()
+    val spark = GraftSession.local(appName = "graft-bench")
+
+    // steal gate: a host-throttled window is an environmental failure
+    // of the ARTIFACT, not the code — discard and re-measure instead of
+    // committing numbers that are uniformly 2-3× inflated
+    var att = measure(spark, sfDir)
+    var attempts = 1
+    while (att.stealPct.exists(_ > StealLimitPct) && attempts < MaxAttempts) {
+      System.err.println(f"[bench] attempt $attempts contaminated: " +
+        f"cpu steal ${att.stealPct.get}%.1f%% > $StealLimitPct%.1f%% — " +
+        "discarding run and retrying after a pause")
+      Thread.sleep(RetryPauseMs)
+      att = measure(spark, sfDir)
+      attempts += 1
+    }
+    val stealContaminated = att.stealPct.exists(_ > StealLimitPct)
+    if (stealContaminated)
+      System.err.println(f"[bench] all $attempts attempts steal-contaminated " +
+        f"(last ${att.stealPct.get}%.1f%%): publishing with null total")
+    val Attempt(results, failedSeq, loadBefore, loadStarted, loadAfter, stealPct) = att
+    val failed = failedSeq
 
     val medians = results.map { case (k, ts) => k -> median(ts) }
     val qs = medians.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
@@ -192,7 +237,7 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val spreadJson = spreadFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")
     val totalJson =
-      if (failed.nonEmpty) "null"
+      if (failed.nonEmpty || stealContaminated) "null"
       else f"${medians.map(_._2).sum}%.3f"
     def loadJson(l: Option[Seq[Double]]): String = l.map(jsonArr).getOrElse("null")
     val contended = loadBefore.exists(_.head > cores / 4.0)
@@ -200,7 +245,7 @@ object Bench {
     // `failed`/`spread_flagged` repeat here so the sidecar alone is
     // self-describing about coverage: `runs` omitting a query could
     // otherwise mean either "removed from suite" or "failed this run"
-    val evidence = s"""{"evidence":"graft-bench","runs":$runsJson,"failed":$failedJson,"spread_flagged":$spreadJson,"loadavg_before":${loadJson(loadBefore)},"loadavg_started":${loadJson(loadStarted)},"loadavg_after":${loadJson(loadAfter)},"cpu_steal_pct":$stealJson,"cores":$cores,"sf":"$sfDir"}"""
+    val evidence = s"""{"evidence":"graft-bench","runs":$runsJson,"failed":$failedJson,"spread_flagged":$spreadJson,"loadavg_before":${loadJson(loadBefore)},"loadavg_started":${loadJson(loadStarted)},"loadavg_after":${loadJson(loadAfter)},"cpu_steal_pct":$stealJson,"steal_contaminated":$stealContaminated,"attempts":$attempts,"cores":$cores,"sf":"$sfDir"}"""
     // sidecar survives even if both stdout lines are clipped
     try {
       java.nio.file.Files.write(
@@ -213,7 +258,7 @@ object Bench {
     // the driver contract line: compact and LAST so a stdout-tail
     // capture of any reasonable size keeps it whole (r6 lost the
     // headline to a single oversized line — never again)
-    println(s"""{"metric":"total","value":$totalJson,"unit":"sec","timing":"median_of_runs","queries":$qs,"spread_flagged":$spreadJson,"failed":$failedJson,"contended_start":$contended,"cpu_steal_pct":$stealJson,"cores":$cores,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$totalJson,"unit":"sec","timing":"median_of_runs","queries":$qs,"spread_flagged":$spreadJson,"failed":$failedJson,"contended_start":$contended,"cpu_steal_pct":$stealJson,"steal_contaminated":$stealContaminated,"attempts":$attempts,"cores":$cores,"sf":"$sfDir"}""")
     spark.stop()
     // a partially-failed bench must not look green to exit-code
     // automation (r8: 13 failed queries rode out under rc 0)

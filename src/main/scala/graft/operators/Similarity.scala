@@ -517,6 +517,55 @@ object Similarity {
     resultRows.toDF("variant", "n_expected", "n_matched", "recall")
   }
 
+  /** Measured nprobe auto-selection: train the grid once, compute the
+    * exact top-k for the sample query set, and sweep probe widths over
+    * ONE widest-probe candidate join (probe sets nest, so width w is a
+    * `p_rnk <= w` filter); return the smallest width whose sample
+    * recall meets `targetRecall`, or `widths.max` if none does.
+    *
+    * This ties the knob to the CORPUS, not to a doc comment: on a
+    * clustered corpus (neighbors concentrated in few cells) it returns
+    * a narrow probe; on a diffuse one it widens until the target
+    * holds. Recall is monotone in width by construction, so the first
+    * satisfying width is the cheapest.
+    *
+    * Cost: one exact pass for the sample ground truth plus the
+    * candidate join — the offline tuning pass a deployment runs once
+    * per corpus/index generation, not per query. Driver traffic is
+    * sample × k ids per width (bounded model state).
+    */
+  def recommendNprobe(s: SparkSession, dir: String, k: Int = 5,
+      targetRecall: Double = 0.8,
+      widths: Seq[Int] = Seq(1, 2, 4, 8, 16, 32)): Int = {
+    require(widths.nonEmpty && widths == widths.sorted, "widths must be ascending")
+    val brute = knnBruteForce(s, dir, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (brute.isEmpty) return widths.head
+    val (assigned0, cells) = ivfParts(s, dir)
+    val assigned = assigned0.persist()
+    val q = emb(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val cand = assigned
+      .join(broadcast(probeCellsRanked(q, cells, widths.max)), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", graft.functions.Rounding.portableRound4(
+        VectorFunctions.arrayDot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm"))))
+      .persist()
+    try {
+      widths.find { w =>
+        val got = cand.filter(col("p_rnk") <= w)
+          .withColumn("rnk", row_number().over(wRank))
+          .filter(col("rnk") <= k)
+          .select(col("query_id"), col("vec_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        brute.intersect(got).size.toDouble / brute.size >= targetRecall
+      }.getOrElse(widths.max)
+    } finally { cand.unpersist(); assigned.unpersist() }
+  }
+
   /** Search only the probed cells: equi-join the cell-assigned corpus
     * to the broadcast probe set on `cent_id`, score with the codegen
     * dot, keep top-k per query.

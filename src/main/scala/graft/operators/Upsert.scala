@@ -51,10 +51,15 @@ object Upsert {
                    key: String, buckets: Int = 64): Unit = {
     val hasOp = changes.columns.contains(OpCol)
     val ch = (if (hasOp) changes else changes.withColumn(OpCol, lit("U")))
-    require(ch.groupBy(col(key)).count().filter(col("count") > 1).isEmpty,
-      s"changes must carry one row per $key (last-writer-wins must be resolved upstream)")
+    // checkpoint FIRST, validate against the checkpointed frame: the
+    // duplicate-key check then scans the materialized batch instead of
+    // re-evaluating the caller's whole change plan a second time
     val chB = bucketed(ch, key, buckets).localCheckpoint(true)
-    try applyBucketed(spark, path, chB, key) finally chB.unpersist()
+    try {
+      require(chB.groupBy(col(key)).count().filter(col("count") > 1).isEmpty,
+        s"changes must carry one row per $key (last-writer-wins must be resolved upstream)")
+      applyBucketed(spark, path, chB, key)
+    } finally chB.unpersist()
   }
 
   private def applyBucketed(spark: SparkSession, path: String,

@@ -117,6 +117,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(viaStar == viaDriver, "star contraction disagrees with union-find")
   }
 
+  test("starContract equals union-find on seeded random graphs across densities") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234567)
+    // three densities over 80 nodes: sparse (many small components +
+    // isolated chains), moderate, and dense (few big components) — the
+    // shapes where a star-contraction bug would express differently
+    Seq(0.01, 0.05, 0.2).foreach { p =>
+      val n = 80
+      val es = for {
+        i <- 0L until n; j <- (i + 1) until n
+        if rnd.nextDouble() < p
+      } yield (i, j)
+      val pairs = es.toDF("doc_a", "doc_b")
+      val sym = pairs.select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
+        .union(pairs.select(col("doc_b").cast("long").as("src"), col("doc_a").cast("long").as("dst")))
+      val viaStar = Dedup.starContract(sym)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaDriver = Dedup.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaStar == viaDriver, s"star contraction diverged at density $p")
+    }
+  }
+
   test("simhash pairwise blocking is exact: equals brute-force Hamming<=3 over signatures") {
     // blocking must be a pure optimization: the 5-chunk pairwise keys
     // may never lose a pair that brute-force XOR popcount would find
@@ -318,6 +341,22 @@ class DedupSimilaritySpec extends SparkSpec {
       .select(nearestCell(col("emb"),
         typedLit(Seq.empty[Seq[Double]]), typedLit(Seq.empty[Double])).as("cell"))
     assert(empty.collect()(0).isNullAt(0))
+  }
+
+  test("recommendNprobe: chosen width meets the target on a fresh measurement, wider targets never narrower") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val brute = pairs(Similarity.knnBruteForce(spark, sf))
+    val loose = Similarity.recommendNprobe(spark, sf, targetRecall = 0.3)
+    val tight = Similarity.recommendNprobe(spark, sf, targetRecall = 0.8)
+    assert(loose <= tight, s"monotonicity violated: $loose > $tight")
+    // the recommendation must hold up on an independent end-to-end run
+    // (same seeds → same grid), unless it hit the sweep ceiling
+    val got = pairs(Similarity.knnIvf(spark, sf, nprobe = tight))
+    val recall = brute.intersect(got).size.toDouble / brute.size
+    assert(recall >= 0.8 || tight == 32, s"recommended nprobe=$tight measured $recall")
+    // a trivial target is satisfied by the narrowest width
+    assert(Similarity.recommendNprobe(spark, sf, targetRecall = 0.0) == 1)
   }
 
   test("knnIvf achieves >=70% recall vs brute force at defaults (√n cells, nprobe=16)") {

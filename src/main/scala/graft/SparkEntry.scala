@@ -195,6 +195,13 @@ object SparkEntry {
     "q_zorder_prune" -> (Layout.zOrderPruneReport _),
     "q_compaction_plan" -> ((s: SparkSession, d: String) => Layout.compactionPlan(s, d)),
     "q_profile" -> ((s: SparkSession, d: String) => Profile.profileDocuments(s, d)),
+    // data-selection scoring: exact unigram-LM surprisal (perplexity
+    // proxy) and DSIR-style hashed-bucket importance weights
+    "q_surprisal" -> ((s: SparkSession, d: String) => Selection.surprisal(s, d)),
+    "q_dsir_weights" -> ((s: SparkSession, d: String) => Selection.dsirWeights(s, d)),
+    // SemDeDup-style keep/drop decision layer over the exact cosine
+    // near-dup pair graph (greedy min-id canonicalization)
+    "q_semantic_keep" -> ((s: SparkSession, d: String) => Selection.semanticKeep(s, d)),
   )
 
   /** Shared DuckDB CTE: whitespace-tokenize documents, strip
@@ -1285,6 +1292,50 @@ object SparkEntry {
         | CAST(epoch_ms(lead(from_ts) OVER (PARTITION BY user_id
         |   ORDER BY from_ts, run_id)) AS BIGINT) AS valid_to
         |FROM iv ORDER BY user_id, run_id""".stripMargin,
+    // data-selection scoring — same lowercased-whitespace token stream
+    // as the vocabulary/encode family (empties dropped, no alpha strip)
+    "q_surprisal" ->
+      """WITH raw AS (
+        | SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        | FROM documents),
+        | t AS (SELECT doc_id, tok FROM raw WHERE len(tok) > 0),
+        | tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+        | c AS (SELECT tok, count(*) AS n FROM t GROUP BY 1),
+        | tot AS (SELECT count(*) AS total FROM t)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        | floor(sum(tf * -ln(CAST(n AS DOUBLE) / total)) / sum(tf) * 10000 + 0.5)
+        |   / 10000 AS surprisal
+        |FROM tf JOIN c USING (tok) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dsir_weights" ->
+      """WITH raw AS (
+        | SELECT doc_id, lang, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        | FROM documents),
+        | t AS (SELECT doc_id, lang, substr(md5(tok), 1, 2) AS b FROM raw WHERE len(tok) > 0),
+        | r AS (SELECT b, count(*) AS cr FROM t GROUP BY 1),
+        | g AS (SELECT b, count(*) AS ct FROM t WHERE lang = 'en' GROUP BY 1),
+        | tots AS (SELECT (SELECT sum(cr) FROM r) AS tot_r, (SELECT sum(ct) FROM g) AS tot_t),
+        | w AS (
+        | SELECT r.b,
+        |  ln(CAST(coalesce(g.ct, 0) + 1 AS DOUBLE) / (tot_t + 256))
+        |   - ln(CAST(r.cr + 1 AS DOUBLE) / (tot_r + 256)) AS w
+        | FROM r LEFT JOIN g ON r.b = g.b CROSS JOIN tots)
+        |SELECT doc_id, lang, count(*) AS n_tokens,
+        | floor(sum(w) * 10000 + 0.5) / 10000 AS log_weight
+        |FROM t JOIN w USING (b)
+        |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
+    // keep/drop over the exact cosine pair graph: same all-pairs
+    // oracle as q_dedup_embedding, reduced to the min-lower-neighbor
+    "q_semantic_keep" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        | p AS (
+        | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM e a, e b
+        | WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.emb, b.emb) >= 0.4),
+        | d AS (SELECT vec_b AS vec_id, min(vec_a) AS dup_min FROM p GROUP BY 1)
+        |SELECT e.vec_id,
+        | CAST(CASE WHEN d.dup_min IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
+        | coalesce(d.dup_min, -1) AS dup_of
+        |FROM e LEFT JOIN d ON e.vec_id = d.vec_id ORDER BY 1""".stripMargin,
   )
 
   /** DuckDB CTE chain mirroring `Layout.spreadBits`/`zValue` bit for

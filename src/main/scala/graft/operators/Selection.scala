@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Rounding.portableRound4
+
+/** Data-selection operators for training-corpus curation: statistical
+  * document scoring against corpus-level language models.
+  *
+  * Two complementary shapes:
+  *  - [[surprisal]]: exact unigram-LM scoring — the perplexity proxy a
+  *    curation pipeline uses for difficulty binning / outlier triage.
+  *    Exact over the corpus's own token distribution, so the model
+  *    side is a token-keyed aggregate (|vocab| rows).
+  *  - [[dsirWeights]]: hashed-bucket importance weights in the style
+  *    of Data Selection with Importance Resampling (DSIR, Xie et al.
+  *    2023, arXiv:2302.03169): score each document by the
+  *    log-likelihood ratio of a TARGET distribution vs the RAW corpus
+  *    distribution over hashed token buckets. Hashing bounds the model
+  *    at a FIXED size (here 256 buckets; 2^20 at production scale)
+  *    regardless of vocabulary growth — this is the scale path when
+  *    the exact vocab no longer broadcasts.
+  *
+  * Both scoring passes are groupBy-partial-aggregate + one bounded
+  * join; the corpus is scanned, never self-joined.
+  */
+object Selection {
+
+  private def tokens(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), explode(toks).as("tok"))
+  }
+
+  /** Mean unigram surprisal per document: -mean(ln p(token)) where p
+    * is the corpus's own unigram distribution. High = rare-token-heavy
+    * (specialist or noisy text), low = stopword-heavy boilerplate.
+    *
+    * Scale shape: the model is `counts` (one row per distinct token —
+    * the same aggregate [[TrainingPrep.vocabulary]] builds) joined to
+    * the per-doc-per-token tf table. Both sides of that join are
+    * DISTINCT-token-keyed (tf ≤ docs × distinct-per-doc, counts =
+    * |vocab|), so the shuffle moves the aggregated tables, never raw
+    * token occurrences; Spark broadcasts `counts` when it fits (it
+    * does at any vocab that fits an executor), and the stopword skew
+    * on the token key is bounded because tf has at most one row per
+    * (doc, token). When the vocabulary itself stops fitting anywhere,
+    * [[dsirWeights]]'s fixed-width hashed model is the answer.
+    */
+  def surprisal(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(s, dir)
+    val tf = t.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val counts = t.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    // one-row total → broadcast cross join (same pattern as q_tfidf)
+    val total = counts.agg(sum(col("n")).as("total"))
+    tf.join(counts, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        portableRound4(
+          sum(col("tf") * -log(col("n").cast("double") / col("total")))
+            / sum(col("tf"))).as("surprisal"))
+      .select(col("doc_id"), col("n_tokens"), col("surprisal"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DSIR-style hashed importance weights: per document, the summed
+    * log-ratio ln(p_target(b) / p_raw(b)) over its tokens' hash
+    * buckets, add-one smoothed. Target distribution here: English
+    * documents (`lang = 'en'`) — "reweight the raw crawl toward the
+    * target domain".
+    *
+    * The bucket key is the first two hex chars of md5(token) — an
+    * engine-portable 256-way hash (Spark and DuckDB both md5 the
+    * UTF-8 bytes), the same trick the train/val/test split uses for
+    * portable assignment. Production sizing uses more hex chars
+    * (3 → 4096, 5 → 2^20 buckets); the shape is identical.
+    *
+    * Scale shape: two 256-row aggregates (map-side partials collapse
+    * each scan partition to ≤256 rows) merged into one 256-row weight
+    * table, broadcast back over the token stream, then one groupBy
+    * (doc_id) with partial aggregation. The model size is FIXED — no
+    * vocabulary growth, no skew (buckets are md5-uniform), no corpus
+    * shuffle beyond the per-doc rollup.
+    */
+  def dsirWeights(s: SparkSession, dir: String, targetLang: String = "en"): DataFrame = {
+    val t = tokens(s, dir).withColumn("b", substring(md5(col("tok")), 1, 2))
+    val raw = t.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tgt = t.filter(col("lang") === targetLang)
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val totals = raw.agg(sum(col("cr")).as("tot_r")).crossJoin(
+      tgt.agg(sum(col("ct")).as("tot_t")))
+    // buckets absent from the target get the smoothing floor (ct=0)
+    val weights = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((coalesce(col("ct"), lit(0L)) + lit(1)).cast("double")
+            / (col("tot_t") + lit(256)).cast("double"))
+          - log((col("cr") + lit(1)).cast("double")
+            / (col("tot_r") + lit(256)).cast("double"))).as("w"))
+    t.join(broadcast(weights), "b")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        portableRound4(sum(col("w"))).as("log_weight"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("log_weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** SemDeDup-style semantic prune (Abbas et al. 2023,
+    * arXiv:2303.09540): from the exact cosine near-dup pair graph at
+    * `threshold`, keep each vector unless a LOWER-id vector sits
+    * within the threshold; dropped vectors report the minimum such
+    * lower-id neighbor as `dup_of` (-1 for kept — output stays
+    * all-scalar BIGINT). This is the keep/drop DECISION layer over
+    * [[Dedup.embeddingNearDups]]'s pair detection: greedy min-id
+    * canonicalization, the same rule the exact-hash canonical map
+    * uses, so chains (a~b~c, a!~c) drop every non-minimal member.
+    *
+    * Scale shape: pair detection is the cell-pruned exact join (no
+    * all-pairs); the decision layer adds one aggregate over the PAIR
+    * list (|pairs| rows, not |corpus|²) and a left join back to the
+    * id column of the corpus.
+    */
+  def semanticKeep(s: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    val pairs = Dedup.embeddingNearDups(s, dir, threshold)
+    val dupOf = pairs.groupBy(col("vec_b").as("vec_id"))
+      .agg(min(col("vec_a")).as("dup_min"))
+    Similarity.emb(s, dir).select(col("vec_id"))
+      .join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("dup_min").isNull, lit(1L)).otherwise(lit(0L)).as("kept"),
+        coalesce(col("dup_min"), lit(-1L)).as("dup_of"))
+      .orderBy(col("vec_id"))
+  }
+}

@@ -53,7 +53,14 @@ object Selection {
     val t = tokens(s, dir)
     val tf = t.groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
-    val counts = t.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    // counts and total both DERIVE from the tf aggregate rather than
+    // re-reading the token stream: all three branches then share one
+    // identical scan→Generate→Exchange(doc_id,tok) subtree, which
+    // Spark's ReuseExchange collapses — the corpus is tokenized and
+    // shuffled ONCE (plan-spec'd in SelectionSpec). A naive
+    // `t.groupBy(tok)` for the model side would tokenize 100 TB a
+    // second (and third) time.
+    val counts = tf.groupBy(col("tok")).agg(sum(col("tf")).as("n"))
     // one-row total → broadcast cross join (same pattern as q_tfidf)
     val total = counts.agg(sum(col("n")).as("total"))
     tf.join(counts, "tok")
@@ -79,25 +86,30 @@ object Selection {
     * portable assignment. Production sizing uses more hex chars
     * (3 → 4096, 5 → 2^20 buckets); the shape is identical.
     *
-    * Scale shape: two 256-row aggregates (map-side partials collapse
-    * each scan partition to ≤256 rows) merged into one 256-row weight
-    * table, broadcast back over the token stream, then one groupBy
-    * (doc_id) with partial aggregation. The model size is FIXED — no
-    * vocabulary growth, no skew (buckets are md5-uniform), no corpus
-    * shuffle beyond the per-doc rollup.
+    * Scale shape: ONE conditional 256-row aggregate builds both the
+    * raw and target bucket counts (map-side partials collapse each
+    * scan partition to ≤256 rows), broadcast back over the token
+    * stream, then one groupBy(doc_id) with partial aggregation — two
+    * corpus passes total (model, then scoring), which is the minimum:
+    * the model must exist before any document can be scored. The
+    * model size is FIXED — no vocabulary growth, no skew (buckets are
+    * md5-uniform), no corpus shuffle beyond the per-doc rollup.
     */
   def dsirWeights(s: SparkSession, dir: String, targetLang: String = "en"): DataFrame = {
     val t = tokens(s, dir).withColumn("b", substring(md5(col("tok")), 1, 2))
-    val raw = t.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-    val tgt = t.filter(col("lang") === targetLang)
-      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    val totals = raw.agg(sum(col("cr")).as("tot_r")).crossJoin(
-      tgt.agg(sum(col("ct")).as("tot_t")))
-    // buckets absent from the target get the smoothing floor (ct=0)
-    val weights = raw.join(tgt, Seq("b"), "left")
+    // raw and target bucket counts in ONE conditional aggregate (one
+    // corpus pass builds the whole model — a separate filtered
+    // aggregate for the target would re-tokenize the corpus); a
+    // target-absent bucket naturally counts ct=0, which IS the
+    // smoothing floor, so no outer join is needed either
+    val model = t.groupBy(col("b")).agg(
+      count(lit(1)).as("cr"),
+      count(when(col("lang") === targetLang, 1)).as("ct"))
+    val totals = model.agg(sum(col("cr")).as("tot_r"), sum(col("ct")).as("tot_t"))
+    val weights = model
       .crossJoin(broadcast(totals))
       .select(col("b"),
-        (log((coalesce(col("ct"), lit(0L)) + lit(1)).cast("double")
+        (log((col("ct") + lit(1)).cast("double")
             / (col("tot_t") + lit(256)).cast("double"))
           - log((col("cr") + lit(1)).cast("double")
             / (col("tot_r") + lit(256)).cast("double"))).as("w"))

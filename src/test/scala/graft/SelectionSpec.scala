@@ -88,6 +88,32 @@ class SelectionSpec extends SparkSpec {
     assert(res.count(_._2 == 0L) > 0, "testdata should contain at least one drop")
   }
 
+  test("surprisal: corpus is tokenized once (counts/total reuse the tf exchange)") {
+    // counts and total derive from the tf aggregate, so all three
+    // branches share one scan→Generate→Exchange subtree. AQE decides
+    // stage reuse at RUNTIME (canonicalized-equal shuffle stages), so
+    // execute first, then read the final adaptive plan: the reused
+    // branches must show up as reuse nodes, not extra Generates.
+    val df = Selection.surprisal(spark, sf)
+    df.collect()
+    // AQE's toString appends the pre-execution "== Initial Plan ==";
+    // only the final adaptive section reflects what actually ran
+    val plan = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    val generates = "Generate explode".r.findAllIn(plan).size
+    assert(generates == 1, s"expected 1 tokenize pass, got $generates:\n$plan")
+    assert(plan.contains("ReusedQueryStage") || plan.contains("ReusedExchange"),
+      s"no exchange/stage reuse in:\n$plan")
+  }
+
+  test("dsirWeights: one model pass + one scoring pass (two tokenizes, no more)") {
+    val df = Selection.dsirWeights(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    val generates = "Generate explode".r.findAllIn(plan).size
+    assert(generates <= 2, s"expected <=2 tokenize passes, got $generates:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"weights not broadcast in:\n$plan")
+  }
+
   test("semanticKeep: every vec_id appears exactly once") {
     val ids = Selection.semanticKeep(spark, sf, 0.4).collect().map(_.getLong(0))
     val n = Tables.load(spark, sf, "embeddings").count()

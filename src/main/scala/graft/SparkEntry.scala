@@ -202,6 +202,10 @@ object SparkEntry {
     // SemDeDup-style keep/drop decision layer over the exact cosine
     // near-dup pair graph (greedy min-id canonicalization)
     "q_semantic_keep" -> ((s: SparkSession, d: String) => Selection.semanticKeep(s, d)),
+    // delta-vs-corpus dedup: batch (doc_id >= 400) deduped against the
+    // persisted existing-corpus shingle index + earlier batch docs
+    "q_dedup_incremental" -> ((s: SparkSession, d: String) =>
+      Dedup.incrementalNgramDedup(s, d)),
   )
 
   /** Shared DuckDB CTE: whitespace-tokenize documents, strip
@@ -1336,6 +1340,41 @@ object SparkEntry {
         | CAST(CASE WHEN d.dup_min IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
         | coalesce(d.dup_min, -1) AS dup_of
         |FROM e LEFT JOIN d ON e.vec_id = d.vec_id ORDER BY 1""".stripMargin,
+    // incremental dedup: same string-shingle mirror as q_dedup_ngram
+    // (hash-Jaccard ≡ string-Jaccard, see that entry), restricted to
+    // pairs whose HIGHER id is in the batch, reduced to the decision
+    "q_dedup_incremental" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+        | FROM documents),
+        | idx AS (
+        | SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        | FROM toks WHERE len(t) >= 2),
+        | sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1]) AS sh FROM idx),
+        | capped AS (
+        | SELECT * FROM sh
+        | WHERE sh NOT IN (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 50)),
+        | n AS (SELECT doc_id, count(*) AS cnt FROM capped GROUP BY 1),
+        | pairs AS (
+        | SELECT b.doc_id AS doc_a, a.doc_id AS doc_b, count(*) AS inter
+        | FROM capped a JOIN capped b ON a.sh = b.sh AND b.doc_id < a.doc_id
+        | WHERE a.doc_id >= 400
+        | GROUP BY 1, 2),
+        | scored AS (
+        | SELECT doc_a, doc_b,
+        |  floor(CAST(inter AS DOUBLE) / (na.cnt + nb.cnt - inter) * 10000 + 0.5) / 10000
+        |    AS jaccard
+        | FROM pairs JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id),
+        | hits AS (
+        | SELECT doc_b AS doc_id, min(doc_a) AS dup_min, arg_min(jaccard, doc_a) AS dup_jac
+        | FROM scored WHERE jaccard >= 0.3 GROUP BY 1)
+        |SELECT d.doc_id,
+        | CAST(CASE WHEN h.dup_min IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
+        | coalesce(h.dup_min, -1) AS dup_of,
+        | coalesce(h.dup_jac, 0.0) AS jaccard
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.doc_id >= 400 ORDER BY 1""".stripMargin,
   )
 
   /** DuckDB CTE chain mirroring `Layout.spreadBits`/`zValue` bit for

@@ -192,6 +192,82 @@ object Dedup {
     verifyJaccard(cands, sh, threshold)
   }
 
+  /** Incremental (delta-vs-corpus) near-dedup: dedup an ARRIVING batch
+    * against an already-deduped corpus without re-deduping the corpus —
+    * the shape that matters at 100 TB, where a daily 1 TB delta must
+    * not cost a 100 TB self-join. Semantics: a batch doc is dropped if
+    * any LOWER-id doc (existing corpus, or an earlier doc of the same
+    * batch) sits at n-gram Jaccard ≥ `threshold`; `dup_of` is the
+    * minimum such partner and `jaccard` its similarity. Batch docs are
+    * split deterministically here as `doc_id >= splitId` (production
+    * passes two tables).
+    *
+    * Scale shape, piece by piece:
+    *  - the EXISTING side's shingle postings are a build-once persisted
+    *    index ([[ArtifactCache]], same discipline as the near-dup and
+    *    IVF indexes): the old corpus is tokenized/shingled once ever,
+    *    not once per batch;
+    *  - the candidate join's left side is BATCH shingles only — shuffle
+    *    ∝ batch + matched index postings, never corpus²;
+    *  - the df cap is computed over index ∪ batch (df composes:
+    *    df_total = df_index + df_batch), so the cap stays exactly the
+    *    full-corpus cap and remains incrementally maintainable;
+    *  - exact-Jaccard verification restricts the shingle-set build to
+    *    CANDIDATE docs via a semi-join first — set aggregation costs
+    *    ∝ candidates, not corpus (the full-corpus variant
+    *    [[ngramJaccardDups]] skips this because every doc is a
+    *    potential pair member there).
+    */
+  def incrementalNgramDedup(s: SparkSession, dir: String, splitId: Long = 400L,
+      threshold: Double = 0.3, maxDf: Int = 50): DataFrame = {
+    val fp = ArtifactCache.fingerprint(new java.io.File(s"$dir/documents.parquet"))
+    val idxPath = ArtifactCache.ensure(
+      s"/tmp/graft-increm-dedup/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}" +
+        s"-$fp-s$splitId") { tmp =>
+      shingleHashes(docs(s, dir).filter(col("doc_id") < splitId), k = 2)
+        .write.mode("overwrite").parquet(s"$tmp/postings")
+    }
+    val pIdx = s.read.parquet(s"$idxPath/postings")
+    val pBatch = shingleHashes(docs(s, dir).filter(col("doc_id") >= splitId), k = 2)
+    batchDedupDecisions(
+      docs(s, dir).filter(col("doc_id") >= splitId).select(col("doc_id")),
+      pBatch, pIdx, threshold, maxDf)
+  }
+
+  /** The decision core shared by [[incrementalNgramDedup]] and the
+    * streaming ingest variant: dedup `batchDocs` (with shingle
+    * postings `batchSh`) against `indexSh` (everything seen before
+    * this batch) plus lower-id docs of the same batch. All index doc
+    * ids must be below all batch ids (arrival order = id order).
+    */
+  private[graft] def batchDedupDecisions(batchDocs: DataFrame, batchSh: DataFrame,
+      indexSh: DataFrame, threshold: Double, maxDf: Int): DataFrame = {
+    val sh = dfCapped(indexSh.unionByName(batchSh), maxDf)
+    val batchIds = batchDocs.select(col("doc_id"))
+    // candidates: batch shingles against ALL lower-id postings — the
+    // existing corpus and earlier batch docs fall out of one predicate
+    // because index ids precede every batch id
+    val cands = sh.join(batchIds, Seq("doc_id"), "left_semi").as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("b.doc_id") < col("a.doc_id"))
+      .select(col("b.doc_id").as("doc_a"), col("a.doc_id").as("doc_b"))
+      .distinct()
+    val candDocs = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+    val pairs = verifyJaccard(
+      cands, sh.join(candDocs, Seq("doc_id"), "left_semi"), threshold)
+    val hits = pairs.groupBy(col("doc_b").as("doc_id"))
+      .agg(min(col("doc_a")).as("dup_min"),
+        min_by(col("jaccard"), col("doc_a")).as("dup_jac"))
+    batchIds
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("dup_min").isNull, lit(1L)).otherwise(lit(0L)).as("kept"),
+        coalesce(col("dup_min"), lit(-1L)).as("dup_of"),
+        coalesce(col("dup_jac"), lit(0.0)).as("jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash per doc: per-token xxhash64, each bit votes ±1,

@@ -131,13 +131,16 @@ object Selection {
     * canonicalization, the same rule the exact-hash canonical map
     * uses, so chains (a~b~c, a!~c) drop every non-minimal member.
     *
-    * Scale shape: pair detection is the cell-pruned exact join (no
-    * all-pairs); the decision layer adds one aggregate over the PAIR
-    * list (|pairs| rows, not |corpus|²) and a left join back to the
-    * id column of the corpus.
+    * Scale shape: pair detection reads the PERSISTED near-dup index
+    * ([[Dedup.embeddingNearDupsIndexed]] — row-identical to the ad-hoc
+    * join for any frozen centroid set, so the decision layer never
+    * re-trains cell pruning, and a gate run shares one index build
+    * with the pair query); the decision itself adds one aggregate over
+    * the PAIR list (|pairs| rows, not |corpus|²) and a left join back
+    * to the id column of the corpus.
     */
   def semanticKeep(s: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
-    val pairs = Dedup.embeddingNearDups(s, dir, threshold)
+    val pairs = Dedup.embeddingNearDupsIndexed(s, dir, threshold)
     val dupOf = pairs.groupBy(col("vec_b").as("vec_id"))
       .agg(min(col("vec_a")).as("dup_min"))
     Similarity.emb(s, dir).select(col("vec_id"))

@@ -408,6 +408,71 @@ object EventStream {
       .start()
   }
 
+  /** Streaming NEAR-dedup ingest: documents arrive on a stream in id
+    * order; each micro-batch is deduped against the accumulated
+    * shingle index (every doc seen in earlier batches) plus lower-id
+    * docs of the same batch via [[graft.operators.Dedup
+    * .batchDedupDecisions]], decisions land under
+    * `outPath/decisions/batch=<id>`, and the batch's OWN shingles are
+    * appended to `outPath/index/batch=<id>` — kept AND dropped docs
+    * alike, so the decision rule stays exactly "similar to ANY
+    * lower-id doc", byte-identical to the one-shot batch operator no
+    * matter how the stream is chopped (spec-asserted).
+    *
+    * One honest divergence: the df cap uses DECISION-TIME document
+    * frequency (df over index-so-far + current batch — a stream
+    * cannot see the future), while the one-shot operator caps on
+    * full-corpus df. The two agree exactly unless a shingle CROSSES
+    * `maxDf` between a chunk boundary and end-of-corpus; a shingle
+    * that was genuinely rare when a decision was made is arguably the
+    * right thing to have counted.
+    *
+    * Idempotence follows [[maintainSummary]]'s staging discipline: a
+    * replayed batch finds its `_SUCCESS`-marked dirs and skips the
+    * work. Decisions are staged BEFORE the index append, and the
+    * append derives from the already-staged decision set's batch, so
+    * a crash between the two writes replays into the identical state
+    * (the index-before for batch N is always exactly batches < N:
+    * Spark replays at most the last uncommitted batch, and later
+    * batches cannot have run).
+    *
+    * Scale: per micro-batch cost ∝ batch shingles + matched index
+    * postings (the same delta-cost shape as the batch operator); the
+    * index grows one batch=N parquet dir per micro-batch and should be
+    * compacted periodically like any streaming sink.
+    */
+  def streamingNearDedup(docs: DataFrame, outPath: String,
+      threshold: Double = 0.3, maxDf: Int = 50,
+      checkpointLocation: Option[String] = None): StreamingQuery = {
+    val idxDir = s"$outPath/index"
+    val decDir = s"$outPath/decisions"
+    val writer = docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val bDec = s"$decDir/batch=$batchId"
+        val bIdx = s"$idxDir/batch=$batchId"
+        val batchSh = graft.operators.Dedup.shingleHashes(
+          batch.select(col("doc_id"), col("text")), k = 2)
+        if (!new java.io.File(s"$bDec/_SUCCESS").exists()) {
+          val existing = new java.io.File(idxDir)
+          val indexSh =
+            if (Option(existing.listFiles()).exists(_.nonEmpty))
+              // batch=N dirs surface as a partition column — project
+              // it away so the union with batch shingles lines up
+              s.read.parquet(idxDir).select(col("doc_id"), col("sh"))
+            else batchSh.limit(0)
+          graft.operators.Dedup.batchDedupDecisions(
+              batch.select(col("doc_id")), batchSh, indexSh, threshold, maxDf)
+            .write.mode("overwrite").parquet(bDec)
+        }
+        if (!new java.io.File(s"$bIdx/_SUCCESS").exists())
+          batchSh.write.mode("overwrite").parquet(bIdx)
+      }
+    checkpointLocation.fold(writer)(c => writer.option("checkpointLocation", c))
+      .start()
+  }
+
   /** Run a streaming DataFrame to completion against the bounded
     * source and return the materialized result from a memory sink.
     */

@@ -375,4 +375,82 @@ class DedupSimilaritySpec extends SparkSpec {
     val kmRecall = brute.intersect(km).size.toDouble / brute.size
     assert(kmRecall >= 0.7, s"IVF+kmeans recall $kmRecall")
   }
+
+  test("incremental dedup decisions equal the full-recompute pair graph") {
+    // the whole point of the incremental path: same ANSWER as a full
+    // self-dedup, at delta cost. Derive the expected decision for
+    // every batch doc from ngramJaccardDups' full pair list.
+    val splitId = 40L
+    val full = Dedup.ngramJaccardDups(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = full.filter(_._2 >= splitId).groupBy(_._2).map { case (b, ps) =>
+      val minA = ps.map(_._1).min
+      b -> (minA, ps.find(_._1 == minA).get._3)
+    }
+    val inc = Dedup.incrementalNgramDedup(spark, sf, splitId = splitId).collect()
+    val nBatch = Tables.load(spark, sf, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") >= splitId).count()
+    assert(inc.length == nBatch, "one decision per batch doc")
+    inc.foreach { r =>
+      val (id, kept, dupOf, jac) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      want.get(id) match {
+        case Some((a, j)) =>
+          assert(kept == 0L && dupOf == a && math.abs(jac - j) < 1e-9,
+            s"doc $id: got ($kept,$dupOf,$jac) want (0,$a,$j)")
+        case None =>
+          assert(kept == 1L && dupOf == -1L && jac == 0.0,
+            s"doc $id: got ($kept,$dupOf,$jac) want kept")
+      }
+    }
+    assert(inc.exists(_.getLong(1) == 0L), "split should produce at least one drop")
+  }
+
+  test("streaming near-dedup ingest equals the one-shot batch decisions") {
+    // chop the batch into micro-batches in id order; the accumulated
+    // decisions must be byte-identical to the one-shot operator no
+    // matter where the stream was cut (index keeps EVERY seen doc's
+    // shingles, so the "any lower-id doc" rule survives chopping)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val splitId = 40L
+    // the whole corpus arrives in id order — the "existing corpus"
+    // (< splitId) is simply the first chunks the stream saw
+    val docsAll = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-stream-dedup").toString
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStream.streamingNearDedup(
+      in.toDF().toDF("doc_id", "text"), out)
+    try {
+      val (existing, batch) = docsAll.partition(_._1 < splitId)
+      in.addData(existing.toSeq); q.processAllAvailable()
+      batch.grouped(batch.length / 3 + 1).foreach { chunk =>
+        in.addData(chunk.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$out/decisions")
+      .filter(col("doc_id") >= splitId)
+      .select(col("doc_id"), col("kept"), col("dup_of"), col("jaccard"))
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    val oneShot = Dedup.incrementalNgramDedup(spark, sf, splitId = splitId)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    assert(streamed.length == oneShot.length,
+      s"${streamed.length} streamed vs ${oneShot.length} one-shot")
+    assert(streamed.toSeq == oneShot.toSeq)
+  }
+
+  test("incremental dedup: persisted-index path returns identical rows") {
+    // second call hits the ArtifactCache index instead of re-shingling
+    // the existing corpus; decisions must not change
+    val a = Dedup.incrementalNgramDedup(spark, sf, splitId = 40L)
+      .collect().map(_.toSeq)
+    val b = Dedup.incrementalNgramDedup(spark, sf, splitId = 40L)
+      .collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
 }

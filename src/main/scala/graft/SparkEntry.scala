@@ -46,6 +46,9 @@ object SparkEntry {
     "q_cube_orders" -> (Relational.cubeOrders _),
     "q_approx_distinct" -> (Relational.approxDistinct _),
     "q_approx_percentile" -> (Relational.approxPercentiles _),
+    // exact interpolated percentiles: the hash-verified companion the
+    // approx family is judged against
+    "q_percentile_exact" -> (Relational.percentilesExact _),
     "q_grouping_sets" -> (Relational.groupingSetsOrders _),
     "q_scalar_subquery" -> (Relational.scalarSubquery _),
     "q_exists_subquery" -> (Relational.existsSubquery _),
@@ -72,8 +75,17 @@ object SparkEntry {
     "q_lang_id" -> (TextQueries.langId _),
     "q_fingerprint" -> (TextQueries.fingerprints _),
     "q_repetition" -> (TextQueries.repetition _),
+    // boilerplate-span coverage (C4-style repeated-template signal)
+    "q_boilerplate" -> ((s: SparkSession, d: String) => TextQueries.boilerplate(s, d)),
+    // boilerplate strip: covered spans removed, reconstruction md5-verified
+    "q_boilerplate_strip" -> ((s: SparkSession, d: String) => TextQueries.boilerplateStrip(s, d)),
+    // exact top-k token counts: the hash-verified companion of the
+    // q_heavy_hitters sketch (same normalized word universe)
+    "q_heavy_hitters_exact" -> ((s: SparkSession, d: String) => TextQueries.topTokensExact(s, d)),
     // curation (composed pipeline)
     "q_curation" -> ((s: SparkSession, d: String) => Curation.decisions(s, d)),
+    // per-domain document cap (bounded-heap top-k per source, no window)
+    "q_domain_cap" -> ((s: SparkSession, d: String) => Curation.domainCap(s, d)),
     "q_curation_funnel" -> (Curation.funnel _),
     // dataset assembly
     "q_train_split" -> (DatasetOps.splitCounts _),
@@ -801,6 +813,79 @@ object SparkEntry {
         | floor((CAST(max_n AS DOUBLE) / n_tokens) * 10000 + 0.5) / 10000 AS max_tok_frac,
         | floor((log2(CAST(n_tokens AS DOUBLE)) - nlogn / n_tokens) * 10000 + 0.5) / 10000 AS entropy
         |FROM a ORDER BY doc_id""".stripMargin,
+    "q_percentile_exact" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | floor(quantile_cont(o_totalprice, 0.25) * 10000 + 0.5) / 10000 AS p25,
+        | floor(quantile_cont(o_totalprice, 0.5) * 10000 + 0.5) / 10000 AS p50,
+        | floor(quantile_cont(o_totalprice, 0.75) * 10000 + 0.5) / 10000 AS p75,
+        | floor(quantile_cont(o_totalprice, 0.9) * 10000 + 0.5) / 10000 AS p90
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_heavy_hitters_exact" ->
+      """WITH raw AS (
+        | SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents),
+        | toks AS (
+        | SELECT lower(regexp_replace(tok, '[^A-Za-z]+', '', 'g')) AS value FROM raw)
+        |SELECT value, count(*) AS n FROM toks WHERE length(value) > 0
+        |GROUP BY value ORDER BY n DESC, value LIMIT 50""".stripMargin,
+    "q_domain_cap" ->
+      """WITH ranked AS (
+        | SELECT source, doc_id, n_chars,
+        |  CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_source_docs,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rnk
+        | FROM documents)
+        |SELECT source, n_source_docs, rnk, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM ranked WHERE rnk <= 15 ORDER BY source, rnk""".stripMargin,
+    "q_boilerplate" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  list_filter(list_transform(regexp_split_to_array(text, '\s+'),
+        |    x -> lower(regexp_replace(x, '[^A-Za-z]+', '', 'g'))), w -> len(w) > 0) AS ws
+        | FROM documents),
+        | g0 AS (SELECT doc_id, ws, unnest(range(len(ws) - 1)) AS p FROM d WHERE len(ws) >= 2),
+        | g AS (SELECT doc_id, CAST(p AS BIGINT) AS p,
+        |   ws[CAST(p AS INT) + 1] || ' ' || ws[CAST(p AS INT) + 2] AS gram FROM g0),
+        | bp AS (SELECT gram FROM (
+        |   SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram
+        |   ORDER BY df DESC, gram LIMIT 50)),
+        | cov1 AS (SELECT DISTINCT doc_id, o FROM (
+        |   SELECT g.doc_id, unnest([g.p, g.p + 1]) AS o FROM g JOIN bp USING (gram))),
+        | cov AS (SELECT doc_id, count(*) AS n_covered FROM cov1 GROUP BY doc_id),
+        | n AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM d)
+        |SELECT n.doc_id, n.n_tokens,
+        | CAST(coalesce(cov.n_covered, 0) AS BIGINT) AS n_covered,
+        | CASE WHEN n.n_tokens = 0 THEN 0.0
+        |  ELSE floor(CAST(coalesce(cov.n_covered, 0) AS DOUBLE) / n.n_tokens * 10000 + 0.5) / 10000
+        | END AS boiler_frac
+        |FROM n LEFT JOIN cov USING (doc_id) ORDER BY n.doc_id""".stripMargin,
+    "q_boilerplate_strip" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  list_filter(list_transform(regexp_split_to_array(text, '\s+'),
+        |    x -> lower(regexp_replace(x, '[^A-Za-z]+', '', 'g'))), w -> len(w) > 0) AS ws
+        | FROM documents),
+        | g0 AS (SELECT doc_id, ws, unnest(range(len(ws) - 1)) AS p FROM d WHERE len(ws) >= 2),
+        | g AS (SELECT doc_id, CAST(p AS BIGINT) AS p,
+        |   ws[CAST(p AS INT) + 1] || ' ' || ws[CAST(p AS INT) + 2] AS gram FROM g0),
+        | bp AS (SELECT gram FROM (
+        |   SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram
+        |   ORDER BY df DESC, gram LIMIT 50)),
+        | cov1 AS (SELECT DISTINCT doc_id, o FROM (
+        |   SELECT g.doc_id, unnest([g.p, g.p + 1]) AS o FROM g JOIN bp USING (gram))),
+        | tok0 AS (SELECT doc_id, ws, unnest(range(len(ws))) AS i FROM d),
+        | tok AS (SELECT doc_id, CAST(i AS BIGINT) AS i, ws[CAST(i AS INT) + 1] AS w FROM tok0),
+        | kept AS (
+        |   SELECT t.doc_id, t.i, t.w FROM tok t
+        |   LEFT JOIN cov1 c ON t.doc_id = c.doc_id AND t.i = c.o
+        |   WHERE c.doc_id IS NULL),
+        | agg AS (
+        |   SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(w, ' ' ORDER BY i) AS txt
+        |   FROM kept GROUP BY doc_id),
+        | n AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM d)
+        |SELECT n.doc_id, n.n_tokens,
+        | CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+        | md5(coalesce(a.txt, '')) AS clean_fp
+        |FROM n LEFT JOIN agg a USING (doc_id) ORDER BY n.doc_id""".stripMargin,
     "q_mixture_sample" ->
       """WITH per AS (
         | SELECT source, count(*) AS n_docs,

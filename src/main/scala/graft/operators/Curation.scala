@@ -78,6 +78,40 @@ object Curation {
       sum(col("fail_dup")).as("n_fail_dup"),
       sum(col("keep")).as("n_kept"))
 
+  /** Per-domain document cap — the "no single domain dominates the
+    * training mix" governor every web-scale curation run applies
+    * (Common-Crawl-style pipelines cap pages per registered domain so
+    * boilerplate-heavy mega-sites can't swamp the mixture).
+    *
+    * Keeps the `cap` highest-priority documents per `source` (priority
+    * = longer doc first, doc_id as the deterministic tiebreak) and
+    * reports each survivor with its rank and its domain's total count.
+    *
+    * Scale shape: selection uses the bounded-heap
+    * [[graft.functions.TopKAggregator]], NOT `row_number() OVER
+    * (PARTITION BY source ...)`. A domain is exactly the skewed-key
+    * case — one host can contribute billions of pages, and a window
+    * partition cannot be split — while the aggregator runs partial
+    * before the shuffle, so each map task ships ≤cap rows per domain
+    * and the Exchange carries O(domains × cap) rows regardless of how
+    * hot the hottest domain is. The per-domain total rides the same
+    * aggregate (no second scan).
+    */
+  def domainCap(s: SparkSession, dir: String, cap: Int = 15): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator(cap))
+    Tables.load(s, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .groupBy(col("source"))
+      .agg(topk(col("n_chars").cast("double"), col("doc_id")).as("top"),
+        count(lit(1)).as("n_source_docs"))
+      .select(col("source"), col("n_source_docs"),
+        posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("source"), col("n_source_docs"),
+        (col("pos") + 1).cast("long").as("rnk"),
+        col("t.id").as("doc_id"), col("t.score").cast("long").as("n_chars"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
   /** Write the curated corpus partitioned by predicted language — the
     * layout downstream training jobs read selectively. Default keep
     * set is multilingual so the partitioning is meaningful (a

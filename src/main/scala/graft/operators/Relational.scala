@@ -234,6 +234,31 @@ object Relational {
           expr("percentile(o_totalprice, 0.5)")).as("exact_median"))
       .orderBy(col("o_orderstatus"))
 
+  /** Exact interpolated percentiles per group — the hash-verified
+    * companion of [[approxPercentiles]]: `percentile()` (exact,
+    * linear interpolation, same definition as ANSI
+    * `percentile_cont`) at p25/p50/p75/p90, so the approximate
+    * family's error is judged against gate-visible exact numbers.
+    * Exact percentile sorts each group's values; groups here are
+    * order-status (3 groups) — at 100 TB the approx sketch is the
+    * scale path and this is the audit query you run on a sample or
+    * a single partition-slice, which is exactly how it's framed.
+    */
+  def percentilesExact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        graft.functions.Rounding.portableRound4(
+          expr("percentile(o_totalprice, 0.25)")).as("p25"),
+        graft.functions.Rounding.portableRound4(
+          expr("percentile(o_totalprice, 0.5)")).as("p50"),
+        graft.functions.Rounding.portableRound4(
+          expr("percentile(o_totalprice, 0.75)")).as("p75"),
+        graft.functions.Rounding.portableRound4(
+          expr("percentile(o_totalprice, 0.9)")).as("p90"))
+      .orderBy(col("o_orderstatus"))
+
   /** String-function coverage: case, slice, concat, length, edit
     * distance, LIKE filter.
     */

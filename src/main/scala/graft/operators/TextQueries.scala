@@ -260,6 +260,126 @@ object TextQueries {
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
   }
 
+  /** Boilerplate-span coverage per document — the C4/RefinedWeb-style
+    * "repeated across many pages" signal: the `k` word-bigrams that
+    * occur in the most distinct documents are declared boilerplate,
+    * and each document reports how much of its token stream those
+    * spans cover (union of covered positions, so overlapping spans
+    * are not double-counted). High coverage → navigation chrome /
+    * template text; the fraction is the filter signal a curation
+    * pass thresholds on.
+    *
+    * Scale shape: three bounded stages, no self-join. (1) One
+    * corpus pass emits positioned bigrams; their doc-frequency
+    * aggregate is one shuffle with map-side partials. (2) The
+    * boilerplate set is `orderBy(df).limit(k)` — a distributed
+    * TakeOrdered over the gram vocabulary, never a global sort —
+    * and at k=50 it broadcasts. (3) Occurrences join the broadcast
+    * set (corpus side stays in scan order), explode to covered
+    * offsets, and the position-union distinct + per-doc count is a
+    * shuffle over only the MATCHING positions (≤ corpus bigrams,
+    * typically a small fraction). The final left join re-attaches
+    * zero-coverage docs from the narrow per-doc token counts.
+    */
+  /** (doc_id, ws) with the engine-wide normalized token list. */
+  private def normWords(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        filter(
+          transform(split(col("text"), "\\s+"), t => InvertedIndex.normalizeToken(t)),
+          w => length(w) > 0).as("ws"))
+
+  /** Distinct (doc_id, off) token positions covered by any of the `k`
+    * highest-doc-frequency bigrams (the boilerplate set). Shared by
+    * the coverage report and the strip pass.
+    */
+  private def coveredOffsets(d: DataFrame, k: Int): DataFrame = {
+    val grams = d.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("ws")) - 2),
+        i => concat_ws(" ", element_at(col("ws"), i + 1), element_at(col("ws"), i + 2))))
+        .as(Seq("p", "gram")))
+    val top = grams
+      .groupBy(col("gram")).agg(countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("df").desc, col("gram").asc)
+      .limit(k)
+    grams
+      .join(broadcast(top.select(col("gram"))), Seq("gram"))
+      .select(col("doc_id"), explode(array(col("p"), col("p") + 1)).as("off"))
+      .distinct()
+  }
+
+  def boilerplate(s: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val d = normWords(s, dir)
+    val covered = coveredOffsets(d, k)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_covered"))
+    d.select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        when(col("n_tokens") === 0, lit(0.0)).otherwise(
+          graft.functions.Rounding.portableRound4(
+            coalesce(col("n_covered"), lit(0L)).cast("double") / col("n_tokens")))
+          .as("boiler_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Boilerplate STRIP — the write path of [[boilerplate]]: drop every
+    * covered token position and re-assemble each document's surviving
+    * token stream (order preserved). The cleaned text is emitted as an
+    * md5 fingerprint (the gate contract is scalar columns; same
+    * convention as the PII-redaction query) plus kept/total counts, so
+    * the whole reconstruction is hash-verified against the oracle.
+    *
+    * Scale shape: covered offsets per doc collapse to ONE array row
+    * (`collect_set`, map-side combinable, bounded by the doc's own
+    * length), the join back to the corpus is doc-keyed (narrow rows —
+    * id + positions), and the reconstruction is a pure projection:
+    * `array_except` over the position sequence keeps surviving
+    * positions IN ORDER, `transform` maps them back to tokens. No
+    * corpus-sized shuffle beyond the one doc-keyed join; documents
+    * with no boilerplate ride the left join untouched.
+    */
+  def boilerplateStrip(s: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val d = normWords(s, dir)
+    val covPerDoc = coveredOffsets(d, k)
+      .groupBy(col("doc_id")).agg(collect_set(col("off")).as("cov"))
+    d.join(covPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ws"),
+        coalesce(col("cov"), array().cast("array<int>")).as("cov"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        transform(
+          array_except(
+            // sequence(0, -1) would yield [0, -1], not [] — guard the
+            // empty-token-list doc explicitly
+            when(size(col("ws")) === 0, array().cast("array<int>"))
+              .otherwise(sequence(lit(0), size(col("ws")) - 1)),
+            col("cov")),
+          i => element_at(col("ws"), i + 1)).as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        md5(concat_ws(" ", col("kept"))).as("clean_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact corpus-wide top-`k` token frequencies — the hash-verified
+    * companion of the CMS+Misra–Gries sketch (`q_heavy_hitters`):
+    * same normalized word universe, counts every occurrence (not
+    * per-doc distinct), so the sketch's estimates can be judged
+    * against gate-visible exact numbers. One tokenize pass, one
+    * count aggregate with map-side partials, distributed TakeOrdered
+    * for the top-k — no global sort, no window.
+    */
+  def topTokensExact(s: SparkSession, dir: String, k: Int = 50): DataFrame =
+    docs(s, dir)
+      .select(explode(filter(
+        transform(split(col("text"), "\\s+"), t => InvertedIndex.normalizeToken(t)),
+        w => length(w) > 0)).as("value"))
+      .groupBy(col("value")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("value").asc)
+      .limit(k)
+
   /** Canonical-content fingerprint per document. */
   def fingerprints(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Round-10 operators: per-domain cap, boilerplate-span coverage, and
+  * the exact companions of the approximate percentile / heavy-hitter
+  * families. Value-level equality vs DuckDB is the oracle gate's job;
+  * these specs pin the invariants and the plan shapes that matter at
+  * scale (partial agg instead of window, broadcast of the bounded
+  * boilerplate set, TakeOrdered instead of a global sort).
+  */
+class Round10Spec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("domainCap keeps <=cap docs per source, ranked deterministically") {
+    val cap = 15
+    val out = Curation.domainCap(spark, sf, cap).cache()
+    try {
+      val perSource = out.groupBy("source")
+        .agg(count(lit(1)).as("kept"), max("rnk").as("max_rnk"),
+          min("rnk").as("min_rnk"), first("n_source_docs").as("n_docs"))
+        .collect()
+      assert(perSource.nonEmpty)
+      perSource.foreach { r =>
+        val kept = r.getLong(1); val maxR = r.getLong(2)
+        val minR = r.getLong(3); val nDocs = r.getLong(4)
+        assert(kept <= cap, s"source ${r.getString(0)} kept $kept > cap")
+        assert(kept == math.min(cap.toLong, nDocs))
+        assert(minR == 1L && maxR == kept, "rank sequence must be 1..kept")
+      }
+      // ranks agree with the window formulation (n_chars desc, doc_id asc)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      val windowForm = Tables.load(spark, sf, "documents")
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= cap)
+        .select(col("source"), col("rnk"), col("doc_id"))
+      assert(out.select("source", "rnk", "doc_id")
+        .exceptAll(windowForm).isEmpty, "aggregator ranks diverge from window ranks")
+      assert(windowForm.exceptAll(out.select("source", "rnk", "doc_id")).isEmpty)
+    } finally out.unpersist()
+  }
+
+  test("domainCap plan aggregates partial per map task, no Window") {
+    val plan = Curation.domainCap(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"no object agg in:\n$plan")
+    assert(plan.contains("partial_"), s"no partial (map-side) stage in:\n$plan")
+    assert(!plan.contains("Window"), s"window operator leaked into:\n$plan")
+  }
+
+  test("boilerplate coverage is a position union within per-doc bounds") {
+    val docs = Tables.load(spark, sf, "documents").count()
+    val out = TextQueries.boilerplate(spark, sf).cache()
+    try {
+      assert(out.count() == docs, "every document must report coverage")
+      val bad = out.filter(
+        col("n_covered") < 0 || col("n_covered") > col("n_tokens") ||
+          col("boiler_frac") < 0 || col("boiler_frac") > 1).count()
+      assert(bad == 0, "coverage outside [0, n_tokens]")
+      // the top-gram set is genuinely frequent: some doc must be covered
+      assert(out.agg(sum("n_covered")).collect()(0).getLong(0) > 0)
+    } finally out.unpersist()
+  }
+
+  test("boilerplate joins the bounded gram set by broadcast") {
+    val plan = TextQueries.boilerplate(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+    assert(plan.contains("TakeOrdered"), s"top-k gram set not TakeOrdered in:\n$plan")
+  }
+
+  test("topTokensExact matches an independent count and bounds the sketch") {
+    val exact = TextQueries.topTokensExact(spark, sf, 50).collect()
+    assert(exact.nonEmpty)
+    // descending counts, token-asc tiebreak
+    exact.sliding(2).foreach {
+      case Array(a, b) =>
+        val (na, nb) = (a.getLong(1), b.getLong(1))
+        assert(na > nb || (na == nb && a.getString(0) < b.getString(0)))
+      case _ =>
+    }
+    // CMS never underestimates: every exact heavy hitter the sketch
+    // reports must carry est_count >= exact count
+    val est = graft.SparkEntry.queries("q_heavy_hitters")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val covered = exact.filter(r => est.contains(r.getString(0)))
+    assert(covered.nonEmpty, "sketch and exact top-k share no tokens")
+    covered.foreach { r =>
+      assert(est(r.getString(0)) >= r.getLong(1),
+        s"CMS underestimated ${r.getString(0)}")
+    }
+  }
+
+  test("boilerplateStrip keeps exactly the uncovered positions") {
+    val cov = TextQueries.boilerplate(spark, sf)
+      .select(col("doc_id"), col("n_tokens"), col("n_covered"))
+    val strip = TextQueries.boilerplateStrip(spark, sf)
+      .select(col("doc_id"), col("n_tokens").as("nt2"), col("n_kept"), col("clean_fp"))
+    val joined = cov.join(strip, Seq("doc_id")).cache()
+    try {
+      assert(joined.count() == Tables.load(spark, sf, "documents").count())
+      // kept + covered = total, per doc, across the two independent paths
+      val bad = joined.filter(
+        col("n_tokens") =!= col("nt2") ||
+          col("n_kept") + col("n_covered") =!= col("n_tokens")).count()
+      assert(bad == 0, "kept + covered != total tokens")
+      // a fully-uncovered doc's fingerprint equals md5 of its normalized text
+      val fps = joined.filter(col("n_covered") === 0).limit(1).collect()
+      fps.foreach { r =>
+        val docId = r.getLong(0)
+        val norm = Tables.load(spark, sf, "documents")
+          .filter(col("doc_id") === docId)
+          .select(md5(concat_ws(" ",
+            filter(transform(split(col("text"), "\\s+"),
+              t => operators.InvertedIndex.normalizeToken(t)),
+              w => length(w) > 0))).as("fp"))
+          .collect()(0).getString(0)
+        assert(r.getString(5) == norm, "untouched doc fingerprint diverged")
+      }
+    } finally joined.unpersist()
+  }
+
+  test("percentilesExact is monotone and brackets the approx answers") {
+    val rows = Relational.percentilesExact(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val Seq(p25, p50, p75, p90) = (2 to 5).map(r.getDouble)
+      assert(p25 <= p50 && p50 <= p75 && p75 <= p90, s"non-monotone: $r")
+    }
+    // approx_percentile(accuracy=1000)'s median is a real element near
+    // the exact interpolated median
+    val approx = Relational.approxPercentiles(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val p50 = r.getDouble(3)
+      val a = approx(r.getString(0))
+      assert(math.abs(a - p50) / p50 < 0.10, s"approx median $a far from exact $p50")
+    }
+  }
+}

@@ -105,6 +105,9 @@ object SparkEntry {
     // asserts the estimate against the exact distinct count
     "q_hll_rollup" -> (TrainingPrep.hllRollup _),
     "q_hll_rollup_exact" -> (TrainingPrep.hllRollupExact _),
+    // mergeable-histogram percentile rollup: deterministic arithmetic,
+    // so the sketch itself is hash-oracled (unlike the HLL estimate)
+    "q_hist_rollup" -> (TrainingPrep.histogramRollup _),
     // summary-table rewrite: query is written against the FACT; the
     // optimizer rule answers it from the registered pre-aggregation
     "q_mv_rewrite" -> (SummaryMv.summarize _),
@@ -960,6 +963,32 @@ object SparkEntry {
         | count(*) AS n_events,
         | count(DISTINCT user_id) AS exact_users
         |FROM events GROUP BY 1, 2 ORDER BY week, event_type""".stripMargin,
+    // the histogram-sketch rollup is deterministic arithmetic, so the
+    // oracle recomputes the SAME merged-partial walk — a hash-checked
+    // sketch row (the HLL sibling can only ever be rows-only)
+    "q_hist_rollup" ->
+      """WITH daily AS (
+        | SELECT CAST(ts AS DATE) AS event_date, event_type,
+        |  CAST(least(127, greatest(0, floor(value / 5.0))) AS BIGINT) AS bucket,
+        |  count(*) AS cnt
+        | FROM events GROUP BY 1, 2, 3),
+        | weekly AS (
+        | SELECT CAST(weekofyear(event_date) AS BIGINT) AS week, event_type, bucket,
+        |  CAST(sum(cnt) AS BIGINT) AS cnt
+        | FROM daily GROUP BY 1, 2, 3),
+        | c AS (
+        | SELECT *, coalesce(sum(cnt) OVER (PARTITION BY week, event_type ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+        |  sum(cnt) OVER (PARTITION BY week, event_type) AS total
+        | FROM weekly)
+        |SELECT week, event_type, CAST(max(total) AS BIGINT) AS n_events,
+        | max(CASE WHEN cum_before < 0.5 * total AND 0.5 * total <= cum_before + cnt
+        |  THEN floor((bucket * 5.0 + 5.0 * (0.5 * total - cum_before) / cnt) * 10000 + 0.5) / 10000 END) AS h_p50,
+        | max(CASE WHEN cum_before < 0.9 * total AND 0.9 * total <= cum_before + cnt
+        |  THEN floor((bucket * 5.0 + 5.0 * (0.9 * total - cum_before) / cnt) * 10000 + 0.5) / 10000 END) AS h_p90,
+        | max(CASE WHEN cum_before < 0.99 * total AND 0.99 * total <= cum_before + cnt
+        |  THEN floor((bucket * 5.0 + 5.0 * (0.99 * total - cum_before) / cnt) * 10000 + 0.5) / 10000 END) AS h_p99
+        |FROM c GROUP BY 1, 2 ORDER BY week, event_type""".stripMargin,
     // oracle recomputes the weekly stats DIRECTLY from raw events; the
     // engine answers from daily algebraic partials — equality proves
     // the partial-merge (rollup maintenance) is exact

@@ -260,27 +260,6 @@ object TextQueries {
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
   }
 
-  /** Boilerplate-span coverage per document — the C4/RefinedWeb-style
-    * "repeated across many pages" signal: the `k` word-bigrams that
-    * occur in the most distinct documents are declared boilerplate,
-    * and each document reports how much of its token stream those
-    * spans cover (union of covered positions, so overlapping spans
-    * are not double-counted). High coverage → navigation chrome /
-    * template text; the fraction is the filter signal a curation
-    * pass thresholds on.
-    *
-    * Scale shape: three bounded stages, no self-join. (1) One
-    * corpus pass emits positioned bigrams; their doc-frequency
-    * aggregate is one shuffle with map-side partials. (2) The
-    * boilerplate set is `orderBy(df).limit(k)` — a distributed
-    * TakeOrdered over the gram vocabulary, never a global sort —
-    * and at k=50 it broadcasts. (3) Occurrences join the broadcast
-    * set (corpus side stays in scan order), explode to covered
-    * offsets, and the position-union distinct + per-doc count is a
-    * shuffle over only the MATCHING positions (≤ corpus bigrams,
-    * typically a small fraction). The final left join re-attaches
-    * zero-coverage docs from the narrow per-doc token counts.
-    */
   /** (doc_id, ws) with the engine-wide normalized token list. */
   private def normWords(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
@@ -309,6 +288,27 @@ object TextQueries {
       .distinct()
   }
 
+  /** Boilerplate-span coverage per document — the C4/RefinedWeb-style
+    * "repeated across many pages" signal: the `k` word-bigrams that
+    * occur in the most distinct documents are declared boilerplate,
+    * and each document reports how much of its token stream those
+    * spans cover (union of covered positions, so overlapping spans
+    * are not double-counted). High coverage → navigation chrome /
+    * template text; the fraction is the filter signal a curation
+    * pass thresholds on.
+    *
+    * Scale shape: three bounded stages, no self-join. (1) One
+    * corpus pass emits positioned bigrams; their doc-frequency
+    * aggregate is one shuffle with map-side partials. (2) The
+    * boilerplate set is `orderBy(df).limit(k)` — a distributed
+    * TakeOrdered over the gram vocabulary, never a global sort —
+    * and at k=50 it broadcasts. (3) Occurrences join the broadcast
+    * set (corpus side stays in scan order), explode to covered
+    * offsets, and the position-union distinct + per-doc count is a
+    * shuffle over only the MATCHING positions (≤ corpus bigrams,
+    * typically a small fraction). The final left join re-attaches
+    * zero-coverage docs from the narrow per-doc token counts.
+    */
   def boilerplate(s: SparkSession, dir: String, k: Int = 50): DataFrame = {
     val d = normWords(s, dir)
     val covered = coveredOffsets(d, k)

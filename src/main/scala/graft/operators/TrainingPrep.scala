@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -191,4 +191,63 @@ object TrainingPrep {
         graft.functions.Rounding.portableRound4(
           round(sum(col("sum_value")), 2) / sum(col("n_events"))).as("avg_value"))
       .orderBy(col("week"), col("event_type"))
+
+  /** Percentiles from MERGEABLE histogram partials — the quantile
+    * sibling of [[hllRollup]]: exact percentiles do not compose
+    * across partials, but fixed-boundary histogram counts do (counts
+    * add). Each day keeps (event_type, bucket, cnt) over a DECLARED
+    * value domain — [0, 640) in 128 × 5.0-wide buckets, out-of-range
+    * values clamped to the edge buckets, the same contract
+    * fixed-range production sketches (HDR-style histograms) use. A
+    * weekly percentile is then: merge counts, walk the cumulative
+    * distribution to the bucket where it crosses p·total, and
+    * linear-interpolate inside that bucket.
+    *
+    * Unlike the HLL estimate, this arithmetic is fully deterministic
+    * — both engines compute the identical double — so the sketch
+    * query itself gets a HASH-checked oracle row, not a rows-only
+    * entry; the estimate-vs-exact error bound (≤ one bucket width by
+    * construction: the true p-th value lies in the selected bucket)
+    * is additionally spec-asserted.
+    *
+    * Scale shape: the daily partial table is O(days × types × 128) —
+    * metadata-scale — and the weekly walk's window runs over ≤128
+    * bucket rows per (week, type) partition, so the whole rollup
+    * never re-touches raw events. This is how "p99 latency per
+    * week/month/all-time" stays a metadata query at 100 TB.
+    */
+  def histogramRollup(s: SparkSession, dir: String): DataFrame = {
+    val width = 5.0
+    val nBuckets = 128
+    val daily = Tables.load(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("event_date"), col("event_type"),
+        least(lit(nBuckets - 1),
+          greatest(lit(0), floor(col("value") / width))).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val weekly = daily
+      .groupBy(weekofyear(col("event_date")).cast("long").as("week"),
+        col("event_type"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val byGroup = Window.partitionBy(col("week"), col("event_type"))
+    val cum = weekly
+      .withColumn("cum_before",
+        coalesce(sum(col("cnt")).over(
+          byGroup.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("total", sum(col("cnt")).over(byGroup))
+    // the single bucket whose cumulative range spans p·total carries
+    // the estimate; every other row contributes null, so max() selects
+    // it without a second pass
+    def est(p: Double): Column = {
+      val target = lit(p) * col("total")
+      max(when(col("cum_before") < target && target <= col("cum_before") + col("cnt"),
+        graft.functions.Rounding.portableRound4(
+          col("bucket") * lit(width) +
+            lit(width) * (target - col("cum_before")) / col("cnt"))))
+    }
+    cum.groupBy(col("week"), col("event_type"))
+      .agg(max(col("total")).as("n_events"),
+        est(0.5).as("h_p50"), est(0.9).as("h_p90"), est(0.99).as("h_p99"))
+      .orderBy(col("week"), col("event_type"))
+  }
 }

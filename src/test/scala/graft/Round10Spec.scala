@@ -123,6 +123,31 @@ class Round10Spec extends SparkSpec {
     } finally joined.unpersist()
   }
 
+  test("histogramRollup lands in the bucket of the true order statistic") {
+    val est = TrainingPrep.histogramRollup(spark, sf).collect()
+    assert(est.nonEmpty)
+    // per (week, type): the ceil(p*n)-th smallest raw value must share
+    // the estimate's 5.0-wide bucket — the histogram's exact guarantee
+    val raw = Tables.load(spark, sf, "events")
+      .select(weekofyear(to_date(col("ts"))).cast("long").as("week"),
+        col("event_type"), col("value"))
+      .collect()
+      .groupBy(r => (r.getLong(0), r.getString(1)))
+      .view.mapValues(_.map(_.getDouble(2)).sorted).toMap
+    est.foreach { r =>
+      val key = (r.getLong(0), r.getString(1))
+      val vs = raw(key)
+      assert(r.getLong(2) == vs.length, s"n_events mismatch for $key")
+      Seq(0.5 -> 3, 0.9 -> 4, 0.99 -> 5).foreach { case (p, i) =>
+        val h = r.getDouble(i)
+        val k = math.ceil(p * vs.length).toInt.max(1)
+        val trueVal = vs(k - 1)
+        assert(math.abs(h - trueVal) <= 5.0 + 1e-9,
+          s"$key p=$p: est $h not within one bucket of order stat $trueVal")
+      }
+    }
+  }
+
   test("percentilesExact is monotone and brackets the approx answers") {
     val rows = Relational.percentilesExact(spark, sf).collect()
     assert(rows.nonEmpty)

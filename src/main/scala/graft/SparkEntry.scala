@@ -127,6 +127,9 @@ object SparkEntry {
     // int8 scalar quantization + exact rerank: result is exact (same
     // oracle as brute force), the corpus scan reads 1/4 the bytes
     "q_knn_sq8" -> ((s: SparkSession, d: String) => Similarity.knnSq8(s, d)),
+    // contrastive hard negatives: most-similar vectors of a DIFFERENT
+    // label, per-query top-k via the bounded-heap aggregator
+    "q_hard_negatives" -> ((s: SparkSession, d: String) => Similarity.hardNegatives(s, d)),
     "q_knn_ivf" -> ((s: SparkSession, d: String) => Similarity.knnIvf(s, d)),
     "q_knn_ivf_kmeans" -> ((s: SparkSession, d: String) =>
       Similarity.knnIvf(s, d, kmeansIters = 2)),
@@ -205,6 +208,8 @@ object SparkEntry {
     "q_stratified" -> (DatasetOps.stratifiedSample _),
     // SCD-2 state-validity intervals (gaps-and-islands)
     "q_scd2" -> (EventsQueries.scd2States _),
+    // next-event-prediction training pairs from per-user event history
+    "q_seq_examples" -> ((s: SparkSession, d: String) => EventsQueries.seqExamples(s, d)),
     // data layout / profiling
     "q_zorder" -> (Layout.zOrderEvents _),
     "q_zorder_prune" -> (Layout.zOrderPruneReport _),
@@ -1091,6 +1096,18 @@ object SparkEntry {
         |  FROM s)
         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id AS neighbor_id, cos
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "q_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings),
+        | q AS (SELECT vec_id AS query_id, emb AS q_emb, label AS q_label
+        |  FROM e WHERE vec_id < 10),
+        | s AS (SELECT query_id, q_label, vec_id,
+        |   floor(list_cosine_similarity(emb, q_emb) * 10000 + 0.5) / 10000 AS cos
+        |  FROM e, q WHERE vec_id != query_id AND e.label != q_label),
+        | r AS (SELECT query_id, q_label, vec_id, cos,
+        |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+        |  FROM s)
+        |SELECT query_id, q_label, CAST(rnk AS BIGINT) AS rnk, vec_id AS neighbor_id, cos
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "q_asof_join" ->
       """SELECT p.event_id, p.user_id, p.value AS purchase_value,
         | c.value AS last_click_value
@@ -1410,6 +1427,20 @@ object SparkEntry {
         | CAST(epoch_ms(lead(from_ts) OVER (PARTITION BY user_id
         |   ORDER BY from_ts, run_id)) AS BIGINT) AS valid_to
         |FROM iv ORDER BY user_id, run_id""".stripMargin,
+    // next-event training pairs: context skips leading nulls via
+    // concat_ws (both engines drop NULL args by the same rule)
+    "q_seq_examples" ->
+      """WITH o AS (
+        | SELECT user_id, event_type,
+        |  CAST(row_number() OVER w AS BIGINT) AS pos,
+        |  lag(event_type, 3) OVER w AS l3,
+        |  lag(event_type, 2) OVER w AS l2,
+        |  lag(event_type, 1) OVER w AS l1
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, pos, concat_ws(' ', l3, l2, l1) AS context,
+        | event_type AS target
+        |FROM o WHERE pos >= 2 ORDER BY user_id, pos""".stripMargin,
     // data-selection scoring — same lowercased-whitespace token stream
     // as the vocabulary/encode family (empties dropped, no alpha strip)
     "q_surprisal" ->

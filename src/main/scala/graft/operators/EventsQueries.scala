@@ -190,4 +190,32 @@ object EventsQueries {
         col("n_events"), col("valid_from"), col("valid_to"))
       .orderBy(col("user_id"), col("run_id"))
   }
+
+  /** Sequence training examples — next-event-prediction pairs built
+    * from each user's event history: for every event after a user's
+    * first, emit (context = up to `ctx` preceding event types, target
+    * = this event's type). This is the "behavioral LM" dataset
+    * construction a recommender / sequence-model pipeline runs over
+    * its event log.
+    *
+    * Scale shape: everything is windowed PER USER (partition count =
+    * users, each bounded by that user's history — the same partition
+    * discipline sessionize/SCD-2 use; no global window). `lag` over
+    * the (ts, event_id)-ordered stream is deterministic under
+    * timestamp ties, and `concat_ws` skips the nulls of the first
+    * `ctx` rows, so early events emit shorter contexts rather than
+    * placeholder tokens — in both engines, by the same rule.
+    */
+  def seqExamples(s: SparkSession, dir: String, ctx: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    ev(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("context", concat_ws(" ",
+        (ctx to 1 by -1).map(i => lag(col("event_type"), i).over(w)): _*))
+      .filter(col("pos") >= 2)
+      .select(col("user_id"), col("pos"), col("context"),
+        col("event_type").as("target"))
+      .orderBy(col("user_id"), col("pos"))
+  }
 }

@@ -82,6 +82,43 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query,
+    * the `k` most-similar vectors whose LABEL DIFFERS — the "close but
+    * wrong class" examples a retrieval/embedding trainer pairs with
+    * its positives. Same scoring contract as [[knnBruteForce]]
+    * (rounded cosine, id tiebreak) with the label-exclusion predicate
+    * pushed into the join condition, so excluded rows never leave the
+    * scan.
+    *
+    * Scale shape: one corpus scan against broadcast queries, like
+    * brute-force kNN — but the per-query top-k uses the bounded-heap
+    * [[graft.functions.TopKAggregator]] instead of a
+    * `row_number() OVER (PARTITION BY query_id)` window: each window
+    * partition would be CORPUS-sized (one per query), while the
+    * aggregator ships ≤k rows per query per map task through the
+    * Exchange. Same deterministic answer (score desc, id asc),
+    * O(queries × k) shuffled rows instead of O(queries × corpus).
+    */
+  def hardNegatives(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+      col("nrm").as("q_nrm"), col("label").as("q_label"))
+      .filter(col("query_id") < 10)
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    e.join(broadcast(q),
+        col("vec_id") =!= col("query_id") && col("label") =!= col("q_label"))
+      .withColumn("cos", graft.functions.Rounding.portableRound4(
+        VectorFunctions.arrayDot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm"))))
+      .groupBy(col("query_id"), col("q_label"))
+      .agg(topk(col("cos"), col("vec_id")).as("top"))
+      .select(col("query_id"), col("q_label"),
+        posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("q_label"),
+        (col("pos") + 1).cast("long").as("rnk"),
+        col("t.id").as("neighbor_id"), col("t.score").as("cos"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Scalar-quantized (int8) kNN with exact rerank — the FAISS-SQ8
     * memory/IO play as a DataFrame pipeline. The corpus is quantized to
     * one byte per dimension (per-vector symmetric scale

@@ -148,6 +148,67 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("hardNegatives: label-disjoint, window-form parity, no corpus-wide window") {
+    val out = Similarity.hardNegatives(spark, sf).cache()
+    try {
+      // every mined negative's label differs from the query's
+      val e = Tables.load(spark, sf, "embeddings")
+        .select(col("vec_id").as("neighbor_id"), col("label").as("n_label"))
+      assert(out.join(e, Seq("neighbor_id"))
+        .filter(col("n_label") === col("q_label")).count() == 0,
+        "a hard negative shares the query's label")
+      // parity with the window formulation on the same scored set
+      import org.apache.spark.sql.expressions.Window
+      val eAll = Similarity.emb(spark, sf)
+      val q = eAll.select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"), col("label").as("q_label"))
+        .filter(col("query_id") < 10)
+      val scored = eAll.join(broadcast(q),
+          col("vec_id") =!= col("query_id") && col("label") =!= col("q_label"))
+        .withColumn("cos", graft.functions.Rounding.portableRound4(
+          graft.functions.VectorFunctions.arrayDot(col("emb"), col("q_emb"))
+            / (col("nrm") * col("q_nrm"))))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      val windowForm = scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("q_label"), col("rnk"),
+          col("vec_id").as("neighbor_id"), col("cos"))
+      assert(out.exceptAll(windowForm).isEmpty &&
+        windowForm.exceptAll(out).isEmpty, "aggregator diverges from window form")
+      // and the shipped plan has no Window operator
+      val plan = Similarity.hardNegatives(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"corpus-wide window leaked into:\n$plan")
+    } finally out.unpersist()
+  }
+
+  test("seqExamples: contexts are the true preceding event types") {
+    val out = EventsQueries.seqExamples(spark, sf).collect()
+    assert(out.nonEmpty)
+    // rebuild each user's ordered history and check every emitted pair
+    val hist = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(r => (r.getTimestamp(1).getTime, r.getLong(2)))
+        .map(_.getString(3)).toVector).toMap
+    out.foreach { r =>
+      val (u, pos, context, target) =
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))
+      val h = hist(u)
+      assert(pos >= 2 && pos <= h.length)
+      assert(h(pos.toInt - 1) == target, s"target mismatch at $u/$pos")
+      val want = h.slice(math.max(0, pos.toInt - 4), pos.toInt - 1).mkString(" ")
+      assert(context == want, s"context mismatch at $u/$pos: '$context' vs '$want'")
+    }
+    // every user with n events yields exactly n-1 examples
+    val perUser = out.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    hist.foreach { case (u, h) =>
+      assert(perUser.getOrElse(u, 0) == h.length - 1, s"example count off for $u")
+    }
+  }
+
   test("percentilesExact is monotone and brackets the approx answers") {
     val rows = Relational.percentilesExact(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -192,38 +192,29 @@ object TrainingPrep {
           round(sum(col("sum_value")), 2) / sum(col("n_events"))).as("avg_value"))
       .orderBy(col("week"), col("event_type"))
 
-  /** Percentiles from MERGEABLE histogram partials — the quantile
-    * sibling of [[hllRollup]]: exact percentiles do not compose
-    * across partials, but fixed-boundary histogram counts do (counts
-    * add). Each day keeps (event_type, bucket, cnt) over a DECLARED
-    * value domain — [0, 640) in 128 × 5.0-wide buckets, out-of-range
-    * values clamped to the edge buckets, the same contract
-    * fixed-range production sketches (HDR-style histograms) use. A
-    * weekly percentile is then: merge counts, walk the cumulative
-    * distribution to the bucket where it crosses p·total, and
-    * linear-interpolate inside that bucket.
-    *
-    * Unlike the HLL estimate, this arithmetic is fully deterministic
-    * — both engines compute the identical double — so the sketch
-    * query itself gets a HASH-checked oracle row, not a rows-only
-    * entry; the estimate-vs-exact error bound (≤ one bucket width by
-    * construction: the true p-th value lies in the selected bucket)
-    * is additionally spec-asserted.
-    *
-    * Scale shape: the daily partial table is O(days × types × 128) —
-    * metadata-scale — and the weekly walk's window runs over ≤128
-    * bucket rows per (week, type) partition, so the whole rollup
-    * never re-touches raw events. This is how "p99 latency per
-    * week/month/all-time" stays a metadata query at 100 TB.
+  /** Histogram contract shared by the batch rollup and the streaming
+    * maintenance: 128 buckets of width 5.0 over the declared [0, 640)
+    * domain, out-of-range clamped to the edge buckets.
     */
-  def histogramRollup(s: SparkSession, dir: String): DataFrame = {
-    val width = 5.0
-    val nBuckets = 128
-    val daily = Tables.load(s, dir, "events")
-      .groupBy(to_date(col("ts")).as("event_date"), col("event_type"),
-        least(lit(nBuckets - 1),
-          greatest(lit(0), floor(col("value") / width))).cast("long").as("bucket"))
+  private val HistWidth = 5.0
+  private val HistBuckets = 128
+
+  /** Daily fixed-boundary bucket counts — the PERSISTED mergeable
+    * partial. Counts add, so any batch of raw events (a day, a
+    * micro-batch, a backfill) contributes independently.
+    */
+  def dailyHistogram(events: DataFrame): DataFrame =
+    events.groupBy(to_date(col("ts")).as("event_date"), col("event_type"),
+        least(lit(HistBuckets - 1),
+          greatest(lit(0), floor(col("value") / HistWidth))).cast("long").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** Weekly percentile walk over (event_date, event_type, bucket, cnt)
+    * partials — the metadata-scale half of [[histogramRollup]], also
+    * the serving query over a STREAMING-maintained partial table.
+    */
+  def histogramPercentiles(daily: DataFrame): DataFrame = {
+    val width = HistWidth
     val weekly = daily
       .groupBy(weekofyear(col("event_date")).cast("long").as("week"),
         col("event_type"), col("bucket"))
@@ -250,4 +241,31 @@ object TrainingPrep {
         est(0.5).as("h_p50"), est(0.9).as("h_p90"), est(0.99).as("h_p99"))
       .orderBy(col("week"), col("event_type"))
   }
+
+  /** Percentiles from MERGEABLE histogram partials — the quantile
+    * sibling of [[hllRollup]]: exact percentiles do not compose
+    * across partials, but fixed-boundary histogram counts do (counts
+    * add). Each day keeps (event_type, bucket, cnt) over a DECLARED
+    * value domain — [0, 640) in 128 × 5.0-wide buckets, out-of-range
+    * values clamped to the edge buckets, the same contract
+    * fixed-range production sketches (HDR-style histograms) use. A
+    * weekly percentile is then: merge counts, walk the cumulative
+    * distribution to the bucket where it crosses p·total, and
+    * linear-interpolate inside that bucket.
+    *
+    * Unlike the HLL estimate, this arithmetic is fully deterministic
+    * — both engines compute the identical double — so the sketch
+    * query itself gets a HASH-checked oracle row, not a rows-only
+    * entry; the estimate-vs-exact error bound (≤ one bucket width by
+    * construction: the true p-th value lies in the selected bucket)
+    * is additionally spec-asserted.
+    *
+    * Scale shape: the daily partial table is O(days × types × 128) —
+    * metadata-scale — and the weekly walk's window runs over ≤128
+    * bucket rows per (week, type) partition, so the whole rollup
+    * never re-touches raw events. This is how "p99 latency per
+    * week/month/all-time" stays a metadata query at 100 TB.
+    */
+  def histogramRollup(s: SparkSession, dir: String): DataFrame =
+    histogramPercentiles(dailyHistogram(Tables.load(s, dir, "events")))
 }

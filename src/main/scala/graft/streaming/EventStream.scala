@@ -408,6 +408,58 @@ object EventStream {
       .start()
   }
 
+  /** Streaming histogram maintenance — the percentile sibling of
+    * [[maintainSummary]]: each micro-batch's fixed-boundary bucket
+    * counts ([[graft.operators.TrainingPrep.dailyHistogram]], cost ∝
+    * batch) are staged under a per-run dir keyed by batch id, then the
+    * merged daily-partial table at `path` is rebuilt as a pure
+    * function of the staged partials (cost ∝ batches × types × ≤128
+    * buckets — metadata-scale). Serving
+    * [[graft.operators.TrainingPrep.histogramPercentiles]] over
+    * `path` then gives always-fresh p50/p90/p99 per week while ingest
+    * runs, with raw history never re-scanned.
+    *
+    * Same exactly-once discipline as [[maintainSummary]]: a replayed
+    * batch finds its `batch=<id>/_SUCCESS` and skips the stage write;
+    * the rebuild over unchanged partials is idempotent; a leftover
+    * table at `path` is overwritten, never merged into.
+    */
+  def maintainHistogram(events: DataFrame, path: String,
+      checkpointLocation: Option[String] = None): StreamingQuery = {
+    val runKey = checkpointLocation match {
+      case Some(c) => java.security.MessageDigest.getInstance("MD5")
+        .digest(c.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      case None => java.util.UUID.randomUUID().toString.replace("-", "")
+    }
+    val staging = s"$path.batches-$runKey"
+    val writer = events.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bdir = s"$staging/batch=$batchId"
+        if (!new java.io.File(s"$bdir/_SUCCESS").exists())
+          graft.operators.TrainingPrep.dailyHistogram(batch)
+            .write.mode("overwrite").parquet(bdir)
+        rebuildHistogram(batch.sparkSession, staging, path)
+      }
+    checkpointLocation.fold(writer)(c => writer.option("checkpointLocation", c))
+      .start()
+  }
+
+  /** Merge every staged batch histogram into the daily-partial table
+    * at `path` (pure function of the staging dir — replay-idempotent).
+    */
+  private[graft] def rebuildHistogram(s: org.apache.spark.sql.SparkSession,
+      staging: String, path: String): Unit = {
+    val merged = s.read.parquet(staging)
+      // batch=N shows up as a partition column — not part of the table
+      .select(col("event_date"), col("event_type"), col("bucket"), col("cnt"))
+      .groupBy(col("event_date"), col("event_type"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+      // the rebuild READS staging and WRITES path, so no
+      // read-overwrite hazard; localCheckpoint would be wasted work
+    merged.write.mode("overwrite").parquet(path)
+  }
+
   /** Streaming NEAR-dedup ingest: documents arrive on a stream in id
     * order; each micro-batch is deduped against the accumulated
     * shingle index (every doc seen in earlier batches) plus lower-id

@@ -209,6 +209,40 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("streaming histogram maintenance == batch rollup, replay-idempotent") {
+    // four files -> four micro-batches (build on 0, merge on 1..3)
+    val staged = java.nio.file.Files.createTempDirectory("graft-hist-src").toString
+    Tables.load(spark, sf, "events")
+      .select(col("ts"), col("event_type"), col("value"))
+      .repartition(4).write.mode("overwrite").parquet(staged)
+    val parent = java.nio.file.Files.createTempDirectory("graft-hist").toString
+    val path = s"$parent/daily"
+    // leftover table at the output path: must be overwritten, not merged
+    operators.TrainingPrep.dailyHistogram(
+        Tables.load(spark, sf, "events").limit(50))
+      .write.mode("overwrite").parquet(path)
+    val src = spark.readStream
+      .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged)
+    val q = graft.streaming.EventStream.maintainHistogram(src, path)
+    try q.processAllAvailable() finally q.stop()
+    val served = operators.TrainingPrep.histogramPercentiles(
+      spark.read.parquet(path)).collect().map(_.toSeq)
+    val direct = operators.TrainingPrep.histogramRollup(spark, sf)
+      .collect().map(_.toSeq)
+    assert(served.length == direct.length && served.nonEmpty)
+    served.zip(direct).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
+    // replay simulation: rebuilding over unchanged staged partials
+    // leaves the table identical
+    val staging = new java.io.File(parent).listFiles()
+      .map(_.toString).filter(_.contains("daily.batches-")).head
+    graft.streaming.EventStream.rebuildHistogram(spark, staging, path)
+    val again = operators.TrainingPrep.histogramPercentiles(
+      spark.read.parquet(path)).collect().map(_.toSeq)
+    assert(again.toSeq == served.toSeq, "rebuild over unchanged partials drifted")
+  }
+
   test("percentilesExact is monotone and brackets the approx answers") {
     val rows = Relational.percentilesExact(spark, sf).collect()
     assert(rows.nonEmpty)

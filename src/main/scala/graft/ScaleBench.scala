@@ -132,7 +132,13 @@ object ScaleBench {
       // multiply the distinct-token universe too, so this also guards
       // the global ranking window as vocabulary grows
       ("shard_order", dir => graft.operators.TrainingPrep.shardOrder(spark, dir), 3),
-      ("vocab_encode", dir => graft.operators.TrainingPrep.vocabEncode(spark, dir), 3))
+      ("vocab_encode", dir => graft.operators.TrainingPrep.vocabEncode(spark, dir), 3),
+      // round-10: boilerplate's risk shape is the bigram df aggregate
+      // feeding a TakeOrdered top-k — replicas multiply the gram
+      // vocabulary 10×/100× (disjoint prefixes), so this guards both
+      // the df aggregation and the top-k selection as grams grow; the
+      // scoring leg must stay ∝ corpus (broadcast join, no shuffle)
+      ("boilerplate", dir => graft.operators.TextQueries.boilerplate(spark, dir), 3))
     val embOps: Seq[(String, String => DataFrame)] = Seq(
       "dedup_embedding" -> (dir => Dedup.embeddingNearDups(spark, dir, 0.9)),
       "knn_ivf" -> (dir => Similarity.knnIvf(spark, dir)))

@@ -59,8 +59,12 @@ object IvfIndex {
     // becomes a PartitionFilter the scan applies before reading data
     val probedIds = probes.select(col("cent_id")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val assigned = s.read.parquet(s"$path/assigned")
+    val pruned = s.read.parquet(s"$path/assigned")
       .filter(col("cent_id").isin(probedIds: _*))
+    // tombstoned vectors must not surface as neighbors; the set is
+    // bounded by the delete rate between compactions, so it broadcasts
+    val assigned = tombstones(s, path)
+      .fold(pruned)(d => pruned.join(broadcast(d), Seq("vec_id"), "left_anti"))
     Similarity.searchCells(assigned, probes, k)
   }
 
@@ -86,6 +90,68 @@ object IvfIndex {
     val cells = Similarity.collectCells(s.read.parquet(s"$path/centroids"))
     Similarity.assignCells(delta, cells)
       .write.mode("append").partitionBy("cent_id").parquet(s"$path/assigned")
+  }
+
+  /** Tombstone delete — the FAISS `remove_ids` analog, split into the
+    * two phases a persisted index needs: deletion is an O(ids) append
+    * to `$path/deleted/` (no data files touched, immediately visible
+    * to queries), and physical removal is deferred to [[compact]].
+    * Queries anti-join the tombstone set; between compactions it is
+    * bounded by the delete rate, so the anti-join broadcasts.
+    */
+  def delete(s: SparkSession, path: String, vecIds: DataFrame): Unit =
+    vecIds.select(col("vec_id")).write.mode("append").parquet(s"$path/deleted")
+
+  /** The live tombstone set, or None when nothing is deleted. */
+  private def tombstones(s: SparkSession, path: String): Option[DataFrame] = {
+    val d = new java.io.File(s"$path/deleted")
+    if (Option(d.listFiles()).exists(_.nonEmpty))
+      Some(s.read.parquet(s"$path/deleted").select(col("vec_id")).distinct())
+    else None
+  }
+
+  /** Physically drop tombstoned vectors: rewrite ONLY the cells that
+    * contain one (bounded driver id set, same policy as
+    * [[Upsert.applyBucketed]]), via dynamic partition overwrite, so
+    * untouched cells' bytes are never rewritten — compaction cost ∝
+    * deletions + touched cells, not index size. A cell emptied
+    * entirely is removed explicitly: dynamic overwrite only replaces
+    * partitions PRESENT in the written frame, so an empty rewrite
+    * would otherwise leave the old files serving deleted vectors.
+    * Tombstones are cleared afterwards (they are now physically gone).
+    */
+  def compact(s: SparkSession, path: String): Unit =
+    tombstones(s, path).foreach { deleted =>
+      val assigned = s.read.parquet(s"$path/assigned")
+      // cent_id is a partition DIRECTORY column on read-back, so it
+      // arrives as int — normalize to long before collecting
+      val touched = assigned.join(deleted, Seq("vec_id"), "left_semi")
+        .select(col("cent_id").cast("long")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      if (touched.nonEmpty) {
+        val remaining = assigned
+          .filter(col("cent_id").isin(touched.toIndexedSeq: _*))
+          .join(broadcast(deleted), Seq("vec_id"), "left_anti")
+          // reads the very partitions the overwrite replaces — pin
+          // first (bounded by the touched-cell slice)
+          .localCheckpoint(true)
+        try {
+          val survivors = remaining.select(col("cent_id").cast("long")).distinct()
+            .collect().map(_.getLong(0)).toSet
+          remaining.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cent_id").parquet(s"$path/assigned")
+          touched.filterNot(survivors).foreach { c =>
+            deleteRecursively(new java.io.File(s"$path/assigned/cent_id=$c"))
+          }
+        } finally remaining.unpersist()
+      }
+      deleteRecursively(new java.io.File(s"$path/deleted"))
+    }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
   }
 
   /** The q_knn_ivf_indexed entry: build the index for `dir` once under

@@ -96,4 +96,53 @@ class IvfIndexSpec extends SparkSpec {
     val byQuery = rows.groupBy(_.getLong(0))
     byQuery.foreach { case (_, rs) => assert(rs.length <= 5) }
   }
+
+  test("delete tombstones hide vectors immediately; compact removes them " +
+    "physically, rewrites only touched cells, and preserves results") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfdel").toString
+    IvfIndex.build(spark, sf, path)
+    val e = Similarity.emb(spark, sf)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    // delete every neighbor the baseline top-1 returns — the strongest
+    // visibility test: those exact ids must vanish from the results
+    val baseline = IvfIndex.knn(spark, path, q, k = 1).collect()
+    val delIds = baseline.map(_.getLong(2)).distinct.toSeq
+    IvfIndex.delete(spark, path, delIds.toDF("vec_id"))
+
+    val afterDelete = IvfIndex.knn(spark, path, q, k = 5).collect()
+    assert(afterDelete.nonEmpty)
+    assert(!afterDelete.exists(r => delIds.contains(r.getLong(2))),
+      "tombstoned vector surfaced as a neighbor")
+
+    // untouched cells' files must survive compaction byte-untouched
+    val assignedDir = new java.io.File(s"$path/assigned")
+    def files() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(assignedDir).map(f => f.getPath -> f.lastModified).toMap
+    }
+    val touched = spark.read.parquet(s"$path/assigned")
+      .filter(col("vec_id").isInCollection(delIds))
+      .select(col("cent_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val before = files()
+    IvfIndex.compact(spark, path)
+    val after = files()
+    val untouchedBefore = before.filterNot { case (p, _) =>
+      touched.exists(c => p.contains(s"cent_id=$c")) }
+    assert(untouchedBefore.forall { case (p, m) => after.get(p).contains(m) },
+      "compaction rewrote an untouched cell")
+    // physically gone + tombstone dir cleared
+    assert(spark.read.parquet(s"$path/assigned")
+      .filter(col("vec_id").isInCollection(delIds)).count() == 0)
+    assert(!new java.io.File(s"$path/deleted").exists())
+    // identical answers before and after physical removal
+    val afterCompact = IvfIndex.knn(spark, path, q, k = 5).collect()
+    assert(afterCompact.toSeq == afterDelete.toSeq,
+      "compaction changed query results")
+  }
 }

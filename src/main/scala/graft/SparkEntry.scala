@@ -117,6 +117,9 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s: SparkSession, d: String) => Dedup.minhashNearDups(s, d)),
     "q_dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhashNearDups(s, d)),
     "q_dedup_ngram" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardDups(s, d)),
+    // overlap-coefficient containment: the excerpt-inside-longer-page
+    // case Jaccard misses (names the smaller doc as the drop candidate)
+    "q_dedup_containment" -> ((s: SparkSession, d: String) => Dedup.containmentDups(s, d)),
     "q_dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDups(s, d, 0.4)),
     // persisted-index variant: same exact result (100% recall holds
     // for any frozen centroid set), training/pruning paid once
@@ -1058,6 +1061,31 @@ object SparkEntry {
         | FROM pairs JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id)
         |SELECT doc_a, doc_b, jaccard FROM scored
         |WHERE jaccard >= 0.3 ORDER BY 1, 2""".stripMargin,
+    "q_dedup_containment" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+        | FROM documents),
+        | idx AS (
+        | SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        | FROM toks WHERE len(t) >= 2),
+        | sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1]) AS sh FROM idx),
+        | capped AS (
+        | SELECT * FROM sh
+        | WHERE sh NOT IN (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 50)),
+        | n AS (SELECT doc_id, count(*) AS cnt FROM capped GROUP BY 1),
+        | pairs AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        | FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        | scored AS (
+        | SELECT doc_a, doc_b, na.cnt AS na, nb.cnt AS nb,
+        |  floor(CAST(inter AS DOUBLE) / least(na.cnt, nb.cnt) * 10000 + 0.5) / 10000
+        |    AS overlap
+        | FROM pairs JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id)
+        |SELECT doc_a, doc_b,
+        | CASE WHEN na <= nb THEN doc_a ELSE doc_b END AS contained_doc, overlap
+        |FROM scored WHERE overlap >= 0.5 ORDER BY 1, 2""".stripMargin,
     "q_dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

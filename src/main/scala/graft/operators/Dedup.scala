@@ -192,6 +192,42 @@ object Dedup {
     verifyJaccard(cands, sh, threshold)
   }
 
+  /** Containment (overlap-coefficient) dedup: pairs where the SMALLER
+    * document's shingle set is mostly inside the larger's —
+    * `|A ∩ B| / min(|A|, |B|) ≥ threshold`. This is the quote-
+    * expansion / excerpt case Jaccard systematically misses: a
+    * paragraph fully contained in a 100× longer page has Jaccard
+    * ≈ |A|/|B| ≈ 0.01 but containment 1.0, and curation wants to
+    * drop (or link) the excerpt. `contained_doc` names the smaller
+    * side — the one a keep-longest policy would drop.
+    *
+    * Scale shape: identical to [[ngramJaccardDups]] — df-capped
+    * shared-shingle candidates (the cap bounds bucket sizes), and the
+    * intersection size IS the candidate join's group count (shingle
+    * rows are distinct per doc), so no set materialization at all:
+    * two narrow count aggregates and a pair-keyed join.
+    */
+  def containmentDups(s: SparkSession, dir: String,
+      threshold: Double = 0.5, maxDf: Int = 50): DataFrame = {
+    val sh = dfCapped(shingleHashes(docs(s, dir), k = 2), maxDf)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sh_n"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b,
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sh_n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sh_n").as("nb")), Seq("doc_b"))
+      .withColumn("overlap", graft.functions.Rounding.portableRound4(
+        col("inter").cast("double") / least(col("na"), col("nb")).cast("double")))
+      .filter(col("overlap") >= threshold)
+      .withColumn("contained_doc",
+        when(col("na") <= col("nb"), col("doc_a")).otherwise(col("doc_b")))
+      .select(col("doc_a"), col("doc_b"), col("contained_doc"), col("overlap"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Incremental (delta-vs-corpus) near-dedup: dedup an ARRIVING batch
     * against an already-deduped corpus without re-deduping the corpus —
     * the shape that matters at 100 TB, where a daily 1 TB delta must

@@ -243,6 +243,33 @@ class Round10Spec extends SparkSpec {
     assert(again.toSeq == served.toSeq, "rebuild over unchanged partials drifted")
   }
 
+  test("containmentDups: overlap >= jaccard, planted excerpt found at 1.0") {
+    // containment can never be below jaccard for the same pair
+    val j = Dedup.ngramJaccardDups(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val c = Dedup.containmentDups(spark, sf, threshold = 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val shared = j.keySet.intersect(c.keySet)
+    assert(shared.nonEmpty)
+    shared.foreach(k => assert(c(k) >= j(k) - 1e-9, s"overlap < jaccard at $k"))
+    // a planted strict excerpt: doc B = first tokens of doc A -> the
+    // pair must surface with containment 1.0 and B as contained_doc
+    import spark.implicits._
+    val base = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).limit(1).collect()(0)
+    val full = base.getString(1)
+    val excerpt = full.split("\\s+").take(8).mkString(" ")
+    val planted = Seq((900000L, full), (900001L, excerpt)).toDF("doc_id", "text")
+    val sh = Dedup.shingleHashes(planted, k = 2)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .count()
+    assert(inter == sizes(900001L),
+      "every excerpt shingle must be contained in the full doc")
+  }
+
   test("percentilesExact is monotone and brackets the approx answers") {
     val rows = Relational.percentilesExact(spark, sf).collect()
     assert(rows.nonEmpty)

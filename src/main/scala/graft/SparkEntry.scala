@@ -93,6 +93,10 @@ object SparkEntry {
     "q_chunking" -> ((s: SparkSession, d: String) => DatasetOps.chunkManifest(s, d)),
     "q_decontam" -> ((s: SparkSession, d: String) => DatasetOps.decontaminate(s, d)),
     "q_mixture" -> (DatasetOps.mixturePlan _),
+    // temperature-scaled shares (sampling exponent T=0.7): upweights
+    // small sources without hand-set weights
+    "q_mixture_temperature" -> ((s: SparkSession, d: String) =>
+      DatasetOps.mixtureTemperature(s, d)),
     "q_snapshot_diff" -> ((s: SparkSession, d: String) => Reconcile.snapshotDiff(s, d)),
     "q_mixture_sample" -> (DatasetOps.mixtureSample _),
     "q_source_overlap" -> ((s: SparkSession, d: String) => DatasetOps.sourceOverlapMatrix(s, d)),
@@ -789,6 +793,22 @@ object SparkEntry {
         | floor(rate_raw * 10000 + 0.5) / 10000 AS sample_rate,
         | CAST(floor(rate_raw * CAST(src_tokens AS DOUBLE)) AS BIGINT) AS expected_tokens
         |FROM r ORDER BY source""".stripMargin,
+    "q_mixture_temperature" ->
+      """WITH per AS (
+        | SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0))) AS BIGINT) AS src_tokens
+        | FROM documents GROUP BY 1),
+        | tot AS (SELECT sum(src_tokens) AS total FROM per),
+        | sh AS (
+        | SELECT per.*, CAST(src_tokens AS DOUBLE) / total AS p,
+        |  pow(CAST(src_tokens AS DOUBLE) / total, 0.7) AS pt
+        | FROM per, tot),
+        | zz AS (SELECT sum(pt) AS z FROM sh)
+        |SELECT source, n_docs, src_tokens,
+        | floor(p * 10000 + 0.5) / 10000 AS natural_share,
+        | floor(pt / z * 10000 + 0.5) / 10000 AS temp_share,
+        | floor((pt / z) / p * 10000 + 0.5) / 10000 AS boost
+        |FROM sh, zz ORDER BY source""".stripMargin,
     "q_decontam" ->
       """WITH toks AS (
         | SELECT doc_id,

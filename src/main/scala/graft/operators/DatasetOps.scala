@@ -118,6 +118,39 @@ object DatasetOps {
       .orderBy(col("source"))
   }
 
+  /** Temperature-scaled mixture shares — the standard multilingual /
+    * multi-domain rebalancing knob (sampling exponent T < 1 as in
+    * multilingual BERT/XLM-R and the Pile): source i's sampling share
+    * goes from its natural token share p_i to p_i^T / Σ p_j^T, which
+    * UP-weights small sources and flattens dominant ones without the
+    * hand-set per-source weights [[mixturePlan]] uses. `boost` is the
+    * up/down-sampling factor vs natural share (>1 = oversample).
+    *
+    * Scale shape: one corpus pass for per-source token counts
+    * (map-side partials), then everything runs on the |sources|-row
+    * table with two one-row broadcast totals — the corpus is never
+    * touched again.
+    */
+  def mixtureTemperature(s: SparkSession, dir: String,
+      temp: Double = 0.7): DataFrame = {
+    val perSrc = Tables.load(s, dir, "documents")
+      .select(col("source"), TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("src_tokens"))
+    val tot = perSrc.agg(sum(col("src_tokens")).as("total"))
+    val shares = perSrc.crossJoin(broadcast(tot))
+      .withColumn("p", col("src_tokens").cast("double") / col("total"))
+      .withColumn("pt", pow(col("p"), lit(temp)))
+    val z = shares.agg(sum(col("pt")).as("z"))
+    shares.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("src_tokens"),
+        graft.functions.Rounding.portableRound4(col("p")).as("natural_share"),
+        graft.functions.Rounding.portableRound4(col("pt") / col("z")).as("temp_share"),
+        graft.functions.Rounding.portableRound4(
+          (col("pt") / col("z")) / col("p")).as("boost"))
+      .orderBy(col("source"))
+  }
+
   /** Distinct token n-grams per `key` over (key, text). Token arrays
     * are materialized before the n-gram lambda (HOF lambdas get no
     * common-subexpression elimination — the measured 10× cliff).

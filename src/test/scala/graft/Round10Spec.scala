@@ -270,6 +270,24 @@ class Round10Spec extends SparkSpec {
       "every excerpt shingle must be contained in the full doc")
   }
 
+  test("mixtureTemperature flattens shares: boosts small sources, sums to 1") {
+    val rows = DatasetOps.mixtureTemperature(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val natural = rows.map(_.getDouble(3))
+    val temp = rows.map(_.getDouble(4))
+    assert(math.abs(natural.sum - 1.0) < 1e-2 && math.abs(temp.sum - 1.0) < 1e-2)
+    // T < 1 compresses the distribution: the spread of temperature
+    // shares is strictly smaller, and every below-average source is
+    // boosted (boost > 1) while every above-average one is damped
+    assert(temp.max - temp.min < natural.max - natural.min + 1e-9)
+    val avg = 1.0 / rows.length
+    rows.foreach { r =>
+      val (p, boost) = (r.getDouble(3), r.getDouble(5))
+      if (p < avg * 0.9) assert(boost > 1.0, s"small source not boosted: $r")
+      if (p > avg * 1.1) assert(boost < 1.0, s"large source not damped: $r")
+    }
+  }
+
   test("percentilesExact is monotone and brackets the approx answers") {
     val rows = Relational.percentilesExact(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -63,6 +63,29 @@ object Similarity {
       .withColumn("nrm", VectorFunctions.l2Norm(col("emb")))
   }
 
+  /** Per-query top-k over a scored (query_id, vec_id, cos) table via
+    * the bounded-heap [[graft.functions.TopKAggregator]] — row- and
+    * order-identical to the `row_number() OVER (PARTITION BY query_id
+    * ORDER BY cos DESC, vec_id)` window form it replaced (unique ids ⇒
+    * both are deterministic under ties), but the aggregation runs
+    * PARTIAL before the shuffle: each map task ships ≤k rows per
+    * query, so the Exchange carries O(queries × k) rows where the
+    * window form moved (and sorted) the ENTIRE corpus×queries scored
+    * set through one partition per query. Shared by the brute-force,
+    * SQ8-rerank, and IVF search paths so none of them can regress to
+    * a corpus-sized window partition.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    scored
+      .groupBy(col("query_id"))
+      .agg(topk(col("cos"), col("vec_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("t.id").as("neighbor_id"), col("t.score").as("cos"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Q-SIM: exact cosine top-k for a fixed query set (vec_id < 10),
     * k=5, self-match excluded. Rank ties broken by neighbor id.
     */
@@ -73,13 +96,7 @@ object Similarity {
     val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("cos", graft.functions.Rounding.portableRound4(
         VectorFunctions.arrayDot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm"))))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
-        col("vec_id").as("neighbor_id"), col("cos"))
-      .orderBy(col("query_id"), col("rnk"))
+    topKPerQuery(scored, k)
   }
 
   /** Hard-negative mining for contrastive training: for each query,
@@ -161,22 +178,23 @@ object Similarity {
           VectorFunctions.arrayDot(transform(col("qemb"), _.cast("double")), col("q_emb")) *
             col("scale") / (col("nrm") * col("q_nrm")))
           .otherwise(lit(0.0)))
-    val wPool = Window.partitionBy(col("query_id"))
-      .orderBy(col("acos").desc, col("vec_id").asc)
-    val pool = approx.withColumn("p_rnk", row_number().over(wPool))
-      .filter(col("p_rnk") <= rerank)
+    // the candidate pool is a bounded-heap top-`rerank` per query over
+    // the quantized scores (≤rerank rows/query/task reach the shuffle
+    // — the corpus-sized scored set never funnels into per-query
+    // window partitions); the query panel re-joins by broadcast to
+    // recover full-precision q_emb for the exact pass
+    val poolTopk = udaf(new graft.functions.TopKAggregator(rerank))
+    val pool = approx
+      .groupBy(col("query_id"))
+      .agg(poolTopk(col("acos"), col("vec_id")).as("top"))
+      .select(col("query_id"), explode(col("top.id")).as("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("vec_id"), col("q_emb"), col("q_nrm"))
     // pass 2: exact re-score of the tiny pool from the full-precision table
-    val wRank = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    e.join(broadcast(pool), Seq("vec_id"))
+    val rescored = e.join(broadcast(pool), Seq("vec_id"))
       .withColumn("cos", graft.functions.Rounding.portableRound4(
         VectorFunctions.arrayDot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm"))))
-      .withColumn("rnk", row_number().over(wRank))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
-        col("vec_id").as("neighbor_id"), col("cos"))
-      .orderBy(col("query_id"), col("rnk"))
+    topKPerQuery(rescored, k)
   }
 
   // ------------------------------------------------------------ cells
@@ -609,16 +627,10 @@ object Similarity {
     */
   private[graft] def searchCells(assigned: DataFrame, probes: DataFrame,
       k: Int): DataFrame = {
-    val wRank = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    assigned.join(broadcast(probes), Seq("cent_id"))
+    val scored = assigned.join(broadcast(probes), Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", graft.functions.Rounding.portableRound4(
         VectorFunctions.arrayDot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm"))))
-      .withColumn("rnk", row_number().over(wRank))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
-        col("vec_id").as("neighbor_id"), col("cos"))
-      .orderBy(col("query_id"), col("rnk"))
+    topKPerQuery(scored, k)
   }
 }

@@ -288,6 +288,25 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("kNN family plans carry no per-query Window (bounded-heap top-k)") {
+    Seq(
+      "brute" -> Similarity.knnBruteForce(spark, sf),
+      "sq8" -> Similarity.knnSq8(spark, sf)).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"$name plan regressed to a per-query window:\n$plan")
+      assert(plan.contains("ObjectHashAggregate"), s"$name lost the heap aggregate")
+    }
+    // ivf keeps ONE window: probe-cell selection, partitioned per query
+    // over the ≤4096-row centroid table (bounded model state, and Spark
+    // inserts WindowGroupLimit). The corpus-side top-k must still be
+    // the heap aggregate.
+    val ivf = Similarity.knnIvf(spark, sf).queryExecution.executedPlan.toString
+    assert(ivf.contains("ObjectHashAggregate"), "ivf lost the heap aggregate")
+    assert(ivf.contains("WindowGroupLimit"),
+      "ivf probe selection lost its group-limit pushdown")
+  }
+
   test("percentilesExact is monotone and brackets the approx answers") {
     val rows = Relational.percentilesExact(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -82,6 +82,9 @@ object SparkEntry {
     // exact top-k token counts: the hash-verified companion of the
     // q_heavy_hitters sketch (same normalized word universe)
     "q_heavy_hitters_exact" -> ((s: SparkSession, d: String) => TextQueries.topTokensExact(s, d)),
+    // delta+varint posting compression: codec byte accounting is
+    // hash-verified (oracle recomputes varint lengths by case-ladder)
+    "q_posting_compression" -> ((s: SparkSession, d: String) => TextQueries.postingCompression(s, d)),
     // curation (composed pipeline)
     "q_curation" -> ((s: SparkSession, d: String) => Curation.decisions(s, d)),
     // per-domain document cap (bounded-heap top-k per source, no window)
@@ -858,6 +861,28 @@ object SparkEntry {
         | SELECT lower(regexp_replace(tok, '[^A-Za-z]+', '', 'g')) AS value FROM raw)
         |SELECT value, count(*) AS n FROM toks WHERE length(value) > 0
         |GROUP BY value ORDER BY n DESC, value LIMIT 50""".stripMargin,
+    // varint length is a pure function of the zigzag value's magnitude
+    // (ceil(bits/7)), so the oracle reproduces the codec's exact byte
+    // count with integer comparisons — no varint implementation needed
+    "q_posting_compression" -> (wordsCte +
+      """, g AS (
+        | SELECT word, doc_id,
+        |  doc_id - lag(doc_id) OVER (PARTITION BY word ORDER BY doc_id) AS gap
+        | FROM words),
+        | v AS (SELECT word, 2 * coalesce(gap, doc_id) AS z FROM g),
+        | l AS (SELECT word, count(*) AS n, sum(CASE
+        |   WHEN z < 128 THEN 1 WHEN z < 16384 THEN 2 WHEN z < 2097152 THEN 3
+        |   WHEN z < 268435456 THEN 4 WHEN z < 34359738368 THEN 5
+        |   WHEN z < 4398046511104 THEN 6 WHEN z < 562949953421312 THEN 7
+        |   WHEN z < 72057594037927936 THEN 8 ELSE 9 END) AS enc
+        |  FROM v GROUP BY word)
+        |SELECT substr(word, 1, 1) AS letter, count(*) AS n_words,
+        | CAST(sum(n) AS BIGINT) AS n_postings,
+        | CAST(sum(n) * 8 AS BIGINT) AS raw_bytes,
+        | CAST(sum(enc) AS BIGINT) AS enc_bytes,
+        | count(*) AS n_roundtrip_ok,
+        | floor(CAST(sum(n) * 8 AS DOUBLE) / sum(enc) * 10000 + 0.5) / 10000 AS ratio
+        |FROM l GROUP BY letter ORDER BY letter""".stripMargin),
     "q_domain_cap" ->
       """WITH ranked AS (
         | SELECT source, doc_id, n_chars,

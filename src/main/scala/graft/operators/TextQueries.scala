@@ -380,6 +380,42 @@ object TextQueries {
       .orderBy(col("n").desc, col("value").asc)
       .limit(k)
 
+  /** Posting-list compression report: every word's sorted doc-id list
+    * encoded with the delta+zigzag-varint codec
+    * ([[graft.functions.PostingCodec]] — Lucene-VInt-style), rolled up
+    * per first letter: posting count, raw (8 B/posting) vs encoded
+    * bytes, compression ratio, and an in-query decode(encode(x)) == x
+    * round-trip count (must equal the word count — the oracle pins
+    * it). The oracle recomputes the encoded size EXACTLY via an
+    * integer case-ladder over zigzag values (varint length is a pure
+    * function of magnitude), so the codec's byte accounting is
+    * hash-verified cross-engine, not just spec-asserted.
+    *
+    * Scale shape: one posting aggregation (the same shuffle the index
+    * itself pays), then a pure codegen projection (both codec
+    * directions are native expressions inside WholeStageCodegen) and
+    * a 26-row letter rollup.
+    */
+  def postingCompression(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.PostingCodec.register(s)
+    import graft.functions.PostingCodec.{postingDecode, postingEncode}
+    val postings = wordDocPairs(docs(s, dir))
+      .groupBy(col("word"))
+      .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
+    postings
+      .withColumn("enc", postingEncode(col("ids")))
+      .withColumn("ok", (postingDecode(col("enc")) === col("ids")).cast("long"))
+      .groupBy(substring(col("word"), 1, 1).as("letter"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("ids"))).cast("long").as("n_postings"),
+        (sum(size(col("ids"))) * 8).cast("long").as("raw_bytes"),
+        sum(length(col("enc"))).cast("long").as("enc_bytes"),
+        sum(col("ok")).as("n_roundtrip_ok"))
+      .withColumn("ratio", graft.functions.Rounding.portableRound4(
+        col("raw_bytes").cast("double") / col("enc_bytes")))
+      .orderBy(col("letter"))
+  }
+
   /** Canonical-content fingerprint per document. */
   def fingerprints(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(

@@ -36,6 +36,42 @@ object IndexStore {
       .filter(col("letter") === word.substring(0, 1) && col("word") === word)
       .select(col("word"), col("file_ids"))
 
+  /** Compressed materialization: postings stored as delta+varint
+    * binary ([[graft.functions.PostingCodec]]) instead of
+    * `array<int>`. Same partitioning and pruning behavior; the
+    * posting column is ~4-8× smaller in-row, which is what serving
+    * caches and shuffle spills see (parquet's own encodings already
+    * compress sorted int arrays on DISK — the codec's win is the
+    * in-memory/in-flight representation and portability to any
+    * byte-addressed store). `n_files` rides alongside so document-
+    * frequency queries never decode.
+    */
+  def materializeCompressed(docs: DataFrame, path: String): Unit = {
+    graft.functions.PostingCodec.register(docs.sparkSession)
+    InvertedIndex.build(docs)
+      .withColumn("letter", substring(col("word"), 1, 1))
+      .select(col("word"),
+        graft.functions.PostingCodec.postingEncode(
+          transform(col("file_ids"), _.cast("long"))).as("postings"),
+        size(col("file_ids")).cast("long").as("n_files"),
+        col("letter"))
+      .write.mode("overwrite")
+      .partitionBy("letter")
+      .parquet(path)
+  }
+
+  /** Point lookup against the compressed index: prune to the letter
+    * partition, decode ONLY the matching row's postings.
+    */
+  def lookupCompressed(spark: SparkSession, path: String, word: String): DataFrame = {
+    graft.functions.PostingCodec.register(spark)
+    spark.read.parquet(path)
+      .filter(col("letter") === word.substring(0, 1) && col("word") === word)
+      .select(col("word"),
+        transform(graft.functions.PostingCodec.postingDecode(col("postings")),
+          _.cast("int")).as("file_ids"))
+  }
+
   /** Incremental maintenance: fold a DELTA corpus into the persisted
     * index without rebuilding it. At 100 TB the full rebuild is the
     * thing you can never afford — the daily ingest touches a sliver of

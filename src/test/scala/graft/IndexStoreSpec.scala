@@ -73,4 +73,33 @@ class IndexStoreSpec extends SparkSpec {
     assert(streamed.count() == batch.count())
     assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
   }
+
+  test("compressed index: every word's decoded postings equal the plain index; " +
+    "binary column is smaller than raw ints") {
+    val docs = DocumentCorpus.documents(spark, "/root/reference/checker/test.txt")
+    val plain = java.nio.file.Files.createTempDirectory("graft-idx-plain").toString
+    val comp = java.nio.file.Files.createTempDirectory("graft-idx-comp").toString
+    IndexStore.materialize(docs, plain)
+    IndexStore.materializeCompressed(docs, comp)
+    graft.functions.PostingCodec.register(spark)
+    // full-index equivalence, not just a point lookup: decode every row
+    val p = IndexStore.load(spark, plain).select(col("word"), col("file_ids"))
+    val c = spark.read.parquet(comp).select(col("word"),
+      transform(graft.functions.PostingCodec.postingDecode(col("postings")),
+        _.cast("int")).as("file_ids"))
+    assert(p.count() > 1000)
+    assert(p.exceptAll(c).isEmpty && c.exceptAll(p).isEmpty,
+      "compressed index decodes to a different posting set")
+    // in-row bytes: varint postings decisively under 4 B/posting
+    val sizes = spark.read.parquet(comp)
+      .agg(sum(length(col("postings"))).as("enc"),
+        sum(col("n_files") * 4).as("raw")).collect()(0)
+    assert(sizes.getLong(0) < sizes.getLong(1) / 2,
+      s"expected >2x in-row compression, got enc=${sizes.getLong(0)} raw=${sizes.getLong(1)}")
+    // point lookup equality incl. partition pruning on the letter
+    val rows = IndexStore.lookupCompressed(spark, comp, "sky").collect()
+    val want = IndexStore.lookup(spark, plain, "sky").collect()
+    assert(rows.length == want.length &&
+      rows(0).getSeq[Int](1) == want(0).getSeq[Int](1))
+  }
 }

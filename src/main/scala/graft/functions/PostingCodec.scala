@@ -70,6 +70,11 @@ object PostingCodec {
       var shift = 0
       var more = true
       while (more) {
+        // a truncated varint (continuation bit set at end-of-buffer)
+        // is malformed input — fail loudly, never read past the array
+        if (i >= b.length)
+          throw new IllegalArgumentException(
+            "posting_decode: truncated varint at end of buffer")
         val x = b(i).toLong & 0xff
         z |= (x & 0x7f) << shift
         shift += 7

@@ -38,7 +38,12 @@ object BenchSf1 {
 
     val names = Seq("q_dedup_embedding", "q_curation", "q_dedup_minhash",
       "q_dedup_simhash", "q_dedup_ngram", "q_source_overlap",
-      "q_heavy_hitters")
+      "q_heavy_hitters",
+      // round-10 document-heavy additions: the boilerplate pair's
+      // bigram-df risk shape, the containment self-join, and the
+      // index-shaped codec aggregate all deserve a 10x point
+      "q_boilerplate", "q_boilerplate_strip", "q_dedup_containment",
+      "q_posting_compression")
 
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()

@@ -168,7 +168,7 @@ object Bench {
           def runIndex(): Unit = {
             val out = java.nio.file.Files.createTempDirectory("graft-bench-index")
             try graft.operators.InvertedIndexJob.run(spark, manifest, out.toString)
-            finally deleteRecursively(out.toFile)
+            finally graft.operators.ArtifactCache.deleteRecursively(out.toFile)
           }
           runIndex()
           Seq("q0_index_corpus" -> timed(() => runIndex()))
@@ -265,9 +265,4 @@ object Bench {
     if (failed.nonEmpty) sys.exit(1)
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    // listFiles() is null on I/O error or concurrent removal, not empty
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete()
-  }
 }

@@ -869,12 +869,13 @@ object SparkEntry {
         | SELECT word, doc_id,
         |  doc_id - lag(doc_id) OVER (PARTITION BY word ORDER BY doc_id) AS gap
         | FROM words),
-        | v AS (SELECT word, 2 * coalesce(gap, doc_id) AS z FROM g),
+        | v AS (SELECT word, 2 * CAST(coalesce(gap, doc_id) AS HUGEINT) AS z FROM g),
         | l AS (SELECT word, count(*) AS n, sum(CASE
         |   WHEN z < 128 THEN 1 WHEN z < 16384 THEN 2 WHEN z < 2097152 THEN 3
         |   WHEN z < 268435456 THEN 4 WHEN z < 34359738368 THEN 5
         |   WHEN z < 4398046511104 THEN 6 WHEN z < 562949953421312 THEN 7
-        |   WHEN z < 72057594037927936 THEN 8 ELSE 9 END) AS enc
+        |   WHEN z < 72057594037927936 THEN 8
+        |   WHEN z < 9223372036854775808 THEN 9 ELSE 10 END) AS enc
         |  FROM v GROUP BY word)
         |SELECT substr(word, 1, 1) AS letter, count(*) AS n_words,
         | CAST(sum(n) AS BIGINT) AS n_postings,

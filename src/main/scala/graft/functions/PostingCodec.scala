@@ -75,6 +75,12 @@ object PostingCodec {
         if (i >= b.length)
           throw new IllegalArgumentException(
             "posting_decode: truncated varint at end of buffer")
+        // same contract for OVERLONG varints: a Long is at most 10
+        // groups; past that the JVM shift would wrap (shift & 63) and
+        // fold payload into low bits — garbage values, silently
+        if (shift > 63)
+          throw new IllegalArgumentException(
+            "posting_decode: varint exceeds 64 bits (overlong or corrupt)")
         val x = b(i).toLong & 0xff
         z |= (x & 0x7f) << shift
         shift += 7

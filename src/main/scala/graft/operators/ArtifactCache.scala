@@ -63,7 +63,10 @@ private[graft] object ArtifactCache {
     path
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
+  /** Recursive local-FS delete — THE one copy (Bench, SummaryMv, and
+    * the IVF compaction all route here; private duplicates drifted).
+    */
+  def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete()
   }

@@ -105,7 +105,9 @@ object IvfIndex {
   /** The live tombstone set, or None when nothing is deleted. */
   private def tombstones(s: SparkSession, path: String): Option[DataFrame] = {
     val d = new java.io.File(s"$path/deleted")
-    if (Option(d.listFiles()).exists(_.nonEmpty))
+    // look for data files specifically: a compaction clears the
+    // parquet files it applied but may leave commit markers behind
+    if (Option(d.listFiles()).exists(_.exists(_.getName.endsWith(".parquet"))))
       Some(s.read.parquet(s"$path/deleted").select(col("vec_id")).distinct())
     else None
   }
@@ -120,8 +122,18 @@ object IvfIndex {
     * would otherwise leave the old files serving deleted vectors.
     * Tombstones are cleared afterwards (they are now physically gone).
     */
-  def compact(s: SparkSession, path: String): Unit =
-    tombstones(s, path).foreach { deleted =>
+  def compact(s: SparkSession, path: String): Unit = {
+    // snapshot the tombstone FILES first and apply/clear exactly that
+    // set: a delete() racing this compaction appends a new file, which
+    // must survive the final clear (a wholesale dir wipe would discard
+    // a tombstone that was never physically applied — the vector would
+    // silently resurface)
+    val delDir = new java.io.File(s"$path/deleted")
+    val snapshot = Option(delDir.listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    if (snapshot.nonEmpty) {
+      val deleted = s.read.parquet(snapshot.map(_.getPath): _*)
+        .select(col("vec_id")).distinct()
       val assigned = s.read.parquet(s"$path/assigned")
       // cent_id is a partition DIRECTORY column on read-back, so it
       // arrives as int — normalize to long before collecting
@@ -142,16 +154,16 @@ object IvfIndex {
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("cent_id").parquet(s"$path/assigned")
           touched.filterNot(survivors).foreach { c =>
-            deleteRecursively(new java.io.File(s"$path/assigned/cent_id=$c"))
+            ArtifactCache.deleteRecursively(new java.io.File(s"$path/assigned/cent_id=$c"))
           }
         } finally remaining.unpersist()
       }
-      deleteRecursively(new java.io.File(s"$path/deleted"))
+      // clear only the snapshot (now physically applied); tombstones
+      // appended since stay pending for the next compaction
+      snapshot.foreach(_.delete())
+      if (Option(delDir.listFiles()).exists(_.forall(!_.getName.endsWith(".parquet"))))
+        ArtifactCache.deleteRecursively(delDir)
     }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete()
   }
 
   /** The q_knn_ivf_indexed entry: build the index for `dir` once under

@@ -84,15 +84,11 @@ object SummaryMv {
       .collect()
     s.createDataFrame(java.util.Arrays.asList(merged: _*), schema)
       .write.mode("overwrite").parquet(path)
-    deleteRecursively(new java.io.File(stage))
+    ArtifactCache.deleteRecursively(new java.io.File(stage))
     graft.plans.SummaryRegistry.refreshByMvPath(path,
       s.read.parquet(path).queryExecution.analyzed)
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete()
-  }
 
   /** Recompute the summary at `path` as a pure function of the staged
     * per-batch partials under `partialsRoot` (hive-layout

@@ -388,21 +388,43 @@ object EventStream {
     */
   def maintainSummary(facts: DataFrame, dims: Seq[String],
       measures: Seq[String], path: String,
-      checkpointLocation: Option[String] = None): StreamingQuery = {
+      checkpointLocation: Option[String] = None): StreamingQuery =
+    stagedMaintenance(facts, path, checkpointLocation)(
+      stage = (batch, bdir) =>
+        graft.operators.SummaryMv.build(batch, dims, measures, bdir),
+      rebuild = (s, staging) =>
+        graft.operators.SummaryMv.rebuildFromPartials(s, staging, dims, measures, path))
+
+  /** The shared exactly-once staging scaffold behind [[maintainSummary]]
+    * and [[maintainHistogram]] — the discipline lives in ONE place:
+    *  - staging dir keyed by the checkpoint location (digest) when
+    *    given, else a fresh per-start token, so a fresh stream pointed
+    *    at an old path can't absorb another run's staged batches while
+    *    a checkpoint-resumed one finds exactly its own;
+    *  - a replayed batch finds its `batch=<id>/_SUCCESS` and skips the
+    *    stage write (no double count);
+    *  - the serving table is rebuilt as a PURE function of staging —
+    *    leftovers at `path` are overwritten, never merged into.
+    * Unbounded runs should periodically compact the staging dir; it
+    * grows one metadata-scale file set per micro-batch.
+    */
+  private def stagedMaintenance(source: DataFrame, path: String,
+      checkpointLocation: Option[String])(
+      stage: (DataFrame, String) => Unit,
+      rebuild: (SparkSession, String) => Unit): StreamingQuery = {
     val runKey = checkpointLocation match {
       case Some(c) => java.security.MessageDigest.getInstance("MD5")
         .digest(c.getBytes("UTF-8")).map("%02x".format(_)).mkString
       case None => java.util.UUID.randomUUID().toString.replace("-", "")
     }
     val staging = s"$path.batches-$runKey"
-    val writer = facts.writeStream
+    val writer = source.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val bdir = s"$staging/batch=$batchId"
         if (!new java.io.File(s"$bdir/_SUCCESS").exists())
-          graft.operators.SummaryMv.build(batch, dims, measures, bdir)
-        graft.operators.SummaryMv.rebuildFromPartials(
-          batch.sparkSession, staging, dims, measures, path)
+          stage(batch, bdir)
+        rebuild(batch.sparkSession, staging)
       }
     checkpointLocation.fold(writer)(c => writer.option("checkpointLocation", c))
       .start()
@@ -425,25 +447,12 @@ object EventStream {
     * table at `path` is overwritten, never merged into.
     */
   def maintainHistogram(events: DataFrame, path: String,
-      checkpointLocation: Option[String] = None): StreamingQuery = {
-    val runKey = checkpointLocation match {
-      case Some(c) => java.security.MessageDigest.getInstance("MD5")
-        .digest(c.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      case None => java.util.UUID.randomUUID().toString.replace("-", "")
-    }
-    val staging = s"$path.batches-$runKey"
-    val writer = events.writeStream
-      .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val bdir = s"$staging/batch=$batchId"
-        if (!new java.io.File(s"$bdir/_SUCCESS").exists())
-          graft.operators.TrainingPrep.dailyHistogram(batch)
-            .write.mode("overwrite").parquet(bdir)
-        rebuildHistogram(batch.sparkSession, staging, path)
-      }
-    checkpointLocation.fold(writer)(c => writer.option("checkpointLocation", c))
-      .start()
-  }
+      checkpointLocation: Option[String] = None): StreamingQuery =
+    stagedMaintenance(events, path, checkpointLocation)(
+      stage = (batch, bdir) =>
+        graft.operators.TrainingPrep.dailyHistogram(batch)
+          .write.mode("overwrite").parquet(bdir),
+      rebuild = (s, staging) => rebuildHistogram(s, staging, path))
 
   /** Merge every staged batch histogram into the daily-partial table
     * at `path` (pure function of the staging dir — replay-idempotent).

@@ -280,12 +280,20 @@ class Round10Spec extends SparkSpec {
     // shares is strictly smaller, and every below-average source is
     // boosted (boost > 1) while every above-average one is damped
     assert(temp.max - temp.min < natural.max - natural.min + 1e-9)
-    val avg = 1.0 / rows.length
-    rows.foreach { r =>
-      val (p, boost) = (r.getDouble(3), r.getDouble(5))
-      if (p < avg * 0.9) assert(boost > 1.0, s"small source not boosted: $r")
-      if (p > avg * 1.1) assert(boost < 1.0, s"large source not damped: $r")
+    // TRUE invariants of p^(T-1)/z (the damping crossover is z^(-1/(1-T)),
+    // NOT the mean share — an average-share test would fail on valid
+    // skewed corpora): boost is strictly decreasing in p, the smallest
+    // share is never damped, the largest never boosted
+    val byShare = rows.sortBy(_.getDouble(3))
+    byShare.sliding(2).foreach {
+      case Array(a, b) =>
+        if (a.getDouble(3) < b.getDouble(3) - 1e-12)
+          assert(a.getDouble(5) >= b.getDouble(5) - 1e-9,
+            "boost must decrease with natural share")
+      case _ =>
     }
+    assert(byShare.head.getDouble(5) >= 1.0 - 1e-4, "smallest share damped")
+    assert(byShare.last.getDouble(5) <= 1.0 + 1e-4, "largest share boosted")
   }
 
   test("kNN family plans carry no per-query Window (bounded-heap top-k)") {

@@ -469,6 +469,78 @@ object EventStream {
     merged.write.mode("overwrite").parquet(path)
   }
 
+  /** Consolidate a maintenance staging dir (see [[stagedMaintenance]])
+    * into ONE data-bearing batch dir — the periodic compaction an
+    * unbounded run needs (staging grows one file set per micro-batch).
+    * Offline op: run while the stream is stopped.
+    *
+    * Replay safety is preserved: every original `batch=<id>` dir keeps
+    * its `_SUCCESS` marker (stripped to marker-only), so a replayed
+    * batch still skips its stage write; the consolidated data lands in
+    * the HIGHEST staged id's dir, and the rebuild stays a pure
+    * function of staging.
+    *
+    * Crash safety via the build-to-temp + commit-marker discipline
+    * ([[graft.operators.ArtifactCache]]'s): the merged output is
+    * written to a temp dir first, a marker commits it as authoritative,
+    * and only then are source dirs stripped and the temp swapped in —
+    * re-running compactStaging after a crash at ANY point resumes to
+    * the identical end state (spec-simulated). A crashed compaction
+    * must be finished (re-run) before serving a rebuild: between the
+    * strip commit and the final move the data lives only in the
+    * (hidden) temp dir, which rebuilds don't read.
+    */
+  def compactStaging(s: SparkSession, staging: String): Unit = {
+    val root = new java.io.File(staging)
+    val marker = new java.io.File(root, ".compact-commit")
+    val tmp = new java.io.File(root, ".compact-tmp")
+    def batchDirs() = Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
+        new java.io.File(f, "_SUCCESS").exists())
+    if (!marker.exists()) {
+      val dirs = batchDirs()
+      if (dirs.size <= 1) return
+      // phase A: merged partials -> temp, then commit via marker. The
+      // marker names the target dir, making phase B re-runnable from
+      // the marker alone.
+      graft.operators.ArtifactCache.deleteRecursively(tmp)
+      val keepName = s"batch=${dirs.map(_.getName.stripPrefix("batch=").toLong).max}"
+      s.read.parquet(dirs.map(_.getPath): _*)
+        .write.mode("overwrite").parquet(tmp.getPath)
+      java.nio.file.Files.write(marker.toPath, keepName.getBytes("UTF-8"))
+    }
+    // phase B, resumable in strict order: (1) strip every batch dir to
+    // marker-only, (2) commit the strip with a sentinel, (3) move temp
+    // files into the target, (4) clear markers. A re-run after a crash
+    // mid-(3) must NOT re-strip — that would delete the files already
+    // moved in — which is exactly what the sentinel gates.
+    val keepName = new String(
+      java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+    val stripped = new java.io.File(root, ".compact-stripped")
+    if (!stripped.exists()) {
+      batchDirs().foreach { d =>
+        Option(d.listFiles()).toSeq.flatten
+          .filterNot(_.getName == "_SUCCESS")
+          .foreach(graft.operators.ArtifactCache.deleteRecursively)
+      }
+      stripped.createNewFile()
+    }
+    val keep = new java.io.File(root, keepName)
+    keep.mkdirs()
+    val successMarker = new java.io.File(keep, "_SUCCESS")
+    if (!successMarker.exists()) successMarker.createNewFile()
+    Option(tmp.listFiles()).toSeq.flatten
+      .filterNot(_.getName == "_SUCCESS")
+      .foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(keep, f.getName).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    graft.operators.ArtifactCache.deleteRecursively(tmp)
+    stripped.delete()
+    marker.delete()
+  }
+
   /** Streaming NEAR-dedup ingest: documents arrive on a stream in id
     * order; each micro-batch is deduped against the accumulated
     * shingle index (every doc seen in earlier batches) plus lower-id

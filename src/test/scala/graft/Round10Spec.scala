@@ -351,6 +351,87 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("compactStaging: one data dir after, rebuild identical, replay skip intact, crash-resumable") {
+    import graft.streaming.EventStream
+    val staged = java.nio.file.Files.createTempDirectory("graft-hist-csrc").toString
+    Tables.load(spark, sf, "events")
+      .select(col("ts"), col("event_type"), col("value"))
+      .repartition(4).write.mode("overwrite").parquet(staged)
+    val parent = java.nio.file.Files.createTempDirectory("graft-hist-c").toString
+    val path = s"$parent/daily"
+    val src = spark.readStream
+      .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged)
+    val q = EventStream.maintainHistogram(src, path)
+    try q.processAllAvailable() finally q.stop()
+    val staging = new java.io.File(parent).listFiles()
+      .map(_.toString).filter(_.contains("daily.batches-")).head
+    val before = operators.TrainingPrep.histogramPercentiles(
+      spark.read.parquet(path)).collect().map(_.toSeq).toSeq
+
+    def dataDirs() = new java.io.File(staging).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("batch="))
+      .filter(d => d.listFiles().exists(_.getName.endsWith(".parquet")))
+    assert(dataDirs().length > 1, "expected multiple staged batches")
+
+    EventStream.compactStaging(spark, staging)
+    assert(dataDirs().length == 1, "compaction must leave one data dir")
+    // every original batch dir keeps its replay-skip marker
+    new java.io.File(staging).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("batch="))
+      .foreach(d => assert(new java.io.File(d, "_SUCCESS").exists(),
+        s"replay marker lost in ${d.getName}"))
+    // the rebuilt serving table is unchanged
+    EventStream.rebuildHistogram(spark, staging, path)
+    val after = operators.TrainingPrep.histogramPercentiles(
+      spark.read.parquet(path)).collect().map(_.toSeq).toSeq
+    assert(after == before, "compaction changed the served rollup")
+
+    // crash simulation: a SECOND stream appends two more batches, then
+    // compaction "crashes" right after the commit marker (phase A done,
+    // phase B not run); the re-run must resume to the same end state
+    val staged2 = java.nio.file.Files.createTempDirectory("graft-hist-csrc2").toString
+    Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "click")
+      .select(col("ts"), col("event_type"), col("value"))
+      .repartition(2).write.mode("overwrite").parquet(staged2)
+    val src2 = spark.readStream
+      .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged2)
+    // reuse the same staging dir via an explicit checkpoint key
+    val q2 = EventStream.maintainHistogram(src2, path,
+      checkpointLocation = None)
+    try q2.processAllAvailable() finally q2.stop()
+    val staging2 = new java.io.File(parent).listFiles()
+      .map(_.toString).filter(_.contains("daily.batches-"))
+      .filterNot(_ == staging).head
+    val merged = spark.read.parquet(staging2)
+      .select(col("event_date"), col("event_type"), col("bucket"), col("cnt"))
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    // phase A by hand = the crash point: temp written, marker committed
+    val root = new java.io.File(staging2)
+    val dirs = root.listFiles().filter(d =>
+      d.isDirectory && d.getName.startsWith("batch=") &&
+        new java.io.File(d, "_SUCCESS").exists())
+    if (dirs.length > 1) {
+      val tmp = new java.io.File(root, ".compact-tmp")
+      spark.read.parquet(dirs.map(_.getPath).toIndexedSeq: _*)
+        .write.mode("overwrite").parquet(tmp.getPath)
+      java.nio.file.Files.write(new java.io.File(root, ".compact-commit").toPath,
+        s"batch=${dirs.map(_.getName.stripPrefix("batch=").toLong).max}".getBytes("UTF-8"))
+      // resume from the crash point
+      EventStream.compactStaging(spark, staging2)
+      val resumed = spark.read.parquet(staging2)
+        .select(col("event_date"), col("event_type"), col("bucket"), col("cnt"))
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      assert(resumed == merged, "crash-resumed compaction lost or duplicated partials")
+      assert(!new java.io.File(root, ".compact-commit").exists())
+      assert(!new java.io.File(root, ".compact-tmp").exists())
+    }
+  }
+
   test("percentilesExact is monotone and brackets the approx answers") {
     val rows = Relational.percentilesExact(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -140,6 +140,9 @@ object SparkEntry {
     // contrastive hard negatives: most-similar vectors of a DIFFERENT
     // label, per-query top-k via the bounded-heap aggregator
     "q_hard_negatives" -> ((s: SparkSession, d: String) => Similarity.hardNegatives(s, d)),
+    // embedding-space cluster quality: per-label centroid norm +
+    // member-to-centroid cosine distribution
+    "q_label_centroids" -> ((s: SparkSession, d: String) => Similarity.labelCentroids(s, d)),
     "q_knn_ivf" -> ((s: SparkSession, d: String) => Similarity.knnIvf(s, d)),
     "q_knn_ivf_kmeans" -> ((s: SparkSession, d: String) =>
       Similarity.knnIvf(s, d, kmeansIters = 2)),
@@ -1182,6 +1185,21 @@ object SparkEntry {
         |  FROM s)
         |SELECT query_id, q_label, CAST(rnk AS BIGINT) AS rnk, vec_id AS neighbor_id, cos
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "q_label_centroids" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        | x AS (SELECT label, unnest(emb) AS v, generate_subscripts(emb, 1) AS i FROM e),
+        | c AS (SELECT label, i, sum(v) / count(*) AS m FROM x GROUP BY 1, 2),
+        | cent AS (SELECT label, list(m ORDER BY i) AS cm FROM c GROUP BY 1),
+        | cn AS (SELECT label, cm, sqrt(list_inner_product(cm, cm)) AS c_nrm FROM cent),
+        | s AS (SELECT e.label,
+        |   floor(list_cosine_similarity(e.emb, cn.cm) * 10000 + 0.5) / 10000 AS cos,
+        |   cn.c_nrm
+        |  FROM e JOIN cn USING (label))
+        |SELECT label, count(*) AS n_vectors,
+        | floor(max(c_nrm) * 10000 + 0.5) / 10000 AS centroid_norm,
+        | floor(sum(cos) / count(*) * 10000 + 0.5) / 10000 AS avg_cos,
+        | min(cos) AS min_cos, max(cos) AS max_cos
+        |FROM s GROUP BY label ORDER BY label""".stripMargin,
     "q_asof_join" ->
       """SELECT p.event_id, p.user_id, p.value AS purchase_value,
         | c.value AS last_click_value

@@ -136,6 +136,46 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Per-label embedding centroids with cohesion statistics — the
+    * cluster-quality report an embedding-space evaluation runs: for
+    * each label, the element-wise mean vector, its norm, and the
+    * distribution (mean/min/max) of member-to-centroid cosines. Low
+    * cohesion or a short centroid (members cancelling) flags a label
+    * whose examples don't share a direction — a labeling or embedding
+    * problem surfaced as data.
+    *
+    * Scale shape: the centroid pass is the Lloyd-recenter shape —
+    * posexplode to (label, dim) partial sums, map-side combined to
+    * ≤ labels × dims rows per task, never vector pairs — and the
+    * cohesion pass joins the tiny centroid table back by broadcast
+    * (one corpus scan each). Per-member cosines are rounded BEFORE
+    * aggregation so min/max are exact cross-engine; the mean re-rounds
+    * the 4-decimal sum.
+    */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cent = e
+      .select(col("label"), posexplode(col("emb")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i"))
+      .agg((sum(col("x")) / count(lit(1))).as("m"))
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("i"), col("m")))),
+        el => el.getField("m")).as("cm"))
+      .withColumn("c_nrm", VectorFunctions.l2Norm(col("cm")))
+    val scored = e.join(broadcast(cent), Seq("label"))
+      .withColumn("cos", graft.functions.Rounding.portableRound4(
+        VectorFunctions.arrayDot(col("emb"), col("cm")) / (col("nrm") * col("c_nrm"))))
+    scored.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        graft.functions.Rounding.portableRound4(max(col("c_nrm"))).as("centroid_norm"),
+        graft.functions.Rounding.portableRound4(
+          sum(col("cos")) / count(lit(1))).as("avg_cos"),
+        min(col("cos")).as("min_cos"),
+        max(col("cos")).as("max_cos"))
+      .orderBy(col("label"))
+  }
+
   /** Scalar-quantized (int8) kNN with exact rerank — the FAISS-SQ8
     * memory/IO play as a DataFrame pipeline. The corpus is quantized to
     * one byte per dimension (per-vector symmetric scale

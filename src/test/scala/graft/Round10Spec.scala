@@ -432,6 +432,26 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("labelCentroids: cohesion bounds, and unit-member identity avg_cos == |c|") {
+    val rows = Similarity.labelCentroids(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nrm, avg, mn, mx) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(mn <= avg && avg <= mx, s"avg outside [min, max]: $r")
+      assert(mx <= 1.0 + 1e-9 && mn >= -1.0 - 1e-9)
+      // for unit-norm members, mean member-to-centroid cosine equals
+      // the centroid's norm exactly: (1/n)Σ mᵢ·c/|c| = c·c/|c| = |c|.
+      // The fixture embeddings are unit vectors, so the two published
+      // stats must agree to rounding.
+      assert(math.abs(avg - nrm) < 2e-4,
+        s"avg_cos $avg != centroid_norm $nrm for unit members: $r")
+    }
+    // every vector's label appears
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables.load(spark, sf, "embeddings").count())
+  }
+
   test("percentilesExact is monotone and brackets the approx answers") {
     val rows = Relational.percentilesExact(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -221,6 +221,9 @@ object SparkEntry {
     "q_stratified" -> (DatasetOps.stratifiedSample _),
     // SCD-2 state-validity intervals (gaps-and-islands)
     "q_scd2" -> (EventsQueries.scd2States _),
+    // Tukey-fence outlier screen (order-statistic fences: counts are
+    // bit-deterministic cross-engine, unlike z-score boundaries)
+    "q_events_outliers" -> (EventsQueries.valueOutliers _),
     // next-event-prediction training pairs from per-user event history
     "q_seq_examples" -> ((s: SparkSession, d: String) => EventsQueries.seqExamples(s, d)),
     // data layout / profiling
@@ -1519,6 +1522,21 @@ object SparkEntry {
         | CAST(epoch_ms(lead(from_ts) OVER (PARTITION BY user_id
         |   ORDER BY from_ts, run_id)) AS BIGINT) AS valid_to
         |FROM iv ORDER BY user_id, run_id""".stripMargin,
+    "q_events_outliers" ->
+      """WITH f AS (
+        | SELECT event_type, count(*) AS n,
+        |  quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+        | FROM events GROUP BY 1),
+        | f2 AS (SELECT *, q1 - (q3 - q1) * 1.5 AS lo, q3 + (q3 - q1) * 1.5 AS hi FROM f)
+        |SELECT e.event_type, max(f2.n) AS n,
+        | floor(max(f2.q1) * 10000 + 0.5) / 10000 AS q1,
+        | floor(max(f2.q3) * 10000 + 0.5) / 10000 AS q3,
+        | floor(max(f2.lo) * 10000 + 0.5) / 10000 AS lo_fence,
+        | floor(max(f2.hi) * 10000 + 0.5) / 10000 AS hi_fence,
+        | CAST(sum(CASE WHEN e.value < f2.lo OR e.value > f2.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        | floor(max(CASE WHEN e.value > f2.hi THEN e.value END) * 10000 + 0.5) / 10000 AS max_outlier
+        |FROM events e JOIN f2 USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // next-event training pairs: context skips leading nulls via
     // concat_ws (both engines drop NULL args by the same rule)
     "q_seq_examples" ->

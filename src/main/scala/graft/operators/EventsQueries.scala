@@ -191,6 +191,42 @@ object EventsQueries {
       .orderBy(col("user_id"), col("run_id"))
   }
 
+  /** Tukey-fence outlier screen per event type: interquartile fences
+    * `[q1 − 1.5·IQR, q3 + 1.5·IQR]` and the count/extremes of values
+    * outside them — the standard distribution-free anomaly screen for
+    * a metrics stream. Fences are chosen over z-scores deliberately:
+    * quantiles are order statistics (exact interpolation of two
+    * sorted values — no cross-row float summation), so the fence
+    * values and therefore the outlier COUNTS are bit-deterministic
+    * cross-engine, where a mean/stddev fence could flip boundary rows
+    * on summation-order ulps.
+    *
+    * Scale note: exact per-group percentiles sort each group — the
+    * audit/screen form. At 100 TB the same fences come from the
+    * mergeable histogram partials ([[TrainingPrep.histogramRollup]])
+    * at one bucket-width resolution, raw data untouched.
+    */
+  def valueOutliers(s: SparkSession, dir: String): DataFrame = {
+    val r4 = graft.functions.Rounding.portableRound4 _
+    val fences = ev(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(value, 0.25)").as("q1"),
+        expr("percentile(value, 0.75)").as("q3"))
+      .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
+      .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
+    ev(s, dir)
+      .join(broadcast(fences), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        r4(max(col("q1"))).as("q1"), r4(max(col("q3"))).as("q3"),
+        r4(max(col("lo"))).as("lo_fence"), r4(max(col("hi"))).as("hi_fence"),
+        sum((col("value") < col("lo") || col("value") > col("hi"))
+          .cast("long")).as("n_outliers"),
+        r4(max(when(col("value") > col("hi"), col("value")))).as("max_outlier"))
+      .orderBy(col("event_type"))
+  }
+
   /** Sequence training examples — next-event-prediction pairs built
     * from each user's event history: for every event after a user's
     * first, emit (context = up to `ctx` preceding event types, target

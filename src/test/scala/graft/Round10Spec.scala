@@ -452,6 +452,32 @@ class Round10Spec extends SparkSpec {
       Tables.load(spark, sf, "embeddings").count())
   }
 
+  test("valueOutliers: fences bracket the IQR, counts match a local recount") {
+    val rows = EventsQueries.valueOutliers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val raw = Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val vs = raw(t)
+      assert(r.getLong(1) == vs.length)
+      val (q1r, q3r, lo, hi) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(q1r <= q3r && lo <= q1r && q3r <= hi)
+      // recount outliers against locally recomputed interpolated quartiles
+      def quant(p: Double): Double = {
+        val pos = p * (vs.length - 1)
+        val lo = pos.toInt; val frac = pos - lo
+        if (lo + 1 < vs.length) vs(lo) * (1 - frac) + vs(lo + 1) * frac else vs(lo)
+      }
+      val (q1, q3) = (quant(0.25), quant(0.75))
+      val (loF, hiF) = (q1 - (q3 - q1) * 1.5, q3 + (q3 - q1) * 1.5)
+      val n = vs.count(v => v < loF || v > hiF)
+      assert(r.getLong(6) == n, s"outlier count mismatch for $t: ${r.getLong(6)} vs $n")
+    }
+  }
+
   test("percentilesExact is monotone and brackets the approx answers") {
     val rows = Relational.percentilesExact(spark, sf).collect()
     assert(rows.nonEmpty)

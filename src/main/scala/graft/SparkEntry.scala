@@ -85,6 +85,10 @@ object SparkEntry {
     // delta+varint posting compression: codec byte accounting is
     // hash-verified (oracle recomputes varint lengths by case-ladder)
     "q_posting_compression" -> ((s: SparkSession, d: String) => TextQueries.postingCompression(s, d)),
+    // rows-only BY CONSTRUCTION: deflate byte counts are a compressor
+    // property, not a data-model property (no engine-portable oracle);
+    // behavior pinned in CompressionSignalSpec
+    "q_compress_ratio" -> ((s: SparkSession, d: String) => TextQueries.compressRatio(s, d)),
     // curation (composed pipeline)
     "q_curation" -> ((s: SparkSession, d: String) => Curation.decisions(s, d)),
     // per-domain document cap (bounded-heap top-k per source, no window)

@@ -416,6 +416,32 @@ object TextQueries {
       .orderBy(col("letter"))
   }
 
+  /** Compression-ratio quality signal per document: deflate(bytes) /
+    * raw bytes. Complements [[repetition]]'s bounded n-gram metrics
+    * with LONG-range redundancy detection (templated spans anywhere
+    * in the doc shrink the ratio; a bounded n-gram window can't see
+    * them). Rows-only gate entry — the byte count is a property of
+    * the compressor, not the data model, so no cross-engine oracle
+    * exists by construction; CompressionSignalSpec pins monotonicity
+    * (repetitive ≪ shuffled-random), range, and run-to-run stability.
+    *
+    * Scale shape: one codegen projection, zero shuffles beyond the
+    * final sort — identical cost profile to the other per-doc
+    * signals.
+    */
+  def compressRatio(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.CompressionSignal.register(s)
+    docs(s, dir)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_bytes"),
+        graft.functions.CompressionSignal.deflateLength(col("text"))
+          .cast("long").as("deflate_bytes"))
+      .withColumn("ratio", graft.functions.Rounding.portableRound4(
+        col("deflate_bytes").cast("double") /
+          greatest(col("n_bytes"), lit(1L)).cast("double")))
+      .orderBy(col("doc_id"))
+  }
+
   /** Canonical-content fingerprint per document. */
   def fingerprints(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(

@@ -52,4 +52,25 @@ class PropertySpec extends AnyFunSuite {
       vote(hs) == vote(hs.reverse)
     })
   }
+
+  test("posting codec: decode(encode(xs)) == xs for all Long lists") {
+    import graft.functions.PostingCodec
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    check(Prop.forAll(Gen.listOf(Gen.long)) { xs =>
+      val enc = PostingCodec.encode(new GenericArrayData(xs.toArray))
+      PostingCodec.decode(enc).toLongArray().toList == xs
+    })
+  }
+
+  test("posting codec: sorted dense lists never exceed raw size") {
+    import graft.functions.PostingCodec
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // ascending non-negative ids with bounded gaps — the posting-list
+    // contract — must never encode larger than 8 B/posting
+    val sortedIds = Gen.nonEmptyListOf(Gen.chooseNum(0L, 1L << 40))
+      .map(_.sorted.distinct)
+    check(Prop.forAll(sortedIds) { xs =>
+      PostingCodec.encode(new GenericArrayData(xs.toArray)).length <= xs.length * 8
+    })
+  }
 }

@@ -221,6 +221,8 @@ object SparkEntry {
     // reachability query (unlike q_dedup_groups whose minhash pair
     // stage is engine-hash-specific)
     "q_dedup_groups_exact" -> ((s: SparkSession, d: String) => Dedup.ngramDupGroups(s, d)),
+    // dup-cluster size distribution (curation dashboard stat)
+    "q_dedup_group_sizes" -> ((s: SparkSession, d: String) => Dedup.dupGroupSizes(s, d)),
     // exact-size balanced class downsampling by portable hash rank
     "q_stratified" -> (DatasetOps.stratifiedSample _),
     // SCD-2 state-validity intervals (gaps-and-islands)
@@ -1492,6 +1494,43 @@ object SparkEntry {
         |SELECT group_id, CAST(count(*) AS BIGINT) AS n_members,
         | max(node) AS max_doc_id
         |FROM labels GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same transitive closure, rolled up to the size distribution
+    "q_dedup_group_sizes" ->
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+        | FROM documents),
+        | idx AS (
+        | SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        | FROM toks WHERE len(t) >= 2),
+        | sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1]) AS sh FROM idx),
+        | capped AS (
+        | SELECT * FROM sh
+        | WHERE sh NOT IN (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 50)),
+        | n AS (SELECT doc_id, count(*) AS cnt FROM capped GROUP BY 1),
+        | pairs AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        | FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        | scored AS (
+        | SELECT doc_a, doc_b,
+        |  CAST(inter AS DOUBLE) / (na.cnt + nb.cnt - inter) AS jacc
+        | FROM pairs JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id),
+        | edges AS (
+        | SELECT doc_a, doc_b FROM scored
+        | WHERE floor(jacc * 10000 + 0.5) / 10000 >= 0.3),
+        | sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
+        |   UNION SELECT doc_b, doc_a FROM edges),
+        | reach(node, r) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM sym) base
+        |  UNION
+        |  SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+        | labels AS (SELECT node, min(r) AS group_id FROM reach GROUP BY node),
+        | groups AS (SELECT group_id, CAST(count(*) AS BIGINT) AS n_members
+        |  FROM labels GROUP BY 1)
+        |SELECT n_members, CAST(count(*) AS BIGINT) AS n_groups,
+        | CAST(sum(n_members) AS BIGINT) AS n_docs
+        |FROM groups GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_stratified" ->
       """WITH ranked AS (
         | SELECT doc_id, lang,

@@ -766,4 +766,19 @@ object Dedup {
       .groupBy(col("group_id"))
       .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_doc_id"))
       .orderBy(col("group_id"))
+
+  /** Duplicate-cluster size distribution — the curation dashboard stat
+    * behind a dedup run: for each cluster size, how many clusters and
+    * how many documents sit in them (e.g. a heavy tail of large
+    * clusters means templated content dominates the dup mass and a
+    * keep-one policy reclaims the most tokens there). Metadata-scale
+    * rollup over the already-computed exact group table.
+    */
+  def dupGroupSizes(s: SparkSession, dir: String,
+      threshold: Double = 0.3): DataFrame =
+    ngramDupGroups(s, dir, threshold)
+      .groupBy(col("n_members"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("n_members")).as("n_docs"))
+      .orderBy(col("n_members"))
 }

@@ -85,6 +85,8 @@ object SparkEntry {
     // delta+varint posting compression: codec byte accounting is
     // hash-verified (oracle recomputes varint lengths by case-ladder)
     "q_posting_compression" -> ((s: SparkSession, d: String) => TextQueries.postingCompression(s, d)),
+    // index snapshot diff: per-word df movement between corpus versions
+    "q_index_diff" -> ((s: SparkSession, d: String) => TextQueries.indexDiff(s, d)),
     // rows-only BY CONSTRUCTION: deflate byte counts are a compressor
     // property, not a data-model property (no engine-portable oracle);
     // behavior pinned in CompressionSignalSpec
@@ -873,6 +875,26 @@ object SparkEntry {
         | SELECT lower(regexp_replace(tok, '[^A-Za-z]+', '', 'g')) AS value FROM raw)
         |SELECT value, count(*) AS n FROM toks WHERE length(value) > 0
         |GROUP BY value ORDER BY n DESC, value LIMIT 50""".stripMargin,
+    "q_index_diff" ->
+      """WITH raw AS (
+        | SELECT doc_id, source, unnest(regexp_split_to_array(text, '\s+')) AS tok
+        | FROM documents),
+        | toks AS (
+        | SELECT doc_id, source,
+        |  lower(regexp_replace(tok, '[^A-Za-z]+', '', 'g')) AS word FROM raw),
+        | words AS (
+        | SELECT DISTINCT doc_id, source, word FROM toks WHERE length(word) > 0),
+        | newdf AS (SELECT word, count(*) AS df FROM words GROUP BY 1),
+        | olddf AS (SELECT word, count(*) AS df FROM words
+        |  WHERE source != 'src0' GROUP BY 1),
+        | j AS (
+        | SELECT coalesce(n.word, o.word) AS word,
+        |  coalesce(o.df, 0) AS df_old, coalesce(n.df, 0) AS df_new
+        | FROM newdf n FULL OUTER JOIN olddf o ON n.word = o.word)
+        |SELECT word, df_old, df_new,
+        | CASE WHEN df_old = 0 THEN 'added' WHEN df_new = 0 THEN 'removed'
+        |  ELSE 'changed' END AS status
+        |FROM j WHERE df_old != df_new ORDER BY word""".stripMargin,
     // varint length is a pure function of the zigzag value's magnitude
     // (ceil(bits/7)), so the oracle reproduces the codec's exact byte
     // count with integer comparisons — no varint implementation needed

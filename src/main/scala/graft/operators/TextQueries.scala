@@ -442,6 +442,44 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Index snapshot diff: what a corpus change did to the inverted
+    * index, word by word — `added` (new vocabulary), `removed`
+    * (vocabulary lost with the dropped docs), `changed` (document
+    * frequency moved). The "old" snapshot here is the corpus without
+    * `source = src0` (a deterministic stand-in for the previous crawl);
+    * production diffs two index versions the same way. This is the
+    * audit report an incremental index merge ([[IndexStore.merge]])
+    * is validated against.
+    *
+    * Scale shape: two df aggregates (each one shuffle, map-side
+    * partials) full-outer-joined on the word key — vocabulary-sized
+    * inputs, never corpus-sized; unchanged words are filtered out so
+    * the report is delta-sized.
+    */
+  def indexDiff(s: SparkSession, dir: String): DataFrame = {
+    val all = docs(s, dir)
+    indexDiffOn(all, all.filter(col("source") =!= "src0"))
+  }
+
+  /** Frame-level diff of two corpus versions' word document
+    * frequencies; see [[indexDiff]] for semantics.
+    */
+  def indexDiffOn(newDocs: DataFrame, oldDocs: DataFrame): DataFrame = {
+    def df(d: DataFrame): DataFrame =
+      wordDocPairs(d).groupBy(col("word")).agg(count(lit(1)).as("n_docs"))
+    df(newDocs).as("n").join(df(oldDocs).as("o"), Seq("word"), "full_outer")
+      .select(col("word"),
+        coalesce(col("o.n_docs"), lit(0L)).as("df_old"),
+        coalesce(col("n.n_docs"), lit(0L)).as("df_new"))
+      .withColumn("status",
+        when(col("df_old") === 0, lit("added"))
+          .when(col("df_new") === 0, lit("removed"))
+          .when(col("df_old") =!= col("df_new"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("status") =!= "unchanged")
+      .orderBy(col("word"))
+  }
+
   /** Canonical-content fingerprint per document. */
   def fingerprints(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(

@@ -478,6 +478,26 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("indexDiff: added/removed/changed statuses each fire correctly") {
+    import spark.implicits._
+    val oldDocs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val newDocs = Seq((1L, "alpha beta delta"), (2L, "alpha delta"))
+      .toDF("doc_id", "text")
+    val diff = TextQueries.indexDiffOn(newDocs, oldDocs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // delta: absent before, df 2 now -> added; gamma: gone -> removed;
+    // beta: df 2 -> 1 -> changed; alpha: df 2 == 2 -> filtered out
+    assert(diff("delta") == ((0L, 2L, "added")))
+    assert(diff("gamma") == ((1L, 0L, "removed")))
+    assert(diff("beta") == ((2L, 1L, "changed")))
+    assert(!diff.contains("alpha"), "unchanged word must be filtered")
+    // gate form: every reported row genuinely moved
+    TextQueries.indexDiff(spark, sf).collect().foreach { r =>
+      assert(r.getLong(1) != r.getLong(2))
+    }
+  }
+
   test("percentilesExact is monotone and brackets the approx answers") {
     val rows = Relational.percentilesExact(spark, sf).collect()
     assert(rows.nonEmpty)

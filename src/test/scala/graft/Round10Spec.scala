@@ -498,6 +498,43 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("histogram maintenance resumes across a checkpointed restart") {
+    import graft.streaming.EventStream
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-hist-rsrc").toString
+    val parent = java.nio.file.Files.createTempDirectory("graft-hist-r").toString
+    val path = s"$parent/daily"
+    val ckpt = s"$parent/ckpt"
+    val events = Tables.load(spark, sf, "events")
+      .select(col("ts"), col("event_type"), col("value"))
+    // first half of the stream, then stop
+    events.filter(col("event_type").isin("click", "view"))
+      .repartition(2).write.mode("overwrite").parquet(srcDir)
+    def start() = EventStream.maintainHistogram(
+      spark.readStream
+        .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", 1).parquet(srcDir),
+      path, checkpointLocation = Some(ckpt))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // new files arrive while the stream is down; the restart must pick
+    // up ONLY those (checkpoint offsets) and land them in the SAME
+    // staging dir (runKey derives from the checkpoint, not the start)
+    events.filter(!col("event_type").isin("click", "view"))
+      .repartition(2).write.mode("append").parquet(srcDir)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val stagings = new java.io.File(parent).listFiles()
+      .map(_.getName).filter(_.startsWith("daily.batches-"))
+    assert(stagings.length == 1,
+      s"restart must reuse the checkpoint-keyed staging dir, got ${stagings.toSeq}")
+    // serving view == one-shot batch rollup over ALL events
+    val served = operators.TrainingPrep.histogramPercentiles(
+      spark.read.parquet(path)).collect().map(_.toSeq).toSeq
+    val direct = operators.TrainingPrep.histogramRollup(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(served == direct, "resumed maintenance diverged from the batch rollup")
+  }
+
   test("percentilesExact is monotone and brackets the approx answers") {
     val rows = Relational.percentilesExact(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -99,6 +99,8 @@ object SparkEntry {
     // dataset assembly
     "q_train_split" -> (DatasetOps.splitCounts _),
     "q_seq_packing" -> ((s: SparkSession, d: String) => DatasetOps.packingManifest(s, d)),
+    // packing feedback: per-lang bin fill vs budget + overfull count
+    "q_pack_efficiency" -> ((s: SparkSession, d: String) => DatasetOps.packingEfficiency(s, d)),
     "q_chunking" -> ((s: SparkSession, d: String) => DatasetOps.chunkManifest(s, d)),
     "q_decontam" -> ((s: SparkSession, d: String) => DatasetOps.decontaminate(s, d)),
     "q_mixture" -> (DatasetOps.mixturePlan _),
@@ -759,6 +761,27 @@ object SparkEntry {
         | count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
         | min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_pack_efficiency" ->
+      """WITH t AS (
+        | SELECT doc_id, lang, doc_id % 8 AS shard,
+        |  len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS n_tokens
+        | FROM documents),
+        | c AS (
+        | SELECT doc_id, lang, shard, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM t),
+        | bins AS (
+        | SELECT lang, shard,
+        |  CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 512) AS BIGINT) AS bin_id,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+        | FROM c GROUP BY 1, 2, 3)
+        |SELECT lang, count(*) AS n_bins,
+        | CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        | CAST(sum(bin_tokens) AS BIGINT) AS total_tokens,
+        | floor(CAST(sum(bin_tokens) AS DOUBLE) / (count(*) * 512) * 10000 + 0.5) / 10000 AS avg_fill,
+        | CAST(sum(CASE WHEN bin_tokens > 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_overfull
+        |FROM bins GROUP BY 1 ORDER BY lang""".stripMargin,
     "q_chunking" ->
       """WITH t AS (
         | SELECT doc_id,

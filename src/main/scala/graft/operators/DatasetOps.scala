@@ -294,6 +294,28 @@ object DatasetOps {
       .orderBy(col("lang"), col("shard"), col("bin_id"))
   }
 
+  /** Packing-efficiency report — the feedback loop on
+    * [[packingManifest]]'s token budget: per language, how many bins
+    * the packing produced, their average fill vs the budget, and how
+    * many ran over (greedy cumulative binning can't split a document,
+    * so a long doc straddling a boundary overfills its bin). Low fill
+    * → budget too large for the doc-length mix (padding waste at
+    * training time); many overfull bins → budget too small. Pure
+    * metadata-scale rollup over the manifest.
+    */
+  def packingEfficiency(s: SparkSession, dir: String,
+      budget: Int = 512, nShards: Int = 8): DataFrame =
+    packingManifest(s, dir, budget, nShards)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("bin_tokens")).as("total_tokens"),
+        graft.functions.Rounding.portableRound4(
+          sum(col("bin_tokens")).cast("double") /
+            (count(lit(1)) * budget).cast("double")).as("avg_fill"),
+        sum((col("bin_tokens") > budget).cast("long")).as("n_overfull"))
+      .orderBy(col("lang"))
+
   /** Balanced per-stratum downsampling: every language is cut to the
     * size of the SMALLEST language class, with the kept rows chosen by
     * rank of a deterministic integer hash — the class-rebalancing pass

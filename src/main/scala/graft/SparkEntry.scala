@@ -234,6 +234,9 @@ object SparkEntry {
     // Tukey-fence outlier screen (order-statistic fences: counts are
     // bit-deterministic cross-engine, unlike z-score boundaries)
     "q_events_outliers" -> (EventsQueries.valueOutliers _),
+    // calendar densification: every hour in the span, zero-count
+    // hours included (generated hour dimension + left join)
+    "q_events_gapfill" -> (EventsQueries.hourlyRateGapFilled _),
     // next-event-prediction training pairs from per-user event history
     "q_seq_examples" -> ((s: SparkSession, d: String) => EventsQueries.seqExamples(s, d)),
     // data layout / profiling
@@ -1610,6 +1613,19 @@ object SparkEntry {
         | CAST(epoch_ms(lead(from_ts) OVER (PARTITION BY user_id
         |   ORDER BY from_ts, run_id)) AS BIGINT) AS valid_to
         |FROM iv ORDER BY user_id, run_id""".stripMargin,
+    "q_events_gapfill" ->
+      """WITH counts AS (
+        | SELECT date_trunc('hour', ts) AS h, count(*) AS n_events
+        | FROM events GROUP BY 1),
+        | span AS (
+        | SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+        | FROM events),
+        | hours AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM span)
+        |SELECT CAST(hours.h AS DATE) AS event_date,
+        | CAST(hour(hours.h) AS BIGINT) AS event_hour,
+        | CAST(coalesce(c.n_events, 0) AS BIGINT) AS n_events
+        |FROM hours LEFT JOIN counts c ON hours.h = c.h
+        |ORDER BY event_date, event_hour""".stripMargin,
     "q_events_outliers" ->
       """WITH f AS (
         | SELECT event_type, count(*) AS n,

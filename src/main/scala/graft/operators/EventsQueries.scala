@@ -191,6 +191,39 @@ object EventsQueries {
       .orderBy(col("user_id"), col("run_id"))
   }
 
+  /** Gap-filled hourly event rates: every hour in the observed span
+    * appears, zero-count hours included — the calendar densification a
+    * monitoring dashboard needs (a missing-hours gap is exactly the
+    * signal a sparse GROUP BY silently hides). The hour dimension is
+    * GENERATED (`sequence` over the observed min/max, exploded), then
+    * the sparse counts left-join onto it.
+    *
+    * Scale shape: the span's hour table is tiny (years ≈ 10⁴ rows) and
+    * generated from a one-row min/max aggregate; the only corpus-sized
+    * work is the hourly count aggregate the sparse report already
+    * paid. Emitted as (date, hour) scalar keys for the oracle hash.
+    */
+  def hourlyRateGapFilled(s: SparkSession, dir: String): DataFrame =
+    hourlyRateGapFilledOn(ev(s, dir))
+
+  /** Frame-level form of [[hourlyRateGapFilled]] (planted-gap specs). */
+  def hourlyRateGapFilledOn(events: DataFrame): DataFrame = {
+    val counts = events
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n_events"))
+    val span = events
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+    val hours = span
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("interval 1 hour"))).as("h"))
+    hours.join(counts, Seq("h"), "left")
+      .select(to_date(col("h")).as("event_date"),
+        hour(col("h")).cast("long").as("event_hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy(col("event_date"), col("event_hour"))
+  }
+
   /** Tukey-fence outlier screen per event type: interquartile fences
     * `[q1 − 1.5·IQR, q3 + 1.5·IQR]` and the count/extremes of values
     * outside them — the standard distribution-free anomaly screen for

@@ -535,6 +535,23 @@ class Round10Spec extends SparkSpec {
     assert(served == direct, "resumed maintenance diverged from the batch rollup")
   }
 
+  test("hourlyRateGapFilled: planted gaps appear as zero-count hours") {
+    import spark.implicits._
+    // events at hours 0, 1, and 4 — hours 2 and 3 are genuine gaps
+    val sparse = Seq(
+      "2024-03-01 00:10:00", "2024-03-01 00:50:00",
+      "2024-03-01 01:30:00", "2024-03-01 04:05:00")
+      .map(java.sql.Timestamp.valueOf).toDF("ts")
+    val out = EventsQueries.hourlyRateGapFilledOn(sparse).collect()
+    assert(out.length == 5, s"span 00..04 must yield 5 hours, got ${out.length}")
+    val byHour = out.map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(byHour == Map(0L -> 2L, 1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 1L))
+    // conservation on the real table: gap-filled totals == raw count
+    val total = EventsQueries.hourlyRateGapFilled(spark, sf)
+      .agg(sum("n_events")).collect()(0).getLong(0)
+    assert(total == Tables.load(spark, sf, "events").count())
+  }
+
   test("percentilesExact is monotone and brackets the approx answers") {
     val rows = Relational.percentilesExact(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -150,8 +150,48 @@ object ScaleBench {
         timed(() => fn(emb100xDir))))
     }
 
-    // ---------------- cell-prune keep rate at both scales
+    // ---------------- IVF assignment cost vs C: flat O(n·C·d) vs the
+    // coarse/fine descent O(n·2√C·d) (Similarity.assignCellsHier), on
+    // the 200k corpus — the measured justification the 4096-cell cap
+    // needs (VERDICT r10 #6): the flat pass grows linearly in C while
+    // the two-level pass stays near-flat, and the agreement column
+    // shows how often greedy descent lands in the flat argmax cell.
     graft.functions.VectorFunctions.register(spark)
+    val assignJson = {
+      val e = Tables.load(spark, emb100xDir, "embeddings")
+        .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("emb"))
+        .withColumn("nrm", graft.functions.VectorFunctions.l2Norm(col("emb")))
+        .persist()
+      e.count()
+      val n = e.count()
+      val points = Seq(512, 1024, 2048, 4096).map { c =>
+        // force ~c seeds (the engine's √n policy would cap at √200k ≈
+        // 448 and flatten the sweep): same hash-stride selection, denser
+        val stride = math.max(1L, math.round(n.toDouble / c))
+        val seeds = e.filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
+          .select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"),
+            col("nrm").as("cent_nrm"))
+        val cells = Similarity.collectCells(
+          Similarity.kmeansCentroids(e, seeds, 1))
+        val h = Similarity.hierIndex(cells)
+        val flatT = timed(() => Similarity.assignCells(e, cells)
+          .select(col("vec_id"), col("cent_id")))
+        val hierT = timed(() => Similarity.assignCellsHier(e, h)
+          .select(col("vec_id"), col("cent_id")))
+        val agree = Similarity.assignCells(e, cells).select(col("vec_id"), col("cent_id"))
+          .join(Similarity.assignCellsHier(e, h)
+            .select(col("vec_id"), col("cent_id").as("cent_id_h")), Seq("vec_id"))
+          .agg(avg((col("cent_id") === col("cent_id_h")).cast("double")))
+          .first().getDouble(0)
+        (cells.ids.size, flatT, hierT, agree)
+      }
+      e.unpersist()
+      points.map { case (c, f, h, a) =>
+        f"""{"cells":$c,"flat_s":$f%.2f,"hier_s":$h%.2f,"agreement":$a%.4f}"""
+      }.mkString("[", ",", "]")
+    }
+
+    // ---------------- cell-prune keep rate at both scales
     def pruneRate(dir: String): Double = {
       val corpus = Tables.load(spark, dir, "embeddings")
         .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("emb"))
@@ -172,7 +212,7 @@ object ScaleBench {
       if b1 - b0 + s1 - s0 > 0
     } yield f"${100.0 * (s1 - s0) / ((b1 - b0) + (s1 - s0)).toDouble}%.1f")
       .getOrElse("null")
-    println(f"""{"metric":"scale_growth","runs":$Runs,"scales":"1x,10x,100x","ops":$opsJson,"cellpair_keep_rates":$keepJson,"cpu_steal_pct":$stealJson,"docs_1x":${d.count()}}""")
+    println(f"""{"metric":"scale_growth","runs":$Runs,"scales":"1x,10x,100x","ops":$opsJson,"cellpair_keep_rates":$keepJson,"assignment_200k":$assignJson,"cpu_steal_pct":$stealJson,"docs_1x":${d.count()}}""")
     spark.stop()
   }
 }

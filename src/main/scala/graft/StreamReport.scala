@@ -1,0 +1,216 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStream
+
+/** Committed-artifact companion to the streaming batch-equality specs
+  * (the RECALL.json pattern, asked for by the r10 verdict): the spec
+  * suite asserts stream==batch inside ScalaTest, but a floor inside a
+  * spec isn't inspectable per-round, so this main replays the five
+  * maintenance paths with the source REALLY chopped into micro-batches
+  * (multi-file staged copies, `maxFilesPerTrigger = 1`) and records,
+  * per path: the number of micro-batches, the input rows each batch
+  * carried, and row-set parity of the streamed end state against the
+  * one-shot batch computation. Output: one JSON line, also written to
+  * `STREAM.json`.
+  *
+  * Usage: `runMain graft.StreamReport [sfDir]` (default sf0.1).
+  *
+  * Paths covered (each vs its exact batch restatement):
+  *  1. watermarked tumbling-window aggregation (hourlyCounts)
+  *  2. arbitrary-state sessionization (mapGroupsWithState)
+  *  3. stateful exact dedup → canonical map
+  *  4. staged summary-MV maintenance (foreachBatch + rebuild)
+  *  5. staged histogram maintenance (foreachBatch + rebuild)
+  */
+object StreamReport {
+
+  private final case class PathReport(name: String, rowsPerBatch: Seq[Long],
+      rowsStream: Long, rowsBatch: Long, matches: Boolean) {
+    def json: String =
+      s""""$name":{"n_microbatches":${rowsPerBatch.size},""" +
+        s""""rows_per_batch":${rowsPerBatch.mkString("[", ",", "]")},""" +
+        s""""rows_stream":$rowsStream,"rows_batch":$rowsBatch,"match":$matches}"""
+  }
+
+  /** memory-sink runner that also returns per-trigger input row counts
+    * (what [[EventStream.runToMemory]] drops). */
+  private def runWithProgress(spark: SparkSession, df: DataFrame, name: String,
+      mode: OutputMode): (DataFrame, Seq[Long]) = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    (spark.table(name), q.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0))
+  }
+
+  private def setEqual(a: DataFrame, b: DataFrame): Boolean =
+    a.except(b).isEmpty && b.except(a).isEmpty
+
+  /** Row-set parity with double columns compared at relative 1e-9: the
+    * staged maintenance paths merge PARTIAL sums, and float addition
+    * is not associative — sum-of-batch-sums differs from the one-shot
+    * sum in the last ulps while being the same number for any consumer.
+    * All non-double columns (keys, counts, min/max) stay exact.
+    */
+  private def tolerantEqual(a: DataFrame, b: DataFrame): Boolean = {
+    import org.apache.spark.sql.types.DoubleType
+    if (a.schema.map(f => (f.name, f.dataType)).toSet !=
+        b.schema.map(f => (f.name, f.dataType)).toSet) return false
+    val keyCols = a.schema.filter(_.dataType != DoubleType).map(_.name)
+    val dblCols = a.schema.filter(_.dataType == DoubleType).map(_.name)
+    val joined = a.as("x").join(b.as("y"), keyCols, "full_outer")
+    if (joined.count() != a.count() || a.count() != b.count()) return false
+    dblCols.forall { c =>
+      joined.filter(
+        col(s"x.$c").isNull || col(s"y.$c").isNull ||
+          (abs(col(s"x.$c") - col(s"y.$c")) >
+            lit(1e-9) * greatest(abs(col(s"x.$c")), abs(col(s"y.$c")), lit(1.0))))
+        .isEmpty
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.local(appName = "graft-stream-report")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-streamrep").toString
+
+    // staged multi-file sources: the single-file testdata would collapse
+    // every path to one micro-batch and the artifact would prove nothing
+    // about incremental maintenance. The stateful paths' arrival
+    // contracts are honored across the chop — events in ts order,
+    // documents in id order (range partitions; part-file order == range
+    // order) — exactly what a production ingest delivers; aggregation
+    // paths are order-free, and the summary/histogram sources below
+    // stay hash-scrambled to prove it.
+    // FileStreamSource picks files in MODIFICATION-TIME order; a
+    // parallel write gives all parts the same mtime and the chop order
+    // becomes arbitrary — stamp strictly increasing mtimes in range
+    // order (part-00000 = lowest range) so batch N really is range N.
+    def stageOrdered(df: DataFrame, sortCol: String, dest: String): Unit = {
+      val staged = s"$dest.stage"
+      df.repartitionByRange(4, col(sortCol)).sortWithinPartitions(col(sortCol))
+        .write.mode("overwrite").parquet(staged)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dest))
+      val base = System.currentTimeMillis() - 3600000L
+      new java.io.File(staged).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .zipWithIndex.foreach { case (f, i) =>
+          val t = new java.io.File(dest, f.getName)
+          java.nio.file.Files.move(f.toPath, t.toPath)
+          t.setLastModified(base + i * 60000L)
+        }
+      operators.ArtifactCache.deleteRecursively(new java.io.File(staged))
+    }
+    val eventsDir = s"$tmp/events"
+    stageOrdered(Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value")), "ts", eventsDir)
+    val docsDir = s"$tmp/docs"
+    stageOrdered(Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")), "doc_id", docsDir)
+    def eventsStream = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", 1).parquet(eventsDir)
+    def docsStream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(docsDir)
+
+    val reports = scala.collection.mutable.ListBuffer.empty[PathReport]
+
+    // 1. watermarked hourly window vs the batch aggregate
+    locally {
+      val (streamed0, perBatch) = runWithProgress(spark,
+        EventStream.hourlyCounts(eventsStream), "sr_hourly", OutputMode.Complete())
+      val streamed = streamed0
+        .select("event_date", "event_hour", "event_type", "n_events", "sum_value")
+      val batch = operators.EventsQueries.hourlyCounts(spark, dir)
+      reports += PathReport("hourly_window", perBatch,
+        streamed.count(), batch.count(), setEqual(streamed, batch))
+    }
+
+    // 2. mapGroupsWithState sessionization vs batch session counts
+    locally {
+      import spark.implicits._
+      val (streamed, perBatch) = runWithProgress(spark,
+        EventStream.sessionize(spark, eventsStream).toDF("user_id", "n_sessions", "n_events"),
+        "sr_sessions", OutputMode.Update())
+      val last = streamed.groupBy("user_id")
+        .agg(max("n_sessions").as("n_sessions"), max("n_events").as("n_events"))
+      val batch = operators.EventsQueries.sessionCounts(spark, dir)
+      reports += PathReport("sessionize_state", perBatch,
+        last.count(), batch.count(), setEqual(last, batch))
+    }
+
+    // 3. stateful exact dedup vs the batch canonical map
+    locally {
+      import spark.implicits._
+      val (streamed, perBatch) = runWithProgress(spark,
+        EventStream.streamingDedup(spark, docsStream)
+          .toDF("doc_id", "canonical_id", "is_duplicate"),
+        "sr_dedup", OutputMode.Update())
+      val batch = operators.Dedup.canonicalMap(spark, dir)
+      reports += PathReport("dedup_canonical", perBatch,
+        streamed.count(), batch.count(), setEqual(streamed, batch))
+    }
+
+    // 4. staged summary-MV maintenance vs the one-shot batch build
+    locally {
+      val dims = Seq("event_type"); val measures = Seq("value")
+      val mvParent = s"$tmp/mv"
+      val path = s"$mvParent/sum"
+      val src = spark.readStream.schema("event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet {
+          val d = s"$tmp/events_tv"
+          Tables.load(spark, dir, "events").select(col("event_type"), col("value"))
+            .repartition(4).write.mode("overwrite").parquet(d)
+          d
+        }
+      val q = EventStream.maintainSummary(src, dims, measures, path)
+      try q.processAllAvailable() finally q.stop()
+      val perBatch = q.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0)
+      val streamed = spark.read.parquet(path)
+      operators.SummaryMv.build(
+        Tables.load(spark, dir, "events").select(col("event_type"), col("value")),
+        dims, measures, s"$tmp/mv_direct/sum")
+      val direct = spark.read.parquet(s"$tmp/mv_direct/sum")
+      reports += PathReport("summary_mv", perBatch,
+        streamed.count(), direct.count(), tolerantEqual(streamed, direct))
+    }
+
+    // 5. staged histogram maintenance vs the one-shot daily histogram
+    locally {
+      val histParent = s"$tmp/hist"
+      val path = s"$histParent/daily"
+      val src = spark.readStream
+        .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet {
+          val d = s"$tmp/events_hist"
+          Tables.load(spark, dir, "events").select(col("ts"), col("event_type"), col("value"))
+            .repartition(4).write.mode("overwrite").parquet(d)
+          d
+        }
+      val q = EventStream.maintainHistogram(src, path)
+      try q.processAllAvailable() finally q.stop()
+      val perBatch = q.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0)
+      val streamed = spark.read.parquet(path)
+      val direct = operators.TrainingPrep.dailyHistogram(
+        Tables.load(spark, dir, "events").select(col("ts"), col("event_type"), col("value")))
+      reports += PathReport("histogram_daily", perBatch,
+        streamed.count(), direct.count(), setEqual(streamed, direct))
+    }
+
+    val allMatch = reports.forall(_.matches)
+    val json = s"""{"metric":"stream_batch_parity","sf":"$dir","all_match":$allMatch,""" +
+      reports.map(_.json).mkString(",") + "}"
+    java.nio.file.Files.write(java.nio.file.Paths.get("STREAM.json"),
+      (json + "\n").getBytes("UTF-8"))
+    println(json)
+    operators.ArtifactCache.deleteRecursively(new java.io.File(tmp))
+    spark.stop()
+    if (!allMatch) sys.exit(1)
+  }
+}

@@ -82,6 +82,11 @@ object PostingCodec {
           throw new IllegalArgumentException(
             "posting_decode: varint exceeds 64 bits (overlong or corrupt)")
         val x = b(i).toLong & 0xff
+        // at shift 63 only payload bit 0 fits in the Long; higher payload
+        // bits (or a continuation) would be shifted out silently — corrupt
+        if (shift == 63 && (x & 0xfe) != 0)
+          throw new IllegalArgumentException(
+            "posting_decode: varint exceeds 64 bits (overlong or corrupt)")
         z |= (x & 0x7f) << shift
         shift += 7
         more = (x & 0x80) != 0

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.{call_function, sqrt}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
@@ -196,6 +197,149 @@ case class NearestCell(first: Expression, second: Expression, third: Expression)
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Coarse→fine two-level nearest-cell descent — [[NearestCell]]'s
+  * answer to the flat assignment's O(C·d) per-row cost at large C
+  * (VERDICT r10 #6: at the 4096-cell cap the ASSIGNMENT pass, not the
+  * probe, is the O(n·C·d) bottleneck). Fine centroids are grouped
+  * (driver-side, see `Similarity.hierIndex`); per row the expression
+  * scores the G coarse group centers, keeps the top-`probes` groups
+  * (multi-probe: the single-group greedy descent measured only 0.86
+  * agreement with flat argmax on a clustered corpus — boundary vectors
+  * need a second-best group), then scans just those groups' fine
+  * slices: O((G + probes·C/G)·d) ≈ O((1+probes)·√C·d).
+  *
+  * Children: (emb, coarseEmbs, coarseNrms, starts, fineEmbs,
+  * fineNrms, probes) with `starts` the G+1 group offsets into the
+  * grouped-order fine arrays and `probes` a foldable int. Returns the
+  * 0-based GLOBAL index into the grouped fine arrays; ties break to
+  * the lowest global index (total + deterministic, like
+  * [[NearestCell]]). NULL on the same conditions as [[NearestCell]].
+  */
+case class NearestCellHier(children: Seq[Expression]) extends Expression {
+
+  private def probesExpr = children(6)
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_cell_hier"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = children.map(_.dataType) match {
+      case scala.collection.Seq(
+        ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _),
+        ArrayType(DoubleType, _), ArrayType(IntegerType, _),
+        ArrayType(ArrayType(DoubleType, _), _), ArrayType(DoubleType, _),
+        IntegerType) => probesExpr.foldable
+      case _ => false
+    }
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "nearest_cell_hier requires (array<double>, array<array<double>>, " +
+        "array<double>, array<int>, array<array<double>>, array<double>, " +
+        "foldable int)")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vals = children.map(_.eval(input))
+    if (vals.exists(_ == null)) return null
+    val e = vals(0).asInstanceOf[ArrayData]
+    val cEmbs = vals(1).asInstanceOf[ArrayData]
+    val cNrms = vals(2).asInstanceOf[ArrayData]
+    val starts = vals(3).asInstanceOf[ArrayData]
+    val fEmbs = vals(4).asInstanceOf[ArrayData]
+    val fNrms = vals(5).asInstanceOf[ArrayData]
+    val probes = vals(6).asInstanceOf[Int]
+    NearestCellHier.descend(e, cEmbs, cNrms, starts, fEmbs, fNrms, probes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evs = children.map(_.genCode(ctx))
+    val boxed = ctx.freshName("hierRes")
+    val code =
+      code"""
+        |${evs.map(_.code).mkString("\n")}
+        |boolean ${ev.isNull} = true;
+        |int ${ev.value} = -1;
+        |if (!(${evs.map(_.isNull).mkString(" || ")})) {
+        |  Integer $boxed = graft.functions.NearestCellHier.descend(
+        |    ${evs(0).value}, ${evs(1).value}, ${evs(2).value}, ${evs(3).value},
+        |    ${evs(4).value}, ${evs(5).value}, ${evs(6).value});
+        |  if ($boxed != null) { ${ev.isNull} = false; ${ev.value} = $boxed.intValue(); }
+        |}
+      """.stripMargin
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
+object NearestCellHier {
+
+  /** Static hot loop shared by codegen and interpreted paths (the
+    * [[CompressionSignal]] pattern — one copy of the algorithm, the
+    * generated code is a single static call that JIT inlines).
+    */
+  def descend(e: ArrayData, cEmbs: ArrayData, cNrms: ArrayData,
+      starts: ArrayData, fEmbs: ArrayData, fNrms: ArrayData,
+      probes: Int): Integer = {
+    val g = cEmbs.numElements()
+    if (g == 0 || g != cNrms.numElements() || starts.numElements() != g + 1)
+      return null
+    val d = e.numElements()
+    val w = math.max(1, math.min(probes, g))
+    val topIdx = new Array[Int](w)
+    val topScore = new Array[Double](w)
+    java.util.Arrays.fill(topScore, Double.NegativeInfinity)
+    java.util.Arrays.fill(topIdx, -1)
+    var i = 0
+    while (i < g) {
+      val ce = cEmbs.getArray(i)
+      if (ce.numElements() != d) return null
+      var s = 0.0
+      var j = 0
+      while (j < d) {
+        if (e.isNullAt(j)) return null
+        s += e.getDouble(j) * ce.getDouble(j); j += 1
+      }
+      val score = s / cNrms.getDouble(i)
+      // insertion into the tiny descending top-w arrays
+      if (score > topScore(w - 1)) {
+        var p = w - 1
+        while (p > 0 && topScore(p - 1) < score) {
+          topScore(p) = topScore(p - 1); topIdx(p) = topIdx(p - 1); p -= 1
+        }
+        topScore(p) = score; topIdx(p) = i
+      }
+      i += 1
+    }
+    var best = Double.NegativeInfinity
+    var bestIdx = -1
+    var p = 0
+    while (p < w) {
+      val grp = topIdx(p)
+      if (grp >= 0) {
+        var f = starts.getInt(grp)
+        val end = starts.getInt(grp + 1)
+        while (f < end) {
+          val fe = fEmbs.getArray(f)
+          if (fe.numElements() != d) return null
+          var s = 0.0
+          var j = 0
+          while (j < d) { s += e.getDouble(j) * fe.getDouble(j); j += 1 }
+          val score = s / fNrms.getDouble(f)
+          if (score > best || (score == best && f < bestIdx)) {
+            best = score; bestIdx = f
+          }
+          f += 1
+        }
+      }
+      p += 1
+    }
+    if (bestIdx < 0) null else Integer.valueOf(bestIdx)
+  }
+}
+
 /** Column-level API. The expressions are registered in the session
   * function registry (idempotent) and invoked by name via
   * `call_function`, which keeps this code independent of the
@@ -208,6 +352,8 @@ object VectorFunctions {
       "array_dot", exprs => ArrayDotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nearest_cell", exprs => NearestCell(exprs(0), exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nearest_cell_hier", exprs => NearestCellHier(exprs), "built-in")
   }
 
   def arrayDot(a: Column, b: Column): Column = call_function("array_dot", a, b)
@@ -216,4 +362,8 @@ object VectorFunctions {
 
   def nearestCell(emb: Column, cEmbs: Column, cNrms: Column): Column =
     call_function("nearest_cell", emb, cEmbs, cNrms)
+
+  def nearestCellHier(emb: Column, cEmbs: Column, cNrms: Column,
+      starts: Column, fEmbs: Column, fNrms: Column, probes: Column): Column =
+    call_function("nearest_cell_hier", emb, cEmbs, cNrms, starts, fEmbs, fNrms, probes)
 }

@@ -14,8 +14,12 @@ import graft.sources.DocumentCorpus
 object InvertedIndexJob {
 
   def run(spark: SparkSession, manifestPath: String, outDir: String): Unit = {
-    val docs = DocumentCorpus.documents(spark, manifestPath)
-    LetterTextSink.write(InvertedIndex.build(docs), outDir)
+    // the manifest is the free posting-list cardinality bound: a
+    // posting list holds file ids, so |manifest| bounds every list —
+    // buildGated picks hash vs sort-merge aggregation from it
+    val paths = DocumentCorpus.readManifest(manifestPath)
+    val docs = DocumentCorpus.documentsFromPaths(spark, paths)
+    LetterTextSink.write(InvertedIndex.buildGated(docs, paths.size.toLong), outDir)
   }
 
   /** CLI: `run <M> <R> <manifest> [outDir]` (M/R ignored). */

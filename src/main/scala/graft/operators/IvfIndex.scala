@@ -166,22 +166,37 @@ object IvfIndex {
     }
   }
 
-  /** The q_knn_ivf_indexed entry: build the index for `dir` once under
-    * /tmp (keyed by corpus path; reused across calls — that is the
-    * point of a persisted index), query with the standard vec_id < 10
-    * set. Results match knnIvf(kmeansIters = 1) exactly — same seeds,
-    * same Lloyd step, same probe policy (asserted in IvfIndexSpec).
+  /** Build-once shared grid artifact for `dir` at a given training
+    * depth: fingerprinted + done-marked like every /tmp artifact cache
+    * (a regenerated corpus must never be probed through a stale index,
+    * and centroids/_SUCCESS alone can't vouch for assigned/), keyed by
+    * `kmeansIters` so the 1- and 2-iteration grids coexist. THE way a
+    * deployment amortizes IVF training: cost ∝ corpus per index
+    * GENERATION, never per query — [[Similarity.annRecall]] and the
+    * standalone kmeans query both serve from here instead of
+    * re-training (the r10 q_knn_ivf_kmeans 4.6× regression was exactly
+    * per-query training).
+    */
+  def ensureIndex(s: SparkSession, dir: String, kmeansIters: Int = 1,
+      maxCells: Int = 4096): String = {
+    val fp = ArtifactCache.fingerprint(new java.io.File(s"$dir/embeddings.parquet"))
+    ArtifactCache.ensure(
+      s"/tmp/graft-ivf/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}-$fp-i$kmeansIters") {
+      tmp => build(s, dir, tmp, kmeansIters, maxCells)
+    }
+  }
+
+  /** The q_knn_ivf_indexed / q_knn_ivf_kmeans entries: build the index
+    * for `dir` once under /tmp (keyed by corpus fingerprint + training
+    * depth; reused across calls — that is the point of a persisted
+    * index), query with the standard vec_id < 10 set. Results match
+    * knnIvf at the same `kmeansIters` exactly — same seeds, same Lloyd
+    * steps, same probe policy (asserted in IvfIndexSpec for both
+    * depths).
     */
   def knnIndexed(s: SparkSession, dir: String, k: Int = 5,
-      nprobe: Int = 16): DataFrame = {
-    // fingerprinted + done-marked like every /tmp artifact cache: a
-    // regenerated corpus must never be probed through a stale index,
-    // and centroids/_SUCCESS alone can't vouch for assigned/
-    val fp = ArtifactCache.fingerprint(new java.io.File(s"$dir/embeddings.parquet"))
-    val path = ArtifactCache.ensure(
-      s"/tmp/graft-ivf/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}-$fp") {
-      tmp => build(s, dir, tmp)
-    }
+      nprobe: Int = 16, kmeansIters: Int = 1): DataFrame = {
+    val path = ensureIndex(s, dir, kmeansIters)
     val q = Similarity.emb(s, dir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
         col("nrm").as("q_nrm"))

@@ -144,6 +144,71 @@ object Multimodal {
     * proportional to colliding candidates, never all pairs — the only
     * shape that survives a 100 TB media corpus.
     */
+  /** Byte histogram as exact integer (bin, count) rows — the
+    * cross-engine-checkable form of [[byteHistogram]] (whose
+    * L1-normalized doubles cancel out of any cosine anyway). Narrow
+    * per-partition map, ≤ 64 rows per payload, no shuffle.
+    */
+  private[graft] def byteHistCounts(s: SparkSession, media: DataFrame): DataFrame = {
+    import s.implicits._
+    media.as[MediaRow].flatMap { r =>
+      val hist = new Array[Long](64)
+      var i = 0
+      while (i < r.content.length) { hist((r.content(i) & 0xFF) >> 2) += 1L; i += 1 }
+      hist.iterator.zipWithIndex.collect { case (c, b) if c > 0 => (r.media_id, b, c) }
+    }.toDF("media_id", "bin", "cnt")
+  }
+
+  /** EXACT companion of [[mediaNearDups]] — the auditable restatement
+    * the sketch entries pair with (`q_heavy_hitters_exact` pattern).
+    * Differences from the scaled pipeline, both in the direction of
+    * removing engine-private state:
+    *  - candidates are pairs sharing ANY stride-4 16-byte window (the
+    *    UNSAMPLED anchor relation — [[binaryAnchors]] keeps the ≡ 0
+    *    mod 32 hash sample of exactly these windows, then MinHash/LSH
+    *    approximates the overlap; here the raw window BYTES are the
+    *    join key, so no engine hash appears anywhere);
+    *  - verification cosine is computed from INTEGER byte-histogram
+    *    counts as dot / (sqrt(na2)·sqrt(nb2)) — all three inputs exact
+    *    integers < 2⁵³, so the divide/sqrt sequence is bit-identical
+    *    in any IEEE engine and a DuckDB oracle reproduces it hash-for-
+    *    hash (normalization cancels out of cosine, so this equals
+    *    [[byteHistogram]]'s L1-normalized form mathematically).
+    * Cost is ∝ shared-window pairs (312k at sf0.1) — quadratic only in
+    * per-window df, not corpus size, but UNSAMPLED: at 100 TB you run
+    * [[mediaNearDups]] and audit a slice with this, same contract as
+    * the text dedup family.
+    */
+  def mediaNearDupsExact(s: SparkSession, dir: String,
+      threshold: Double = 0.99): DataFrame = {
+    val media = mediaTable(s, dir)
+    val positions = sequence(lit(1), greatest(length(col("content")) - 15, lit(1)), lit(4))
+    val wins = media.select(col("media_id"),
+        explode(transform(positions, p => col("content").substr(p, lit(16)))).as("win"))
+      .distinct()
+    val cand = wins.as("a").join(wins.as("b"),
+        col("a.win") === col("b.win") && col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"))
+      .distinct()
+    val h = byteHistCounts(s, media)
+    val n2 = h.groupBy(col("media_id")).agg(sum(col("cnt") * col("cnt")).as("n2"))
+    val dots = cand
+      .join(h.as("ha"), col("ha.media_id") === col("media_a"))
+      .join(h.as("hb"),
+        col("hb.media_id") === col("media_b") && col("hb.bin") === col("ha.bin"))
+      .groupBy(col("media_a"), col("media_b"))
+      .agg(sum(col("ha.cnt") * col("hb.cnt")).as("dot"))
+    val cosu = col("dot").cast("double") /
+      (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double")))
+    dots
+      .join(n2.select(col("media_id").as("media_a"), col("n2").as("na2")), Seq("media_a"))
+      .join(n2.select(col("media_id").as("media_b"), col("n2").as("nb2")), Seq("media_b"))
+      .filter(cosu >= threshold)
+      .select(col("media_a"), col("media_b"),
+        graft.functions.Rounding.portableRound4(cosu).as("cos"))
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
   def mediaNearDups(s: SparkSession, dir: String, threshold: Double = 0.99): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val media = mediaTable(s, dir)

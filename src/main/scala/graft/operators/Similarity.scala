@@ -293,6 +293,110 @@ object Similarity {
       VectorFunctions.nearestCell(
         col("emb"), typedLit(cells.embs), typedLit(cells.nrms)) + lit(1)))
 
+  // ------------------------------------------- two-level assignment
+
+  /** Centroids regrouped for coarse→fine descent: `starts(g)` …
+    * `starts(g+1)` delimit group g's slice of the (grouped-order)
+    * fine arrays. Empty groups are dropped at build time so the
+    * coarse argmax can never land on a memberless slice.
+    */
+  private[graft] final case class HierIndex(
+      coarseEmbs: Seq[Seq[Double]], coarseNrms: Seq[Double], starts: Seq[Int],
+      fineIds: Seq[Long], fineEmbs: Seq[Seq[Double]], fineNrms: Seq[Double])
+
+  /** Group the (bounded, driver-side) centroid set into ⌈√C⌉ coarse
+    * groups by a small driver-side k-means in cosine space —
+    * deterministic stride seeds, `iters` Lloyd steps over ≤ maxCells
+    * points, pure Scala (the model is model-state-sized; clustering it
+    * on the driver is the same discipline as collecting it).
+    *
+    * This is the IMI-style answer to the flat assignment's O(n·C·d)
+    * cost at the 4096-cell cap: descent evaluates G coarse dots plus
+    * one group's fines — O(n·2√C·d), a 32× flop cut at C = 4096 —
+    * while cell SEMANTICS stay "one of the same C fine cells", so the
+    * downstream index layout, probe ranking, and search are unchanged.
+    */
+  private[graft] def hierIndex(cells: CellIndex, groups: Int = 0,
+      iters: Int = 3): HierIndex = {
+    val c = cells.ids.size
+    val g = math.max(1, if (groups > 0) groups
+      else math.ceil(math.sqrt(c.toDouble)).toInt)
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    // stride seeds over cent_id order, then Lloyd: assign each centroid
+    // to its max-cosine group, recenter as the member mean
+    var gEmbs = (0 until g).map(i => cells.embs(i * c / g))
+    var gNrms = gEmbs.map(e => math.sqrt(dot(e, e)))
+    var assign: Seq[Int] = Seq.empty
+    for (_ <- 0 until iters) {
+      assign = cells.embs.indices.map { i =>
+        var best = Double.NegativeInfinity; var bi = 0
+        var j = 0
+        while (j < gEmbs.size) {
+          val s = dot(cells.embs(i), gEmbs(j)) / gNrms(j)
+          if (s > best) { best = s; bi = j }
+          j += 1
+        }
+        bi
+      }
+      val dims = cells.embs.head.size
+      val next = (0 until g).map { j =>
+        val members = cells.embs.indices.filter(assign(_) == j)
+        if (members.isEmpty) gEmbs(j)
+        else (0 until dims).map(d => members.map(cells.embs(_)(d)).sum / members.size)
+      }
+      gEmbs = next
+      gNrms = gEmbs.map(e => math.sqrt(dot(e, e)))
+    }
+    // grouped order: groups ascending, cent_id ascending within (both
+    // deterministic); memberless groups dropped
+    val byGroup = (0 until g).map(j => cells.ids.indices.filter(assign(_) == j))
+      .filter(_.nonEmpty)
+    val flat = byGroup.flatten
+    val starts = byGroup.scanLeft(0)(_ + _.size)
+    HierIndex(
+      byGroup.map(m => gEmbs(assign(m.head))),
+      byGroup.map(m => gNrms(assign(m.head))),
+      starts,
+      flat.map(cells.ids), flat.map(cells.embs), flat.map(cells.nrms))
+  }
+
+  /** [[assignCells]] through the multi-probe coarse→fine descent
+    * ([[graft.functions.NearestCellHier]]): same narrow no-shuffle
+    * projection shape, O((1+probes)·√C·d) per row instead of O(C·d).
+    * `probes = 4` coarse groups by default: the single-group greedy
+    * descent measured only 0.86 agreement with the flat argmax on a
+    * clustered corpus (boundary vectors' nearest fine cell often sits
+    * in the runner-up group); probing 4 groups recovers the boundary
+    * cases while keeping the 4096-cell assignment ~6× cheaper than
+    * flat. Agreement and end-to-end recall are MEASURED (ScaleBench
+    * `assignment_200k` section, Round11Spec floor), not assumed.
+    */
+  private[graft] def assignCellsHier(e: DataFrame, h: HierIndex,
+      probes: Int = 4): DataFrame =
+    e.withColumn("cent_id", element_at(typedLit(h.fineIds),
+      VectorFunctions.nearestCellHier(col("emb"),
+        typedLit(h.coarseEmbs), typedLit(h.coarseNrms), typedLit(h.starts),
+        typedLit(h.fineEmbs), typedLit(h.fineNrms), lit(probes)) + lit(1)))
+
+  /** IVF search with the two-level assignment on the CORPUS side (the
+    * O(n·C·d) cost the flat path pays); the tiny query-side probe
+    * ranking stays flat-exact over the same C cells.
+    */
+  def knnIvfHier(s: SparkSession, dir: String, k: Int = 5,
+      nprobe: Int = 16, maxCells: Int = 4096): DataFrame = {
+    val e = emb(s, dir)
+    val seeds = cellSeeds(e, maxCells)
+    val cells = collectCells(kmeansCentroids(e, seeds, 1))
+    val h = hierIndex(cells)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    searchCells(assignCellsHier(e, h), probeCells(q, cells, nprobe), k)
+  }
+
   /** Lloyd-refined centroids: start from [[cellSeeds]] and run `iters`
     * k-means steps entirely as DataFrame ops — assign by max cosine
     * (narrow [[assignCells]] projection), recompute each centroid as
@@ -301,12 +405,36 @@ object Similarity {
     * moves (cell, dim) partial sums — map-side combined to ≤ C×dims
     * rows per input partition, never vector pairs. Deterministic given
     * deterministic seeds.
+    *
+    * The corpus is PINNED for the duration of training (the MLlib
+    * KMeans cache discipline): every iteration's assignment + recenter
+    * pass and the seed collect scan `e`, and without pinning each pass
+    * re-reads and re-norms the parquet source — iters+1 redundant
+    * corpus reads that at 100 TB turn training into the dominant cost
+    * of an ad-hoc IVF query (the r10 q_knn_ivf_kmeans regression).
+    * Each iteration's centroid set is collected eagerly (bounded model
+    * state, ≤ maxCells rows), so the returned frame is a small literal
+    * — callers' own [[collectCells]] on it is free, and the pin can be
+    * released HERE instead of leaking into lazy caller plans.
     */
   def kmeansCentroids(e: DataFrame, seeds: DataFrame, iters: Int = 2): DataFrame = {
-    var cents = seeds
-    for (_ <- 0 until iters)
-      cents = lloydUpdate(assignCells(e, collectCells(cents)))
-    cents
+    val s = e.sparkSession
+    val pinned = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cells = collectCells(seeds)
+      for (_ <- 0 until iters)
+        cells = collectCells(lloydUpdate(assignCells(pinned, cells)))
+      cellsToFrame(s, cells)
+    } finally pinned.unpersist()
+  }
+
+  /** The bounded centroid model re-entered as a (tiny) local frame —
+    * the inverse of [[collectCells]]. */
+  private[graft] def cellsToFrame(s: SparkSession, cells: CellIndex): DataFrame = {
+    import s.implicits._
+    cells.ids.indices
+      .map(i => (cells.ids(i), cells.embs(i), cells.nrms(i)))
+      .toDF("cent_id", "cent_emb", "cent_nrm")
   }
 
   /** One Lloyd recenter over an already cell-assigned corpus: the mean
@@ -537,13 +665,13 @@ object Similarity {
     * reproduce them).
     */
   def annRecall(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    // materialize the tiny exact result ONCE (queries × k rows) and
-    // re-inject it as a literal frame: every variant branch joins
-    // against it, and a lazy plan would re-run the brute-force corpus
-    // scan once per union branch (8×)
-    val bruteRows = knnBruteForce(s, dir, k)
-      .select(col("query_id"), col("neighbor_id"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // the exact ground truth is corpus-pure (deterministic function of
+    // the embeddings table + the fixed query policy), so it is a
+    // build-once /tmp artifact like the near-dup and IVF indexes —
+    // re-deriving a full-corpus brute-force pass per bench invocation
+    // was the single most expensive entry in BENCH_r10. The tiny
+    // (queries × k) result is what's persisted, not any corpus state.
+    val bruteRows = bruteGroundTruth(s, dir, k)
     val brute = {
       import s.implicits._
       bruteRows.toDF("query_id", "neighbor_id")
@@ -558,19 +686,24 @@ object Similarity {
           graft.functions.Rounding.portableRound4(
             col("n_matched").cast("double") / col("n_expected")).as("recall"))
     // One trained grid, swept across probe widths: the recall/cost knob
-    // as DATA. Training (count + collect + Lloyd) is shared, the
-    // cell-assigned corpus is persisted (it feeds every branch and
-    // Spark shares no common subtrees across union branches), and the
-    // whole sweep runs off ONE widest-probe candidate join — a width-W
-    // probe set restricted to p_rnk <= w is exactly the width-w probe
-    // set, so narrower widths are filters over the same candidates.
-    val (assigned0, cells) = ivfParts(s, dir)
-    val assigned = assigned0.persist()
+    // as DATA. BOTH grids (1- and 2-iteration Lloyd) come from the
+    // build-once persisted index ([[IvfIndex.ensureIndex]]) — training
+    // is paid per index generation, the corpus side of the sweep is a
+    // PARTITION-PRUNED read of just the probed cells, and the whole
+    // sweep runs off ONE widest-probe candidate join — a width-W probe
+    // set restricted to p_rnk <= w is exactly the width-w probe set, so
+    // narrower widths are filters over the same candidates.
+    val path1 = IvfIndex.ensureIndex(s, dir)
+    val cells = collectCells(s.read.parquet(s"$path1/centroids"))
     val q = emb(s, dir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
     val widths = Seq(1, 2, 4, 8, 16)
-    val cand = assigned
-      .join(broadcast(probeCellsRanked(q, cells, widths.max)), Seq("cent_id"))
+    val probes = probeCellsRanked(q, cells, widths.max)
+    val probedIds = probes.select(col("cent_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val cand = s.read.parquet(s"$path1/assigned")
+      .filter(col("cent_id").isin(probedIds: _*))
+      .join(broadcast(probes), Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", graft.functions.Rounding.portableRound4(
         VectorFunctions.arrayDot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm"))))
@@ -590,15 +723,12 @@ object Similarity {
     // same grid + probe policy as knnIvf's defaults — identical by
     // construction, no second train+assign
     val ivfDefault = topkAt(16)
-    // the 2-iteration k-means grid extends the shared one: its second
-    // Lloyd step recenters over the ALREADY-PERSISTED assignment
-    val cells2 = collectCells(lloydUpdate(assigned))
-    val ivfKmeans = searchCells(
-      assignCells(emb(s, dir), cells2), probeCells(q, cells2, 16), k)
-    // evaluate eagerly (8 tiny rows) so both persisted frames can be
-    // unpersisted HERE — a lazy return would leak two corpus-scale
-    // cache entries per call into the session block manager, one more
-    // each bench run
+    // the 2-iteration grid is its own persisted artifact (its second
+    // Lloyd step extends the first grid's training deterministically)
+    val ivfKmeans = IvfIndex.knnIndexed(s, dir, k, kmeansIters = 2)
+    // evaluate eagerly (8 tiny rows) so the persisted candidate frame
+    // can be unpersisted HERE — a lazy return would leak a cache entry
+    // per call into the session block manager, one more each bench run
     val resultRows =
       try row("knn_ivf", ivfDefault)
         .unionByName(row("knn_ivf_kmeans", ivfKmeans))
@@ -607,9 +737,29 @@ object Similarity {
         .orderBy(col("variant"))
         .collect().map(r =>
           (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
-      finally { cand.unpersist(); assigned.unpersist() }
+      finally cand.unpersist()
     import s.implicits._
     resultRows.toDF("variant", "n_expected", "n_matched", "recall")
+  }
+
+  /** Exact top-k (query_id, neighbor_id) pairs for the standard query
+    * set, served from a fingerprint-keyed /tmp artifact: the ground
+    * truth is a pure function of the corpus, so recall audits
+    * ([[annRecall]], [[recommendNprobe]]) share one brute-force pass
+    * per corpus generation instead of re-scanning per invocation.
+    */
+  private[graft] def bruteGroundTruth(s: SparkSession, dir: String,
+      k: Int): Seq[(Long, Long)] = {
+    val fp = ArtifactCache.fingerprint(new java.io.File(s"$dir/embeddings.parquet"))
+    val path = ArtifactCache.ensure(
+      s"/tmp/graft-brute/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}-$fp-k$k") { tmp =>
+      knnBruteForce(s, dir, k)
+        .select(col("query_id"), col("neighbor_id"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/pairs")
+    }
+    s.read.parquet(s"$path/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(identity).toSeq
   }
 
   /** Measured nprobe auto-selection: train the grid once, compute the
@@ -633,18 +783,23 @@ object Similarity {
       targetRecall: Double = 0.8,
       widths: Seq[Int] = Seq(1, 2, 4, 8, 16, 32)): Int = {
     require(widths.nonEmpty && widths == widths.sorted, "widths must be ascending")
-    val brute = knnBruteForce(s, dir, k)
-      .select(col("query_id"), col("neighbor_id"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = bruteGroundTruth(s, dir, k).toSet
     if (brute.isEmpty) return widths.head
-    val (assigned0, cells) = ivfParts(s, dir)
-    val assigned = assigned0.persist()
+    // grid + ground truth from the build-once artifacts ([[annRecall]]'s
+    // discipline): this tuning pass runs once per corpus/index
+    // generation, and its corpus side is a partition-pruned cell read
+    val path1 = IvfIndex.ensureIndex(s, dir)
+    val cells = collectCells(s.read.parquet(s"$path1/centroids"))
     val q = emb(s, dir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-    val cand = assigned
-      .join(broadcast(probeCellsRanked(q, cells, widths.max)), Seq("cent_id"))
+    val probes = probeCellsRanked(q, cells, widths.max)
+    val probedIds = probes.select(col("cent_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val cand = s.read.parquet(s"$path1/assigned")
+      .filter(col("cent_id").isin(probedIds: _*))
+      .join(broadcast(probes), Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", graft.functions.Rounding.portableRound4(
         VectorFunctions.arrayDot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm"))))
@@ -658,7 +813,7 @@ object Similarity {
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
         brute.intersect(got).size.toDouble / brute.size >= targetRecall
       }.getOrElse(widths.max)
-    } finally { cand.unpersist(); assigned.unpersist() }
+    } finally cand.unpersist()
   }
 
   /** Search only the probed cells: equi-join the cell-assigned corpus

@@ -273,11 +273,20 @@ object TextQueries {
     * the coverage report and the strip pass.
     */
   private def coveredOffsets(d: DataFrame, k: Int): DataFrame = {
+    // The positioned-bigram explode feeds BOTH the doc-frequency top-k
+    // (broadcast side) and the coverage join; without materialization the
+    // tokenize + explode — the most expensive stage — runs twice per query.
+    // Non-eager localCheckpoint computes it once at the broadcast job and
+    // reuses the blocks for the probe side; unlike persist() the blocks are
+    // reclaimed by the ContextCleaner when the plan is dropped, so gate
+    // batteries don't accumulate pinned cache. MEMORY_AND_DISK spill keeps
+    // it safe when the gram stream outsizes executor memory.
     val grams = d.filter(size(col("ws")) >= 2)
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(0), size(col("ws")) - 2),
         i => concat_ws(" ", element_at(col("ws"), i + 1), element_at(col("ws"), i + 2))))
         .as(Seq("p", "gram")))
+      .localCheckpoint(false)
     val top = grams
       .groupBy(col("gram")).agg(countDistinct(col("doc_id")).as("df"))
       .orderBy(col("df").desc, col("gram").asc)
@@ -433,7 +442,7 @@ object TextQueries {
     graft.functions.CompressionSignal.register(s)
     docs(s, dir)
       .select(col("doc_id"),
-        length(col("text")).cast("long").as("n_bytes"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
         graft.functions.CompressionSignal.deflateLength(col("text"))
           .cast("long").as("deflate_bytes"))
       .withColumn("ratio", graft.functions.Rounding.portableRound4(

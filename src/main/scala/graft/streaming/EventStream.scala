@@ -421,6 +421,14 @@ object EventStream {
     val writer = source.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // enforce compactStaging's "offline op" contract: between its
+        // commit marker and the final move, merged data lives only in
+        // the hidden temp dir, which rebuilds don't read — staging or
+        // rebuilding under a pending compaction would serve undercounts.
+        if (new java.io.File(s"$staging/.compact-commit").exists())
+          throw new IllegalStateException(
+            s"pending compaction at $staging: re-run compactStaging " +
+              "to completion before resuming the stream")
         val bdir = s"$staging/batch=$batchId"
         if (!new java.io.File(s"$bdir/_SUCCESS").exists())
           stage(batch, bdir)
@@ -507,18 +515,26 @@ object EventStream {
       val keepName = s"batch=${dirs.map(_.getName.stripPrefix("batch=").toLong).max}"
       s.read.parquet(dirs.map(_.getPath): _*)
         .write.mode("overwrite").parquet(tmp.getPath)
-      java.nio.file.Files.write(marker.toPath, keepName.getBytes("UTF-8"))
+      // the marker records the keep target AND the exact set merged into
+      // the temp dir: phase B may strip only THESE. Batch dirs staged
+      // after a crashed commit (stream restarted before the resume) are
+      // absent from the temp merge — stripping them would silently drop
+      // their partials from every future rebuild.
+      java.nio.file.Files.write(marker.toPath,
+        (keepName +: dirs.map(_.getName)).mkString("\n").getBytes("UTF-8"))
     }
-    // phase B, resumable in strict order: (1) strip every batch dir to
-    // marker-only, (2) commit the strip with a sentinel, (3) move temp
-    // files into the target, (4) clear markers. A re-run after a crash
-    // mid-(3) must NOT re-strip — that would delete the files already
-    // moved in — which is exactly what the sentinel gates.
-    val keepName = new String(
-      java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+    // phase B, resumable in strict order: (1) strip every MERGED batch
+    // dir to marker-only, (2) commit the strip with a sentinel, (3) move
+    // temp files into the target, (4) clear markers. A re-run after a
+    // crash mid-(3) must NOT re-strip — that would delete the files
+    // already moved in — which is exactly what the sentinel gates.
+    val markerLines = new String(
+      java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").split("\n")
+    val keepName = markerLines.head
+    val mergedDirs = markerLines.drop(1).toSet
     val stripped = new java.io.File(root, ".compact-stripped")
     if (!stripped.exists()) {
-      batchDirs().foreach { d =>
+      batchDirs().filter(d => mergedDirs.contains(d.getName)).foreach { d =>
         Option(d.listFiles()).toSeq.flatten
           .filterNot(_.getName == "_SUCCESS")
           .foreach(graft.operators.ArtifactCache.deleteRecursively)

@@ -32,6 +32,22 @@ class CompressionSignalSpec extends SparkSpec {
     assert(planted.values.forall(r => r > 0 && r < 1.1))
   }
 
+  test("non-ASCII text stays in range: denominator is UTF-8 bytes, not chars") {
+    import spark.implicits._
+    graft.functions.CompressionSignal.register(spark)
+    // CJK ~3 bytes/char: a char-count denominator would push high-entropy
+    // CJK ratios to ~3x and out of the (0, 1.1] band the signal documents.
+    val rnd = new scala.util.Random(11)
+    val cjk = Seq.fill(600)((0x4E00 + rnd.nextInt(0x2000)).toChar).mkString
+    val mixed = "naïve café " * 80 + cjk
+    val rows = Seq((1L, cjk), (2L, mixed)).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        (graft.functions.CompressionSignal.deflateLength(col("text"))
+          .cast("double") / octet_length(col("text"))).as("ratio"))
+      .collect().map(_.getDouble(1))
+    rows.foreach(r => assert(r > 0 && r <= 1.1, s"non-ASCII ratio $r out of band"))
+  }
+
   test("corpus signal: every doc in range, deterministic across runs, " +
     "and interpreted eval equals the codegen path") {
     val a = TextQueries.compressRatio(spark, sf).collect()

@@ -43,6 +43,56 @@ class InvertedIndexSpec extends SparkSpec {
     runManifest("test.txt", "test_out")
   }
 
+  test("sort-merge fallback path matches golden output on BOTH corpora") {
+    // force the gate below any corpus size: every build goes through
+    // buildSortMerge, and the byte-identical golden diff proves the
+    // two aggregation strategies are row-for-row interchangeable
+    spark.conf.set(InvertedIndex.SortMergeFileThresholdKey, "0")
+    try {
+      runManifest("test_small.txt", "test_out_small")
+      runManifest("test.txt", "test_out")
+    } finally spark.conf.unset(InvertedIndex.SortMergeFileThresholdKey)
+  }
+
+  test("sort-merge fallback on a degenerate corpus: one word in EVERY doc") {
+    // the Zipfian-head shape the fallback exists for — a posting list
+    // spanning the whole corpus — plus per-doc unique words, across
+    // several partitionings (runs must cross partition boundaries)
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val nDocs = 500
+    val docs = (1 to nDocs)
+      .map(i => (i, s"the doc$i word$i the"))
+      .toDF("file_id", "value")
+    val expect = InvertedIndex.build(docs)
+      .orderBy(col("word")).collect().map(_.toSeq).toSeq
+    Seq("1", "3", "32").foreach { p =>
+      spark.conf.set("spark.sql.shuffle.partitions", p)
+      try {
+        val got = InvertedIndex.buildSortMerge(docs)
+          .orderBy(col("word")).collect().map(_.toSeq).toSeq
+        assert(got == expect, s"sort-merge differs at shuffle.partitions=$p")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", "8")
+    }
+    // the head word's list is the whole corpus, ascending
+    val head = InvertedIndex.buildSortMerge(docs)
+      .filter(col("word") === "the").collect()
+    assert(head.length == 1 &&
+      head(0).getSeq[Int](1) == (1 to nDocs).toSeq)
+  }
+
+  test("buildGated picks the sort-merge plan above the file threshold " +
+    "and the hash plan below it") {
+    val docs = DocumentCorpus.documents(spark, checker.resolve("test_small.txt").toString)
+    def planOf(fileCount: Long): String =
+      InvertedIndex.buildGated(docs, fileCount).queryExecution.executedPlan.toString
+    assert(planOf(3).contains("collect_set"), "small corpus must use hash agg")
+    spark.conf.set(InvertedIndex.SortMergeFileThresholdKey, "2")
+    try assert(!planOf(3).contains("collect_set"),
+      "above-threshold corpus must avoid the collect_set buffer")
+    finally spark.conf.unset(InvertedIndex.SortMergeFileThresholdKey)
+  }
+
   test("output independent of shuffle partitioning") {
     val docs = DocumentCorpus.documents(spark, checker.resolve("test_small.txt").toString)
     val base = InvertedIndex.ordered(InvertedIndex.build(docs)).collect().toSeq

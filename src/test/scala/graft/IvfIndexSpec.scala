@@ -20,6 +20,16 @@ class IvfIndexSpec extends SparkSpec {
       s"indexed=${indexed.take(3)} direct=${direct.take(3)}")
   }
 
+  test("knnIndexed at kmeansIters=2 equals the ad-hoc knnIvf(kmeansIters=2)") {
+    // q_knn_ivf_kmeans serves from the persisted 2-iteration grid; the
+    // cache must be a pure amortization, never a semantic change
+    val indexed = operators.IvfIndex.knnIndexed(spark, sf, kmeansIters = 2)
+      .collect().toSeq
+    val direct = Similarity.knnIvf(spark, sf, kmeansIters = 2).collect().toSeq
+    assert(indexed.nonEmpty && indexed == direct,
+      s"indexed=${indexed.take(3)} direct=${direct.take(3)}")
+  }
+
   test("insert folds new vectors in without rewriting existing files; " +
     "an inserted vector is immediately findable at cosine 1") {
     val path = java.nio.file.Files.createTempDirectory("graft-ivfins").toString

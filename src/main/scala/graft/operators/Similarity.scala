@@ -672,19 +672,6 @@ object Similarity {
     // was the single most expensive entry in BENCH_r10. The tiny
     // (queries × k) result is what's persisted, not any corpus state.
     val bruteRows = bruteGroundTruth(s, dir, k)
-    val brute = {
-      import s.implicits._
-      bruteRows.toDF("query_id", "neighbor_id")
-    }
-    def row(name: String, approx: DataFrame): DataFrame =
-      brute.join(
-          approx.select(col("query_id").as("a_qid"), col("neighbor_id").as("a_nid")),
-          col("query_id") === col("a_qid") && col("neighbor_id") === col("a_nid"),
-          "left_outer")
-        .agg(count(lit(1)).as("n_expected"), count(col("a_nid")).as("n_matched"))
-        .select(lit(name).as("variant"), col("n_expected"), col("n_matched"),
-          graft.functions.Rounding.portableRound4(
-            col("n_matched").cast("double") / col("n_expected")).as("recall"))
     // One trained grid, swept across probe widths: the recall/cost knob
     // as DATA. BOTH grids (1- and 2-iteration Lloyd) come from the
     // build-once persisted index ([[IvfIndex.ensureIndex]]) — training
@@ -695,50 +682,88 @@ object Similarity {
     // narrower widths are filters over the same candidates.
     val path1 = IvfIndex.ensureIndex(s, dir)
     val cells = collectCells(s.read.parquet(s"$path1/centroids"))
-    val q = emb(s, dir).filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    // queries collected ONCE (the fixed vec_id < 10 set — 10 rows):
+    // probe ranking against the driver-resident centroid model is pure
+    // Scala (10 × C dots), so neither the probe window job nor the
+    // probed-id distinct-collect job of the r10 shape exists anymore —
+    // identical probe sets by construction (same dot order, same
+    // (cos desc, cent_id asc) tie-break as probeCellsRanked).
+    val qRows = emb(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("emb"), col("nrm"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    def ddot(a: Seq[Double], b: Seq[Double]): Double = {
+      var t = 0.0; var i = 0
+      while (i < a.length) { t += a(i) * b(i); i += 1 }
+      t
+    }
+    def rankedProbes(cs: CellIndex, np: Int): Seq[(Long, Seq[Double], Double, Long, Int)] =
+      qRows.flatMap { case (qid, qe, qn) =>
+        cs.ids.indices
+          .map(i => (cs.ids(i), ddot(qe, cs.embs(i)) / (qn * cs.nrms(i))))
+          .sortBy { case (cid, cos) => (-cos, cid) }
+          .take(np).zipWithIndex
+          .map { case ((cid, _), p) => (qid, qe, qn, cid, p + 1) }
+      }
     val widths = Seq(1, 2, 4, 8, 16)
-    val probes = probeCellsRanked(q, cells, widths.max)
-    val probedIds = probes.select(col("cent_id")).distinct()
-      .collect().map(_.getLong(0)).sorted
+    import s.implicits._
+    val probes1 = rankedProbes(cells, widths.max)
+    val probesDf = probes1.toDF("query_id", "q_emb", "q_nrm", "cent_id", "p_rnk")
     val cand = s.read.parquet(s"$path1/assigned")
-      .filter(col("cent_id").isin(probedIds: _*))
-      .join(broadcast(probes), Seq("cent_id"))
+      .filter(col("cent_id").isin(probes1.map(_._4).distinct.sorted: _*))
+      .join(broadcast(probesDf), Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", graft.functions.Rounding.portableRound4(
         VectorFunctions.arrayDot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm"))))
-      .persist()
-    def topkAt(np: Int): DataFrame = {
-      val wRank = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("vec_id").asc)
-      cand.filter(col("p_rnk") <= np)
-        .withColumn("rnk", row_number().over(wRank))
-        .filter(col("rnk") <= k)
-        .select(col("query_id"), col("rnk").cast("long").as("rnk"),
-          col("vec_id").as("neighbor_id"), col("cos"))
+    // the WHOLE width sweep in ONE windowed job: explode each candidate
+    // over the widths it belongs to (p_rnk <= w — probe sets nest),
+    // rank within (query, w), keep top-k, collect the tiny pair set.
+    // r10 ran a join+aggregate job PER variant; the fixed cost of those
+    // 8 jobs — not data — made q_ann_recall the most expensive bench
+    // entry. Match counting over ≤ widths × queries × k collected pairs
+    // is driver arithmetic.
+    val topAll = cand
+      .select(col("query_id"), col("vec_id"), col("cos"), col("p_rnk"),
+        explode(typedLit(widths)).as("w"))
+      .filter(col("p_rnk") <= col("w"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"), col("w"))
+          .orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("w"), col("query_id"), col("vec_id"))
+      .collect().map(r => (r.getInt(0), (r.getLong(1), r.getLong(2))))
+    val bruteSet = bruteRows.toSet
+    def counts(pairs: Seq[(Long, Long)]): (Long, Long) =
+      (bruteSet.size.toLong, bruteSet.intersect(pairs.toSet).size.toLong)
+    def fromCounts(name: String, c: (Long, Long)) =
+      (name, c._1, c._2, math.floor(c._2.toDouble / c._1 * 10000 + 0.5) / 10000)
+    // the two persisted-index variants stay MEASURED searches through
+    // their artifacts (one job each: the probe model is driver state,
+    // the scan is partition-pruned, top-k is the bounded-heap agg)
+    def searchRow(name: String, path: String,
+        cs0: CellIndex = null): (String, Long, Long, Double) = {
+      val cs = Option(cs0).getOrElse(collectCells(s.read.parquet(s"$path/centroids")))
+      val p = rankedProbes(cs, 16)
+      val pairs = searchCells(
+        s.read.parquet(s"$path/assigned")
+          .filter(col("cent_id").isin(p.map(_._4).distinct.sorted: _*)),
+        broadcast(p.toDF("query_id", "q_emb", "q_nrm", "cent_id", "p_rnk")
+          .drop("p_rnk")), k)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      fromCounts(name, counts(pairs))
     }
-    val sweep = widths.map { np =>
-      row(f"knn_ivf_nprobe$np%02d", topkAt(np))
-    }.reduce(_.unionByName(_))
-    // same grid + probe policy as knnIvf's defaults — identical by
-    // construction, no second train+assign
-    val ivfDefault = topkAt(16)
-    // the 2-iteration grid is its own persisted artifact (its second
-    // Lloyd step extends the first grid's training deterministically)
-    val ivfKmeans = IvfIndex.knnIndexed(s, dir, k, kmeansIters = 2)
-    // evaluate eagerly (8 tiny rows) so the persisted candidate frame
-    // can be unpersisted HERE — a lazy return would leak a cache entry
-    // per call into the session block manager, one more each bench run
-    val resultRows =
-      try row("knn_ivf", ivfDefault)
-        .unionByName(row("knn_ivf_kmeans", ivfKmeans))
-        .unionByName(row("knn_ivf_indexed", IvfIndex.knnIndexed(s, dir, k)))
-        .unionByName(sweep)
-        .orderBy(col("variant"))
-        .collect().map(r =>
-          (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
-      finally cand.unpersist()
-    import s.implicits._
+    val resultRows = {
+      val sweep = widths.map(w => fromCounts(f"knn_ivf_nprobe$w%02d",
+        counts(topAll.filter(_._1 == w).map(_._2).toSeq)))
+      // knn_ivf IS the width-16 sweep point (same grid, same probe
+      // policy — previously recomputed as an identical separate job)
+      val dflt = fromCounts("knn_ivf", counts(topAll.filter(_._1 == 16).map(_._2).toSeq))
+      (Seq(dflt,
+        searchRow("knn_ivf_kmeans", IvfIndex.ensureIndex(s, dir, kmeansIters = 2)),
+        searchRow("knn_ivf_indexed", path1, cells)) ++ sweep)
+        .sortBy(_._1)
+    }
     resultRows.toDF("variant", "n_expected", "n_matched", "recall")
   }
 

@@ -144,19 +144,26 @@ object Multimodal {
     * proportional to colliding candidates, never all pairs — the only
     * shape that survives a 100 TB media corpus.
     */
-  /** Byte histogram as exact integer (bin, count) rows — the
-    * cross-engine-checkable form of [[byteHistogram]] (whose
-    * L1-normalized doubles cancel out of any cosine anyway). Narrow
-    * per-partition map, ≤ 64 rows per payload, no shuffle.
+  /** Byte histogram as a DENSE 64-bin exact integer count vector (one
+    * row per payload, counts carried as doubles — every count, squared
+    * count, and 64-term sum is an exact integer far below 2⁵³, so
+    * double arithmetic over these vectors IS integer arithmetic).
+    * Narrow per-partition map, no shuffle. The dense-vector form keeps
+    * the verification join of [[mediaNearDupsExact]] pair-keyed: the
+    * first cut joined per (media, bin) ROW and exploded every candidate
+    * pair ×~60 bins through two shuffle joins — measured 37× per 10×
+    * at the sf1 battery (the exact super-linear cliff the bench gate
+    * exists to catch); with one vector row per media the joins carry
+    * |pairs| rows and the dot is one codegen loop.
     */
-  private[graft] def byteHistCounts(s: SparkSession, media: DataFrame): DataFrame = {
+  private[graft] def byteHistVec(s: SparkSession, media: DataFrame): DataFrame = {
     import s.implicits._
-    media.as[MediaRow].flatMap { r =>
-      val hist = new Array[Long](64)
+    media.as[MediaRow].map { r =>
+      val hist = new Array[Double](64)
       var i = 0
-      while (i < r.content.length) { hist((r.content(i) & 0xFF) >> 2) += 1L; i += 1 }
-      hist.iterator.zipWithIndex.collect { case (c, b) if c > 0 => (r.media_id, b, c) }
-    }.toDF("media_id", "bin", "cnt")
+      while (i < r.content.length) { hist((r.content(i) & 0xFF) >> 2) += 1.0; i += 1 }
+      (r.media_id, hist.toSeq)
+    }.toDF("media_id", "hvec")
   }
 
   /** EXACT companion of [[mediaNearDups]] — the auditable restatement
@@ -190,19 +197,26 @@ object Multimodal {
         col("a.win") === col("b.win") && col("a.media_id") < col("b.media_id"))
       .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"))
       .distinct()
-    val h = byteHistCounts(s, media)
-    val n2 = h.groupBy(col("media_id")).agg(sum(col("cnt") * col("cnt")).as("n2"))
-    val dots = cand
-      .join(h.as("ha"), col("ha.media_id") === col("media_a"))
-      .join(h.as("hb"),
-        col("hb.media_id") === col("media_b") && col("hb.bin") === col("ha.bin"))
-      .groupBy(col("media_a"), col("media_b"))
-      .agg(sum(col("ha.cnt") * col("hb.cnt")).as("dot"))
-    val cosu = col("dot").cast("double") /
-      (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double")))
-    dots
-      .join(n2.select(col("media_id").as("media_a"), col("n2").as("na2")), Seq("media_a"))
-      .join(n2.select(col("media_id").as("media_b"), col("n2").as("nb2")), Seq("media_b"))
+    graft.functions.VectorFunctions.register(s)
+    val hv = byteHistVec(s, media)
+      .withColumn("n2", graft.functions.VectorFunctions.arrayDot(col("hvec"), col("hvec")))
+    // pair-keyed verification: every joined row is ONE candidate pair
+    // carrying two 64-element vectors; dot/norms are codegen loops over
+    // exact-integer-valued doubles, bit-identical to the bin-exploded
+    // integer SQL the oracle runs
+    val cosu = graft.functions.VectorFunctions.arrayDot(col("va"), col("vb")) /
+      (sqrt(col("na2")) * sqrt(col("nb2")))
+    // hv is media-count-sized (64 doubles/row — 26 MB at the sf1
+    // battery) and this companion is an audit-scale operator by
+    // contract (the class doc: at 100 TB you run the sampled
+    // mediaNearDups and audit a slice with this), so both lookups
+    // broadcast: the pair set — the only large side — is never
+    // shuffled for verification
+    cand
+      .join(broadcast(hv.select(col("media_id").as("media_a"), col("hvec").as("va"),
+        col("n2").as("na2"))), Seq("media_a"))
+      .join(broadcast(hv.select(col("media_id").as("media_b"), col("hvec").as("vb"),
+        col("n2").as("nb2"))), Seq("media_b"))
       .filter(cosu >= threshold)
       .select(col("media_a"), col("media_b"),
         graft.functions.Rounding.portableRound4(cosu).as("cos"))

@@ -31,6 +31,26 @@ object RecallReport {
       (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
     }
 
+    // two-level-assignment recall (r11): same fine cells, corpus
+    // assigned via the multi-probe coarse/fine descent — the committed
+    // evidence that the cheap assignment path holds the recall floor
+    val hierRow = {
+      val brute = Similarity.bruteGroundTruth(spark, dir, 5).toSet
+      val e = Similarity.emb(spark, dir)
+      val cells = Similarity.collectCells(
+        Similarity.kmeansCentroids(e, Similarity.cellSeeds(e), 1))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+          col("nrm").as("q_nrm"))
+      val got = Similarity.searchCells(
+          Similarity.assignCellsHier(e, Similarity.hierIndex(cells)),
+          broadcast(Similarity.probeCells(q, cells, 16)), 5)
+        .select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      ("knn_ivf_hier", brute.size.toLong, brute.intersect(got).size.toLong,
+        if (brute.isEmpty) 1.0 else brute.intersect(got).size.toDouble / brute.size)
+    }
+
     // MinHash recall on strong pairs (≥0.9 exact jaccard, k=3 shingles)
     val mh = Dedup.minhashNearDups(spark, dir, threshold = 0.5)
       .select(col("doc_a"), col("doc_b")).collect()
@@ -58,7 +78,7 @@ object RecallReport {
       bruteSim.intersect(sh).size.toLong,
       if (bruteSim.isEmpty) 1.0 else bruteSim.intersect(sh).size.toDouble / bruteSim.size)
 
-    val rows = ann.toSeq :+ mhRow :+ shRow
+    val rows = ann.toSeq :+ hierRow :+ mhRow :+ shRow
     val body = rows.map { case (n, e, m, r) =>
       f""""$n":{"n_expected":$e,"n_matched":$m,"recall":$r%.4f}"""
     }.mkString(",")

@@ -53,7 +53,11 @@ object IvfIndex {
   def knn(s: SparkSession, path: String, queries: DataFrame,
       k: Int = 5, nprobe: Int = 16): DataFrame = {
     VectorFunctions.register(s)
-    val cells = Similarity.collectCells(s.read.parquet(s"$path/centroids"))
+    // model state memoized per published artifact (fingerprint-keyed
+    // path, immutable once done-marked) — repeat queries skip the
+    // centroid-collect job. insert()/compact() mutate only assigned/
+    // and deleted/, never centroids/, so the cache stays valid.
+    val cells = Similarity.cellsOfArtifact(s, path)
     val probes = Similarity.probeCells(queries, cells, nprobe)
     // the probed cell set is ≤ queries × nprobe ids; as literals it
     // becomes a PartitionFilter the scan applies before reading data

@@ -283,6 +283,21 @@ object Similarity {
       rows.map(_.getDouble(2)).toSeq)
   }
 
+  /** The centroid model of a PUBLISHED index artifact, memoized
+    * per JVM: the artifact path embeds the corpus fingerprint and the
+    * dir is immutable once its done-marker exists ([[ArtifactCache]]),
+    * so re-collecting the same ≤4096-row model every query is a pure
+    * fixed cost — one Spark job per lookup that repeat ANN queries
+    * (every bench invocation, every audit sweep) pay for nothing.
+    * Bounded: one entry per (corpus fingerprint × training depth).
+    */
+  private val artifactCells =
+    new java.util.concurrent.ConcurrentHashMap[String, CellIndex]()
+
+  private[graft] def cellsOfArtifact(s: SparkSession, path: String): CellIndex =
+    artifactCells.computeIfAbsent(path,
+      p => collectCells(s.read.parquet(s"$p/centroids")))
+
   /** Nearest-centroid assignment as a narrow projection: input columns
     * plus `cent_id`. See the class doc for why this shape (no corpus
     * shuffle — no join, window, or reduction at all) beats both the
@@ -681,7 +696,7 @@ object Similarity {
     // set restricted to p_rnk <= w is exactly the width-w probe set, so
     // narrower widths are filters over the same candidates.
     val path1 = IvfIndex.ensureIndex(s, dir)
-    val cells = collectCells(s.read.parquet(s"$path1/centroids"))
+    val cells = cellsOfArtifact(s, path1)
     // queries collected ONCE (the fixed vec_id < 10 set — 10 rows):
     // probe ranking against the driver-resident centroid model is pure
     // Scala (10 × C dots), so neither the probe window job nor the
@@ -742,7 +757,7 @@ object Similarity {
     // the scan is partition-pruned, top-k is the bounded-heap agg)
     def searchRow(name: String, path: String,
         cs0: CellIndex = null): (String, Long, Long, Double) = {
-      val cs = Option(cs0).getOrElse(collectCells(s.read.parquet(s"$path/centroids")))
+      val cs = Option(cs0).getOrElse(cellsOfArtifact(s, path))
       val p = rankedProbes(cs, 16)
       val pairs = searchCells(
         s.read.parquet(s"$path/assigned")
@@ -773,6 +788,9 @@ object Similarity {
     * ([[annRecall]], [[recommendNprobe]]) share one brute-force pass
     * per corpus generation instead of re-scanning per invocation.
     */
+  private val bruteCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Long)]]()
+
   private[graft] def bruteGroundTruth(s: SparkSession, dir: String,
       k: Int): Seq[(Long, Long)] = {
     val fp = ArtifactCache.fingerprint(new java.io.File(s"$dir/embeddings.parquet"))
@@ -782,9 +800,12 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id"))
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/pairs")
     }
-    s.read.parquet(s"$path/pairs")
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-      .sortBy(identity).toSeq
+    // fingerprint-keyed published artifact → immutable; memoize the
+    // tiny (queries × k) pair list per JVM like the centroid models
+    bruteCache.computeIfAbsent(path, p =>
+      s.read.parquet(s"$p/pairs")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(identity).toSeq)
   }
 
   /** Measured nprobe auto-selection: train the grid once, compute the
@@ -814,7 +835,7 @@ object Similarity {
     // discipline): this tuning pass runs once per corpus/index
     // generation, and its corpus side is a partition-pruned cell read
     val path1 = IvfIndex.ensureIndex(s, dir)
-    val cells = collectCells(s.read.parquet(s"$path1/centroids"))
+    val cells = cellsOfArtifact(s, path1)
     val q = emb(s, dir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
     val wRank = Window.partitionBy(col("query_id"))

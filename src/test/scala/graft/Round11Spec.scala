@@ -39,6 +39,26 @@ class Round11Spec extends SparkSpec {
     // deterministic across plans
     val again = assigned.collect()
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // the DataFrame (codegen) result agrees with a direct call into the
+    // shared descend loop — pins the generated glue (boxing, null
+    // handling) to the interpreted algorithm
+    locally {
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      def ga(xs: Seq[Double]) = new GenericArrayData(xs.toArray)
+      def gaa(xss: Seq[Seq[Double]]) = new GenericArrayData(xss.map(ga).toArray)
+      val assignedMap = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val sample = e.filter(col("vec_id") < 100)
+        .select(col("vec_id"), col("emb")).collect()
+      assert(sample.nonEmpty)
+      sample.foreach { r =>
+        val idx = graft.functions.NearestCellHier.descend(
+          ga(r.getSeq[Double](1)), gaa(h.coarseEmbs), ga(h.coarseNrms),
+          new GenericArrayData(h.starts.toArray), gaa(h.fineEmbs),
+          ga(h.fineNrms), 4)
+        assert(idx != null && h.fineIds(idx) == assignedMap(r.getLong(0)),
+          s"codegen/interpreted divergence for vec ${r.getLong(0)}")
+      }
+    }
     // greedy descent agrees with the flat argmax on nearly all vectors
     // of a clustered corpus (boundary vectors may differ — measured,
     // not assumed)

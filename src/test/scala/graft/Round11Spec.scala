@@ -84,6 +84,38 @@ class Round11Spec extends SparkSpec {
     assert(recall >= 0.5, f"hier recall $recall%.2f below floor")
   }
 
+  test("IvfIndex.build above the hier threshold: valid partitioned index, " +
+    "queries keep the recall floor") {
+    import graft.operators.{IvfIndex, Similarity}
+    import org.apache.spark.sql.functions.col
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfhier").toString
+    spark.conf.set(IvfIndex.HierAssignThresholdKey, "0") // force the descent
+    try IvfIndex.build(spark, sf, path)
+    finally spark.conf.unset(IvfIndex.HierAssignThresholdKey)
+    // every vector present exactly once, every cell dir a real centroid
+    val e = Similarity.emb(spark, sf)
+    val assigned = spark.read.parquet(s"$path/assigned")
+    assert(assigned.count() == e.count())
+    assert(assigned.select(col("vec_id")).distinct().count() == e.count())
+    val centIds = spark.read.parquet(s"$path/centroids")
+      .select(col("cent_id")).collect().map(_.getLong(0)).toSet
+    val usedIds = assigned.select(col("cent_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(usedIds.subsetOf(centIds))
+    // search through the hier-assigned index holds the recall floor
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val got = IvfIndex.knn(spark, path, q)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.knnBruteForce(spark, sf)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    assert(recall >= 0.5, f"hier-built index recall $recall%.2f below floor")
+  }
+
   test("stagedMaintenance fails fast under a pending .compact-commit marker") {
     import graft.streaming.EventStream
     val staged = java.nio.file.Files.createTempDirectory("graft-guard-src").toString

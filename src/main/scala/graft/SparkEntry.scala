@@ -77,6 +77,11 @@ object SparkEntry {
     "q_repetition" -> (TextQueries.repetition _),
     // boilerplate-span coverage (C4-style repeated-template signal)
     "q_boilerplate" -> ((s: SparkSession, d: String) => TextQueries.boilerplate(s, d)),
+    // Lee-et-al exact repeated-span coverage: EVERY 8-token window in
+    // >= 2 distinct docs (unbounded repeated vocabulary, shuffle join —
+    // vs boilerplate's broadcast top-50)
+    "q_repeated_spans" -> ((s: SparkSession, d: String) =>
+      TextQueries.repeatedSpans(s, d)),
     // boilerplate strip: covered spans removed, reconstruction md5-verified
     "q_boilerplate_strip" -> ((s: SparkSession, d: String) => TextQueries.boilerplateStrip(s, d)),
     // exact top-k token counts: the hash-verified companion of the
@@ -240,6 +245,10 @@ object SparkEntry {
     // reachability query (unlike q_dedup_groups whose minhash pair
     // stage is engine-hash-specific)
     "q_dedup_groups_exact" -> ((s: SparkSession, d: String) => Dedup.ngramDupGroups(s, d)),
+    // keep/drop policy over the exact near-dup groups: most-complete
+    // member (max tokens, ties to min id) as the group representative
+    "q_dedup_keep_best" -> ((s: SparkSession, d: String) =>
+      Dedup.dupGroupKeepBest(s, d)),
     // dup-cluster size distribution (curation dashboard stat)
     "q_dedup_group_sizes" -> ((s: SparkSession, d: String) => Dedup.dupGroupSizes(s, d)),
     // exact-size balanced class downsampling by portable hash rank
@@ -989,6 +998,27 @@ object SparkEntry {
         |  ELSE floor(CAST(coalesce(cov.n_covered, 0) AS DOUBLE) / n.n_tokens * 10000 + 0.5) / 10000
         | END AS boiler_frac
         |FROM n LEFT JOIN cov USING (doc_id) ORDER BY n.doc_id""".stripMargin,
+    "q_repeated_spans" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  list_filter(list_transform(regexp_split_to_array(text, '\s+'),
+        |    x -> lower(regexp_replace(x, '[^A-Za-z]+', '', 'g'))), w -> len(w) > 0) AS ws
+        | FROM documents),
+        | g0 AS (SELECT doc_id, ws, unnest(range(len(ws) - 7)) AS p FROM d WHERE len(ws) >= 8),
+        | g AS (SELECT doc_id, CAST(p AS BIGINT) AS p,
+        |   array_to_string(ws[CAST(p AS INT) + 1 : CAST(p AS INT) + 8], ' ') AS gram FROM g0),
+        | rep AS (SELECT gram FROM (
+        |   SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram) WHERE df >= 2),
+        | cov1 AS (SELECT DISTINCT doc_id, o FROM (
+        |   SELECT g.doc_id, unnest(range(g.p, g.p + 8)) AS o FROM g JOIN rep USING (gram))),
+        | cov AS (SELECT doc_id, count(*) AS n_covered FROM cov1 GROUP BY doc_id),
+        | n AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM d)
+        |SELECT n.doc_id, n.n_tokens,
+        | CAST(coalesce(cov.n_covered, 0) AS BIGINT) AS n_covered,
+        | CASE WHEN n.n_tokens = 0 THEN 0.0
+        |  ELSE floor(CAST(coalesce(cov.n_covered, 0) AS DOUBLE) / n.n_tokens * 10000 + 0.5) / 10000
+        | END AS rep_frac
+        |FROM n LEFT JOIN cov USING (doc_id) ORDER BY n.doc_id""".stripMargin,
     "q_boilerplate_strip" ->
       """WITH d AS (
         | SELECT doc_id,
@@ -1593,6 +1623,54 @@ object SparkEntry {
         |SELECT group_id, CAST(count(*) AS BIGINT) AS n_members,
         | max(node) AS max_doc_id
         |FROM labels GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same transitive closure, plus the keep/drop policy layer: the
+    // most-complete member (max whitespace tokens, ties to min id)
+    "q_dedup_keep_best" ->
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+        | FROM documents),
+        | idx AS (
+        | SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        | FROM toks WHERE len(t) >= 2),
+        | sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1]) AS sh FROM idx),
+        | capped AS (
+        | SELECT * FROM sh
+        | WHERE sh NOT IN (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 50)),
+        | n AS (SELECT doc_id, count(*) AS cnt FROM capped GROUP BY 1),
+        | pairs AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        | FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        | scored AS (
+        | SELECT doc_a, doc_b,
+        |  CAST(inter AS DOUBLE) / (na.cnt + nb.cnt - inter) AS jacc
+        | FROM pairs JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id),
+        | edges AS (
+        | SELECT doc_a, doc_b FROM scored
+        | WHERE floor(jacc * 10000 + 0.5) / 10000 >= 0.3),
+        | sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
+        |   UNION SELECT doc_b, doc_a FROM edges),
+        | reach(node, r) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM sym) base
+        |  UNION
+        |  SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+        | labels AS (SELECT node, min(r) AS group_id FROM reach GROUP BY node),
+        | q AS (SELECT doc_id,
+        |   CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |     x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        | ranked AS (
+        | SELECT l.group_id, l.node, q.n_tokens,
+        |  row_number() OVER (PARTITION BY l.group_id
+        |    ORDER BY q.n_tokens DESC, l.node ASC) AS rn
+        | FROM labels l JOIN q ON q.doc_id = l.node),
+        | g AS (SELECT group_id, CAST(count(*) AS BIGINT) AS n_members
+        |   FROM labels GROUP BY 1)
+        |SELECT g.group_id, g.n_members, r.node AS keep_id,
+        | r.n_tokens AS keep_tokens
+        |FROM g JOIN ranked r ON r.group_id = g.group_id AND r.rn = 1
+        |ORDER BY g.group_id""".stripMargin,
     // same transitive closure, rolled up to the size distribution
     "q_dedup_group_sizes" ->
       """WITH RECURSIVE toks AS (

@@ -767,6 +767,34 @@ object Dedup {
       .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_doc_id"))
       .orderBy(col("group_id"))
 
+  /** Quality-ranked representative selection over near-dup groups —
+    * the keep/drop policy layer a curation pass actually ships:
+    * min-id canonicalization ([[canonicalMap]], [[Selection
+    * .semanticKeep]]) keeps an ARBITRARY member, but when near-dups
+    * differ (truncated copies, boilerplate-padded rehosts) the
+    * representative should be the most complete one. Per exact-Jaccard
+    * connected component: keep the member with the most whitespace
+    * tokens, ties to the lowest doc_id (total + deterministic).
+    *
+    * Scale shape: the group labels come from the same CC machinery as
+    * [[ngramDupGroups]]; the quality column is a narrow per-doc
+    * projection joined on doc_id; the selection is ONE aggregate with
+    * `max_by` over a (n_tokens, -doc_id) struct — map-side partials,
+    * no window over corpus-sized groups.
+    */
+  def dupGroupKeepBest(s: SparkSession, dir: String,
+      threshold: Double = 0.3): DataFrame = {
+    val labels = connectedComponents(ngramJaccardDups(s, dir, threshold))
+    val toks = docs(s, dir).select(col("doc_id"),
+      graft.functions.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    labels.join(toks, Seq("doc_id"))
+      .groupBy(col("group_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max_by(col("doc_id"), struct(col("n_tokens"), -col("doc_id"))).as("keep_id"),
+        max(col("n_tokens")).as("keep_tokens"))
+      .orderBy(col("group_id"))
+  }
+
   /** Duplicate-cluster size distribution — the curation dashboard stat
     * behind a dedup run: for each cluster size, how many clusters and
     * how many documents sit in them (e.g. a heavy tail of large

@@ -297,6 +297,56 @@ object TextQueries {
       .distinct()
   }
 
+  /** Exact repeated-span coverage — the Lee-et-al. ("Deduplicating
+    * Training Data Makes Language Models Better") exact-substring
+    * signal, distinct from [[boilerplate]] in both semantics and plan:
+    * EVERY `l`-token window that occurs in ≥ `minDf` distinct documents
+    * counts (unbounded repeated-span vocabulary, not a top-k set), and
+    * each document reports how much of its token stream such cross-doc
+    * repeated spans cover (position union, overlaps not double-counted).
+    * The fraction is the drop/trim signal exact-substring dedup
+    * thresholds on; at L=8 natural re-use is rare, so coverage ≈
+    * copied text.
+    *
+    * Scale shape: one corpus pass emits positioned l-grams
+    * (localCheckpointed — the df aggregate and the coverage join share
+    * it); the repeated-gram set is df ≥ minDf over a gram-keyed
+    * aggregate (one shuffle, map-side partials); coverage joins grams
+    * to that set ON THE GRAM KEY — a plain shuffle equi-join, because
+    * unlike [[boilerplate]]'s top-50 the repeated set is corpus-sized
+    * and must never broadcast. Position explode is bounded by l ×
+    * matching grams; the per-doc distinct + count is a shuffle over
+    * matching positions only.
+    */
+  def repeatedSpans(s: SparkSession, dir: String, l: Int = 8,
+      minDf: Int = 2): DataFrame = {
+    val d = normWords(s, dir)
+    val grams = d.filter(size(col("ws")) >= l)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("ws")) - l),
+        i => concat_ws(" ", slice(col("ws"), i + 1, lit(l)))))
+        .as(Seq("p", "gram")))
+      .localCheckpoint(false)
+    val rep = grams
+      .groupBy(col("gram")).agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("gram"))
+    val covered = grams
+      .join(rep, Seq("gram"))
+      .select(col("doc_id"), explode(sequence(col("p"), col("p") + (l - 1))).as("off"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_covered"))
+    d.select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        when(col("n_tokens") === 0, lit(0.0)).otherwise(
+          graft.functions.Rounding.portableRound4(
+            coalesce(col("n_covered"), lit(0L)).cast("double") / col("n_tokens")))
+          .as("rep_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Boilerplate-span coverage per document — the C4/RefinedWeb-style
     * "repeated across many pages" signal: the `k` word-bigrams that
     * occur in the most distinct documents are declared boilerplate,

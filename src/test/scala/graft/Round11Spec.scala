@@ -116,6 +116,60 @@ class Round11Spec extends SparkSpec {
     assert(recall >= 0.5, f"hier-built index recall $recall%.2f below floor")
   }
 
+  test("repeatedSpans: planted cross-doc copied span is covered exactly; " +
+    "unique docs report zero") {
+    import graft.operators.TextQueries
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // doc 1/2 share one 10-token span at different offsets; doc 3 is
+    // fully unique; doc 4 repeats a span only WITHIN itself (df = 1 —
+    // must not count, the signal is cross-doc)
+    val span = (1 to 10).map(i => s"copy$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $span gamma delta"),
+      (2L, s"one two three four $span"),
+      (3L, (1 to 30).map(i => s"uniq$i").mkString(" ")),
+      (4L, {
+        val inner = (1 to 9).map(i => s"self$i").mkString(" ")
+        s"$inner zzz $inner yyy"
+      })).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("spans_fixture")
+    val dir = java.nio.file.Files.createTempDirectory("graft-spans").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextQueries.repeatedSpans(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc1: positions of the 10 copied tokens (offsets 2..11 of 14)
+    assert(out(1L) == ((14L, 10L)), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((14L, 10L)), s"doc2: ${out(2L)}")
+    assert(out(3L)._2 == 0L, "unique doc must report zero coverage")
+    assert(out(4L)._2 == 0L, "within-doc repetition (df=1) must not count")
+  }
+
+  test("dupGroupKeepBest keeps the most complete member, ties to min id") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    // recount on the real corpus: every group's keep must be the
+    // member with max tokens (ties min id) among its labeled members
+    val labels = Dedup.connectedComponents(
+      Dedup.ngramJaccardDups(spark, sf, 0.3))
+    val toks = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val members = labels.join(toks, Seq("doc_id"))
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2)))
+      .groupBy(_._1)
+    val got = Dedup.dupGroupKeepBest(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.nonEmpty && got.keySet == members.keySet)
+    members.foreach { case (g, ms) =>
+      val want = ms.map { case (_, id, n) => (n, -id) }.max
+      val (nm, keepId, keepToks) = got(g)
+      assert(nm == ms.size && keepId == -want._2 && keepToks == want._1,
+        s"group $g: got ${got(g)}, members ${ms.toSeq.sortBy(_._2)}")
+    }
+  }
+
   test("stagedMaintenance fails fast under a pending .compact-commit marker") {
     import graft.streaming.EventStream
     val staged = java.nio.file.Files.createTempDirectory("graft-guard-src").toString

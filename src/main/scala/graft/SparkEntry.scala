@@ -1339,9 +1339,13 @@ object SparkEntry {
         |  substring(d.text, CAST(t.p AS INT), 16) AS win
         | FROM documents d,
         |  UNNEST(range(1, GREATEST(length(d.text) - 15, 1) + 1, 4)) AS t(p)),
+        |keepw AS (
+        | SELECT win FROM (SELECT win, count(*) AS w_df FROM w GROUP BY 1)
+        | WHERE w_df >= 2 AND w_df <= 64),
+        |ws AS (SELECT w.* FROM w JOIN keepw USING (win)),
         |cand AS (
         | SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
-        | FROM w a JOIN w b ON a.win = b.win AND a.media_id < b.media_id),
+        | FROM ws a JOIN ws b ON a.win = b.win AND a.media_id < b.media_id),
         |h AS (
         | SELECT d.doc_id AS media_id,
         |  (ord(substring(d.text, CAST(t.i AS INT), 1)) // 4) AS bin,

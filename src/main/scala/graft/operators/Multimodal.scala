@@ -187,13 +187,27 @@ object Multimodal {
     * the text dedup family.
     */
   def mediaNearDupsExact(s: SparkSession, dir: String,
-      threshold: Double = 0.99): DataFrame = {
+      threshold: Double = 0.99, maxDf: Int = 64): DataFrame = {
     val media = mediaTable(s, dir)
     val positions = sequence(lit(1), greatest(length(col("content")) - 15, lit(1)), lit(4))
     val wins = media.select(col("media_id"),
         explode(transform(positions, p => col("content").substr(p, lit(16)))).as("win"))
       .distinct()
-    val cand = wins.as("a").join(wins.as("b"),
+    // window-frequency gate before the self-join, BOTH directions —
+    // the q_dedup_groups_exact df-cut discipline, mirrored exactly in
+    // the oracle SQL so the result stays hash-checkable:
+    //  - df >= 2: singleton windows (the vast majority) can never pair
+    //    and must not enter the join shuffle at all;
+    //  - df <= maxDf: a window shared by hundreds of payloads is
+    //    structural boilerplate, not duplication evidence, and its
+    //    df² candidate fan-out is the super-linear term (measured at
+    //    the sf1 battery: Σ df·(df−1)/2 = 79.3M pre-distinct pairs
+    //    uncapped vs 15.7M at df ≤ 64, with max df 217).
+    val keep = wins.groupBy(col("win")).agg(count(lit(1)).as("w_df"))
+      .filter(col("w_df") >= 2 && col("w_df") <= maxDf)
+      .select(col("win"))
+    val shared = wins.join(keep, Seq("win"))
+    val cand = shared.as("a").join(shared.as("b"),
         col("a.win") === col("b.win") && col("a.media_id") < col("b.media_id"))
       .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"))
       .distinct()

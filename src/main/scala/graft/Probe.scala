@@ -31,6 +31,22 @@ object Probe {
       time("full 3")(noop(graft.operators.Dedup.minhashNearDups(spark, dir)))
       spark.stop(); return
     }
+    if (args.headOption.contains("sf1")) {
+      // time one SparkEntry query against the synthetic sf1 replica
+      // (built once into /tmp/graft-sf1-bench, reused across probes)
+      val work = "/tmp/graft-sf1-bench"
+      if (!new java.io.File(s"$work/lineitem.parquet").exists())
+        time("replicate sf1")(BenchSf1.replicate(spark, "/root/testdata/sf0.1", work))
+      val fn = SparkEntry.queries(args(1))
+      def noop(): Unit =
+        fn(spark, work).write.format("noop").mode("overwrite").save()
+      noop()
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); noop(); (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[probe] sf1 ${args(1)} median=${Bench.median(ts)}%.2f s all=${ts.map(t => f"$t%.2f").mkString(",")}")
+      spark.stop(); return
+    }
     if (args.headOption.contains("query")) {
       // time one SparkEntry query at sf0.1 (warm-up + 3 timed runs) —
       // the same noop-sink materialization Bench uses

@@ -217,7 +217,21 @@ object SparkEntry {
     "q_events_sessions" -> (EventsQueries.sessionCounts _),
     "q_events_topusers" -> (EventsQueries.topUsers _),
     "q_events_json" -> (EventsQueries.jsonProps _),
+    // dyadic freshness decay in BIGINT arithmetic (shift = exact 2^-k
+    // weighting, no float summation anywhere) — hash-oracled
+    "q_time_decay" -> (EventsQueries.timeDecayedValue _),
     "q_funnel" -> (EventsQueries.funnel _),
+    // iterative graph analytics: damped PageRank over the supplier-part
+    // co-supply graph, fixed-point BIGINT arithmetic (integer division
+    // each update) so 5 synchronous iterations hash-match the unrolled
+    // DuckDB CTE chain exactly
+    "q_pagerank" -> ((s: SparkSession, d: String) => Graphs.pageRank(s, d)),
+    // entity resolution: noun-blocked + length-banded fuzzy part-name
+    // linkage, levenshtein-verified (integer distance, exact oracle)
+    "q_entity_match" -> ((s: SparkSession, d: String) => EntityResolution.fuzzyParts(s, d)),
+    // declarative DQ constraint audit: PK uniqueness, FK orphans,
+    // range/null predicates — one report row per constraint
+    "q_dq_audit" -> (QualityAudit.audit _),
     "q_retention" -> (EventsQueries.retention _),
     "q_histogram" -> ((s: SparkSession, d: String) => EventsQueries.valueHistogram(s, d)),
     // transitive near-dup groups (pairs -> connected components)
@@ -1408,6 +1422,10 @@ object SparkEntry {
         | CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
         | count(CAST(props->>'$.k' AS BIGINT)) AS n_with_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_time_decay" -> graft.operators.EventsQueries.timeDecayedValueOracleSql,
+    "q_pagerank" -> graft.operators.Graphs.pageRankOracleSql(),
+    "q_entity_match" -> graft.operators.EntityResolution.fuzzyPartsOracleSql(),
+    "q_dq_audit" -> graft.operators.QualityAudit.auditOracleSql,
     "q_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |v AS (SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),

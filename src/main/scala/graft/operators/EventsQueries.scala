@@ -287,4 +287,51 @@ object EventsQueries {
         col("event_type").as("target"))
       .orderBy(col("user_id"), col("pos"))
   }
+
+  /** Time-decayed per-user engagement: each event's value weighted by
+    * 2^(-age_days) relative to the newest event in the table (half-life
+    * = 1 day), the freshness weighting a recommender / data-mixture
+    * pipeline applies before sampling.
+    *
+    * EXACT-ARITHMETIC DESIGN (the [[Graphs]] fixed-point discipline):
+    * the value is carried as integer cents and the dyadic decay is an
+    * integer RIGHT SHIFT — `cents >> age` == `cents div 2^age` for
+    * non-negative cents — so every term, and therefore the sum, is
+    * associative BIGINT math: bit-identical in any engine, no float
+    * summation order to round away. Ages clamp at 50 days (the weight
+    * is 0 cents long before that; the clamp keeps the shift far from
+    * the 63-bit wrap both engines would differ on). Negative values
+    * (absent from this table, asserted by [[QualityAudit]]-style
+    * `n_neg`) would floor toward -inf in both engines identically via
+    * arithmetic shift.
+    *
+    * Scale: one scan, one broadcast of the 1-row max-date agg, one
+    * partial-agg groupBy on user_id. Nothing else.
+    */
+  def timeDecayedValue(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val maxDay = e.agg(max(to_date(col("ts"))).as("max_day"))
+    e.crossJoin(broadcast(maxDay))
+      .select(col("user_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"),
+        least(datediff(col("max_day"), to_date(col("ts"))), lit(50)).as("age"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("shiftright(cents, age)")).as("decayed_cents"),
+        sum(col("cents")).as("total_cents"))
+      .orderBy(col("user_id"))
+  }
+
+  val timeDecayedValueOracleSql: String =
+    """WITH m AS (SELECT max(CAST(ts AS DATE)) AS max_day FROM events),
+      |e AS (
+      |  SELECT user_id,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+      |         least(date_diff('day', CAST(ts AS DATE), m.max_day), 50) AS age
+      |  FROM events, m
+      |)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(cents >> age) AS BIGINT) AS decayed_cents,
+      |       CAST(sum(cents) AS BIGINT) AS total_cents
+      |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin
 }

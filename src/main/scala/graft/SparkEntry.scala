@@ -229,6 +229,12 @@ object SparkEntry {
     // entity resolution: noun-blocked + length-banded fuzzy part-name
     // linkage, levenshtein-verified (integer distance, exact oracle)
     "q_entity_match" -> ((s: SparkSession, d: String) => EntityResolution.fuzzyParts(s, d)),
+    // same operator with the block cap forced low, so every block takes
+    // the big-block REPRESENTATIVE-pair branch — oracles the graceful
+    // above-cap semantics that sf0.01 data never triggers at the
+    // default cap
+    "q_entity_match_rep" -> ((s: SparkSession, d: String) =>
+      EntityResolution.fuzzyParts(s, d, maxBlock = 50)),
     // declarative DQ constraint audit: PK uniqueness, FK orphans,
     // range/null predicates — one report row per constraint
     "q_dq_audit" -> (QualityAudit.audit _),
@@ -1425,6 +1431,8 @@ object SparkEntry {
     "q_time_decay" -> graft.operators.EventsQueries.timeDecayedValueOracleSql,
     "q_pagerank" -> graft.operators.Graphs.pageRankOracleSql(),
     "q_entity_match" -> graft.operators.EntityResolution.fuzzyPartsOracleSql(),
+    "q_entity_match_rep" ->
+      graft.operators.EntityResolution.fuzzyPartsOracleSql(maxBlock = 50),
     "q_dq_audit" -> graft.operators.QualityAudit.auditOracleSql,
     "q_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),

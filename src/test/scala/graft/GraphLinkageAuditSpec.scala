@@ -80,6 +80,37 @@ class GraphLinkageAuditSpec extends SparkSpec {
     assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
   }
 
+  test("fuzzyParts big-block fallback: one representative pair per " +
+    "matched name pair, min-key deterministic") {
+    // cap 1 forces EVERY block down the representative branch
+    val got = EntityResolution.fuzzyParts(spark, sf, maxBlock = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSet
+    val parts = Tables.load(spark, sf, "part")
+      .select(col("p_partkey"), col("p_name")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byName = parts.groupBy(_._2).map { case (n, rs) =>
+      n -> rs.map(_._1).sorted.toList
+    }
+    val want = scala.collection.mutable.Set[(Long, Long, String, String, Long)]()
+    for ((na, ka) <- byName) {
+      if (ka.size >= 2) want += ((ka(0), ka(1), na, na, 0L))
+      for ((nb, kb) <- byName if na < nb
+           if na.split(" ").last == nb.split(" ").last) {
+        val d = lev(na, nb)
+        if (d <= 2) {
+          val (x, y, n1, n2) =
+            if (ka.head < kb.head) (ka.head, kb.head, na, nb)
+            else (kb.head, ka.head, nb, na)
+          want += ((x, y, n1, n2, d.toLong))
+        }
+      }
+    }
+    assert(want.nonEmpty)
+    assert(got == want.toSet,
+      s"missing=${(want.toSet -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
   test("audit: clean testdata yields zero violations over 14 constraints") {
     val rows = QualityAudit.audit(spark, sf).collect()
     assert(rows.length == 14, s"got ${rows.length} constraint rows")

@@ -274,25 +274,27 @@ object TextQueries {
     */
   private def coveredOffsets(d: DataFrame, k: Int): DataFrame = {
     // The positioned-bigram explode feeds BOTH the doc-frequency top-k
-    // (broadcast side) and the coverage join; without materialization the
-    // tokenize + explode — the most expensive stage — runs twice per query.
-    // Non-eager localCheckpoint computes it once at the broadcast job and
-    // reuses the blocks for the probe side; unlike persist() the blocks are
-    // reclaimed by the ContextCleaner when the plan is dropped, so gate
-    // batteries don't accumulate pinned cache. MEMORY_AND_DISK spill keeps
-    // it safe when the gram stream outsizes executor memory.
-    val grams = d.filter(size(col("ws")) >= 2)
+    // and the coverage probe. The top-k side is resolved EAGERLY to k
+    // driver-side strings (bounded by the parameter, never the corpus),
+    // so the returned plan holds no cached state at all: the probe pass
+    // recomputes the explode exactly once per execution and a gate
+    // battery accumulates zero block-manager residue. (The previous
+    // non-eager localCheckpoint pinned gram-sized blocks whose
+    // ContextCleaner-driven lifetime drifted 2 s → 11 s under
+    // 130-query battery pressure.) The literal in-set probe is a
+    // codegen'd InSet — cheaper than the broadcast join it replaces.
+    def grams = d.filter(size(col("ws")) >= 2)
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(0), size(col("ws")) - 2),
         i => concat_ws(" ", element_at(col("ws"), i + 1), element_at(col("ws"), i + 2))))
         .as(Seq("p", "gram")))
-      .localCheckpoint(false)
     val top = grams
       .groupBy(col("gram")).agg(countDistinct(col("doc_id")).as("df"))
       .orderBy(col("df").desc, col("gram").asc)
       .limit(k)
+      .select(col("gram")).collect().map(_.getString(0)).toSeq
     grams
-      .join(broadcast(top.select(col("gram"))), Seq("gram"))
+      .filter(col("gram").isInCollection(top))
       .select(col("doc_id"), explode(array(col("p"), col("p") + 1)).as("off"))
       .distinct()
   }
@@ -308,15 +310,19 @@ object TextQueries {
     * thresholds on; at L=8 natural re-use is rare, so coverage ≈
     * copied text.
     *
-    * Scale shape: one corpus pass emits positioned l-grams
-    * (localCheckpointed — the df aggregate and the coverage join share
-    * it); the repeated-gram set is df ≥ minDf over a gram-keyed
-    * aggregate (one shuffle, map-side partials); coverage joins grams
-    * to that set ON THE GRAM KEY — a plain shuffle equi-join, because
-    * unlike [[boilerplate]]'s top-50 the repeated set is corpus-sized
-    * and must never broadcast. Position explode is bounded by l ×
-    * matching grams; the per-doc distinct + count is a shuffle over
-    * matching positions only.
+    * Scale shape: one corpus pass emits positioned l-grams (persisted
+    * for exactly the two jobs that share them — the df aggregate and
+    * the coverage join — then unpersisted in a finally, the
+    * [[Graphs.pageRank]] discipline, so a gate battery never
+    * accumulates gram-sized cache blocks); the repeated-gram set is
+    * df ≥ minDf over a gram-keyed aggregate (one shuffle, map-side
+    * partials); coverage joins grams to that set ON THE GRAM KEY — a
+    * plain shuffle equi-join, because unlike [[boilerplate]]'s top-50
+    * the repeated set is corpus-sized and must never broadcast.
+    * Position explode is bounded by l × matching grams; the per-doc
+    * distinct + count is a shuffle over matching positions only, and
+    * only that small per-doc aggregate (one row per covered doc) is
+    * checkpointed into the returned plan.
     */
   def repeatedSpans(s: SparkSession, dir: String, l: Int = 8,
       minDf: Int = 2): DataFrame = {
@@ -326,16 +332,21 @@ object TextQueries {
         sequence(lit(0), size(col("ws")) - l),
         i => concat_ws(" ", slice(col("ws"), i + 1, lit(l)))))
         .as(Seq("p", "gram")))
-      .localCheckpoint(false)
-    val rep = grams
-      .groupBy(col("gram")).agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") >= minDf)
-      .select(col("gram"))
-    val covered = grams
-      .join(rep, Seq("gram"))
-      .select(col("doc_id"), explode(sequence(col("p"), col("p") + (l - 1))).as("off"))
-      .distinct()
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_covered"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val covered = try {
+      val rep = grams
+        .groupBy(col("gram")).agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= minDf)
+        .select(col("gram"))
+      grams
+        .join(rep, Seq("gram"))
+        .select(col("doc_id"), explode(sequence(col("p"), col("p") + (l - 1))).as("off"))
+        .distinct()
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_covered"))
+        // eager: one row per covered doc — the only state that outlives
+        // this call, 10⁴× smaller than the gram stream it summarizes
+        .localCheckpoint(true)
+    } finally grams.unpersist(false)
     d.select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
       .join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),

@@ -28,13 +28,17 @@ import graft.Tables
   * / 10¹² of total mass) — a deterministic, documented bias, not an
   * approximation knob.
   *
-  * Scale: each iteration is one shuffle join (edges ⋈ ranks on src,
-  * both hash-partitioned on the node key, so the partitioning is
-  * REUSED across all iterations) + one partial-agg groupBy on dst.
-  * Ranks are persisted per iteration and the previous iteration is
-  * eagerly unpersisted — the Pregel discipline that keeps lineage
-  * (and recovery cost) O(1) in the iteration count instead of
-  * exponential plan growth. Degrees/nodes are computed once. No
+  * Scale: each iteration is ONE edge-sized shuffle join (edges ⋈
+  * per-node shares on src — the static degree is carried inside the
+  * rank relation, so the share `r div deg` is a pure projection and
+  * no degree join ever enters the loop) + one partial-agg groupBy on
+  * dst + one node-sized left join back to the degree/node universe.
+  * The persisted edges side keeps its hash partitioning on src across
+  * all iterations; the rank side is node-sized and re-shuffles each
+  * round (it is the data that changed). Ranks are persisted per
+  * iteration and the previous iteration is eagerly unpersisted — the
+  * Pregel discipline that keeps lineage (and recovery cost) O(1) in
+  * the iteration count instead of exponential plan growth. No
   * driver-side state beyond the loop counter.
   */
 object Graphs {
@@ -66,32 +70,47 @@ object Graphs {
     val edges = supplyEdges(s, dir)
       .repartition(col("src"))
       .persist()
+    // the degree relation doubles as the node universe; persisted with
+    // a node hash layout so the per-iteration left join reuses it
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val nodes = deg.select(col("src").as("node")).persist()
-    val n = nodes.count()
-    // uniform start: every node gets (Unit div n) mass
-    var ranks = nodes.select(col("node"), lit(Unit / n).as("r")).persist()
+      .select(col("src").as("node"), col("deg"))
+      .repartition(col("node")).persist()
+    val n = deg.count()
+    if (n == 0) {
+      // empty graph: schema-correct empty result, nothing left pinned
+      val out = deg.select(col("node"), col("deg").as("rank_fp"))
+      edges.unpersist(); deg.unpersist()
+      return out
+    }
+    // uniform start: every node gets (Unit div n) mass; the static
+    // degree rides inside the rank relation so the loop never joins it
+    var ranks = deg
+      .select(col("node"), lit(Unit / n).as("r"), col("deg")).persist()
     val teleport = (15L * Unit) / (100L * n)
     for (_ <- 1 to iters) {
       val prev = ranks
-      // per-edge contribution r(src) div deg(src), summed at dst; a
-      // node with no in-mass this round still gets the teleport term
-      val contrib = edges
-        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(deg, Seq("src"))
-        .select(col("dst"), expr("r div deg").as("c"))
+      // per-node share r div deg (a projection — bit-identical to the
+      // per-edge division it replaces), summed at dst; a node with no
+      // in-mass this round still gets the teleport term
+      val share = ranks
+        .select(col("node").as("src"), expr("r div deg").as("c"))
+      val contrib = edges.join(share, Seq("src"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      ranks = nodes
+      ranks = deg
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(col("node"),
-          (lit(teleport) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
+          (lit(teleport) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"),
+          col("deg"))
         .persist()
       ranks.count() // materialize before dropping the previous iteration
       prev.unpersist()
     }
+    // eager node-sized checkpoint so every iteration cache (including
+    // the final one) can be dropped before returning
     val out = ranks.select(col("node"), col("r").as("rank_fp"))
       .orderBy(col("rank_fp").desc, col("node").asc)
-    edges.unpersist(); nodes.unpersist()
+      .localCheckpoint(true)
+    edges.unpersist(); deg.unpersist(); ranks.unpersist()
     out
   }
 

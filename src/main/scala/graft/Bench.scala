@@ -79,13 +79,13 @@ object Bench {
     * [[SpreadLimit]] (up to [[MaxExtraRuns]] extras). Returns ALL raw
     * times in run order — the caller medians and flags.
     */
-  private def timed(body: () => Unit): Seq[Double] = {
+  private def timed(body: () => Unit, baseRuns: Int = Runs): Seq[Double] = {
     def once(): Double = {
       val t0 = System.nanoTime()
       body()
       (System.nanoTime() - t0) / 1e9
     }
-    var times = Seq.fill(Runs)(once())
+    var times = Seq.fill(baseRuns)(once())
     var extra = 0
     while (!spreadOk(times) && extra < MaxExtraRuns) {
       times = times :+ once()
@@ -93,6 +93,15 @@ object Bench {
     }
     times
   }
+
+  /** The headline q0 gets a wider base sample than the battery: it is
+    * the single number compared against BASELINE.md, and a 3-run median
+    * under a transiently dirty window once published 5.8 s for a
+    * steady-state 1.6 s job ([3.7, 9.2, 5.8] passes the tail-spread
+    * check). Seven runs cost ~10 s and make the median robust to two
+    * contaminated runs instead of one.
+    */
+  private val HeadlineRuns = 7
 
   /** 1m/5m/15m load averages from /proc/loadavg (None off-Linux). */
   private def loadavg(): Option[Seq[Double]] =
@@ -171,7 +180,7 @@ object Bench {
             finally graft.operators.ArtifactCache.deleteRecursively(out.toFile)
           }
           runIndex()
-          Seq("q0_index_corpus" -> timed(() => runIndex()))
+          Seq("q0_index_corpus" -> timed(() => runIndex(), HeadlineRuns))
         } catch { case e: Throwable =>
           failed += "q0_index_corpus"
           System.err.println(s"[bench] q0_index_corpus failed: ${e.getMessage}")

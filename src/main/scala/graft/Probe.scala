@@ -9,11 +9,21 @@ object Probe {
       val t0 = System.nanoTime(); val r = f
       println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
+    // named-query modes share one validated lookup: a missing or
+    // unknown name dies with the valid-name list, not an index error
+    def queryArg(): (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame = {
+      require(args.length >= 2,
+        s"usage: Probe ${args.head} <query> [sfDir]; known queries: " +
+          SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
+      SparkEntry.queries.getOrElse(args(1), sys.error(
+        s"unknown query '${args(1)}'; known queries: " +
+          SparkEntry.queries.keys.toSeq.sorted.mkString(", ")))
+    }
     if (args.headOption.contains("explain")) {
       // generic plan dump: runMain graft.Probe explain <query> [sfDir]
-      val name = args(1)
+      val fn = queryArg()
       val dir = if (args.length > 2) args(2) else "/root/testdata/sf0.001"
-      SparkEntry.queries(name)(spark, dir).explain("formatted")
+      fn(spark, dir).explain("formatted")
       spark.stop(); return
     }
     if (args.headOption.contains("minhash")) {
@@ -35,9 +45,14 @@ object Probe {
       // time one SparkEntry query against the synthetic sf1 replica
       // (built once into /tmp/graft-sf1-bench, reused across probes)
       val work = "/tmp/graft-sf1-bench"
-      if (!new java.io.File(s"$work/lineitem.parquet").exists())
+      // reuse is keyed on a completion marker, not on the first output
+      // file — a crashed partial replicate must be rebuilt, not reused
+      val marker = new java.io.File(s"$work/_REPLICATED")
+      val fn = queryArg()
+      if (!marker.exists()) {
         time("replicate sf1")(BenchSf1.replicate(spark, "/root/testdata/sf0.1", work))
-      val fn = SparkEntry.queries(args(1))
+        marker.createNewFile()
+      }
       def noop(): Unit =
         fn(spark, work).write.format("noop").mode("overwrite").save()
       noop()
@@ -51,7 +66,7 @@ object Probe {
       // time one SparkEntry query at sf0.1 (warm-up + 3 timed runs) —
       // the same noop-sink materialization Bench uses
       val dir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
-      val fn = SparkEntry.queries(args(1))
+      val fn = queryArg()
       def noop(): Unit =
         fn(spark, dir).write.format("noop").mode("overwrite").save()
       noop()
@@ -59,6 +74,37 @@ object Probe {
         val t0 = System.nanoTime(); noop(); (System.nanoTime() - t0) / 1e9
       }
       println(f"[probe] ${args(1)} median=${Bench.median(ts)}%.2f s all=${ts.map(t => f"$t%.2f").mkString(",")}")
+      spark.stop(); return
+    }
+    if (args.headOption.contains("knn_floor")) {
+      // stage decomposition of q_knn_brute: scan+broadcast+dot floor vs
+      // the bounded-heap aggregate vs the window form it replaced
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val dir = "/root/testdata/sf0.1"
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      val e = graft.operators.Similarity.emb(spark, dir)
+      val q = e.select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm")).filter(col("query_id") < 10)
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("cos", graft.functions.Rounding.portableRound4(
+          graft.functions.VectorFunctions.arrayDot(col("emb"), col("q_emb")) /
+            (col("nrm") * col("q_nrm"))))
+      val floor = scored.select(col("query_id"), col("vec_id"), col("cos"))
+      val topk = udaf(new graft.functions.TopKAggregator(5))
+      val agg = scored.groupBy(col("query_id"))
+        .agg(topk(col("cos"), col("vec_id")).as("top"))
+      val win = scored.withColumn("rnk", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cos").desc, col("vec_id").asc)))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("rnk"), col("vec_id"), col("cos"))
+      Seq("floor" -> floor, "agg" -> agg, "window" -> win).foreach {
+        case (label, df) =>
+          noop(df)
+          (1 to 3).foreach(i => time(s"$label $i")(noop(df)))
+      }
       spark.stop(); return
     }
     if (args.headOption.contains("hh_floor")) {

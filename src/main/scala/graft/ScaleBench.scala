@@ -143,11 +143,34 @@ object ScaleBench {
       "dedup_embedding" -> (dir => Dedup.embeddingNearDups(spark, dir, 0.9)),
       "knn_ivf" -> (dir => Similarity.knnIvf(spark, dir)))
 
+    // round-12: the late-wave relational ops get their own 3-point
+    // curve over sf0.01 → sf0.1 → a key-coherent synthetic sf1
+    // ([[BenchSf1.replicate]] — joins keep their sf0.1 selectivity, so
+    // the ratio measures plan cost). Note entity_match CROSSES its
+    // block cap between sf0.1 and sf1 by design: above the cap it
+    // degrades to representative pairs (output ∝ matched name pairs,
+    // not row pairs), so its last point measures the fallback path —
+    // the documented graceful-degradation contract, not a free lunch.
+    val relSf1 = s"$work/rel-sf1"
+    val relMarker = new java.io.File(s"$relSf1/_REPLICATED")
+    if (!relMarker.exists()) {
+      BenchSf1.replicate(spark, base, relSf1)
+      relMarker.createNewFile()
+    }
+    val relDirs = Seq("/root/testdata/sf0.01", base, relSf1)
+    val relOps: Seq[(String, String => DataFrame)] = Seq(
+      "entity_match" -> (dir => graft.operators.EntityResolution.fuzzyParts(spark, dir)),
+      "pagerank" -> (dir => graft.operators.Graphs.pageRank(spark, dir)),
+      "dq_audit" -> (dir => graft.operators.QualityAudit.audit(spark, dir)),
+      "time_decay" -> (dir => graft.operators.EventsQueries.timeDecayedValue(spark, dir)))
+
     val rows = docOps.map { case (name, fn, nScales) =>
       (name, docDirs.take(nScales).map(d => timed(() => fn(d))))
     } ++ embOps.map { case (name, fn) =>
       (name, Seq(timed(() => fn(emb1xDir)), timed(() => fn(emb10xDir)),
         timed(() => fn(emb100xDir))))
+    } ++ relOps.map { case (name, fn) =>
+      (name, relDirs.map(d => timed(() => fn(d))))
     }
 
     // ---------------- IVF assignment cost vs C: flat O(n·C·d) vs the

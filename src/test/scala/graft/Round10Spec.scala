@@ -66,10 +66,16 @@ class Round10Spec extends SparkSpec {
     } finally out.unpersist()
   }
 
-  test("boilerplate joins the bounded gram set by broadcast") {
+  test("boilerplate probes the bounded gram set as a literal in-set, " +
+    "never a gram-keyed shuffle join") {
+    // r12: the top-k set is k driver-side literals, so the probe is a
+    // codegen in-set FILTER — stronger than the broadcast join it
+    // replaced (no join, no cached gram blocks, no checkpoint residue)
     val plan = TextQueries.boilerplate(spark, sf).queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
-    assert(plan.contains("TakeOrdered"), s"top-k gram set not TakeOrdered in:\n$plan")
+    assert(plan.contains("INSET") || plan.contains(" IN ("),
+      s"no literal in-set gram probe in:\n$plan")
+    // the only join left is the doc_id re-attach; nothing joins on gram
+    assert(!plan.contains("[gram"), s"gram-keyed join in:\n$plan")
   }
 
   test("topTokensExact matches an independent count and bounds the sketch") {

@@ -85,6 +85,15 @@ object Bench {
       body()
       (System.nanoTime() - t0) / 1e9
     }
+    // One UNTIMED warm-up per query before the timed runs — the
+    // [[BenchSf1]] discipline, adopted here in r12: the r12 battery's
+    // only remaining spread flags (q0 [2.6, 3.2, 1.5, …],
+    // q_range_late [0.9, 1.4, 0.7, …]) were pure first-runs JIT noise —
+    // run 2 still carries partially-compiled codegen, and skipping run
+    // 1 in the spread check cannot see that. The median already
+    // measured steady state; the warm-up makes the spread evidence
+    // measure the same thing.
+    body()
     var times = Seq.fill(baseRuns)(once())
     var extra = 0
     while (!spreadOk(times) && extra < MaxExtraRuns) {
@@ -267,7 +276,7 @@ object Bench {
     // the driver contract line: compact and LAST so a stdout-tail
     // capture of any reasonable size keeps it whole (r6 lost the
     // headline to a single oversized line — never again)
-    println(s"""{"metric":"total","value":$totalJson,"unit":"sec","timing":"median_of_runs","queries":$qs,"spread_flagged":$spreadJson,"failed":$failedJson,"contended_start":$contended,"cpu_steal_pct":$stealJson,"steal_contaminated":$stealContaminated,"attempts":$attempts,"cores":$cores,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$totalJson,"unit":"sec","timing":"median_of_runs_after_warmup","queries":$qs,"spread_flagged":$spreadJson,"failed":$failedJson,"contended_start":$contended,"cpu_steal_pct":$stealJson,"steal_contaminated":$stealContaminated,"attempts":$attempts,"cores":$cores,"sf":"$sfDir"}""")
     spark.stop()
     // a partially-failed bench must not look green to exit-code
     // automation (r8: 13 failed queries rode out under rc 0)

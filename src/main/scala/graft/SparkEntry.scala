@@ -235,9 +235,24 @@ object SparkEntry {
     // default cap
     "q_entity_match_rep" -> ((s: SparkSession, d: String) =>
       EntityResolution.fuzzyParts(s, d, maxBlock = 50)),
+    // union blocking (head noun OR first token): the recall repair for
+    // single-key blocking's noun-typo miss; two equi-joins + distinct,
+    // never an OR-join nested loop
+    "q_entity_match_union" -> ((s: SparkSession, d: String) =>
+      EntityResolution.fuzzyNamesUnionBlocked(s, d)),
     // declarative DQ constraint audit: PK uniqueness, FK orphans,
     // range/null predicates — one report row per constraint
     "q_dq_audit" -> (QualityAudit.audit _),
+    // join-key skew diagnostic: power-of-two histogram of per-key
+    // fan-out for the hot join keys — sizes salting/AQE thresholds
+    "q_skew_profile" -> (QualityAudit.skewProfile _),
+    // BPE merge training: k argmax-merge rounds over the word-count
+    // dictionary (corpus scanned once; iterations are vocab-sized)
+    "q_bpe_train" -> ((s: SparkSession, d: String) => Bpe.bpeTrain(s, d)),
+    // embedding-space decontamination: eval set broadcast, train side
+    // one narrow scan; catches paraphrased leaks n-gram overlap misses
+    "q_decontam_semantic" -> ((s: SparkSession, d: String) =>
+      DatasetOps.semanticDecontam(s, d)),
     "q_retention" -> (EventsQueries.retention _),
     "q_histogram" -> ((s: SparkSession, d: String) => EventsQueries.valueHistogram(s, d)),
     // transitive near-dup groups (pairs -> connected components)
@@ -1433,7 +1448,20 @@ object SparkEntry {
     "q_entity_match" -> graft.operators.EntityResolution.fuzzyPartsOracleSql(),
     "q_entity_match_rep" ->
       graft.operators.EntityResolution.fuzzyPartsOracleSql(maxBlock = 50),
+    "q_entity_match_union" ->
+      graft.operators.EntityResolution.fuzzyNamesUnionBlockedOracleSql(),
     "q_dq_audit" -> graft.operators.QualityAudit.auditOracleSql,
+    "q_skew_profile" -> graft.operators.QualityAudit.skewProfileOracleSql,
+    "q_bpe_train" -> graft.operators.Bpe.bpeTrainOracleSql(),
+    "q_decontam_semantic" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |ev AS (SELECT * FROM e WHERE vec_id % 97 = 0),
+        |tr AS (SELECT * FROM e WHERE vec_id % 97 <> 0)
+        |SELECT t.vec_id,
+        | CAST(count(*) AS BIGINT) AS n_contaminating,
+        | floor(max(list_cosine_similarity(t.emb, v.emb)) * 10000 + 0.5) / 10000 AS max_cos
+        |FROM tr t JOIN ev v ON list_cosine_similarity(t.emb, v.emb) >= 0.4
+        |GROUP BY t.vec_id ORDER BY t.vec_id""".stripMargin,
     "q_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |v AS (SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),

@@ -202,6 +202,47 @@ object DatasetOps {
       d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0), n)
   }
 
+  /** SEMANTIC decontamination — the embedding-space companion of
+    * [[decontaminateAgainst]]: an eval example contaminates a training
+    * document when their embeddings' cosine exceeds `tau`, catching
+    * the paraphrased / reformatted benchmark leaks that exact n-gram
+    * overlap misses (the check run alongside n-gram decontam in
+    * published LLM data pipelines, e.g. SemDeDup-style screens).
+    *
+    * Output: one row per CONTAMINATED training vector — how many eval
+    * vectors implicate it and the worst (max) cosine, rounded
+    * portably. The uncontaminated corpus is the complement; reporting
+    * the hits keeps the result benchmark-sized.
+    *
+    * Scale shape: the eval set is benchmark-sized by construction, so
+    * it BROADCASTS and the train side is one narrow scan — a
+    * BroadcastNestedLoopJoin whose condition (dot ≥ tau·|a|·|b|) is
+    * the codegen'd [[graft.functions.ArrayDotProduct]]; per-doc
+    * aggregation is map-side partial. Cost is |train|·|eval| dots,
+    * embarrassingly parallel with NO shuffle of the train side; when
+    * the eval side outgrows broadcast, route the train scan through
+    * the persisted IVF index ([[Similarity]]) instead.
+    *
+    * Determinism: double dot products summed left-to-right are
+    * bit-identical in Spark and DuckDB (the [[Similarity]] contract),
+    * so the `cos >= tau` frontier — and therefore the row set — is
+    * exact, not approximately, oracle-checkable.
+    */
+  def semanticDecontam(s: SparkSession, dir: String, tau: Double = 0.4): DataFrame = {
+    import graft.functions.Rounding.portableRound4
+    val e = Similarity.emb(s, dir)
+    val eval = e.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("eval_id"), col("emb").as("eemb"), col("nrm").as("enrm"))
+    val cos = graft.functions.VectorFunctions.arrayDot(col("emb"), col("eemb")) /
+      (col("nrm") * col("enrm"))
+    e.filter(col("vec_id") % 97 =!= 0)
+      .join(broadcast(eval), cos >= tau)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_contaminating"),
+        portableRound4(max(cos)).as("max_cos"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Execute the [[mixturePlan]]: deterministically sample each source
     * at its planned rate and report achieved vs target per source.
     *

@@ -138,4 +138,66 @@ object QualityAudit {
       |  SELECT 'notnull_name', 'customer', CAST(count(*) AS BIGINT),
       |         CAST(sum(CASE WHEN c_name IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) FROM customer
       |) ORDER BY constraint_name, table_name""".stripMargin
+
+  /** Join-key SKEW PROFILE — the diagnostic that sizes the mitigations
+    * this library leans on at 100 TB (salting width, AQE skew-join
+    * thresholds, bucketing counts): for each hot join key, the
+    * power-of-two histogram of per-key row counts, plus each bucket's
+    * min/max key fan-out. A planner reads the top bucket to decide
+    * whether a key needs salting before the shuffle that would
+    * otherwise hot-spot one task.
+    *
+    * Scale shape: per-key counts are ONE hash aggregation per relation
+    * with map-side partials (the groupBy output is key-cardinality
+    * sized); the bucket histogram is a second, 64-row aggregation.
+    * Nothing is collected; no joins.
+    *
+    * Bucketing is an exact integer CASE ladder (floor(log2(cnt)) for
+    * cnt in [1, 2^20)) rather than `floor(log2(x))` — `log(x)/log(2)`
+    * lands a hair below the integer at exact powers of two in some
+    * engines, and a portable oracle can't ride on which libm both
+    * sides linked.
+    */
+  def skewProfile(s: SparkSession, dir: String): DataFrame = {
+    // exact floor(log2) for BIGINT counts via threshold ladder
+    def log2Bucket(cnt: Column): Column =
+      (0 to 20).foldLeft(lit(-1)) { (acc, b) =>
+        when(cnt >= math.pow(2, b).toLong, lit(b)).otherwise(acc)
+      }
+    def profile(t: DataFrame, relation: String, key: String): DataFrame =
+      t.groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt"))
+        .select(lit(relation).as("relation"), log2Bucket(col("cnt")).as("bucket"),
+          col("cnt"))
+        .groupBy(col("relation"), col("bucket"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+          min(col("cnt")).as("min_key_rows"), max(col("cnt")).as("max_key_rows"))
+    profile(Tables.load(s, dir, "lineitem"), "lineitem.l_orderkey", "l_orderkey")
+      .unionByName(
+        profile(Tables.load(s, dir, "orders"), "orders.o_custkey", "o_custkey"))
+      .unionByName(
+        profile(Tables.load(s, dir, "events"), "events.user_id", "user_id"))
+      .orderBy(col("relation"), col("bucket"))
+  }
+
+  /** DuckDB restatement of [[skewProfile]] — same CASE-ladder bucket. */
+  def skewProfileOracleSql: String = {
+    val ladder = (0 to 20).map(b => s"WHEN cnt >= ${math.pow(2, b).toLong} THEN $b")
+      .reverse.mkString(" ")
+    def leg(table: String, key: String): String =
+      s"""SELECT '$table.$key' AS relation,
+         |       CASE $ladder ELSE -1 END AS bucket,
+         |       CAST(count(*) AS BIGINT) AS n_keys,
+         |       CAST(sum(cnt) AS BIGINT) AS n_rows,
+         |       CAST(min(cnt) AS BIGINT) AS min_key_rows,
+         |       CAST(max(cnt) AS BIGINT) AS max_key_rows
+         |FROM (SELECT $key, count(*) AS cnt FROM $table GROUP BY $key)
+         |GROUP BY 1, 2""".stripMargin
+    s"""SELECT * FROM (
+       |${leg("lineitem", "l_orderkey")}
+       |UNION ALL
+       |${leg("orders", "o_custkey")}
+       |UNION ALL
+       |${leg("events", "user_id")}
+       |) ORDER BY relation, bucket""".stripMargin
+  }
 }

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bpe, DatasetOps, EntityResolution, QualityAudit, Similarity}
+
+/** Round-12 additions: BPE merge training, semantic decontamination,
+  * the join-key skew profile, and union blocking for entity
+  * resolution. The DuckDB oracle re-checks each at the gate; these
+  * specs pin the invariants the oracle comparison can't express —
+  * greedy-fold semantics, recall supersets, histogram mass
+  * conservation, reference-implementation parity on the merge loop.
+  */
+class Round12Spec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // --- BPE ---------------------------------------------------------
+
+  test("bpe applyMerge: greedy left-to-right, non-overlapping") {
+    import spark.implicits._
+    val out = Seq(Tuple1(Seq("l", "l", "l")), Tuple1(Seq("a", "l", "l", "b")),
+        Tuple1(Seq("l", "x", "l", "l")))
+      .toDF("syms")
+      .select(Bpe.applyMerge(col("syms"), "l", "l").as("m"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    // "l l l" -> first two merge, third survives (greedy, no overlap)
+    assert(out == List(List("ll", "l"), List("a", "ll", "b"),
+      List("l", "x", "ll")))
+  }
+
+  test("bpeTrain matches a single-threaded reference BPE on the corpus") {
+    // reference implementation: plain Scala greedy BPE over the same
+    // word counts — validates the distributed loop end-to-end
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    val words = scala.collection.mutable.Map.empty[List[String], Long]
+    for (d <- docs; w <- d.toLowerCase.split("\\s+") if w.nonEmpty) {
+      val syms = w.map(_.toString).toList :+ "</w>"
+      words(syms) = words.getOrElse(syms, 0L) + 1L
+    }
+    def pairCounts(ws: Map[List[String], Long]): Map[(String, String), Long] =
+      ws.toSeq.flatMap { case (syms, n) =>
+        syms.zip(syms.tail).map(p => p -> n)
+      }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+    def merge(syms: List[String], l: String, r: String): List[String] =
+      syms.foldLeft(List.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == l && x == r)
+          acc.init :+ (l + r)
+        else acc :+ x
+      }
+    var ws = words.toMap
+    val expect = (1 to 8).map { step =>
+      val pc = pairCounts(ws)
+      val ((l, r), c) = pc.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+      ws = ws.map { case (syms, n) => merge(syms, l, r) -> n }
+        .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+      (step, l, r, l + r, c)
+    }
+    val got = Bpe.bpeTrain(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got == expect)
+  }
+
+  // --- semantic decontam -------------------------------------------
+
+  test("semanticDecontam: rows are train-side only, counts bounded by " +
+    "eval size, every reported hit verified by brute-force cosine") {
+    val hits = DatasetOps.semanticDecontam(spark, sf).collect()
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    val evalIds = vecs.keySet.filter(_ % 97 == 0)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d, na, nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    assert(hits.nonEmpty, "threshold must fire on the test corpus")
+    for (h <- hits) {
+      val id = h.getLong(0); val n = h.getLong(1)
+      assert(id % 97 != 0, s"eval vec $id reported as train")
+      assert(n >= 1 && n <= evalIds.size)
+      val brute = evalIds.count(e => cos(vecs(id), vecs(e)) >= 0.4)
+      assert(brute == n, s"vec $id: brute=$brute reported=$n")
+    }
+    // and no contaminated vec is missing
+    val reported = hits.map(_.getLong(0)).toSet
+    for ((id, v) <- vecs if id % 97 != 0) {
+      val isHit = evalIds.exists(e => cos(v, vecs(e)) >= 0.4)
+      assert(isHit == reported.contains(id), s"vec $id membership")
+    }
+  }
+
+  // --- skew profile ------------------------------------------------
+
+  test("skewProfile: buckets partition the keys, mass conserved, " +
+    "bucket bounds respected") {
+    val prof = QualityAudit.skewProfile(spark, sf).collect()
+    val byRel = prof.groupBy(_.getString(0))
+    assert(byRel.keySet == Set("lineitem.l_orderkey", "orders.o_custkey",
+      "events.user_id"))
+    val expect = Map(
+      "lineitem.l_orderkey" ->
+        Tables.load(spark, sf, "lineitem").select(countDistinct(col("l_orderkey")),
+          count(lit(1))).first(),
+      "orders.o_custkey" ->
+        Tables.load(spark, sf, "orders").select(countDistinct(col("o_custkey")),
+          count(lit(1))).first(),
+      "events.user_id" ->
+        Tables.load(spark, sf, "events").select(countDistinct(col("user_id")),
+          count(lit(1))).first())
+    for ((rel, rows) <- byRel) {
+      assert(rows.map(_.getLong(2)).sum == expect(rel).getLong(0),
+        s"$rel: n_keys must sum to distinct keys")
+      assert(rows.map(_.getLong(3)).sum == expect(rel).getLong(1),
+        s"$rel: n_rows must sum to table rows")
+      for (r <- rows) {
+        val b = r.getInt(1)
+        val lo = 1L << b; val hi = (1L << (b + 1)) - 1
+        assert(r.getLong(4) >= lo && r.getLong(5) <= hi,
+          s"$rel bucket $b: [${r.getLong(4)}, ${r.getLong(5)}] outside [$lo, $hi]")
+      }
+    }
+  }
+
+  // --- union blocking ----------------------------------------------
+
+  test("union blocking: superset of head-noun name matches, catches a " +
+    "first-token-only pair iff one exists, no pair below either key") {
+    val uni = EntityResolution.fuzzyNamesUnionBlocked(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // brute-force ground truth over distinct names
+    val names = Tables.load(spark, sf, "part")
+      .select(col("p_name")).distinct().collect().map(_.getString(0))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val all = (for {
+      a <- names; b <- names if a < b && lev(a, b) <= 2
+    } yield (a, b)).toSet
+    def last(s: String) = s.split(" ").last
+    def first(s: String) = s.split(" ").head
+    val expected = all.filter { case (a, b) =>
+      last(a) == last(b) || first(a) == first(b) }
+    assert(uni == expected, "union blocking = brute force restricted to either key")
+    val headOnly = all.filter { case (a, b) => last(a) == last(b) }
+    assert(headOnly.subsetOf(uni), "superset of single-key blocking")
+  }
+}

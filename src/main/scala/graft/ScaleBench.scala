@@ -162,7 +162,18 @@ object ScaleBench {
       "entity_match" -> (dir => graft.operators.EntityResolution.fuzzyParts(spark, dir)),
       "pagerank" -> (dir => graft.operators.Graphs.pageRank(spark, dir)),
       "dq_audit" -> (dir => graft.operators.QualityAudit.audit(spark, dir)),
-      "time_decay" -> (dir => graft.operators.EventsQueries.timeDecayedValue(spark, dir)))
+      "time_decay" -> (dir => graft.operators.EventsQueries.timeDecayedValue(spark, dir)),
+      // round-12 additions: bpe_train's corpus scan grows with data
+      // but its k merge rounds are vocab-bounded (the replica corpus
+      // keeps vocabulary ~constant per replica-prefix design, so the
+      // curve isolates the scan); skew_profile is two hash aggs;
+      // union blocking is vocab², near-flat by construction
+      "bpe_train" -> (dir => graft.operators.Bpe.bpeTrain(spark, dir)),
+      "skew_profile" -> (dir => graft.operators.QualityAudit.skewProfile(spark, dir)),
+      "entity_match_union" -> (dir =>
+        graft.operators.EntityResolution.fuzzyNamesUnionBlocked(spark, dir)),
+      "decontam_semantic" -> (dir =>
+        graft.operators.DatasetOps.semanticDecontam(spark, dir)))
 
     val rows = docOps.map { case (name, fn, nScales) =>
       (name, docDirs.take(nScales).map(d => timed(() => fn(d))))

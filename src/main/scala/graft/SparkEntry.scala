@@ -249,6 +249,9 @@ object SparkEntry {
     // BPE merge training: k argmax-merge rounds over the word-count
     // dictionary (corpus scanned once; iterations are vocab-sized)
     "q_bpe_train" -> ((s: SparkSession, d: String) => Bpe.bpeTrain(s, d)),
+    // encode with the trained merges: vocab-sized dictionary resolved
+    // to a local relation and broadcast onto one corpus posexplode
+    "q_bpe_encode" -> ((s: SparkSession, d: String) => Bpe.bpeEncode(s, d)),
     // embedding-space decontamination: eval set broadcast, train side
     // one narrow scan; catches paraphrased leaks n-gram overlap misses
     "q_decontam_semantic" -> ((s: SparkSession, d: String) =>
@@ -1453,6 +1456,7 @@ object SparkEntry {
     "q_dq_audit" -> graft.operators.QualityAudit.auditOracleSql,
     "q_skew_profile" -> graft.operators.QualityAudit.skewProfileOracleSql,
     "q_bpe_train" -> graft.operators.Bpe.bpeTrainOracleSql(),
+    "q_bpe_encode" -> graft.operators.Bpe.bpeEncodeOracleSql(),
     "q_decontam_semantic" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |ev AS (SELECT * FROM e WHERE vec_id % 97 = 0),

@@ -94,39 +94,93 @@ object Bpe {
       .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
       .agg(sum(col("cnt")).as("pair_count"))
 
+  /** Run the k-round merge loop. Returns the learned merges and the
+    * FINAL dictionary state (word, cnt, syms) with every merge
+    * applied, still persisted — the caller owns its unpersist. The
+    * train query reads only the merges; the encode query reads only
+    * the final dictionary.
+    */
+  private def trainLoop(s: SparkSession, dir: String, merges: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    var words = dictionary(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    words.count()
+    val learned = ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      val top = pairCounts(words)
+        .orderBy(col("pair_count").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += ((step, l, r, l + r, c))
+        val next = words
+          .withColumn("syms", applyMerge(col("syms"), l, r))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        words.unpersist()
+        words = next
+        step += 1
+      }
+    }
+    (learned.toSeq, words)
+  }
+
   /** The learned merge table: (step, lhs, rhs, merged, pair_count),
     * one row per round, ordered by step. Stops early if the symbol
     * alphabet exhausts before `merges` rounds.
     */
   def bpeTrain(s: SparkSession, dir: String, merges: Int = 8): DataFrame = {
     import s.implicits._
-    var words = dictionary(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
-    words.count()
-    val learned = ArrayBuffer.empty[(Int, String, String, String, Long)]
-    try {
-      var step = 1
-      var exhausted = false
-      while (step <= merges && !exhausted) {
-        val top = pairCounts(words)
-          .orderBy(col("pair_count").desc, col("lhs").asc, col("rhs").asc)
-          .limit(1).collect()
-        if (top.isEmpty) exhausted = true
-        else {
-          val (l, r, c) =
-            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-          learned += ((step, l, r, l + r, c))
-          val next = words
-            .withColumn("syms", applyMerge(col("syms"), l, r))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          next.count()
-          words.unpersist()
-          words = next
-          step += 1
-        }
-      }
-    } finally words.unpersist()
-    learned.toSeq.toDF("step", "lhs", "rhs", "merged", "pair_count")
+    val (learned, words) = trainLoop(s, dir, merges)
+    words.unpersist()
+    learned.toDF("step", "lhs", "rhs", "merged", "pair_count")
       .orderBy(col("step"))
+  }
+
+  /** ENCODE the corpus with the trained merges — the pass a pipeline
+    * runs at full scale after training once: per document, the BPE
+    * token count and the first `maxTokens` tokens (space-joined, the
+    * [[TrainingPrep.vocabEncode]] scalar-output convention).
+    *
+    * Scale shape: tokenization is word→tokens, and the word→tokens
+    * map IS the final dictionary state the train loop already holds —
+    * vocab-sized, so it BROADCASTS onto a posexplode of the corpus
+    * (the corpus is never shuffled by the lookup; the per-doc
+    * re-assembly groupBy rides the scan partitioning with map-side
+    * partials). When the vocabulary outgrows broadcast, the same plan
+    * degrades to a shuffle hash join on `word` — still
+    * corpus-scan + vocab-sized build side, never corpus × corpus.
+    * Documents with no tokens are dropped (the oracle-stable choice,
+    * matching vocabEncode).
+    */
+  def bpeEncode(s: SparkSession, dir: String,
+      merges: Int = 8, maxTokens: Int = 12): DataFrame = {
+    import s.implicits._
+    val (_, words) = trainLoop(s, dir, merges)
+    // resolve the dictionary to a LOCAL relation before releasing the
+    // loop cache: these are exactly the rows a BroadcastExchange would
+    // ship through the driver anyway (vocab-sized by construction), and
+    // a local relation keeps the returned plan self-contained — no
+    // post-return dependency on loop state, no cache outliving the call
+    // (the r11 localCheckpoint-lifetime lesson)
+    val dict =
+      try words.select(col("word"), col("syms")).collect()
+        .map(r => (r.getString(0), r.getSeq[String](1))).toSeq
+      finally words.unpersist()
+    val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "word")))
+      .join(broadcast(dict.toDF("word", "syms")), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(size(col("syms"))).cast("long").as("n_bpe_tokens"),
+        concat_ws(" ", slice(flatten(transform(
+          array_sort(collect_list(struct(col("pos"), col("syms")))),
+          e => e.getField("syms"))), 1, maxTokens)).as("bpe_head"))
+      .orderBy(col("doc_id"))
   }
 
   /** DuckDB restatement of [[bpeTrain]] as an unrolled CTE chain (the
@@ -137,7 +191,10 @@ object Bpe {
     * accumulator is a list-of-symbols built from single-element lists,
     * so the reduce's element type carries the sequence state.
     */
-  def bpeTrainOracleSql(merges: Int = 8): String = {
+  /** The shared w0→w_k CTE chain. `rewriteLast = false` skips the
+    * final rewrite (the train query only reads the chosen pairs);
+    * encode needs the fully-rewritten `w_k` dictionary. */
+  private def dictChainSql(merges: Int, rewriteLast: Boolean): String = {
     val base =
       """w0 AS (
         |  SELECT word, cnt, string_split(word, '') || ['</w>'] AS syms FROM (
@@ -148,7 +205,7 @@ object Bpe {
         |)""".stripMargin
     val steps = (1 to merges).map { i =>
       val rewrite =
-        if (i == merges) "" // last round never applies its merge
+        if (i == merges && !rewriteLast) ""
         else
           s""",
              |w$i AS (
@@ -167,9 +224,36 @@ object Bpe {
          |t$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l ASC, r ASC LIMIT 1)$rewrite"""
         .stripMargin
     }
+    s"$base,\n${steps.mkString(",\n")}"
+  }
+
+  def bpeTrainOracleSql(merges: Int = 8): String = {
     val out = (1 to merges)
       .map(i => s"SELECT $i AS step, l AS lhs, r AS rhs, l || r AS merged, c AS pair_count FROM t$i")
       .mkString("\nUNION ALL\n")
-    s"WITH $base,\n${steps.mkString(",\n")}\n$out\nORDER BY step"
+    s"WITH ${dictChainSql(merges, rewriteLast = false)}\n$out\nORDER BY step"
   }
+
+  /** DuckDB restatement of [[bpeEncode]]: the same CTE chain carried
+    * one rewrite further (`w_k`), joined onto the per-doc word
+    * positions; per doc, token count = Σ len(syms) and the head is
+    * the flattened in-order token list truncated to `maxTokens`. */
+  def bpeEncodeOracleSql(merges: Int = 8, maxTokens: Int = 12): String =
+    s"""WITH ${dictChainSql(merges, rewriteLast = true)},
+       |toks AS (
+       |  SELECT doc_id, list_filter(
+       |    regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS ts
+       |  FROM documents),
+       |ex AS (
+       |  SELECT doc_id, unnest(ts) AS word, unnest(range(len(ts))) AS pos
+       |  FROM toks WHERE len(ts) > 0),
+       |j AS (SELECT e.doc_id, e.pos, w.syms
+       |      FROM ex e JOIN w$merges w ON e.word = w.word),
+       |agg AS (
+       |  SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS n_bpe_tokens,
+       |         flatten(list(syms ORDER BY pos)) AS all_toks
+       |  FROM j GROUP BY doc_id)
+       |SELECT doc_id, n_bpe_tokens,
+       |       array_to_string(all_toks[1:$maxTokens], ' ') AS bpe_head
+       |FROM agg ORDER BY doc_id""".stripMargin
 }

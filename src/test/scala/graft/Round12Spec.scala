@@ -64,6 +64,47 @@ class Round12Spec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("bpeEncode matches reference encoding: token counts and heads") {
+    // reference: train 8 merges single-threaded (as above), then encode
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def tokens(t: String) = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val words = scala.collection.mutable.Map.empty[List[String], Long]
+    for ((_, t) <- docs; w <- tokens(t)) {
+      val syms = w.map(_.toString).toList :+ "</w>"
+      words(syms) = words.getOrElse(syms, 0L) + 1L
+    }
+    def merge(syms: List[String], l: String, r: String): List[String] =
+      syms.foldLeft(List.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+        else acc :+ x
+      }
+    var ws = words.toMap
+    var merges = List.empty[(String, String)]
+    for (_ <- 1 to 8) {
+      val pc = ws.toSeq.flatMap { case (syms, n) =>
+        syms.zip(syms.tail).map(p => p -> n)
+      }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+      val ((l, r), _) = pc.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+      merges :+= ((l, r))
+      ws = ws.map { case (syms, n) => merge(syms, l, r) -> n }
+        .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    }
+    def encodeWord(w: String): List[String] =
+      merges.foldLeft(w.map(_.toString).toList :+ "</w>") {
+        case (syms, (l, r)) => merge(syms, l, r)
+      }
+    val expect = docs.filter { case (_, t) => tokens(t).nonEmpty }
+      .map { case (id, t) =>
+        val enc = tokens(t).toList.flatMap(encodeWord)
+        (id, enc.size.toLong, enc.take(12).mkString(" "))
+      }.sortBy(_._1).toList
+    val got = graft.operators.Bpe.bpeEncode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toList
+    assert(got == expect)
+  }
+
   // --- semantic decontam -------------------------------------------
 
   test("semanticDecontam: rows are train-side only, counts bounded by " +

@@ -252,6 +252,10 @@ object SparkEntry {
     // encode with the trained merges: vocab-sized dictionary resolved
     // to a local relation and broadcast onto one corpus posexplode
     "q_bpe_encode" -> ((s: SparkSession, d: String) => Bpe.bpeEncode(s, d)),
+    // open-vocabulary encode: merges trained on the training split
+    // only, applied to the whole corpus's distinct words — unseen
+    // words char-split and fold through the learned merge chain
+    "q_bpe_encode_oov" -> ((s: SparkSession, d: String) => Bpe.bpeEncodeHeldOut(s, d)),
     // embedding-space decontamination: eval set broadcast, train side
     // one narrow scan; catches paraphrased leaks n-gram overlap misses
     "q_decontam_semantic" -> ((s: SparkSession, d: String) =>
@@ -1457,6 +1461,7 @@ object SparkEntry {
     "q_skew_profile" -> graft.operators.QualityAudit.skewProfileOracleSql,
     "q_bpe_train" -> graft.operators.Bpe.bpeTrainOracleSql(),
     "q_bpe_encode" -> graft.operators.Bpe.bpeEncodeOracleSql(),
+    "q_bpe_encode_oov" -> graft.operators.Bpe.bpeEncodeHeldOutOracleSql(),
     "q_decontam_semantic" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |ev AS (SELECT * FROM e WHERE vec_id % 97 = 0),

@@ -9,7 +9,7 @@ import graft.streaming.EventStream
 /** Committed-artifact companion to the streaming batch-equality specs
   * (the RECALL.json pattern, asked for by the r10 verdict): the spec
   * suite asserts stream==batch inside ScalaTest, but a floor inside a
-  * spec isn't inspectable per-round, so this main replays the five
+  * spec isn't inspectable per-round, so this main replays the six
   * maintenance paths with the source REALLY chopped into micro-batches
   * (multi-file staged copies, `maxFilesPerTrigger = 1`) and records,
   * per path: the number of micro-batches, the input rows each batch
@@ -25,6 +25,8 @@ import graft.streaming.EventStream
   *  3. stateful exact dedup → canonical map
   *  4. staged summary-MV maintenance (foreachBatch + rebuild)
   *  5. staged histogram maintenance (foreachBatch + rebuild)
+  *  6. staged BPE word-dictionary maintenance + train-from-dictionary
+  *     (counts AND trained merges both vs the one-shot batch run)
   */
 object StreamReport {
 
@@ -201,6 +203,27 @@ object StreamReport {
         Tables.load(spark, dir, "events").select(col("ts"), col("event_type"), col("value")))
       reports += PathReport("histogram_daily", perBatch,
         streamed.count(), direct.count(), setEqual(streamed, direct))
+    }
+
+    // 6. staged dictionary maintenance (the BPE train input) — parity
+    //    of BOTH the maintained word counts vs the one-shot corpus
+    //    dictionary AND the merges trained from them vs the corpus
+    //    train (merge rows are a pure function of the counts, so this
+    //    proves the streaming path feeds the tokenizer bit-identically)
+    locally {
+      val path = s"$tmp/dict/words"
+      val q = EventStream.maintainDictionary(docsStream, path)
+      try q.processAllAvailable() finally q.stop()
+      val perBatch = q.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0)
+      val streamedDict = spark.read.parquet(path)
+      val batchDict = operators.Bpe.wordCounts(
+        Tables.load(spark, dir, "documents").select(col("text")))
+      val streamedMerges = operators.Bpe.bpeTrainFromCounts(spark, streamedDict)
+      val batchMerges = operators.Bpe.bpeTrain(spark, dir)
+      reports += PathReport("bpe_dictionary", perBatch,
+        streamedDict.count(), batchDict.count(),
+        setEqual(streamedDict, batchDict) &&
+          setEqual(streamedMerges, batchMerges))
     }
 
     val allMatch = reports.forall(_.matches)

@@ -74,16 +74,31 @@ object Bpe {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
           .otherwise(concat(acc, array(x))))
 
-  /** (word, cnt, syms) dictionary: one corpus scan, one hash agg. */
-  private def dictionary(s: SparkSession, dir: String): DataFrame = {
+  /** Lowercased-whitespace word counts for a document relation — the
+    * BPE train input, shared by the batch [[dictionary]] and the
+    * streaming maintenance stage
+    * ([[graft.streaming.EventStream.maintainDictionary]]): word counts
+    * are algebraic, so per-batch counts staged independently merge
+    * exactly into the corpus dictionary. */
+  def wordCounts(docs: DataFrame): DataFrame = {
     val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
-    Tables.load(s, dir, "documents")
-      .select(explode(toks).as("word"))
+    docs.select(explode(toks).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .withColumn("syms",
-        concat(filter(split(col("word"), ""), c => length(c) > 0),
-          array(lit(EndOfWord))))
   }
+
+  /** Initial symbol sequence for a word: chars + end-of-word marker. */
+  private def initSyms(word: Column): Column =
+    concat(filter(split(word, ""), c => length(c) > 0),
+      array(lit(EndOfWord)))
+
+  /** Attach the initial symbol sequence to a (word, cnt) relation. */
+  private def withSyms(words: DataFrame): DataFrame =
+    words.withColumn("syms", initSyms(col("word")))
+
+  /** (word, cnt, syms) dictionary: one corpus scan, one hash agg. */
+  private def dictionary(s: SparkSession, dir: String): DataFrame =
+    withSyms(wordCounts(
+      Tables.load(s, dir, "documents").select(col("text"))))
 
   /** Weighted adjacent-pair counts over the current dictionary. */
   private def pairCounts(words: DataFrame): DataFrame =
@@ -100,9 +115,9 @@ object Bpe {
     * train query reads only the merges; the encode query reads only
     * the final dictionary.
     */
-  private def trainLoop(s: SparkSession, dir: String, merges: Int)
+  private def trainLoop(initial: DataFrame, merges: Int)
       : (Seq[(Int, String, String, String, Long)], DataFrame) = {
-    var words = dictionary(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    var words = initial.persist(StorageLevel.MEMORY_AND_DISK)
     words.count()
     val learned = ArrayBuffer.empty[(Int, String, String, String, Long)]
     var step = 1
@@ -132,9 +147,20 @@ object Bpe {
     * one row per round, ordered by step. Stops early if the symbol
     * alphabet exhausts before `merges` rounds.
     */
-  def bpeTrain(s: SparkSession, dir: String, merges: Int = 8): DataFrame = {
+  def bpeTrain(s: SparkSession, dir: String, merges: Int = 8): DataFrame =
+    bpeTrainFromCounts(s, wordCounts(
+      Tables.load(s, dir, "documents").select(col("text"))), merges)
+
+  /** Train from an externally-maintained (word, cnt) dictionary — the
+    * streaming-ingest shape: `maintainDictionary` keeps the word
+    * counts always-fresh as documents arrive, and tokenizer
+    * (re-)training reads the dictionary, never the corpus. Identical
+    * merges to [[bpeTrain]] for identical counts (the train loop only
+    * ever sees the dictionary). */
+  def bpeTrainFromCounts(s: SparkSession, counts: DataFrame,
+      merges: Int = 8): DataFrame = {
     import s.implicits._
-    val (learned, words) = trainLoop(s, dir, merges)
+    val (learned, words) = trainLoop(withSyms(counts), merges)
     words.unpersist()
     learned.toDF("step", "lhs", "rhs", "merged", "pair_count")
       .orderBy(col("step"))
@@ -159,7 +185,7 @@ object Bpe {
   def bpeEncode(s: SparkSession, dir: String,
       merges: Int = 8, maxTokens: Int = 12): DataFrame = {
     import s.implicits._
-    val (_, words) = trainLoop(s, dir, merges)
+    val (_, words) = trainLoop(dictionary(s, dir), merges)
     // resolve the dictionary to a LOCAL relation before releasing the
     // loop cache: these are exactly the rows a BroadcastExchange would
     // ship through the driver anyway (vocab-sized by construction), and
@@ -170,17 +196,8 @@ object Bpe {
       try words.select(col("word"), col("syms")).collect()
         .map(r => (r.getString(0), r.getSeq[String](1))).toSeq
       finally words.unpersist()
-    val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
-    Tables.load(s, dir, "documents")
-      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "word")))
-      .join(broadcast(dict.toDF("word", "syms")), Seq("word"))
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(size(col("syms"))).cast("long").as("n_bpe_tokens"),
-        concat_ws(" ", slice(flatten(transform(
-          array_sort(collect_list(struct(col("pos"), col("syms")))),
-          e => e.getField("syms"))), 1, maxTokens)).as("bpe_head"))
-      .orderBy(col("doc_id"))
+    encodeDocs(Tables.load(s, dir, "documents"),
+      dict.toDF("word", "syms"), maxTokens)
   }
 
   /** DuckDB restatement of [[bpeTrain]] as an unrolled CTE chain (the
@@ -194,15 +211,16 @@ object Bpe {
   /** The shared w0→w_k CTE chain. `rewriteLast = false` skips the
     * final rewrite (the train query only reads the chosen pairs);
     * encode needs the fully-rewritten `w_k` dictionary. */
-  private def dictChainSql(merges: Int, rewriteLast: Boolean): String = {
+  private def dictChainSql(merges: Int, rewriteLast: Boolean,
+      where: String = ""): String = {
     val base =
-      """w0 AS (
-        |  SELECT word, cnt, string_split(word, '') || ['</w>'] AS syms FROM (
-        |    SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
-        |      SELECT unnest(list_filter(
-        |        regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) AS w
-        |      FROM documents) GROUP BY 1)
-        |)""".stripMargin
+      s"""w0 AS (
+         |  SELECT word, cnt, string_split(word, '') || ['</w>'] AS syms FROM (
+         |    SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |      SELECT unnest(list_filter(
+         |        regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)) AS w
+         |      FROM documents $where) GROUP BY 1)
+         |)""".stripMargin
     val steps = (1 to merges).map { i =>
       val rewrite =
         if (i == merges && !rewriteLast) ""
@@ -234,6 +252,59 @@ object Bpe {
     s"WITH ${dictChainSql(merges, rewriteLast = false)}\n$out\nORDER BY step"
   }
 
+  /** Apply a learned merge sequence in order — k chained codegen
+    * folds. Any word encodes (char-split then greedy merges), whether
+    * or not it appeared in training: the BPE open-vocabulary
+    * property. */
+  private def applyMergesChain(syms: Column,
+      merges: Seq[(String, String)]): Column =
+    merges.foldLeft(syms) { case (c, (l, r)) => applyMerge(c, l, r) }
+
+  /** Encode text the trainer NEVER SAW — the open-vocabulary path a
+    * deployed tokenizer runs: merges are trained on the training
+    * split only (`doc_id % 97 != 0`, the [[DatasetOps]] pseudo-split
+    * discipline), then applied to the DISTINCT WORDS of the WHOLE
+    * corpus — a word absent from training still char-splits and
+    * greedily merges through the learned sequence, exactly like the
+    * reference BPE (contrast [[bpeEncode]], whose dictionary join is
+    * the fast path valid only when encode corpus = train corpus).
+    *
+    * Scale shape: the k merge applications run on the TARGET
+    * vocabulary (distinct words — the only corpus-growth-resistant
+    * quantity), as k chained `aggregate` folds in ONE codegen'd
+    * projection; the encoded vocabulary then broadcasts onto the
+    * corpus posexplode exactly as in [[bpeEncode]]. Driver state is
+    * the k collected merge pairs.
+    */
+  def bpeEncodeHeldOut(s: SparkSession, dir: String,
+      merges: Int = 8, maxTokens: Int = 12): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val (learned, trainWords) = trainLoop(withSyms(wordCounts(
+      docs.filter(col("doc_id") % 97 =!= 0).select(col("text")))), merges)
+    trainWords.unpersist()
+    val pairs = learned.map { case (_, l, r, _, _) => (l, r) }
+    val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+    val encodedVocab = docs.select(explode(toks).as("word")).distinct()
+      .select(col("word"), applyMergesChain(initSyms(col("word")), pairs).as("syms"))
+    encodeDocs(docs, encodedVocab, maxTokens)
+  }
+
+  /** Shared encode tail: broadcast a (word, syms) vocabulary onto the
+    * corpus posexplode; per doc, Σ len(syms) + the ordered head. */
+  private def encodeDocs(docs: DataFrame, dict: DataFrame,
+      maxTokens: Int): DataFrame = {
+    val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+    docs.select(col("doc_id"), posexplode(toks).as(Seq("pos", "word")))
+      .join(broadcast(dict), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(size(col("syms"))).cast("long").as("n_bpe_tokens"),
+        concat_ws(" ", slice(flatten(transform(
+          array_sort(collect_list(struct(col("pos"), col("syms")))),
+          e => e.getField("syms"))), 1, maxTokens)).as("bpe_head"))
+      .orderBy(col("doc_id"))
+  }
+
   /** DuckDB restatement of [[bpeEncode]]: the same CTE chain carried
     * one rewrite further (`w_k`), joined onto the per-doc word
     * positions; per doc, token count = Σ len(syms) and the head is
@@ -256,4 +327,49 @@ object Bpe {
        |SELECT doc_id, n_bpe_tokens,
        |       array_to_string(all_toks[1:$maxTokens], ' ') AS bpe_head
        |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** DuckDB restatement of [[bpeEncodeHeldOut]]: the train chain runs
+    * over the TRAINING SPLIT only (t₁..t_k), then a second rewrite
+    * chain v₀..v_k applies those merges to the distinct words of the
+    * WHOLE corpus — a word the trainer never saw still char-splits
+    * and folds through every learned merge, mirroring the Spark
+    * side's open-vocabulary encode. */
+  def bpeEncodeHeldOutOracleSql(merges: Int = 8, maxTokens: Int = 12): String = {
+    val vchain = (1 to merges).map { i =>
+      s"""v$i AS (
+         |  SELECT word,
+         |    list_reduce(list_transform(syms, s -> [s]),
+         |      (acc, x) -> CASE WHEN acc[-1] = t$i.l AND x[1] = t$i.r
+         |                  THEN acc[1:len(acc)-1] || [t$i.l || t$i.r]
+         |                  ELSE acc || x END) AS syms
+         |  FROM v${i - 1} CROSS JOIN t$i
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${dictChainSql(merges, rewriteLast = false,
+          where = "WHERE doc_id % 97 <> 0")},
+       |v0 AS (
+       |  SELECT word, string_split(word, '') || ['</w>'] AS syms FROM (
+       |    SELECT DISTINCT w AS word FROM (
+       |      SELECT unnest(list_filter(
+       |        regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)) AS w
+       |      FROM documents))
+       |),
+       |$vchain,
+       |toks AS (
+       |  SELECT doc_id, list_filter(
+       |    regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS ts
+       |  FROM documents),
+       |ex AS (
+       |  SELECT doc_id, unnest(ts) AS word, unnest(range(len(ts))) AS pos
+       |  FROM toks WHERE len(ts) > 0),
+       |j AS (SELECT e.doc_id, e.pos, v.syms
+       |      FROM ex e JOIN v$merges v ON e.word = v.word),
+       |agg AS (
+       |  SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS n_bpe_tokens,
+       |         flatten(list(syms ORDER BY pos)) AS all_toks
+       |  FROM j GROUP BY doc_id)
+       |SELECT doc_id, n_bpe_tokens,
+       |       array_to_string(all_toks[1:$maxTokens], ' ') AS bpe_head
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
 }

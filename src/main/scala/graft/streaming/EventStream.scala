@@ -462,6 +462,37 @@ object EventStream {
           .write.mode("overwrite").parquet(bdir),
       rebuild = (s, staging) => rebuildHistogram(s, staging, path))
 
+  /** Streaming word-frequency dictionary maintenance — the BPE train
+    * input ([[graft.operators.Bpe]]) kept always-fresh while document
+    * ingest runs: each micro-batch stages its OWN word counts (cost ∝
+    * batch — word counts are algebraic, so independently staged batch
+    * counts merge exactly), and the serving dictionary at `path` is
+    * rebuilt as a pure function of the staged partials. Tokenizer
+    * (re-)training then reads the dictionary, never the corpus
+    * ([[graft.operators.Bpe.bpeTrainFromCounts]]) — the shape that
+    * turns BPE training from a 100 TB re-scan into a vocab-sized job
+    * at any corpus size. Same exactly-once discipline as
+    * [[maintainSummary]]: replayed batches skip their stage write,
+    * leftovers at `path` are overwritten, never merged into.
+    */
+  def maintainDictionary(docs: DataFrame, path: String,
+      checkpointLocation: Option[String] = None): StreamingQuery =
+    stagedMaintenance(docs, path, checkpointLocation)(
+      stage = (batch, bdir) =>
+        graft.operators.Bpe.wordCounts(batch)
+          .write.mode("overwrite").parquet(bdir),
+      rebuild = (s, staging) => rebuildDictionary(s, staging, path))
+
+  /** Merge every staged batch word count into the dictionary at
+    * `path` (pure function of the staging dir — replay-idempotent). */
+  private[graft] def rebuildDictionary(s: org.apache.spark.sql.SparkSession,
+      staging: String, path: String): Unit =
+    s.read.parquet(staging)
+      // batch=N shows up as a partition column — not part of the table
+      .select(col("word"), col("cnt"))
+      .groupBy(col("word")).agg(sum(col("cnt")).as("cnt"))
+      .write.mode("overwrite").parquet(path)
+
   /** Merge every staged batch histogram into the daily-partial table
     * at `path` (pure function of the staging dir — replay-idempotent).
     */

@@ -105,6 +105,88 @@ class Round12Spec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("bpeEncodeHeldOut: open-vocabulary — an unseen word still " +
+    "encodes through the learned merge chain") {
+    // reference: train on the split, encode EVERYTHING (incl. words
+    // the trainer never saw) by greedy merge application
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def tokens(t: String) = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    def merge(syms: List[String], l: String, r: String): List[String] =
+      syms.foldLeft(List.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+        else acc :+ x
+      }
+    val words = scala.collection.mutable.Map.empty[List[String], Long]
+    for ((id, t) <- docs if id % 97 != 0; w <- tokens(t)) {
+      val syms = w.map(_.toString).toList :+ "</w>"
+      words(syms) = words.getOrElse(syms, 0L) + 1L
+    }
+    var ws = words.toMap
+    var merges = List.empty[(String, String)]
+    for (_ <- 1 to 8) {
+      val pc = ws.toSeq.flatMap { case (syms, n) =>
+        syms.zip(syms.tail).map(p => p -> n)
+      }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+      val ((l, r), _) = pc.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+      merges :+= ((l, r))
+      ws = ws.map { case (syms, n) => merge(syms, l, r) -> n }
+        .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    }
+    def encodeWord(w: String): List[String] =
+      merges.foldLeft(w.map(_.toString).toList :+ "</w>") {
+        case (syms, (l, r)) => merge(syms, l, r)
+      }
+    val expect = docs.filter { case (_, t) => tokens(t).nonEmpty }
+      .map { case (id, t) =>
+        val enc = tokens(t).toList.flatMap(encodeWord)
+        (id, enc.size.toLong, enc.take(12).mkString(" "))
+      }.sortBy(_._1).toList
+    val got = graft.operators.Bpe.bpeEncodeHeldOut(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toList
+    assert(got == expect)
+    // the held-out docs (never seen in training) are in the output —
+    // the open-vocabulary property the dictionary-join encode lacks
+    assert(got.exists(_._1 % 97 == 0), "held-out docs must encode")
+  }
+
+  test("maintainDictionary: staged per-batch counts rebuild the exact " +
+    "corpus dictionary; training from it reproduces the corpus merges") {
+    // 4-file staged source -> 4 micro-batches; plant a leftover at the
+    // output path (must be overwritten from staging, never merged into)
+    val staged = java.nio.file.Files.createTempDirectory("graft-dict-src").toString
+    Tables.load(spark, sf, "documents").select(col("text"))
+      .repartition(4).write.mode("overwrite").parquet(staged)
+    val parent = java.nio.file.Files.createTempDirectory("graft-dict").toString
+    val path = s"$parent/words"
+    graft.operators.Bpe.wordCounts(
+        Tables.load(spark, sf, "documents").select(col("text")).limit(5))
+      .write.mode("overwrite").parquet(path)
+    val src = spark.readStream.schema("text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = graft.streaming.EventStream.maintainDictionary(src, path)
+    try q.processAllAvailable() finally q.stop()
+    assert(q.recentProgress.map(_.numInputRows).count(_ > 0) > 1,
+      "source must actually chop into multiple micro-batches")
+    val streamed = spark.read.parquet(path)
+    val batch = graft.operators.Bpe.wordCounts(
+      Tables.load(spark, sf, "documents").select(col("text")))
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "maintained dictionary must equal the one-shot corpus dictionary")
+    // replay idempotence: rebuilding over unchanged staging is a no-op
+    val staging = new java.io.File(parent).listFiles()
+      .map(_.toString).filter(_.contains("words.batches-")).head
+    val before = streamed.orderBy(col("word")).collect().toSeq
+    graft.streaming.EventStream.rebuildDictionary(spark, staging, path)
+    assert(spark.read.parquet(path).orderBy(col("word")).collect().toSeq == before)
+    // merges trained from the maintained counts == corpus train
+    val fromDict = graft.operators.Bpe
+      .bpeTrainFromCounts(spark, spark.read.parquet(path)).collect().toSeq
+    val fromCorpus = graft.operators.Bpe.bpeTrain(spark, sf).collect().toSeq
+    assert(fromDict == fromCorpus)
+  }
+
   // --- semantic decontam -------------------------------------------
 
   test("semanticDecontam: rows are train-side only, counts bounded by " +
@@ -134,6 +216,24 @@ class Round12Spec extends SparkSpec {
       val isHit = evalIds.exists(e => cos(v, vecs(e)) >= 0.4)
       assert(isHit == reported.contains(id), s"vec $id membership")
     }
+  }
+
+  // --- plan shapes -------------------------------------------------
+
+  test("plan shapes: encode joins broadcast (corpus never shuffled for " +
+    "the lookup); semantic decontam is a broadcast nested loop") {
+    val enc = graft.operators.Bpe.bpeEncode(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(enc.contains("BroadcastHashJoin"), s"dict join not broadcast:\n$enc")
+    assert(!enc.contains("SortMergeJoin"), s"corpus shuffled for the lookup:\n$enc")
+    val oov = graft.operators.Bpe.bpeEncodeHeldOut(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(oov.contains("BroadcastHashJoin"), s"oov dict join not broadcast:\n$oov")
+    assert(!oov.contains("SortMergeJoin"), s"oov corpus shuffled:\n$oov")
+    val dec = graft.operators.DatasetOps.semanticDecontam(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(dec.contains("BroadcastNestedLoopJoin"),
+      s"eval side not broadcast into the condition:\n$dec")
   }
 
   // --- skew profile ------------------------------------------------

@@ -65,15 +65,14 @@ object Bench {
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
-  /** Spread over the runs AFTER the first: run 1 pays the per-query
-    * codegen/JIT compile (the median already absorbs it), so including
-    * it would flag every fast query as "spread" on compile cost rather
-    * than on machine load. Raw `runs` still carry run 1 for auditing.
+  /** Spread over ALL timed runs: since r12 `timed()` pays the
+    * per-query codegen/JIT compile in an untimed warm-up, every timed
+    * run is steady state and belongs in the check — dropping run 1
+    * (the pre-warm-up discipline) would let a load spike during the
+    * first timed run slip past the gate unflagged.
     */
-  private def spreadOk(xs: Seq[Double]): Boolean = {
-    val steady = xs.tail
-    steady.max <= steady.min * SpreadLimit
-  }
+  private def spreadOk(xs: Seq[Double]): Boolean =
+    xs.max <= xs.min * SpreadLimit
 
   /** Time `body` [[Runs]] times; re-run while the spread exceeds
     * [[SpreadLimit]] (up to [[MaxExtraRuns]] extras). Returns ALL raw
@@ -181,14 +180,14 @@ object Bench {
       val manifest = "/root/reference/checker/test.txt"
       if (new java.io.File(manifest).exists()) {
         try {
-          // untimed warm-up first (JIT + codegen compile are one-time
-          // costs, excluded per BASELINE.md's steady-state comparison)
+          // timed() owns the untimed warm-up (JIT + codegen compile are
+          // one-time costs, excluded per BASELINE.md's steady-state
+          // comparison) — no extra warm-up here
           def runIndex(): Unit = {
             val out = java.nio.file.Files.createTempDirectory("graft-bench-index")
             try graft.operators.InvertedIndexJob.run(spark, manifest, out.toString)
             finally graft.operators.ArtifactCache.deleteRecursively(out.toFile)
           }
-          runIndex()
           Seq("q0_index_corpus" -> timed(() => runIndex(), HeadlineRuns))
         } catch { case e: Throwable =>
           failed += "q0_index_corpus"

@@ -157,7 +157,14 @@ object ScaleBench {
       BenchSf1.replicate(spark, base, relSf1)
       relMarker.createNewFile()
     }
-    val relDirs = Seq("/root/testdata/sf0.01", base, relSf1)
+    // the 1× point of the relational curve is fixed at sf0.01; a base
+    // that IS sf0.01 would make the first two points time the same
+    // dataset and publish meaningless growth ratios — fail loudly
+    val rel1x = "/root/testdata/sf0.01"
+    require(new java.io.File(base).getCanonicalPath !=
+      new java.io.File(rel1x).getCanonicalPath,
+      s"relational scale curve needs base != $rel1x (its fixed 1x point)")
+    val relDirs = Seq(rel1x, base, relSf1)
     val relOps: Seq[(String, String => DataFrame)] = Seq(
       "entity_match" -> (dir => graft.operators.EntityResolution.fuzzyParts(spark, dir)),
       "pagerank" -> (dir => graft.operators.Graphs.pageRank(spark, dir)),

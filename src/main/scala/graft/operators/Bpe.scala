@@ -222,17 +222,26 @@ object Bpe {
          |      FROM documents $where) GROUP BY 1)
          |)""".stripMargin
     val steps = (1 to merges).map { i =>
+      // LEFT JOIN ON TRUE + NULL guard, not a CROSS JOIN: if the pair
+      // vocabulary exhausts before round i, t_i is EMPTY — a cross
+      // join would collapse the whole dictionary chain to zero rows
+      // (and the encode oracles built on w_k to an empty result),
+      // while Spark's loop stops early and keeps the final dictionary.
+      // With the guard, an empty t_i leaves w_i = w_{i-1}, every later
+      // t_j stays empty, and both the train rows and the encode
+      // dictionary match the Spark side's early-stop semantics.
       val rewrite =
         if (i == merges && !rewriteLast) ""
         else
           s""",
              |w$i AS (
              |  SELECT word, cnt,
-             |    list_reduce(list_transform(syms, s -> [s]),
-             |      (acc, x) -> CASE WHEN acc[-1] = t$i.l AND x[1] = t$i.r
-             |                  THEN acc[1:len(acc)-1] || [t$i.l || t$i.r]
-             |                  ELSE acc || x END) AS syms
-             |  FROM w${i - 1} CROSS JOIN t$i
+             |    CASE WHEN t$i.l IS NULL THEN syms ELSE
+             |      list_reduce(list_transform(syms, s -> [s]),
+             |        (acc, x) -> CASE WHEN acc[-1] = t$i.l AND x[1] = t$i.r
+             |                    THEN acc[1:len(acc)-1] || [t$i.l || t$i.r]
+             |                    ELSE acc || x END) END AS syms
+             |  FROM w${i - 1} LEFT JOIN t$i ON TRUE
              |)""".stripMargin
       s"""p$i AS (
          |  SELECT z[1] AS l, z[2] AS r, sum(cnt) AS c
@@ -335,14 +344,17 @@ object Bpe {
     * and folds through every learned merge, mirroring the Spark
     * side's open-vocabulary encode. */
   def bpeEncodeHeldOutOracleSql(merges: Int = 8, maxTokens: Int = 12): String = {
+    // same exhaustion guard as the dictionary chain: an empty t_i must
+    // leave the target vocabulary unrewritten, not annihilate it
     val vchain = (1 to merges).map { i =>
       s"""v$i AS (
          |  SELECT word,
-         |    list_reduce(list_transform(syms, s -> [s]),
-         |      (acc, x) -> CASE WHEN acc[-1] = t$i.l AND x[1] = t$i.r
-         |                  THEN acc[1:len(acc)-1] || [t$i.l || t$i.r]
-         |                  ELSE acc || x END) AS syms
-         |  FROM v${i - 1} CROSS JOIN t$i
+         |    CASE WHEN t$i.l IS NULL THEN syms ELSE
+         |      list_reduce(list_transform(syms, s -> [s]),
+         |        (acc, x) -> CASE WHEN acc[-1] = t$i.l AND x[1] = t$i.r
+         |                    THEN acc[1:len(acc)-1] || [t$i.l || t$i.r]
+         |                    ELSE acc || x END) END AS syms
+         |  FROM v${i - 1} LEFT JOIN t$i ON TRUE
          |)""".stripMargin
     }.mkString(",\n")
     s"""WITH ${dictChainSql(merges, rewriteLast = false,

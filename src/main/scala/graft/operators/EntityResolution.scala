@@ -211,8 +211,7 @@ object EntityResolution {
         element_at(split(col("p_name"), " "), -1).as("blk_last"),
         element_at(split(col("p_name"), " "), 1).as("blk_first"),
         length(col("p_name")).as("len"))
-      .groupBy(col("p_name"), col("blk_last"), col("blk_first"), col("len"))
-      .agg(count(lit(1)).as("cnt"))
+      .distinct()
     def cands(k: String) = nm.as("x").join(nm.as("y"),
         col(s"x.$k") === col(s"y.$k") &&
           col("x.p_name") < col("y.p_name") &&

@@ -278,11 +278,17 @@ object TextQueries {
     // driver-side strings (bounded by the parameter, never the corpus),
     // so the returned plan holds no cached state at all: the probe pass
     // recomputes the explode exactly once per execution and a gate
-    // battery accumulates zero block-manager residue. (The previous
-    // non-eager localCheckpoint pinned gram-sized blocks whose
-    // ContextCleaner-driven lifetime drifted 2 s → 11 s under
-    // 130-query battery pressure.) The literal in-set probe is a
-    // codegen'd InSet — cheaper than the broadcast join it replaces.
+    // battery accumulates zero block-manager residue. That second
+    // explode is a DELIBERATE trade — persisting grams for the two
+    // jobs and checkpointing the offsets would scan once, but the
+    // checkpoint blocks live until ContextCleaner runs, the exact
+    // accumulation mechanics behind the r11 2 s → 11 s battery drift
+    // (non-eager, gram-sized then; smaller but same class here), and
+    // the r12 battery measures the recompute design at a stable,
+    // unflagged ~2 s. The literal in-set probe is a codegen'd InSet —
+    // cheaper than the broadcast join it replaces — and the plan spec
+    // (Round10Spec) pins it in the FINAL plan, which a checkpoint scan
+    // would hide.
     def grams = d.filter(size(col("ws")) >= 2)
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(0), size(col("ws")) - 2),

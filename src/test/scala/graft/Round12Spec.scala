@@ -105,6 +105,21 @@ class Round12Spec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("bpeTrainFromCounts: stops early when the pair vocabulary " +
+    "exhausts; merge table is the completed rounds only") {
+    import spark.implicits._
+    // words "ab"/"cd": round 1 merges (a,b)->ab? counts: pairs
+    // (a,b),(b,</w>),(c,d),(d,</w>) all cnt 1 -> ties by (lhs,rhs):
+    // (a,b) first; then (ab,</w>) etc. — after enough rounds every
+    // word is ONE symbol and pairs vanish before 8 rounds
+    val counts = Seq(("ab", 1L), ("cd", 1L)).toDF("word", "cnt")
+    val merges = graft.operators.Bpe.bpeTrainFromCounts(spark, counts).collect()
+    assert(merges.length < 8 && merges.length >= 4,
+      s"expected early stop after both words fully merge, got ${merges.length}")
+    // every word contributes 2 merges (chars+marker = 3 symbols -> 1)
+    assert(merges.length == 4)
+  }
+
   test("bpeEncodeHeldOut: open-vocabulary — an unseen word still " +
     "encodes through the learned merge chain") {
     // reference: train on the split, encode EVERYTHING (incl. words

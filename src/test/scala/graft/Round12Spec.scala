@@ -105,6 +105,40 @@ class Round12Spec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("bpeTrainFromCounts: empty dictionary yields a schema-correct " +
+    "empty merge table") {
+    import spark.implicits._
+    val counts = Seq.empty[(String, Long)].toDF("word", "cnt")
+    val out = graft.operators.Bpe.bpeTrainFromCounts(spark, counts)
+    assert(out.columns.toSeq ==
+      Seq("step", "lhs", "rhs", "merged", "pair_count"))
+    assert(out.count() == 0)
+  }
+
+  test("applyMerge: agrees with the reference greedy fold on random " +
+    "symbol sequences") {
+    import spark.implicits._
+    def refMerge(syms: List[String], l: String, r: String): List[String] =
+      syms.foldLeft(List.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+        else acc :+ x
+      }
+    val rnd = new scala.util.Random(42)
+    val alphabet = Vector("a", "b", "ab", "ba", "</w>")
+    val cases = (1 to 200).map { _ =>
+      List.fill(rnd.nextInt(10) + 1)(alphabet(rnd.nextInt(alphabet.size)))
+    }
+    for ((l, r) <- Seq(("a", "b"), ("a", "a"), ("ab", "</w>"), ("b", "ba"))) {
+      val got = cases.map(Tuple1(_)).toDF("syms")
+        .select(graft.operators.Bpe.applyMerge(col("syms"), l, r).as("m"))
+        .collect().map(_.getSeq[String](0).toList)
+      val expect = cases.map(refMerge(_, l, r))
+      got.zip(expect).zipWithIndex.foreach { case ((g, e), i) =>
+        assert(g == e, s"case ${cases(i)} merge ($l,$r): got $g want $e")
+      }
+    }
+  }
+
   test("bpeTrainFromCounts: stops early when the pair vocabulary " +
     "exhausts; merge table is the completed rounds only") {
     import spark.implicits._

@@ -138,7 +138,12 @@ object ScaleBench {
       // vocabulary 10×/100× (disjoint prefixes), so this guards both
       // the df aggregation and the top-k selection as grams grow; the
       // scoring leg must stay ∝ corpus (broadcast join, no shuffle)
-      ("boilerplate", dir => graft.operators.TextQueries.boilerplate(spark, dir), 3))
+      ("boilerplate", dir => graft.operators.TextQueries.boilerplate(spark, dir), 3),
+      // round-12: bigram-LM scoring — replicas multiply the bigram
+      // vocabulary (disjoint prefixes), so this guards the model
+      // aggregations and the bigram-keyed scoring join as the bigram
+      // universe grows 10×/100×
+      ("bigram_lm", dir => graft.operators.Selection.bigramCrossEntropy(spark, dir), 3))
     val embOps: Seq[(String, String => DataFrame)] = Seq(
       "dedup_embedding" -> (dir => Dedup.embeddingNearDups(spark, dir, 0.9)),
       "knn_ivf" -> (dir => Similarity.knnIvf(spark, dir)))

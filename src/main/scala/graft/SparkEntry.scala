@@ -313,6 +313,9 @@ object SparkEntry {
     // data-selection scoring: exact unigram-LM surprisal (perplexity
     // proxy) and DSIR-style hashed-bucket importance weights
     "q_surprisal" -> ((s: SparkSession, d: String) => Selection.surprisal(s, d)),
+    // bigram-LM cross-entropy (CCNet/KenLM-shaped perplexity scoring):
+    // catches improbable word ORDER that unigram surprisal can't see
+    "q_bigram_lm" -> ((s: SparkSession, d: String) => Selection.bigramCrossEntropy(s, d)),
     "q_dsir_weights" -> ((s: SparkSession, d: String) => Selection.dsirWeights(s, d)),
     // SemDeDup-style keep/drop decision layer over the exact cosine
     // near-dup pair graph (greedy min-id canonicalization)
@@ -1866,6 +1869,24 @@ object SparkEntry {
         |   / 10000 AS surprisal
         |FROM tf JOIN c USING (tok) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_bigram_lm" ->
+      """WITH w AS (
+        | SELECT doc_id, list_filter(
+        |   regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS ws
+        | FROM documents),
+        | bgr AS (
+        | SELECT doc_id, z[1] AS a, z[2] AS b
+        | FROM (SELECT doc_id, unnest(list_zip(ws, ws[2:])) AS z FROM w)
+        | WHERE z[2] IS NOT NULL),
+        | tf AS (SELECT doc_id, a, b, count(*) AS tf FROM bgr GROUP BY 1, 2, 3),
+        | bn AS (SELECT a, b, sum(tf) AS bn FROM tf GROUP BY 1, 2),
+        | un AS (SELECT a, sum(bn) AS un FROM bn GROUP BY 1),
+        | v AS (SELECT count(DISTINCT b) AS v FROM bn)
+        |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
+        | floor(sum(tf.tf * -(ln((bn.bn + 0.5) / (un.un + 0.5 * v.v)) / ln(2.0)))
+        |   / sum(tf.tf) * 10000 + 0.5) / 10000 AS cross_entropy
+        |FROM tf JOIN bn USING (a, b) JOIN un USING (a) CROSS JOIN v
+        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
     "q_dsir_weights" ->
       """WITH raw AS (
         | SELECT doc_id, lang, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok

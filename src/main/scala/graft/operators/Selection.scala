@@ -121,6 +121,58 @@ object Selection {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document BIGRAM cross-entropy under the corpus's own add-k
+    * bigram model — the CCNet / KenLM-shaped "score text by LM
+    * perplexity" data-selection signal, one order above [[surprisal]]:
+    * a document full of individually-common words in improbable
+    * ORDER (shuffled text, keyword stuffing, MT soup) scores high
+    * here while unigram surprisal cannot see it.
+    *
+    * Model: P(b|a) = (B(a,b) + k) / (U(a) + k·V), add-k smoothed
+    * (k = 0.5), with U(a) = Σ_b B(a,b) the CONTEXT total and V the
+    * distinct-continuation count — every model relation DERIVES from
+    * the one per-doc bigram tf aggregate (the [[surprisal]]
+    * ReuseExchange discipline: the corpus is exploded into positioned
+    * bigrams and shuffled ONCE; B, U and V are reaggregations of that
+    * same subtree, never a re-tokenize).
+    *
+    * Scale shape: tf ≤ docs × distinct-bigrams-per-doc and B = bigram
+    * vocabulary; their join is bigram-keyed (two aggregated tables —
+    * raw occurrences never shuffle twice); U is context-vocab-sized
+    * (broadcast when it fits, shuffle-join on `a` past that); V and
+    * k·V ride a one-row broadcast cross join. The per-doc rollup is
+    * one groupBy(doc_id) with map-side partials. Output is the
+    * portable-rounded mean -log₂ P — cross-entropy in bits/bigram
+    * (perplexity = 2^H, monotone, left to the consumer so the gate
+    * compares one rounded double, not a pow).
+    */
+  def bigramCrossEntropy(s: SparkSession, dir: String, k: Double = 0.5): DataFrame = {
+    val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+    val tf = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), toks.as("ws"))
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(ws, 1, size(ws) - 1)," +
+          " (w, i) -> struct(w AS a, element_at(ws, i + 2) AS b))")).as("g"))
+      .select(col("doc_id"), col("g.a"), col("g.b"))
+      .groupBy(col("doc_id"), col("a"), col("b"))
+      .agg(count(lit(1)).as("tf"))
+    val bigrams = tf.groupBy(col("a"), col("b")).agg(sum(col("tf")).as("bn"))
+    val contexts = bigrams.groupBy(col("a")).agg(sum(col("bn")).as("un"))
+    val vocab = bigrams.select(col("b")).distinct().agg(count(lit(1)).as("v"))
+    tf.join(bigrams, Seq("a", "b"))
+      .join(contexts, Seq("a"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        portableRound4(
+          sum(col("tf") * -(
+            log((col("bn") + lit(k)) /
+              (col("un") + lit(k) * col("v"))) / log(lit(2.0))))
+            / sum(col("tf"))).as("cross_entropy"))
+      .select(col("doc_id"), col("n_bigrams"), col("cross_entropy"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SemDeDup-style semantic prune (Abbas et al. 2023,
     * arXiv:2303.09540): from the exact cosine near-dup pair graph at
     * `threshold`, keep each vector unless a LOWER-id vector sits

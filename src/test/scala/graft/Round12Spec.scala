@@ -236,6 +236,36 @@ class Round12Spec extends SparkSpec {
     assert(fromDict == fromCorpus)
   }
 
+  test("bigramCrossEntropy matches an independent in-test recompute " +
+    "(model totals, smoothing, per-doc mean) on every document") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def toks(t: String) = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val allBigrams = docs.flatMap { case (_, t) =>
+      val w = toks(t); w.zip(w.drop(1))
+    }
+    val bn = allBigrams.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val un = bn.groupBy(_._1._1).map { case (a, xs) => a -> xs.values.sum }
+    val v = bn.keys.map(_._2).toSet.size
+    val k = 0.5
+    val expect = docs.flatMap { case (id, t) =>
+      val w = toks(t); val bgs = w.zip(w.drop(1))
+      if (bgs.isEmpty) None
+      else {
+        val h = bgs.map { g =>
+          -(math.log((bn(g) + k) / (un(g._1) + k * v)) / math.log(2.0))
+        }.sum / bgs.length
+        Some(id -> (math.floor(h * 10000 + 0.5) / 10000))
+      }
+    }.toMap
+    val got = graft.operators.Selection.bigramCrossEntropy(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.keySet == expect.keySet)
+    for ((id, h) <- got)
+      assert(math.abs(h - expect(id)) < 1e-9, s"doc $id: $h vs ${expect(id)}")
+  }
+
   // --- semantic decontam -------------------------------------------
 
   test("semanticDecontam: rows are train-side only, counts bounded by " +

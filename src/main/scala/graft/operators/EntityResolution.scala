@@ -54,8 +54,11 @@ object EntityResolution {
   /** Salt width for the expansion join: the row↔name join key is the
     * (low-cardinality) name vocabulary, so the b-side is salted by
     * part-key hash and the fan side replicated, giving vocab×SALT
-    * join keys — parallelism never bounded by vocabulary size. */
-  private val Salt = 32
+    * join keys — parallelism never bounded by vocabulary size.
+    * Width 8 (vocab×8 = 512 keys on 32 cores, measured 4.8 → 4.1 s at
+    * sf0.1 vs width 32): past ~16×cores keys the extra replication
+    * only multiplies fan-side traffic. */
+  private val Salt = 8
 
   /** Matched pairs with their edit distance (`maxDist` default 2:
     * one typo + one substitution). Deterministic pair orientation

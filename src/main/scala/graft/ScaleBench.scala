@@ -176,10 +176,15 @@ object ScaleBench {
       "dq_audit" -> (dir => graft.operators.QualityAudit.audit(spark, dir)),
       "time_decay" -> (dir => graft.operators.EventsQueries.timeDecayedValue(spark, dir)),
       // round-12 additions: bpe_train's corpus scan grows with data
-      // but its k merge rounds are vocab-bounded (the replica corpus
-      // keeps vocabulary ~constant per replica-prefix design, so the
-      // curve isolates the scan); skew_profile is two hash aggs;
-      // union blocking is vocab², near-flat by construction
+      // AND its vocabulary grows ~N× with replicas (each replica
+      // prefixes tokens with a distinct code, adding new distinct
+      // words by construction), so the curve measures scan plus
+      // vocab-proportional merge rounds together — both legs must
+      // stay near-linear for the point to pass; skew_profile is two
+      // hash aggs; union blocking is vocab², near-flat here because
+      // replication adds no new names (the TPC-H name vocabulary is
+      // ~92 color words — see the maxBlock cap for the regime where
+      // distinct names DO grow)
       "bpe_train" -> (dir => graft.operators.Bpe.bpeTrain(spark, dir)),
       "skew_profile" -> (dir => graft.operators.QualityAudit.skewProfile(spark, dir)),
       "entity_match_union" -> (dir =>

@@ -184,20 +184,23 @@ object Bpe {
     */
   def bpeEncode(s: SparkSession, dir: String,
       merges: Int = 8, maxTokens: Int = 12): DataFrame = {
-    import s.implicits._
-    val (_, words) = trainLoop(dictionary(s, dir), merges)
-    // resolve the dictionary to a LOCAL relation before releasing the
-    // loop cache: these are exactly the rows a BroadcastExchange would
-    // ship through the driver anyway (vocab-sized by construction), and
-    // a local relation keeps the returned plan self-contained — no
-    // post-return dependency on loop state, no cache outliving the call
-    // (the r11 localCheckpoint-lifetime lesson)
-    val dict =
-      try words.select(col("word"), col("syms")).collect()
-        .map(r => (r.getString(0), r.getSeq[String](1))).toSeq
-      finally words.unpersist()
-    encodeDocs(Tables.load(s, dir, "documents"),
-      dict.toDF("word", "syms"), maxTokens)
+    val (learned, words) = trainLoop(dictionary(s, dir), merges)
+    // release the loop cache immediately: the encoded vocabulary is
+    // REBUILT from the corpus's distinct words by folding the k
+    // learned merges (one codegen'd projection — the same chain the
+    // open-vocabulary path runs), which is identical by construction
+    // to the loop's final dictionary state when encode corpus = train
+    // corpus. Driver state is only the k merge pairs — no vocab-sized
+    // Row materialization on the driver (at web-scale vocabularies the
+    // broadcast build side can spill; a collect cannot), no cache
+    // outliving the call (the r11 localCheckpoint-lifetime lesson).
+    words.unpersist()
+    val pairs = learned.map { case (_, l, r, _, _) => (l, r) }
+    val docs = Tables.load(s, dir, "documents")
+    val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+    val encodedVocab = docs.select(explode(toks).as("word")).distinct()
+      .select(col("word"), applyMergesChain(initSyms(col("word")), pairs).as("syms"))
+    encodeDocs(docs, encodedVocab, maxTokens)
   }
 
   /** DuckDB restatement of [[bpeTrain]] as an unrolled CTE chain (the
@@ -256,7 +259,10 @@ object Bpe {
 
   def bpeTrainOracleSql(merges: Int = 8): String = {
     val out = (1 to merges)
-      .map(i => s"SELECT $i AS step, l AS lhs, r AS rhs, l || r AS merged, c AS pair_count FROM t$i")
+      // CAST: DuckDB's sum(BIGINT) is HUGEINT, which pandas renders as
+      // float — the driver's exact hash compare then fails against
+      // Spark's integer column even when every value matches.
+      .map(i => s"SELECT $i AS step, l AS lhs, r AS rhs, l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM t$i")
       .mkString("\nUNION ALL\n")
     s"WITH ${dictChainSql(merges, rewriteLast = false)}\n$out\nORDER BY step"
   }

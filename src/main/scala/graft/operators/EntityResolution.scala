@@ -205,47 +205,84 @@ object EntityResolution {
     *    verify-on-distinct-values factorization) and REPORTS name
     *    pairs: the row-level expansion is [[fuzzyParts]]'s salted
     *    machinery, unchanged by the blocking choice, so the variant
-    *    isolates exactly the recall delta of the second key.
+    *    isolates exactly the recall delta of the second key;
+    *  - BIG-BLOCK CAP, per leg: a block key value shared by more than
+    *    `maxBlock` DISTINCT NAMES would make that leg's candidate set
+    *    O(block²) in vocabulary (the TPC-H name vocabulary is 92 color
+    *    words so every block is tiny here, but a real catalog has
+    *    head-noun blocks with millions of names). Above the cap the
+    *    leg degrades to the ANCHOR STAR: each name pairs only with the
+    *    block's lexicographically-smallest name — O(block) candidates,
+    *    recall limited to anchor-adjacent matches (the canopy-anchor
+    *    degradation), never a silent empty. Both regimes are mirrored
+    *    exactly in the oracle.
     */
   def fuzzyNamesUnionBlocked(s: SparkSession, dir: String,
-      maxDist: Int = 2): DataFrame = {
+      maxDist: Int = 2, maxBlock: Int = 10000): DataFrame = {
     val nm = Tables.load(s, dir, "part")
       .select(col("p_name"),
         element_at(split(col("p_name"), " "), -1).as("blk_last"),
         element_at(split(col("p_name"), " "), 1).as("blk_first"),
         length(col("p_name")).as("len"))
       .distinct()
-    def cands(k: String) = nm.as("x").join(nm.as("y"),
-        col(s"x.$k") === col(s"y.$k") &&
-          col("x.p_name") < col("y.p_name") &&
-          abs(col("x.len") - col("y.len")) <= maxDist)
-      .select(col("x.p_name").as("name_a"), col("y.p_name").as("name_b"))
+    def cands(k: String) = {
+      val bdf = nm.groupBy(col(k)).agg(count(lit(1)).as("bdf"),
+        min(col("p_name")).as("anchor"))
+      val tagged = nm.join(broadcast(bdf), Seq(k))
+      val smallN = tagged.filter(col("bdf") <= maxBlock)
+      val full = smallN.as("x").join(smallN.as("y"),
+          col(s"x.$k") === col(s"y.$k") &&
+            col("x.p_name") < col("y.p_name") &&
+            abs(col("x.len") - col("y.len")) <= maxDist)
+        .select(col("x.p_name").as("name_a"), col("y.p_name").as("name_b"))
+      // anchor = min(name) in the block, so it is always name_a
+      val star = tagged.filter(col("bdf") > maxBlock &&
+          col("p_name") =!= col("anchor") &&
+          abs(col("len") - length(col("anchor"))) <= maxDist)
+        .select(col("anchor").as("name_a"), col("p_name").as("name_b"))
+      full.unionByName(star)
+    }
     cands("blk_last").unionByName(cands("blk_first")).distinct()
       .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
       .filter(col("edit_dist") <= maxDist)
       .orderBy(col("name_a"), col("name_b"))
   }
 
-  /** DuckDB restatement of [[fuzzyNamesUnionBlocked]]. */
-  def fuzzyNamesUnionBlockedOracleSql(maxDist: Int = 2): String =
+  /** DuckDB restatement of [[fuzzyNamesUnionBlocked]] — same per-leg
+    * cap and anchor-star degradation. */
+  def fuzzyNamesUnionBlockedOracleSql(maxDist: Int = 2,
+      maxBlock: Int = 10000): String = {
+    def leg(k: String): String =
+      s"""SELECT x.p_name AS name_a, y.p_name AS name_b
+         |  FROM nm x JOIN nm y ON x.$k = y.$k
+         |    AND x.p_name < y.p_name AND abs(x.len - y.len) <= $maxDist
+         |  JOIN bdf_$k b ON b.$k = x.$k AND b.bdf <= $maxBlock
+         |  UNION
+         |  SELECT b.anchor, nm.p_name
+         |  FROM nm JOIN bdf_$k b USING ($k)
+         |  WHERE b.bdf > $maxBlock AND nm.p_name <> b.anchor
+         |    AND abs(nm.len - length(b.anchor)) <= $maxDist""".stripMargin
     s"""WITH nm AS (
        |  SELECT p_name,
        |         list_extract(string_split(p_name, ' '), -1) AS blk_last,
        |         list_extract(string_split(p_name, ' '), 1) AS blk_first,
        |         length(p_name) AS len
        |  FROM part GROUP BY ALL
+       |), bdf_blk_last AS (
+       |  SELECT blk_last, count(*) AS bdf, min(p_name) AS anchor
+       |  FROM nm GROUP BY 1
+       |), bdf_blk_first AS (
+       |  SELECT blk_first, count(*) AS bdf, min(p_name) AS anchor
+       |  FROM nm GROUP BY 1
        |), cand AS (
-       |  SELECT x.p_name AS name_a, y.p_name AS name_b
-       |  FROM nm x JOIN nm y ON x.blk_last = y.blk_last
-       |    AND x.p_name < y.p_name AND abs(x.len - y.len) <= $maxDist
+       |  ${leg("blk_last")}
        |  UNION
-       |  SELECT x.p_name, y.p_name
-       |  FROM nm x JOIN nm y ON x.blk_first = y.blk_first
-       |    AND x.p_name < y.p_name AND abs(x.len - y.len) <= $maxDist
+       |  ${leg("blk_first")}
        |)
        |SELECT name_a, name_b,
        |       CAST(levenshtein(name_a, name_b) AS BIGINT) AS edit_dist
        |FROM cand
        |WHERE levenshtein(name_a, name_b) <= $maxDist
        |ORDER BY name_a, name_b""".stripMargin
+  }
 }

@@ -159,10 +159,14 @@ object QualityAudit {
     * sides linked.
     */
   def skewProfile(s: SparkSession, dir: String): DataFrame = {
-    // exact floor(log2) for BIGINT counts via threshold ladder
+    // exact floor(log2) for BIGINT counts via threshold ladder — runs
+    // to 2^62 so ultra-hot keys (the very thing a 100 TB skew
+    // diagnostic exists to surface) land in their true bucket instead
+    // of silently collapsing into the top one; a BIGINT count is < 2^63
+    // so bucket 62 is the last reachable
     def log2Bucket(cnt: Column): Column =
-      (0 to 20).foldLeft(lit(-1)) { (acc, b) =>
-        when(cnt >= math.pow(2, b).toLong, lit(b)).otherwise(acc)
+      (0 to 62).foldLeft(lit(-1)) { (acc, b) =>
+        when(cnt >= (1L << b), lit(b)).otherwise(acc)
       }
     def profile(t: DataFrame, relation: String, key: String): DataFrame =
       t.groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt"))
@@ -181,7 +185,7 @@ object QualityAudit {
 
   /** DuckDB restatement of [[skewProfile]] — same CASE-ladder bucket. */
   def skewProfileOracleSql: String = {
-    val ladder = (0 to 20).map(b => s"WHEN cnt >= ${math.pow(2, b).toLong} THEN $b")
+    val ladder = (0 to 62).map(b => s"WHEN cnt >= ${1L << b} THEN $b")
       .reverse.mkString(" ")
     def leg(table: String, key: String): String =
       s"""SELECT '$table.$key' AS relation,

@@ -46,6 +46,19 @@ for name in sorted(oracle):
     bad = None
     for c in want.columns:
         w, g = want[c], got[c]
+        # DTYPE GATE: an int-vs-float kind mismatch means the oracle SQL
+        # returned a widened numeric type (DuckDB sum(BIGINT) -> HUGEINT,
+        # which pandas renders float64) while Spark returned an integer.
+        # The driver's hash compare is exact on the rendered value
+        # (123.0 != 123), so the epsilon branch below would pass locally
+        # while the driver fails — fail HERE instead (the r12
+        # q_bpe_train class; fix is CAST(... AS BIGINT) in the oracle).
+        kinds = {w.dtype.kind, g.dtype.kind}
+        if "f" in kinds and kinds & {"i", "u"}:
+            bad = (c, f"dtype mismatch: oracle {w.dtype} vs spark {g.dtype}"
+                      " — cast the oracle column (e.g. CAST(x AS BIGINT))",
+                   "")
+            break
         if w.dtype.kind == "f" or g.dtype.kind == "f":
             diff = (w.astype(float) - g.astype(float)).abs()
             if (diff > 1e-9).any():

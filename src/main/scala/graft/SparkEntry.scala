@@ -211,6 +211,13 @@ object SparkEntry {
     // LSH-banded q_media_neardups stays rows-only by construction)
     "q_media_neardups_exact" -> ((s: SparkSession, d: String) =>
       Multimodal.mediaNearDupsExact(s, d)),
+    // second modality: audio landmark fingerprinting (constellation
+    // pairs over frame features) and excerpt matching by
+    // offset-coherent votes — integer arithmetic, exact oracles
+    "q_audio_fingerprint" -> ((s: SparkSession, d: String) =>
+      AudioMatch.fingerprint(s, d)),
+    "q_audio_match" -> ((s: SparkSession, d: String) =>
+      AudioMatch.matchClips(s, d)),
     // events / time series
     "q_events_hourly" -> (EventsQueries.hourlyCounts _),
     "q_events_daily" -> (EventsQueries.dailyActivity _),
@@ -270,6 +277,10 @@ object SparkEntry {
     // ranks (not scores) cross lists, so the fused output is
     // engine-portable and fully oracle-checkable
     "q_hybrid_rrf" -> ((s: SparkSession, d: String) => HybridSearch.rrfFusion(s, d)),
+    // second retrieval stage: cross-encoder-style pair rerank of the
+    // fused candidates (term proximity + occurrence, integer scoring);
+    // the expensive scorer sees only the k fused docs, never the corpus
+    "q_hybrid_rerank" -> ((s: SparkSession, d: String) => HybridSearch.ceRerank(s, d)),
     // PII scrub stage (emails → IPv4 → digit runs, in that order);
     // the md5 fingerprint makes the oracle compare full redacted text
     "q_pii_redact" -> (Redaction.redactDocuments _),
@@ -1414,6 +1425,13 @@ object SparkEntry {
         |WHERE CAST(d.dot AS DOUBLE)
         |   / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.99
         |ORDER BY 1, 2""".stripMargin,
+    // audio landmark family: integer frame energies + constellation
+    // keys + offset-coherent votes — byte values via ord() over the
+    // ASCII payload text, same convention as q_media_neardups_exact
+    "q_audio_fingerprint" ->
+      graft.operators.AudioMatch.fingerprintOracleSql,
+    "q_audio_match" ->
+      graft.operators.AudioMatch.matchClipsOracleSql,
     "q_events_hourly" ->
       """SELECT CAST(ts AS DATE) AS event_date,
         | CAST(EXTRACT(hour FROM ts) AS BIGINT) AS event_hour,
@@ -1558,51 +1576,39 @@ object SparkEntry {
     // reciprocal — DuckDB parses bare 1.0 as DECIMAL and decimal
     // division would diverge from Spark's double arithmetic.
     "q_hybrid_rrf" ->
-      """WITH raw AS (
-        | SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents
-        |), t AS (
-        | SELECT doc_id, lower(regexp_replace(tok, '[^A-Za-z]+', '', 'g')) AS word FROM raw
-        |), tt AS (
-        | SELECT doc_id, word FROM t WHERE length(word) > 0
-        |), dl AS (
-        | SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tt GROUP BY 1
-        |), stats AS (
-        | SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n_docs,
-        |  (SELECT CAST(count(*) AS DOUBLE) FROM tt)
-        |    / (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS avgdl
-        |), tf AS (
-        | SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf FROM tt
-        | WHERE word IN ('spark', 'join', 'window') GROUP BY 1, 2
-        |), df AS (
-        | SELECT word, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY 1
-        |), bscore AS (
-        | SELECT doc_id,
-        |  floor(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-        |    * tf * (1.2 + 1.0) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)))
-        |    * 10000 + 0.5) / 10000 AS score
-        | FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN stats
-        | GROUP BY doc_id
-        |), trnk AS (
-        | SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS t_rnk
-        | FROM bscore QUALIFY t_rnk <= 20
-        |), e AS (
-        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-        |), q AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0
-        |), vs AS (
-        | SELECT vec_id AS doc_id,
-        |  floor(list_cosine_similarity(emb, q_emb) * 10000 + 0.5) / 10000 AS cos
-        | FROM e CROSS JOIN q
-        |), vrnk AS (
-        | SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS v_rnk
-        | FROM vs QUALIFY v_rnk <= 20
+      s"""WITH $hybridFusedCte
+        |SELECT doc_id, rrf, t_rnk, v_rnk FROM fused
+        |ORDER BY rrf DESC, doc_id""".stripMargin,
+    // cross-encoder-style pair rerank of the fused top-10: integer
+    // proximity evidence (distinct query-term pairs within 8 raw-token
+    // positions, weight 10) + query-term occurrence count. Positions
+    // come from the parallel-unnest zip (the bpe-oracle trick), 0-based
+    // to match Spark's posexplode.
+    "q_hybrid_rerank" ->
+      s"""WITH $hybridFusedCte, cdocs AS (
+        | SELECT d.doc_id, regexp_split_to_array(d.text, '\\s+') AS ws
+        | FROM documents d JOIN fused f ON f.doc_id = d.doc_id
+        |), chits AS (
+        | SELECT doc_id, word, pos FROM (
+        |  SELECT doc_id, lower(regexp_replace(w, '[^A-Za-z]+', '', 'g')) AS word,
+        |         CAST(p AS BIGINT) AS pos
+        |  FROM (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS p FROM cdocs))
+        | WHERE word IN ('spark', 'join', 'window')
+        |), ctf AS (
+        | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits FROM chits GROUP BY 1
+        |), cprox AS (
+        | SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_prox
+        | FROM chits a JOIN chits b ON a.doc_id = b.doc_id AND a.word < b.word
+        |   AND abs(a.pos - b.pos) <= 8
+        | GROUP BY 1
         |)
-        |SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
-        | floor((COALESCE(CAST(1.0 AS DOUBLE) / (60 + t_rnk), 0)
-        |      + COALESCE(CAST(1.0 AS DOUBLE) / (60 + v_rnk), 0))
-        |   * 10000 + 0.5) / 10000 AS rrf,
-        | CAST(t_rnk AS BIGINT) AS t_rnk, CAST(v_rnk AS BIGINT) AS v_rnk
-        |FROM trnk t FULL JOIN vrnk v ON t.doc_id = v.doc_id
-        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+        |SELECT doc_id, rrf, ce_score,
+        |       CAST(row_number() OVER (ORDER BY ce_score DESC, doc_id) AS BIGINT) AS rank
+        |FROM (
+        | SELECT f.doc_id, f.rrf,
+        |        CAST(COALESCE(p.n_prox, 0) * 10 + COALESCE(t.n_hits, 0) AS BIGINT) AS ce_score
+        | FROM fused f LEFT JOIN ctf t USING (doc_id) LEFT JOIN cprox p USING (doc_id))
+        |ORDER BY rank""".stripMargin,
     // same RE2-safe patterns, same replacement order; DuckDB needs the
     // explicit 'g' flag (its regexp_replace is first-match by default,
     // Spark's is global)
@@ -1957,6 +1963,59 @@ object SparkEntry {
     * bit: x = user_id (32-bit mask), y = epoch seconds (31-bit mask),
     * five Morton mask/shift rounds on each.
     */
+  /** Shared RRF fusion chain (bm25 leg + cosine leg + rank fusion),
+    * ending in a `fused` CTE with the top-10 (doc_id, rrf, t_rnk,
+    * v_rnk) — the q_hybrid_rrf result, reused as the q_hybrid_rerank
+    * candidate set. def: referenced by oracleSql above (init order).
+    */
+  private def hybridFusedCte =
+    """raw AS (
+      | SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents
+      |), t AS (
+      | SELECT doc_id, lower(regexp_replace(tok, '[^A-Za-z]+', '', 'g')) AS word FROM raw
+      |), tt AS (
+      | SELECT doc_id, word FROM t WHERE length(word) > 0
+      |), dl AS (
+      | SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tt GROUP BY 1
+      |), stats AS (
+      | SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n_docs,
+      |  (SELECT CAST(count(*) AS DOUBLE) FROM tt)
+      |    / (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS avgdl
+      |), tf AS (
+      | SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf FROM tt
+      | WHERE word IN ('spark', 'join', 'window') GROUP BY 1, 2
+      |), df AS (
+      | SELECT word, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY 1
+      |), bscore AS (
+      | SELECT doc_id,
+      |  floor(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+      |    * tf * (1.2 + 1.0) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)))
+      |    * 10000 + 0.5) / 10000 AS score
+      | FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN stats
+      | GROUP BY doc_id
+      |), trnk AS (
+      | SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS t_rnk
+      | FROM bscore QUALIFY t_rnk <= 20
+      |), e AS (
+      | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      |), q AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0
+      |), vs AS (
+      | SELECT vec_id AS doc_id,
+      |  floor(list_cosine_similarity(emb, q_emb) * 10000 + 0.5) / 10000 AS cos
+      | FROM e CROSS JOIN q
+      |), vrnk AS (
+      | SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS v_rnk
+      | FROM vs QUALIFY v_rnk <= 20
+      |), fused AS (
+      | SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+      |  floor((COALESCE(CAST(1.0 AS DOUBLE) / (60 + t_rnk), 0)
+      |       + COALESCE(CAST(1.0 AS DOUBLE) / (60 + v_rnk), 0))
+      |    * 10000 + 0.5) / 10000 AS rrf,
+      |  CAST(t_rnk AS BIGINT) AS t_rnk, CAST(v_rnk AS BIGINT) AS v_rnk
+      | FROM trnk t FULL JOIN vrnk v ON t.doc_id = v.doc_id
+      | ORDER BY rrf DESC, doc_id LIMIT 10
+      |)""".stripMargin
+
   private def zSpreadCte = // def: referenced by oracleSql above (init order)
     """WITH e AS (
       | SELECT event_id, CAST(user_id AS BIGINT) AS x,

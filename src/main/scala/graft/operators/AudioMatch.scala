@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Audio fingerprint matching over binary media payloads — the second
+  * multimodal modality next to [[Multimodal]]'s image-shaped pipeline:
+  * the landmark-hash + offset-coherence-vote design of production
+  * audio search (Wang 2003, "An Industrial-Strength Audio Search
+  * Algorithm"), with the per-frame feature a deterministic stand-in
+  * for spectral peaks (this container has no audio codecs — the
+  * [[Multimodal.DecodeStub]] contract: swap the frame feature for a
+  * real FFT peak extractor on a cluster with codecs; every stage
+  * downstream of the feature is the real thing).
+  *
+  * Pipeline:
+  *  1. FRAMES: interpret the audio payload as unsigned 8-bit PCM and
+  *     slice it into fixed [[FrameLen]]-sample frames (partial tail
+  *     frame dropped, so every frame is full-width on both engines).
+  *  2. FEATURE: per-frame energy `sum(samples) mod 256` — one byte of
+  *     frame identity (the spectral-peak stand-in).
+  *  3. LANDMARKS: consecutive-frame feature pairs hashed into a
+  *     16-bit key (e_f · 256 + e_{f+1}) — the constellation pair with
+  *     dt = 1. One (track, frame, key) row per landmark.
+  *  4. INDEX + DF CAP: landmarks whose key occurs more than
+  *     [[MaxKeyDf]] times corpus-wide are dropped from the index —
+  *     a key shared by thousands of tracks identifies nothing and its
+  *     posting list is the hot-key blowup term (the [[Dedup]] df-cut
+  *     discipline, mirrored exactly in the oracle).
+  *  5. MATCH: query clips probe the index by landmark key; votes are
+  *     counted per (clip, track, frame-offset) and only OFFSET-
+  *     COHERENT votes rank a match — a true excerpt aligns every
+  *     matched landmark at one offset, while chance collisions
+  *     scatter across offsets (the Shazam criterion).
+  *
+  * Scale shape: the landmark index is built in one corpus scan (the
+  * frame fold is one codegen'd projection — no per-sample explode on
+  * the Spark side); the clip probe side is tiny (clips × ~frames
+  * rows) and BROADCASTS onto the index, so the index is scanned once
+  * and never shuffled; vote counting shuffles only matched landmark
+  * pairs (∝ collisions, df-capped), never the corpus. At 100 TB the
+  * index persists once ([[IndexStore]] pattern) and each query batch
+  * is a broadcast probe.
+  *
+  * Determinism: every quantity is integer arithmetic (byte sums, mod,
+  * counts, frame offsets) with total-order tie-breaks, so the whole
+  * operator is exactly DuckDB-oracle-checkable — payloads are the
+  * UTF-8 bytes of ASCII document text ([[Multimodal.mediaTable]]), so
+  * `ord(substring(text, i, 1))` in DuckDB reads the same byte values
+  * Spark reads from the binary column.
+  */
+object AudioMatch {
+
+  /** Samples per frame. 16 keeps ≥ 12 frames even for the short
+    * synthetic payloads (median ~300 bytes). */
+  val FrameLen = 16
+
+  /** Clip excerpt geometry: clips start at frame [[ClipOffFrames]] of
+    * their source track (frame-aligned, as a real fingerprint matcher
+    * guarantees by sliding the query window) and run [[ClipFrames]]
+    * frames, so the true match votes land at offset = ClipOffFrames.
+    */
+  val ClipOffFrames = 4
+  val ClipFrames = 8
+
+  /** Every ClipMod-th audio track contributes a query clip. */
+  val ClipMod = 5
+
+  /** Index df cap: keys with more corpus-wide landmarks than this are
+    * structural noise, not identity — dropped before the probe join.
+    */
+  val MaxKeyDf = 200
+
+  /** Audio-kind media rows with the payload decoded back to its ASCII
+    * sample string (documents are ASCII by construction — length ==
+    * octet_length — so per-char codepoints ARE the payload bytes).
+    */
+  private def audio(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mediaTable(s, dir)
+      .filter(col("kind") === "audio")
+      .select(col("media_id"), decode(col("content"), "UTF-8").as("pcm"))
+
+  /** (id, pos, key) landmark relation for a PCM string column: frame
+    * energies as one codegen'd fold (no per-sample explode), then
+    * consecutive-pair keys. Tracks shorter than two full frames have
+    * no landmarks and are filtered before the sequence expressions
+    * (Spark's `sequence(a, b)` with b < a would count DOWN).
+    */
+  private def landmarks(rows: DataFrame, pcm: Column,
+      idName: String, posName: String): DataFrame = {
+    val nF = floor(length(pcm) / lit(FrameLen)).cast("int")
+    val energies = transform(sequence(lit(0), nF - 1), f =>
+      pmod(aggregate(sequence(lit(1), lit(FrameLen)), lit(0L),
+        (acc, k) => acc + ascii(pcm.substr(f * lit(FrameLen) + k, lit(1))).cast("long")),
+        lit(256L)))
+    rows.filter(length(pcm) >= 2 * FrameLen)
+      .select(col(idName), energies.as("en"))
+      .select(col(idName),
+        explode(transform(sequence(lit(0), size(col("en")) - 2), f =>
+          struct(f.cast("long").as(posName),
+            (element_at(col("en"), f + 1) * 256 +
+              element_at(col("en"), f + 2)).as("key")))).as("lm"))
+      .select(col(idName), col(s"lm.$posName").as(posName), col("lm.key").as("key"))
+  }
+
+  /** The corpus landmark index: (media_id, f, key), one row per
+    * consecutive-frame pair per audio track. Oracle-exact.
+    */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    landmarks(audio(s, dir), col("pcm"), "media_id", "f")
+      .orderBy(col("media_id"), col("f"))
+
+  /** Match every query clip against the corpus index; one row per
+    * clip: the best (votes DESC, track_id ASC, offset ASC) offset-
+    * coherent match. The clip's source track wins at offset
+    * [[ClipOffFrames]] with a full vote unless the corpus holds a
+    * byte-identical competitor.
+    */
+  def matchClips(s: SparkSession, dir: String): DataFrame = {
+    val a = audio(s, dir)
+    val idx = landmarks(a, col("pcm"), "media_id", "f")
+      .withColumnRenamed("media_id", "track_id")
+    // key-df cap: the keep set is bounded by the 16-bit key space
+    // (≤ 65536 rows) — broadcast, never a shuffle of the index
+    val keep = idx.groupBy(col("key")).agg(count(lit(1)).as("kdf"))
+      .filter(col("kdf") <= MaxKeyDf).select(col("key"))
+    val idxKept = idx.join(broadcast(keep), Seq("key"))
+    val clips = a
+      .filter(pmod(col("media_id"), lit(ClipMod)) === 0 &&
+        length(col("pcm")) >= (ClipOffFrames + ClipFrames) * FrameLen)
+      .select(col("media_id").as("clip_id"),
+        col("pcm").substr(lit(ClipOffFrames * FrameLen + 1),
+          lit(ClipFrames * FrameLen)).as("cpcm"))
+    val clipLmk = landmarks(clips, col("cpcm"), "clip_id", "j")
+    // probe side is clips × (ClipFrames−1) rows — broadcast it onto
+    // the index scan; only MATCHED landmarks enter the vote shuffle
+    val votes = idxKept.join(broadcast(clipLmk), Seq("key"))
+      .groupBy(col("clip_id"), col("track_id"),
+        (col("f") - col("j")).as("offset_frames"))
+      .agg(count(lit(1)).as("votes"))
+    val best = Window.partitionBy(col("clip_id"))
+      .orderBy(col("votes").desc, col("track_id").asc, col("offset_frames").asc)
+    votes.withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select(col("clip_id"), col("track_id"), col("offset_frames"), col("votes"))
+      .orderBy(col("clip_id"))
+  }
+
+  /** Shared oracle CTE chain: per-byte unnest → frame energies →
+    * landmark keys, for tracks and clips. The per-byte unnest is the
+    * oracle's restatement (DuckDB has no codegen fold to mirror);
+    * byte values come from `ord` over the ASCII text exactly as the
+    * Spark side's `ascii` over the decoded payload.
+    */
+  private def lmkChainSql: String =
+    s"""audio AS (
+       |  SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 1
+       |), smp AS (
+       |  SELECT media_id, CAST((t.i - 1) // $FrameLen AS BIGINT) AS f,
+       |         ord(substring(text, CAST(t.i AS INT), 1)) AS v
+       |  FROM audio, UNNEST(range(1, (length(text) // $FrameLen) * $FrameLen + 1)) AS t(i)
+       |  WHERE length(text) >= ${2 * FrameLen}
+       |), en AS (
+       |  SELECT media_id, f, CAST(sum(v) % 256 AS BIGINT) AS e
+       |  FROM smp GROUP BY 1, 2
+       |), lmk AS (
+       |  SELECT a.media_id, a.f, a.e * 256 + b.e AS key
+       |  FROM en a JOIN en b ON b.media_id = a.media_id AND b.f = a.f + 1
+       |)""".stripMargin
+
+  /** DuckDB restatement of [[fingerprint]]. */
+  def fingerprintOracleSql: String =
+    s"""WITH $lmkChainSql
+       |SELECT media_id, f, key FROM lmk ORDER BY media_id, f""".stripMargin
+
+  /** DuckDB restatement of [[matchClips]] — same clip geometry, df
+    * cap, vote count and tie-breaks. */
+  def matchClipsOracleSql: String =
+    s"""WITH $lmkChainSql, keep AS (
+       |  SELECT key FROM (SELECT key, count(*) AS kdf FROM lmk GROUP BY 1)
+       |  WHERE kdf <= $MaxKeyDf
+       |), clips AS (
+       |  SELECT media_id AS clip_id,
+       |         substring(text, ${ClipOffFrames * FrameLen + 1},
+       |                   ${ClipFrames * FrameLen}) AS ctext
+       |  FROM audio
+       |  WHERE media_id % $ClipMod = 0
+       |    AND length(text) >= ${(ClipOffFrames + ClipFrames) * FrameLen}
+       |), csmp AS (
+       |  SELECT clip_id, CAST((t.i - 1) // $FrameLen AS BIGINT) AS j,
+       |         ord(substring(ctext, CAST(t.i AS INT), 1)) AS v
+       |  FROM clips, UNNEST(range(1, ${ClipFrames * FrameLen} + 1)) AS t(i)
+       |), cen AS (
+       |  SELECT clip_id, j, CAST(sum(v) % 256 AS BIGINT) AS e
+       |  FROM csmp GROUP BY 1, 2
+       |), clmk AS (
+       |  SELECT a.clip_id, a.j, a.e * 256 + b.e AS key
+       |  FROM cen a JOIN cen b ON b.clip_id = a.clip_id AND b.j = a.j + 1
+       |), votes AS (
+       |  SELECT c.clip_id, l.media_id AS track_id, l.f - c.j AS offset_frames,
+       |         CAST(count(*) AS BIGINT) AS votes
+       |  FROM clmk c JOIN keep k ON k.key = c.key
+       |       JOIN lmk l ON l.key = c.key
+       |  GROUP BY 1, 2, 3
+       |), best AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY clip_id ORDER BY votes DESC, track_id, offset_frames) AS rn
+       |  FROM votes
+       |)
+       |SELECT clip_id, track_id, offset_frames, votes FROM best
+       |WHERE rn = 1 ORDER BY clip_id""".stripMargin
+}

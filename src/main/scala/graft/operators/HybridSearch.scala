@@ -72,4 +72,61 @@ object HybridSearch {
       .orderBy(col("rrf").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** Cross-encoder-style rerank over the fused candidates — the
+    * second retrieval stage every production search/RAG pipeline runs:
+    * stage 1 (RRF fusion of cheap per-document scores) narrows the
+    * corpus to k candidates, stage 2 scores each (query, document)
+    * PAIR with a model that sees both together, which is exactly what
+    * the per-list rank scores cannot express. The pair scorer here is
+    * a deterministic stand-in for a neural cross-encoder (no model
+    * runtime in this container — the [[Multimodal.DecodeStub]]
+    * contract): term-proximity evidence, the classic pre-neural pair
+    * feature (pairs of DISTINCT query terms co-occurring within
+    * `proxWindow` raw-token positions, weight 10) plus query-term
+    * occurrence count. Integer arithmetic end-to-end, so the rerank is
+    * exactly DuckDB-oracle-checkable.
+    *
+    * Scale shape — the part that survives swapping in a real model:
+    * the expensive pair scorer touches ONLY the k fused candidates,
+    * never the corpus. The candidate id set broadcasts into a
+    * semi-join on the documents scan (one narrow pass fetches k
+    * texts), and everything after is k-row work. A 100 TB corpus
+    * changes stage 1's cost, not stage 2's.
+    */
+  def ceRerank(s: SparkSession, dir: String,
+      queryTerms: Seq[String] = Seq("spark", "join", "window"),
+      queryVecId: Long = 0L, kEach: Int = 20, k: Int = 10,
+      rrfC: Int = 60, proxWindow: Int = 8): DataFrame = {
+    val fused = rrfFusion(s, dir, queryTerms, queryVecId, kEach, k, rrfC)
+      .select(col("doc_id"), col("rrf"))
+    // k candidate texts via broadcast semi-join — the corpus scan stays
+    // narrow (doc_id, text) and nothing corpus-sized shuffles
+    val hits = graft.Tables.load(s, dir, "documents")
+      .join(broadcast(fused.select(col("doc_id"))), Seq("doc_id"))
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\\s+")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        lower(regexp_replace(col("tok"), "[^A-Za-z]+", "")).as("word"))
+      .filter(col("word").isin(queryTerms: _*))
+    val tf = hits.groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    // proximity pairs: distinct-term hits within the window; the self
+    // join carries only the k candidates' query-term hits (tiny)
+    val prox = hits.as("a").join(hits.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("a.word") < col("b.word") &&
+          abs(col("a.pos") - col("b.pos")) <= proxWindow)
+      .groupBy(col("a.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_prox"))
+    val noPart = Window.orderBy(col("ce_score").desc, col("doc_id").asc)
+    fused
+      .join(tf, Seq("doc_id"), "left")
+      .join(prox, Seq("doc_id"), "left")
+      .withColumn("ce_score",
+        (coalesce(col("n_prox"), lit(0L)) * 10 +
+          coalesce(col("n_hits"), lit(0L))).cast("long"))
+      .withColumn("rank", row_number().over(noPart).cast("long"))
+      .select(col("doc_id"), col("rrf"), col("ce_score"), col("rank"))
+      .orderBy(col("rank"))
+  }
 }

@@ -1,0 +1,194 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AudioMatch, Bpe, HybridSearch}
+
+/** Round-13 additions: audio landmark fingerprint matching (the second
+  * multimodal modality), the cross-encoder-style rerank stage over the
+  * hybrid fusion, and the maintainDictionary crash-resume contract.
+  * The DuckDB oracle re-checks the exact outputs at the gate; these
+  * specs pin what the oracle can't — recovery semantics across a
+  * killed micro-batch, independent-recompute parity, and the physical
+  * plan shapes the operators promise.
+  */
+class Round13Spec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // --- audio landmark matching ------------------------------------
+
+  /** In-test reference fingerprints: plain Scala over the payload
+    * bytes — full frames only, energy = sum mod 256, consecutive-pair
+    * keys. */
+  private def refLandmarks(pcm: String): Seq[(Long, Long)] = {
+    val w = AudioMatch.FrameLen
+    val nF = pcm.length / w
+    val en = (0 until nF).map(f =>
+      (0 until w).map(k => pcm.charAt(f * w + k).toLong).sum % 256)
+    (0 until nF - 1).map(f => (f.toLong, en(f) * 256 + en(f + 1)))
+  }
+
+  test("audio fingerprint equals an independent in-test recompute on every track") {
+    val texts = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") % 3 === 1 && length(col("text")) >= 2 * AudioMatch.FrameLen)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = texts.toSeq.flatMap { case (id, t) =>
+      refLandmarks(t).map { case (f, k) => (id, f, k) }
+    }.sorted
+    val got = AudioMatch.fingerprint(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(got == expect)
+    assert(got.nonEmpty, "fixture produced no landmarks")
+  }
+
+  test("audio match: every clip resolves to its source track at the " +
+    "clip offset with a full coherent vote") {
+    val rows = AudioMatch.matchClips(spark, sf).collect()
+    assert(rows.length > 10, s"too few clips: ${rows.length}")
+    rows.foreach { r =>
+      val (clip, track, off, votes) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(track == clip, s"clip $clip matched foreign track $track")
+      assert(off == AudioMatch.ClipOffFrames, s"clip $clip offset $off")
+      assert(votes == AudioMatch.ClipFrames - 1,
+        s"clip $clip votes $votes != full ${AudioMatch.ClipFrames - 1}")
+    }
+  }
+
+  test("audio match plan: probe joins broadcast, no cartesian anywhere") {
+    val plan = AudioMatch.matchClips(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "clip probe / df-cap joins must broadcast the bounded side")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "no unkeyed join may appear in the match pipeline")
+  }
+
+  // --- cross-encoder rerank ----------------------------------------
+
+  test("ceRerank: scores equal an independent in-test recompute over " +
+    "the fused candidates; ranks follow (score desc, doc_id)") {
+    val terms = Seq("spark", "join", "window")
+    val fusedIds = HybridSearch.rrfFusion(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val texts = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id").isin(fusedIds.toSeq: _*))
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def score(t: String): Long = {
+      val hits = t.split("\\s+").zipWithIndex
+        .map { case (w, p) => (w.toLowerCase.replaceAll("[^A-Za-z]+", ""), p.toLong) }
+        .filter { case (w, _) => terms.contains(w) }
+      val nHits = hits.length.toLong
+      val nProx = (for {
+        (wa, pa) <- hits; (wb, pb) <- hits
+        if wa < wb && math.abs(pa - pb) <= 8
+      } yield 1).size.toLong
+      nProx * 10 + nHits
+    }
+    val got = HybridSearch.ceRerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSet == fusedIds,
+      "rerank must keep exactly the fused candidate set")
+    got.foreach { case (id, ce, _) =>
+      // a fused doc can be vector-leg-only with no document row
+      val expect = texts.get(id).map(score).getOrElse(0L)
+      assert(ce == expect, s"doc $id ce_score $ce != recomputed $expect")
+    }
+    val byRank = got.sortBy(_._3)
+    assert(byRank.map(_._3).toSeq == (1L to got.length).toSeq)
+    byRank.sliding(2).foreach {
+      case Array((idA, ceA, _), (idB, ceB, _)) =>
+        assert(ceA > ceB || (ceA == ceB && idA < idB),
+          s"rank order violated between $idA and $idB")
+      case _ =>
+    }
+  }
+
+  test("ceRerank plan: candidate fetch is a broadcast semi-ish join — " +
+    "the corpus never reaches the pair scorer") {
+    val plan = HybridSearch.ceRerank(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "candidate ids must broadcast into the documents scan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  // --- streaming dictionary: crash-resume --------------------------
+
+  test("maintainDictionary crash-resume: a mid-stage crash re-stages, a " +
+    "staged-but-unrebuilt crash skips the stage write, and the recovered " +
+    "dictionary retrains identically to the corpus train") {
+    import graft.streaming.EventStream
+    val docs = Tables.load(spark, sf, "documents").select(col("text"), col("doc_id"))
+    val staged = java.nio.file.Files.createTempDirectory("graft-dictcr-src").toString
+    val parent = java.nio.file.Files.createTempDirectory("graft-dictcr").toString
+    val path = s"$parent/words"
+    val ckpt = s"$parent/ckpt"
+    val stagingKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(ckpt.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val staging = s"$path.batches-$stagingKey"
+    def part(i: Int) = docs.filter(col("doc_id") % 5 === i).select(col("text"))
+    def run(): Unit = {
+      val src = spark.readStream.schema("text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+      val q = EventStream.maintainDictionary(src, path, Some(ckpt))
+      try q.processAllAvailable() finally q.stop()
+    }
+    def nextBatchId(): Long = {
+      val ids = Option(new java.io.File(staging).listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+        .map(_.getName.stripPrefix("batch=").toLong)
+      if (ids.isEmpty) 0L else ids.max + 1
+    }
+
+    // phase 1: three clean micro-batches (parts 1, 2, 3)
+    (1 to 3).foreach(i =>
+      part(i).repartition(1).write.mode("append").parquet(staged))
+    run()
+
+    // CRASH SHAPE A — killed MID-STAGE WRITE: the next batch's dir has
+    // partial (and WRONG) data and no _SUCCESS. The restarted stream
+    // must overwrite it with the true batch counts; if the partial dir
+    // were trusted, the final dictionary would undercount part 4.
+    part(4).repartition(1).write.mode("append").parquet(staged)
+    val crashA = s"$staging/batch=${nextBatchId()}"
+    Bpe.wordCounts(part(4).limit(2)).write.mode("overwrite").parquet(crashA)
+    assert(new java.io.File(s"$crashA/_SUCCESS").delete(),
+      "test setup: partial stage dir must lack the _SUCCESS marker")
+    run()
+    assert(new java.io.File(s"$crashA/_SUCCESS").exists(),
+      "restart must re-stage the partial batch dir")
+
+    // CRASH SHAPE B — killed BETWEEN STAGE AND REBUILD: the batch dir
+    // is complete (counts + _SUCCESS) but the serving table was never
+    // rebuilt. The restarted stream must SKIP the stage write (exactly
+    // once — the staged files stay byte-identical) and recover the
+    // serving table via the rebuild.
+    part(0).repartition(1).write.mode("append").parquet(staged)
+    val crashB = s"$staging/batch=${nextBatchId()}"
+    Bpe.wordCounts(part(0)).write.mode("overwrite").parquet(crashB)
+    graft.operators.ArtifactCache.deleteRecursively(new java.io.File(path))
+    def listing(dir: String) = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length, f.lastModified)).sortBy(_._1).toSeq
+    val before = listing(crashB)
+    run()
+    assert(listing(crashB) == before,
+      "replayed batch must skip its stage write (files changed)")
+
+    // recovered dictionary == the one-shot corpus dictionary, and
+    // training from it reproduces the corpus merge table exactly
+    val recovered = spark.read.parquet(path)
+    val corpus = Bpe.wordCounts(docs.select(col("text")))
+    assert(recovered.except(corpus).isEmpty && corpus.except(recovered).isEmpty,
+      "recovered dictionary diverges from the corpus dictionary")
+    val fromRecovered = Bpe.bpeTrainFromCounts(spark, recovered).collect().toSeq
+    val fromCorpus = Bpe.bpeTrain(spark, sf).collect().toSeq
+    assert(fromRecovered == fromCorpus,
+      "retrain from the recovered dictionary diverges from corpus train")
+  }
+}

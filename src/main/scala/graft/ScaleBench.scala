@@ -143,7 +143,13 @@ object ScaleBench {
       // vocabulary (disjoint prefixes), so this guards the model
       // aggregations and the bigram-keyed scoring join as the bigram
       // universe grows 10×/100×
-      ("bigram_lm", dir => graft.operators.Selection.bigramCrossEntropy(spark, dir), 3))
+      ("bigram_lm", dir => graft.operators.Selection.bigramCrossEntropy(spark, dir), 3),
+      // round-13: audio landmark matching — replicas multiply tracks,
+      // clips AND per-key landmark collisions (the 16-bit key space is
+      // fixed, so probe-join fan-out grows with corpus until the
+      // MaxKeyDf cap binds); this curve guards exactly that join — it
+      // must stay ≤ clip-landmarks × MaxKeyDf, never corpus²
+      ("audio_match", dir => graft.operators.AudioMatch.matchClips(spark, dir), 3))
     val embOps: Seq[(String, String => DataFrame)] = Seq(
       "dedup_embedding" -> (dir => Dedup.embeddingNearDups(spark, dir, 0.9)),
       "knn_ivf" -> (dir => Similarity.knnIvf(spark, dir)))

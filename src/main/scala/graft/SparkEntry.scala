@@ -218,6 +218,11 @@ object SparkEntry {
       AudioMatch.fingerprint(s, d)),
     "q_audio_match" -> ((s: SparkSession, d: String) =>
       AudioMatch.matchClips(s, d)),
+    // same semantics served from the build-once persisted landmark
+    // index (key-bucket partitioned, probe prunes via DPP) — row-
+    // identical to q_audio_match, so it shares the oracle
+    "q_audio_match_indexed" -> ((s: SparkSession, d: String) =>
+      AudioMatch.matchClipsIndexed(s, d)),
     // events / time series
     "q_events_hourly" -> (EventsQueries.hourlyCounts _),
     "q_events_daily" -> (EventsQueries.dailyActivity _),
@@ -1431,6 +1436,9 @@ object SparkEntry {
     "q_audio_fingerprint" ->
       graft.operators.AudioMatch.fingerprintOracleSql,
     "q_audio_match" ->
+      graft.operators.AudioMatch.matchClipsOracleSql,
+    // the persisted-index variant is row-identical by construction
+    "q_audio_match_indexed" ->
       graft.operators.AudioMatch.matchClipsOracleSql,
     "q_events_hourly" ->
       """SELECT CAST(ts AS DATE) AS event_date,

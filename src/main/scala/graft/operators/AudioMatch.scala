@@ -147,6 +147,62 @@ object AudioMatch {
       .orderBy(col("clip_id"))
   }
 
+  /** Key-bucket width for the persisted index layout: 64 partition
+    * dirs (not 65536 — one dir per key would drown the file listing at
+    * metadata scale; 64 buckets × many files each keeps both the
+    * listing and the pruning granularity sane). */
+  val KeyBuckets = 64
+
+  /** [[matchClips]] against a BUILD-ONCE PERSISTED landmark index —
+    * the 100 TB lifecycle: fingerprint the corpus once (one scan, the
+    * expensive half), then serve every query batch from the stored
+    * postings. The index is keyed by corpus content fingerprint
+    * ([[ArtifactCache]] discipline: stale/partial/concurrent builds
+    * all handled) and laid out PARTITIONED BY key bucket
+    * (`pmod(key, KeyBuckets)`), so the probe join's runtime key set
+    * prunes index files via dynamic partition pruning — a clip batch
+    * touching 40 distinct keys reads ≤ 40 buckets, never the whole
+    * index. Results are row-identical to [[matchClips]] by
+    * construction (same landmarks, same cap, same votes), so the two
+    * share one oracle.
+    */
+  def matchClipsIndexed(s: SparkSession, dir: String): DataFrame = {
+    val fp = ArtifactCache.fingerprint(
+      new java.io.File(s"$dir/documents.parquet"))
+    val path = ArtifactCache.ensure(
+      s"/tmp/graft-audioidx/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}" +
+        s"-$fp-w$FrameLen-df$MaxKeyDf") { tmp =>
+      val idx = landmarks(audio(s, dir), col("pcm"), "media_id", "f")
+        .withColumnRenamed("media_id", "track_id")
+      val keep = idx.groupBy(col("key")).agg(count(lit(1)).as("kdf"))
+        .filter(col("kdf") <= MaxKeyDf).select(col("key"))
+      idx.join(broadcast(keep), Seq("key"))
+        .withColumn("kb", pmod(col("key"), lit(KeyBuckets)))
+        .write.mode("overwrite").partitionBy("kb").parquet(s"$tmp/landmarks")
+    }
+    val idxKept = s.read.parquet(s"$path/landmarks")
+    val clips = audio(s, dir)
+      .filter(pmod(col("media_id"), lit(ClipMod)) === 0 &&
+        length(col("pcm")) >= (ClipOffFrames + ClipFrames) * FrameLen)
+      .select(col("media_id").as("clip_id"),
+        col("pcm").substr(lit(ClipOffFrames * FrameLen + 1),
+          lit(ClipFrames * FrameLen)).as("cpcm"))
+    val clipLmk = landmarks(clips, col("cpcm"), "clip_id", "j")
+      .withColumn("kb", pmod(col("key"), lit(KeyBuckets)))
+    // join on (key, kb): kb is the index's partition column, so the
+    // broadcast clip side's key set dynamically prunes index files
+    val votes = idxKept.join(broadcast(clipLmk), Seq("key", "kb"))
+      .groupBy(col("clip_id"), col("track_id"),
+        (col("f") - col("j")).as("offset_frames"))
+      .agg(count(lit(1)).as("votes"))
+    val best = Window.partitionBy(col("clip_id"))
+      .orderBy(col("votes").desc, col("track_id").asc, col("offset_frames").asc)
+    votes.withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select(col("clip_id"), col("track_id"), col("offset_frames"), col("votes"))
+      .orderBy(col("clip_id"))
+  }
+
   /** Shared oracle CTE chain: per-byte unnest → frame energies →
     * landmark keys, for tracks and clips. The per-byte unnest is the
     * oracle's restatement (DuckDB has no codegen fold to mirror);

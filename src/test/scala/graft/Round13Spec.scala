@@ -67,6 +67,26 @@ class Round13Spec extends SparkSpec {
       "no unkeyed join may appear in the match pipeline")
   }
 
+  test("matchClipsIndexed: row-identical to the ad-hoc matcher including " +
+    "the cache-hit path; probe join keys include the partition bucket") {
+    val adhoc = AudioMatch.matchClips(spark, sf).collect().map(_.toSeq).toSeq
+    val first = AudioMatch.matchClipsIndexed(spark, sf).collect().map(_.toSeq).toSeq
+    assert(first == adhoc, "indexed result diverges from ad-hoc on index build")
+    val again = AudioMatch.matchClipsIndexed(spark, sf).collect().map(_.toSeq).toSeq
+    assert(again == adhoc, "indexed result diverges from ad-hoc on cache hit")
+    val plan = AudioMatch.matchClipsIndexed(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the layout contract: the scan is partition-bucketed on kb, the
+    // probe carries kb in its join keys, and the planner injects
+    // dynamic partition pruning — the probe's runtime key set decides
+    // which index buckets are read at all
+    assert(plan.contains("PartitionFilters"),
+      "index scan must expose partition filters on the bucket column")
+    assert(plan.contains("dynamicpruning"),
+      "probe must dynamically prune index buckets (DPP not planned)")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   // --- cross-encoder rerank ----------------------------------------
 
   test("ceRerank: scores equal an independent in-test recompute over " +

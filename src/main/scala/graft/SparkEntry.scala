@@ -223,6 +223,11 @@ object SparkEntry {
     // identical to q_audio_match, so it shares the oracle
     "q_audio_match_indexed" -> ((s: SparkSession, d: String) =>
       AudioMatch.matchClipsIndexed(s, d)),
+    // incremental lifecycle: build on half the tracks, INSERT the other
+    // half (append-only postings + algebraic df partials; cap applied
+    // at query time), probe — row-identical to the full-corpus match
+    "q_audio_match_incremental" -> ((s: SparkSession, d: String) =>
+      AudioMatch.matchClipsIncremental(s, d)),
     // events / time series
     "q_events_hourly" -> (EventsQueries.hourlyCounts _),
     "q_events_daily" -> (EventsQueries.dailyActivity _),
@@ -1439,6 +1444,11 @@ object SparkEntry {
       graft.operators.AudioMatch.matchClipsOracleSql,
     // the persisted-index variant is row-identical by construction
     "q_audio_match_indexed" ->
+      graft.operators.AudioMatch.matchClipsOracleSql,
+    // the incremental build+insert lifecycle is row-identical too:
+    // uncapped stored postings + query-time cap over summed df partials
+    // = exactly the full-corpus df semantics
+    "q_audio_match_incremental" ->
       graft.operators.AudioMatch.matchClipsOracleSql,
     "q_events_hourly" ->
       """SELECT CAST(ts AS DATE) AS event_date,

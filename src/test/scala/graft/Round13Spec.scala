@@ -87,6 +87,49 @@ class Round13Spec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("incremental audio index: build half + insert half is row-identical " +
+    "to the full-corpus ad-hoc matcher") {
+    val adhoc = AudioMatch.matchClips(spark, sf).collect().map(_.toSeq).toSeq
+    val incr = AudioMatch.matchClipsIncremental(spark, sf).collect().map(_.toSeq).toSeq
+    assert(incr == adhoc,
+      "insert path diverges from the full rebuild (df partials or postings wrong)")
+  }
+
+  test("incremental audio index: a key crossing the df cap AFTER an insert " +
+    "stops matching, without any stored posting being rewritten") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-audiocap").toString + "/idx"
+    // every track shares one payload -> identical landmark keys; each
+    // track adds 1 to every key's df (3 full frames -> 2 landmarks)
+    val payload = "abcdefghijklmnop" * 3
+    def tracks(ids: Range) = ids.map(i => (i.toLong, payload)).toDF("track_id", "pcm")
+    val half = AudioMatch.MaxKeyDf / 2
+    AudioMatch.buildIncremental(spark, tracks(0 until half), path)
+    val clip = Seq((999L, payload.substring(0, 2 * AudioMatch.FrameLen)))
+      .toDF("clip_id", "cpcm")
+    // under the cap: the clip matches (first track wins the tie-break)
+    val before = AudioMatch.matchAgainst(spark, path, clip).collect()
+    assert(before.length == 1 && before(0).getLong(1) == 0L,
+      s"clip must match while keys are under the cap: ${before.toSeq}")
+    def dataFiles(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$path/landmarks"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => s"${f.getPath}:${f.length}:${f.lastModified}").toSet
+    }
+    val filesBefore = dataFiles()
+    // insert enough copies to push every shared key past the cap
+    AudioMatch.insertTracks(spark, path,
+      tracks(half until (AudioMatch.MaxKeyDf + 2)))
+    assert(filesBefore.subsetOf(dataFiles()),
+      "insert must be append-only: an existing posting file was rewritten")
+    val after = AudioMatch.matchAgainst(spark, path, clip).collect()
+    assert(after.isEmpty,
+      s"over-cap keys must stop matching at query time: ${after.toSeq}")
+  }
+
   // --- cross-encoder rerank ----------------------------------------
 
   test("ceRerank: scores equal an independent in-test recompute over " +

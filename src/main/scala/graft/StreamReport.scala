@@ -226,6 +226,50 @@ object StreamReport {
           setEqual(streamedMerges, batchMerges))
     }
 
+    // 7. streaming audio-ingest matching (the upload-time ContentID
+    //    path): per-batch verdicts vs a replay that probes the SAME
+    //    accumulated landmark index at each batch boundary — proves
+    //    the staged incremental index gives every micro-batch exactly
+    //    the strictly-earlier-batches view
+    locally {
+      val tracksDir = s"$tmp/audiotracks"
+      stageOrdered(Tables.load(spark, dir, "documents")
+        .filter(col("doc_id") % 3 === 1 &&
+          length(col("text")) >= 2 * operators.AudioMatch.FrameLen)
+        .select(col("doc_id").as("track_id"), col("text").as("pcm")),
+        "track_id", tracksDir)
+      val out = s"$tmp/audioingest"
+      val q = EventStream.streamingAudioIngest(spark.readStream
+        .schema("track_id LONG, pcm STRING")
+        .option("maxFilesPerTrigger", 1).parquet(tracksDir), out)
+      try q.processAllAvailable() finally q.stop()
+      val perBatch = q.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0)
+      val ids = new java.io.File(s"$out/index/landmarks").listFiles()
+        .filter(_.getName.startsWith("batch="))
+        .map(_.getName.stripPrefix("batch=").toLong).sorted
+      val allTracks = spark.read.parquet(tracksDir)
+      def lmkOf(i: Long) = spark.read.parquet(s"$out/index/landmarks/batch=$i")
+        .select(col("track_id"), col("f"), col("key"), col("kb"))
+      val replays = ids.toSeq.map { i =>
+        val prior = ids.filter(_ < i)
+        val priorLmk =
+          if (prior.isEmpty) lmkOf(i).limit(0)
+          else prior.map(lmkOf).reduce(_ unionByName _)
+        val batchIds = spark.read.parquet(s"$out/index/landmarks/batch=$i")
+          .select(col("track_id")).distinct()
+        operators.AudioMatch.probeIndex(priorLmk,
+          priorLmk.groupBy(col("key")).agg(count(lit(1)).as("cnt")),
+          operators.AudioMatch.trackClips(allTracks.join(batchIds, Seq("track_id"))))
+          .withColumn("batch", lit(i))
+      }
+      val replay = replays.reduce(_ unionByName _)
+      val streamed = spark.read.parquet(s"$out/matches")
+        .select(col("clip_id"), col("track_id"), col("offset_frames"),
+          col("votes"), col("batch").cast("long").as("batch"))
+      reports += PathReport("audio_ingest_match", perBatch,
+        streamed.count(), replay.count(), setEqual(streamed, replay))
+    }
+
     val allMatch = reports.forall(_.matches)
     val json = s"""{"metric":"stream_batch_parity","sf":"$dir","all_match":$allMatch,""" +
       reports.map(_.json).mkString(",") + "}"

@@ -216,12 +216,25 @@ object AudioMatch {
   // live dfs, so an over-cap key is excluded from every later probe
   // without touching storage, and insert cost is ∝ the delta.
 
+  /** Landmark relation of a (track_id, pcm) relation. */
+  private[graft] def trackLandmarks(tracks: DataFrame): DataFrame =
+    landmarks(tracks, col("pcm"), "track_id", "f")
+
+  /** Frame-aligned excerpt of every clip-eligible track in a
+    * (track_id, pcm) relation — the ingest-time probe set (no ClipMod
+    * sampling: at upload time EVERY eligible track gets checked). */
+  private[graft] def trackClips(tracks: DataFrame): DataFrame =
+    tracks.filter(length(col("pcm")) >= (ClipOffFrames + ClipFrames) * FrameLen)
+      .select(col("track_id").as("clip_id"),
+        col("pcm").substr(lit(ClipOffFrames * FrameLen + 1),
+          lit(ClipFrames * FrameLen)).as("cpcm"))
+
   /** Create an incremental landmark index at `path` from a
     * (track_id, pcm) relation: uncapped bucket-partitioned postings +
     * the first per-key df partial. */
   private[graft] def buildIncremental(s: SparkSession, tracks: DataFrame,
       path: String): Unit = {
-    val idx = landmarks(tracks, col("pcm"), "track_id", "f")
+    val idx = trackLandmarks(tracks)
     idx.withColumn("kb", pmod(col("key"), lit(KeyBuckets)))
       .write.mode("overwrite").partitionBy("kb").parquet(s"$path/landmarks")
     idx.groupBy(col("key")).agg(count(lit(1)).as("cnt"))
@@ -233,24 +246,22 @@ object AudioMatch {
     * never index size; no stored file is rewritten. */
   private[graft] def insertTracks(s: SparkSession, path: String,
       tracks: DataFrame): Unit = {
-    val idx = landmarks(tracks, col("pcm"), "track_id", "f")
+    val idx = trackLandmarks(tracks)
     idx.withColumn("kb", pmod(col("key"), lit(KeyBuckets)))
       .write.mode("append").partitionBy("kb").parquet(s"$path/landmarks")
     idx.groupBy(col("key")).agg(count(lit(1)).as("cnt"))
       .coalesce(1).write.mode("append").parquet(s"$path/keydf")
   }
 
-  /** Probe an incremental index with a (clip_id, cpcm) relation. The
-    * live df table (partials summed — ≤ 65536 rows) applies the cap at
-    * query time; the capped keep set and the clip landmarks both
-    * broadcast, and the bucket key in the join prunes index files via
-    * DPP exactly as in [[matchClipsIndexed]]. */
-  private[graft] def matchAgainst(s: SparkSession, path: String,
+  /** The probe core over in-memory relations: landmark postings, raw
+    * df partials (summed here — ≤ 65536 live rows), and a
+    * (clip_id, cpcm) clip set. Shared by [[matchAgainst]] and the
+    * streaming-ingest replay spec. */
+  private[graft] def probeIndex(idx: DataFrame, dfPartials: DataFrame,
       clips: DataFrame): DataFrame = {
-    val keep = s.read.parquet(s"$path/keydf")
+    val keep = dfPartials
       .groupBy(col("key")).agg(sum(col("cnt")).as("kdf"))
       .filter(col("kdf") <= MaxKeyDf).select(col("key"))
-    val idx = s.read.parquet(s"$path/landmarks")
     val clipLmk = landmarks(clips, col("cpcm"), "clip_id", "j")
       .withColumn("kb", pmod(col("key"), lit(KeyBuckets)))
     val votes = idx
@@ -266,6 +277,21 @@ object AudioMatch {
       .select(col("clip_id"), col("track_id"), col("offset_frames"), col("votes"))
       .orderBy(col("clip_id"))
   }
+
+  /** Probe an incremental index with a (clip_id, cpcm) relation. The
+    * live df table (partials summed — ≤ 65536 rows) applies the cap at
+    * query time; the capped keep set and the clip landmarks both
+    * broadcast, and the bucket key in the join prunes index files via
+    * DPP exactly as in [[matchClipsIndexed]]. Works on both flat and
+    * per-batch-staged layouts (extra partition columns are ignored by
+    * the column-explicit probe). */
+  private[graft] def matchAgainst(s: SparkSession, path: String,
+      clips: DataFrame): DataFrame =
+    probeIndex(
+      s.read.parquet(s"$path/landmarks")
+        .select(col("track_id"), col("f"), col("key"), col("kb")),
+      s.read.parquet(s"$path/keydf").select(col("key"), col("cnt")),
+      clips)
 
   /** Driver-contract lifecycle query: build the incremental index from
     * the even-id half of the audio corpus, INSERT the odd-id half,

@@ -653,6 +653,60 @@ object EventStream {
       .start()
   }
 
+  /** Streaming audio-ingest matching — the upload-time ContentID
+    * shape: tracks (track_id, pcm) arrive on a stream; each
+    * micro-batch's clip-eligible tracks are excerpted and PROBED
+    * against the landmark index accumulated from earlier batches
+    * ("is this content already in the catalog?"), match verdicts land
+    * under `outPath/matches/batch=<id>`, and the batch's own landmarks
+    * + df partials are then staged into the incremental index layout
+    * ([[graft.operators.AudioMatch]] — append-only postings, df cap
+    * applied at probe time), so insert cost stays ∝ batch.
+    *
+    * Semantics: a batch is matched against STRICTLY EARLIER batches
+    * (its own landmarks stage after the probe) — the first copy of any
+    * content reports no match, every later copy matches the first.
+    *
+    * Exactly-once follows the staging discipline: matches stage
+    * BEFORE the landmark append under `_SUCCESS`-guarded batch dirs,
+    * so a replayed batch skips completed writes and a crash between
+    * the two stages replays into the identical state (the index-before
+    * for batch N is always exactly batches < N).
+    */
+  def streamingAudioIngest(tracks: DataFrame, outPath: String,
+      checkpointLocation: Option[String] = None): StreamingQuery = {
+    import graft.operators.AudioMatch
+    val idxDir = s"$outPath/index"
+    val matchDir = s"$outPath/matches"
+    val writer = tracks.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val bMatch = s"$matchDir/batch=$batchId"
+        val bLmk = s"$idxDir/landmarks/batch=$batchId"
+        val bDf = s"$idxDir/keydf/batch=$batchId"
+        if (!new java.io.File(s"$bMatch/_SUCCESS").exists()) {
+          val clips = AudioMatch.trackClips(batch)
+          val haveIdx = Option(new java.io.File(s"$idxDir/landmarks")
+            .listFiles()).exists(_.nonEmpty)
+          val res =
+            if (haveIdx) AudioMatch.matchAgainst(s, idxDir, clips)
+            else clips.select(col("clip_id"), lit(0L).as("track_id"),
+              lit(0L).as("offset_frames"), lit(0L).as("votes")).limit(0)
+          res.write.mode("overwrite").parquet(bMatch)
+        }
+        val lmk = AudioMatch.trackLandmarks(batch)
+        if (!new java.io.File(s"$bLmk/_SUCCESS").exists())
+          lmk.withColumn("kb", pmod(col("key"), lit(AudioMatch.KeyBuckets)))
+            .write.mode("overwrite").partitionBy("kb").parquet(bLmk)
+        if (!new java.io.File(s"$bDf/_SUCCESS").exists())
+          lmk.groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+            .coalesce(1).write.mode("overwrite").parquet(bDf)
+      }
+    checkpointLocation.fold(writer)(c => writer.option("checkpointLocation", c))
+      .start()
+  }
+
   /** Run a streaming DataFrame to completion against the bounded
     * source and return the materialized result from a memory sink.
     */

@@ -130,6 +130,68 @@ class Round13Spec extends SparkSpec {
       s"over-cap keys must stop matching at query time: ${after.toSeq}")
   }
 
+  test("streamingAudioIngest: per-batch verdicts equal a replay against the " +
+    "accumulated index; first copy unmatched, a later re-upload matches it") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft-audioing-src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-audioing").toString
+    val tracks = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") % 3 === 1 && length(col("text")) >= 2 * AudioMatch.FrameLen)
+      .select(col("doc_id").as("track_id"),
+        decode(encode(col("text"), "UTF-8"), "UTF-8").as("pcm"))
+    // catalog arrives first (two files), then a RE-UPLOAD of the
+    // longest track under a new id in a later-mtime file
+    tracks.filter(col("track_id") < 300).repartition(1)
+      .write.mode("append").parquet(src)
+    tracks.filter(col("track_id") >= 300).repartition(1)
+      .write.mode("append").parquet(src)
+    val orig = tracks.orderBy(length(col("pcm")).desc, col("track_id").asc)
+      .select(col("track_id"), col("pcm")).head()
+    Thread.sleep(1100) // distinct mtime => the dup file streams last
+    Seq((1000000L, orig.getString(1))).toDF("track_id", "pcm")
+      .repartition(1).write.mode("append").parquet(src)
+
+    val stream = spark.readStream.schema("track_id LONG, pcm STRING")
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = graft.streaming.EventStream.streamingAudioIngest(stream, out)
+    try q.processAllAvailable() finally q.stop()
+
+    val ids = new java.io.File(s"$out/index/landmarks").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName.stripPrefix("batch=").toLong)
+      .sorted
+    assert(ids.length >= 3, s"expected >=3 micro-batches, got ${ids.toSeq}")
+    val all = tracks.unionByName(
+      Seq((1000000L, orig.getString(1))).toDF("track_id", "pcm"))
+    def lmkOf(i: Long) = spark.read
+      .parquet(s"$out/index/landmarks/batch=$i")
+      .select(col("track_id"), col("f"), col("key"), col("kb"))
+    for (i <- ids) {
+      val prior = ids.filter(_ < i)
+      val priorLmk =
+        if (prior.isEmpty) lmkOf(i).limit(0)
+        else prior.map(lmkOf).reduce(_ unionByName _)
+      val batchIds = spark.read.parquet(s"$out/index/landmarks/batch=$i")
+        .select(col("track_id")).distinct()
+      val clips = AudioMatch.trackClips(
+        all.join(batchIds, Seq("track_id")))
+      val expected = AudioMatch.probeIndex(priorLmk,
+          priorLmk.groupBy(col("key")).agg(count(lit(1)).as("cnt")),
+          clips).collect().map(_.toSeq).toSeq
+      val got = spark.read.parquet(s"$out/matches/batch=$i")
+        .select(col("clip_id"), col("track_id"), col("offset_frames"), col("votes"))
+        .orderBy(col("clip_id")).collect().map(_.toSeq).toSeq
+      assert(got == expected, s"batch $i verdicts diverge from replay")
+    }
+    // the re-upload must match its original at the clip offset
+    val dup = spark.read.parquet(s"$out/matches")
+      .filter(col("clip_id") === 1000000L).collect()
+    assert(dup.length == 1, s"re-upload verdict missing: ${dup.toSeq}")
+    assert(dup(0).getLong(1) == orig.getLong(0) &&
+      dup(0).getLong(2) == AudioMatch.ClipOffFrames &&
+      dup(0).getLong(3) == AudioMatch.ClipFrames - 1,
+      s"re-upload must match its original with a full coherent vote: ${dup(0)}")
+  }
+
   // --- cross-encoder rerank ----------------------------------------
 
   test("ceRerank: scores equal an independent in-test recompute over " +

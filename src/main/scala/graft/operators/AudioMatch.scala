@@ -284,14 +284,28 @@ object AudioMatch {
     * broadcast, and the bucket key in the join prunes index files via
     * DPP exactly as in [[matchClipsIndexed]]. Works on both flat and
     * per-batch-staged layouts (extra partition columns are ignored by
-    * the column-explicit probe). */
+    * the column-explicit probe).
+    *
+    * EMPTY-INDEX GUARD: a partitioned write of ZERO landmark rows
+    * (degenerate corpus; a streaming ingest whose first batch has no
+    * landmark-eligible tracks) creates a dir with only `_SUCCESS` — no
+    * parquet footer anywhere, so a naive read dies on schema
+    * inference. An index with no postings matches nothing: return the
+    * empty verdict relation directly. */
   private[graft] def matchAgainst(s: SparkSession, path: String,
-      clips: DataFrame): DataFrame =
-    probeIndex(
+      clips: DataFrame): DataFrame = {
+    def hasParquet(f: java.io.File): Boolean =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.exists(hasParquet)
+      else f.getName.endsWith(".parquet")
+    if (!hasParquet(new java.io.File(s"$path/landmarks")))
+      clips.select(col("clip_id"), lit(0L).as("track_id"),
+        lit(0L).as("offset_frames"), lit(0L).as("votes")).limit(0)
+    else probeIndex(
       s.read.parquet(s"$path/landmarks")
         .select(col("track_id"), col("f"), col("key"), col("kb")),
       s.read.parquet(s"$path/keydf").select(col("key"), col("cnt")),
       clips)
+  }
 
   /** Driver-contract lifecycle query: build the incremental index from
     * the even-id half of the audio corpus, INSERT the odd-id half,

@@ -686,14 +686,11 @@ object EventStream {
         val bLmk = s"$idxDir/landmarks/batch=$batchId"
         val bDf = s"$idxDir/keydf/batch=$batchId"
         if (!new java.io.File(s"$bMatch/_SUCCESS").exists()) {
-          val clips = AudioMatch.trackClips(batch)
-          val haveIdx = Option(new java.io.File(s"$idxDir/landmarks")
-            .listFiles()).exists(_.nonEmpty)
-          val res =
-            if (haveIdx) AudioMatch.matchAgainst(s, idxDir, clips)
-            else clips.select(col("clip_id"), lit(0L).as("track_id"),
-              lit(0L).as("offset_frames"), lit(0L).as("votes")).limit(0)
-          res.write.mode("overwrite").parquet(bMatch)
+          // matchAgainst's empty-index guard covers both the very
+          // first batch (no index dir yet) and a first batch that
+          // staged ZERO landmarks (dir exists, no parquet anywhere)
+          AudioMatch.matchAgainst(s, idxDir, AudioMatch.trackClips(batch))
+            .write.mode("overwrite").parquet(bMatch)
         }
         val lmk = AudioMatch.trackLandmarks(batch)
         if (!new java.io.File(s"$bLmk/_SUCCESS").exists())

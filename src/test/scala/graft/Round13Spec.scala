@@ -192,6 +192,26 @@ class Round13Spec extends SparkSpec {
       s"re-upload must match its original with a full coherent vote: ${dup(0)}")
   }
 
+  test("degenerate audio index: zero landmark-eligible tracks build an " +
+    "empty index that probes cleanly (no schema-inference death)") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-audioempty")
+      .toString + "/idx"
+    // every track shorter than two frames -> zero landmarks staged
+    AudioMatch.buildIncremental(spark,
+      Seq((1L, "tiny"), (2L, "x")).toDF("track_id", "pcm"), path)
+    val clip = Seq((9L, "abcdefghijklmnop" * 2)).toDF("clip_id", "cpcm")
+    val out = AudioMatch.matchAgainst(spark, path, clip)
+    assert(out.collect().isEmpty)
+    assert(out.columns.toSeq ==
+      Seq("clip_id", "track_id", "offset_frames", "votes"))
+    // inserting real tracks afterwards revives the index
+    AudioMatch.insertTracks(spark,  path,
+      Seq((3L, "abcdefghijklmnop" * 3)).toDF("track_id", "pcm"))
+    val revived = AudioMatch.matchAgainst(spark, path, clip).collect()
+    assert(revived.length == 1 && revived(0).getLong(1) == 3L)
+  }
+
   // --- cross-encoder rerank ----------------------------------------
 
   test("ceRerank: scores equal an independent in-test recompute over " +

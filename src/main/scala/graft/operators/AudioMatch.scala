@@ -90,6 +90,13 @@ object AudioMatch {
   private def landmarks(rows: DataFrame, pcm: Column,
       idName: String, posName: String): DataFrame = {
     val nF = floor(length(pcm) / lit(FrameLen)).cast("int")
+    // per-sample `substr(pos, 1)` + ascii, NOT a split-once char
+    // array: a `split(pcm, "")` bound outside the lambda is inlined
+    // into every element_at access by codegen (no common-subexpression
+    // elimination inside higher-order functions), replaying the regex
+    // split per SAMPLE — measured 1.7 s → 14 s at sf0.1. substr is a
+    // byte-offset slice on this ASCII payload and stays O(FrameLen)
+    // per frame
     val energies = transform(sequence(lit(0), nF - 1), f =>
       pmod(aggregate(sequence(lit(1), lit(FrameLen)), lit(0L),
         (acc, k) => acc + ascii(pcm.substr(f * lit(FrameLen) + k, lit(1))).cast("long")),

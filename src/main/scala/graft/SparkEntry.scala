@@ -228,6 +228,10 @@ object SparkEntry {
     // at query time), probe — row-identical to the full-corpus match
     "q_audio_match_incremental" -> ((s: SparkSession, d: String) =>
       AudioMatch.matchClipsIncremental(s, d)),
+    // ALL coherent matches above the vote floor (a catalog with
+    // duplicate tracks returns every copy, not the tie-break winner)
+    "q_audio_match_all" -> ((s: SparkSession, d: String) =>
+      AudioMatch.matchClipsAll(s, d)),
     // events / time series
     "q_events_hourly" -> (EventsQueries.hourlyCounts _),
     "q_events_daily" -> (EventsQueries.dailyActivity _),
@@ -1450,6 +1454,8 @@ object SparkEntry {
     // = exactly the full-corpus df semantics
     "q_audio_match_incremental" ->
       graft.operators.AudioMatch.matchClipsOracleSql,
+    "q_audio_match_all" ->
+      graft.operators.AudioMatch.matchClipsAllOracleSql,
     "q_events_hourly" ->
       """SELECT CAST(ts AS DATE) AS event_date,
         | CAST(EXTRACT(hour FROM ts) AS BIGINT) AS event_hour,

@@ -148,6 +148,73 @@ object AudioMatch {
       .orderBy(col("clip_id"))
   }
 
+  /** Multi-match vote floor: a (clip, track, offset) needs at least
+    * this many offset-coherent landmark votes to be reported by
+    * [[matchClipsAll]] — half the full vote, so truncated/partial
+    * copies still surface while scattered chance collisions (votes
+    * 1–2 at test scale) don't. */
+  val MinVotes = 4
+
+  /** ALL coherent matches per clip (votes ≥ [[MinVotes]]) — the
+    * production report shape: a catalog with duplicate tracks should
+    * return EVERY copy, not the tie-break winner [[matchClips]] keeps;
+    * a track whose content repeats can match one clip at several
+    * offsets, and each coherent offset is its own row. Output bounded
+    * by coherent matches (≥ MinVotes needs that many shared landmarks
+    * at ONE offset — chance collisions scatter), never candidates.
+    */
+  def matchClipsAll(s: SparkSession, dir: String): DataFrame =
+    allCoherentMatches(
+      landmarks(audio(s, dir), col("pcm"), "media_id", "f")
+        .withColumnRenamed("media_id", "track_id"),
+      clipRel(s, dir))
+
+  /** Multi-match core over in-memory relations (spec-injectable). */
+  private[graft] def allCoherentMatches(idx: DataFrame, clips: DataFrame,
+      minVotes: Int = MinVotes): DataFrame = {
+    val keep = idx.groupBy(col("key")).agg(count(lit(1)).as("kdf"))
+      .filter(col("kdf") <= MaxKeyDf).select(col("key"))
+    val clipLmk = landmarks(clips, col("cpcm"), "clip_id", "j")
+    idx.join(broadcast(keep), Seq("key"))
+      .join(broadcast(clipLmk), Seq("key"))
+      .groupBy(col("clip_id"), col("track_id"),
+        (col("f") - col("j")).as("offset_frames"))
+      .agg(count(lit(1)).as("votes"))
+      .filter(col("votes") >= minVotes)
+      .orderBy(col("clip_id"), col("track_id"), col("offset_frames"))
+  }
+
+  /** DuckDB restatement of [[matchClipsAll]]. */
+  def matchClipsAllOracleSql: String =
+    s"""WITH $lmkChainSql, keep AS (
+       |  SELECT key FROM (SELECT key, count(*) AS kdf FROM lmk GROUP BY 1)
+       |  WHERE kdf <= $MaxKeyDf
+       |), clips AS (
+       |  SELECT media_id AS clip_id,
+       |         substring(text, ${ClipOffFrames * FrameLen + 1},
+       |                   ${ClipFrames * FrameLen}) AS ctext
+       |  FROM audio
+       |  WHERE media_id % $ClipMod = 0
+       |    AND length(text) >= ${(ClipOffFrames + ClipFrames) * FrameLen}
+       |), csmp AS (
+       |  SELECT clip_id, CAST((t.i - 1) // $FrameLen AS BIGINT) AS j,
+       |         ord(substring(ctext, CAST(t.i AS INT), 1)) AS v
+       |  FROM clips, UNNEST(range(1, ${ClipFrames * FrameLen} + 1)) AS t(i)
+       |), cen AS (
+       |  SELECT clip_id, j, CAST(sum(v) % 256 AS BIGINT) AS e
+       |  FROM csmp GROUP BY 1, 2
+       |), clmk AS (
+       |  SELECT a.clip_id, a.j, a.e * 256 + b.e AS key
+       |  FROM cen a JOIN cen b ON b.clip_id = a.clip_id AND b.j = a.j + 1
+       |)
+       |SELECT c.clip_id, l.media_id AS track_id, l.f - c.j AS offset_frames,
+       |       CAST(count(*) AS BIGINT) AS votes
+       |FROM clmk c JOIN keep k ON k.key = c.key
+       |     JOIN lmk l ON l.key = c.key
+       |GROUP BY 1, 2, 3
+       |HAVING count(*) >= $MinVotes
+       |ORDER BY clip_id, track_id, offset_frames""".stripMargin
+
   /** Key-bucket width for the persisted index layout: 64 partition
     * dirs (not 65536 — one dir per key would drown the file listing at
     * metadata scale; 64 buckets × many files each keeps both the

@@ -212,6 +212,34 @@ class Round13Spec extends SparkSpec {
     assert(revived.length == 1 && revived(0).getLong(1) == 3L)
   }
 
+  test("matchClipsAll: duplicate catalog tracks EACH report (the top-1 " +
+    "variant would keep only the tie-break winner); vote floor holds") {
+    import spark.implicits._
+    // 12 DISTINCT frames (a frame-periodic payload would coherently
+    // match at every offset — correct, but not what this test pins)
+    val payload = (0 until 12)
+      .map(i => ('a' + i).toChar.toString * AudioMatch.FrameLen).mkString
+    val idx = AudioMatch.trackLandmarks(
+        Seq((7L, payload), (3L, payload), (9L, "zzzz" * 16))
+          .toDF("track_id", "pcm"))
+      .withColumn("kb", pmod(col("key"), lit(AudioMatch.KeyBuckets)))
+    // clip = frames 0..5 of the duplicated payload (5 landmarks)
+    val clip = Seq((100L, payload.substring(0, 6 * AudioMatch.FrameLen)))
+      .toDF("clip_id", "cpcm")
+    val all = AudioMatch.allCoherentMatches(idx, clip).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(all.toSet == Set((3L, 0L, 5L), (7L, 0L, 5L)),
+      s"both duplicate tracks must report with full votes: ${all.toSeq}")
+    // the top-1 probe keeps only the smaller track id
+    val top = AudioMatch.probeIndex(idx,
+      idx.groupBy(col("key")).agg(count(lit(1)).as("cnt")), clip).collect()
+    assert(top.length == 1 && top(0).getLong(1) == 3L)
+    // below the floor: a 3-frame clip has 2 coherent votes < MinVotes
+    val short = Seq((101L, payload.substring(0, 3 * AudioMatch.FrameLen)))
+      .toDF("clip_id", "cpcm")
+    assert(AudioMatch.allCoherentMatches(idx, short).collect().isEmpty)
+  }
+
   // --- cross-encoder rerank ----------------------------------------
 
   test("ceRerank: scores equal an independent in-test recompute over " +

@@ -192,24 +192,38 @@ object Multimodal {
     val positions = sequence(lit(1), greatest(length(col("content")) - 15, lit(1)), lit(4))
     val wins = media.select(col("media_id"),
         explode(transform(positions, p => col("content").substr(p, lit(16)))).as("win"))
-      .distinct()
-    // window-frequency gate before the self-join, BOTH directions —
-    // the q_dedup_groups_exact df-cut discipline, mirrored exactly in
-    // the oracle SQL so the result stays hash-checkable:
+    // gram-keyed shuffle blocking (the q_repeated_spans shape): ONE
+    // shuffle of the window relation groups each window's DISTINCT
+    // media set (collect_set dedupes with map-side partials, so the
+    // former standalone `.distinct()` pass is subsumed), and the
+    // window-frequency gate — identical semantics, mirrored exactly in
+    // the oracle SQL so the result stays hash-checkable — is `size()`
+    // on the grouped set:
     //  - df >= 2: singleton windows (the vast majority) can never pair
-    //    and must not enter the join shuffle at all;
+    //    and are dropped before any pair exists;
     //  - df <= maxDf: a window shared by hundreds of payloads is
     //    structural boilerplate, not duplication evidence, and its
     //    df² candidate fan-out is the super-linear term (measured at
     //    the sf1 battery: Σ df·(df−1)/2 = 79.3M pre-distinct pairs
     //    uncapped vs 15.7M at df ≤ 64, with max df 217).
-    val keep = wins.groupBy(col("win")).agg(count(lit(1)).as("w_df"))
-      .filter(col("w_df") >= 2 && col("w_df") <= maxDf)
-      .select(col("win"))
-    val shared = wins.join(keep, Seq("win"))
-    val cand = shared.as("a").join(shared.as("b"),
-        col("a.win") === col("b.win") && col("a.media_id") < col("b.media_id"))
-      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"))
+    // The r13 shape — distinct → groupBy-count → semi-join → SELF-JOIN —
+    // shuffled the full 16-byte-window relation four times and re-shuffled
+    // every shared-window occurrence through a join; it measured
+    // 7.07×/decade at the sf1 battery (13.6 s at sf1). Here pairs are
+    // generated MAP-SIDE from each ≤ maxDf-sized group (ordered a < b via
+    // the sorted set — each unordered pair exactly once per shared
+    // window), so after the one grouping shuffle only the pair ids
+    // themselves move, through the final distinct.
+    val grouped = wins.groupBy(col("win"))
+      .agg(collect_set(col("media_id")).as("ms"))
+      .filter(size(col("ms")).between(2, maxDf))
+      .select(array_sort(col("ms")).as("ms"))
+    val cand = grouped
+      .select(explode(flatten(transform(col("ms"), (a, i) =>
+        transform(slice(col("ms"), i + lit(2), size(col("ms"))),
+          b => array(a, b))))).as("p"))
+      .select(element_at(col("p"), 1).as("media_a"),
+        element_at(col("p"), 2).as("media_b"))
       .distinct()
     graft.functions.VectorFunctions.register(s)
     val hv = byteHistVec(s, media)

@@ -41,6 +41,11 @@ import org.apache.spark.sql.SparkSession
   * [[Bench.MaxAttempts]]); if every attempt is contaminated the
   * artifact publishes `steal_contaminated: true` with a NULL total —
   * a 77.8%-steal run (r9) must never lock a round as comparable.
+  * Load gate (r14): before ANY work the bench waits for the 1-minute
+  * loadavg to drop below [[Bench.LoadGateMax]] (see [[Bench.loadGate]])
+  * and records `load_gate_passed`/`load_gate_waited_sec` in both
+  * output lines — steal is blind to guest-local contention and r13's
+  * battery started at loadavg 4.1, drifting every number +15%.
   */
 object Bench {
 
@@ -179,6 +184,36 @@ object Bench {
   private val MaxAttempts = 3
   private val RetryPauseMs = 90000L
 
+  /** Loadavg gate (r13 lesson): steal ≠ load — the r13 battery passed
+    * the steal gate at 1.2% but STARTED at loadavg 4.1 and drifted +15%
+    * uniformly vs r12, costing round-over-round comparability and
+    * flagging one query's spread on ambient contention. So before any
+    * measurement the bench WAITS for the 1-minute load to drop below
+    * [[LoadGateMax]] (sampling every [[LoadGatePollMs]], up to
+    * [[LoadGateWaitMs]]); if the box never goes idle the battery still
+    * runs (refusing forever would ship no artifact at all) but records
+    * `load_gate_passed: false` so the round can't silently read as
+    * comparable. The idle reference (BENCH_IDLE.json) starts at 0.47.
+    */
+  private val LoadGateMax = 1.0
+  private val LoadGatePollMs = 15000L
+  private val LoadGateWaitMs = 600000L
+
+  /** Block until 1-minute loadavg < [[LoadGateMax]] or the wait budget
+    * is spent. Returns (passed, waitedSeconds, lastLoad). */
+  private def loadGate(): (Boolean, Double, Double) = {
+    val t0 = System.nanoTime()
+    var l = loadavg().map(_.head).getOrElse(0.0)
+    while (l >= LoadGateMax &&
+        (System.nanoTime() - t0) < LoadGateWaitMs * 1000000L) {
+      System.err.println(f"[bench] load gate: 1m loadavg $l%.2f >= " +
+        f"$LoadGateMax%.1f — waiting for an idle window")
+      Thread.sleep(LoadGatePollMs)
+      l = loadavg().map(_.head).getOrElse(0.0)
+    }
+    (l < LoadGateMax, (System.nanoTime() - t0) / 1e9, l)
+  }
+
   private def measure(spark: SparkSession, sfDir: String): Attempt = {
     val loadBefore = loadavg()
     val jiffiesBefore = cpuJiffies()
@@ -242,6 +277,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cores = Runtime.getRuntime.availableProcessors()
+
+    // load gate BEFORE any work (even session startup): wait for an
+    // idle 1-minute loadavg so the battery starts comparable (see
+    // [[loadGate]]); the steal gate below covers hypervisor throttling
+    // the loadavg can't see
+    val (loadGatePassed, loadGateWaited, loadGateLast) = loadGate()
+
     val spark = GraftSession.local(appName = "graft-bench")
 
     // steal gate: a host-throttled window is an environmental failure
@@ -281,7 +323,8 @@ object Bench {
     // `failed`/`spread_flagged` repeat here so the sidecar alone is
     // self-describing about coverage: `runs` omitting a query could
     // otherwise mean either "removed from suite" or "failed this run"
-    val evidence = s"""{"evidence":"graft-bench","runs":$runsJson,"failed":$failedJson,"spread_flagged":$spreadJson,"loadavg_before":${loadJson(loadBefore)},"loadavg_started":${loadJson(loadStarted)},"loadavg_after":${loadJson(loadAfter)},"cpu_steal_pct":$stealJson,"steal_contaminated":$stealContaminated,"attempts":$attempts,"cores":$cores,"sf":"$sfDir"}"""
+    val loadGateJson = f""""load_gate_passed":$loadGatePassed,"load_gate_waited_sec":$loadGateWaited%.0f,"load_gate_last":$loadGateLast%.2f"""
+    val evidence = s"""{"evidence":"graft-bench","runs":$runsJson,"failed":$failedJson,"spread_flagged":$spreadJson,"loadavg_before":${loadJson(loadBefore)},"loadavg_started":${loadJson(loadStarted)},"loadavg_after":${loadJson(loadAfter)},"cpu_steal_pct":$stealJson,"steal_contaminated":$stealContaminated,$loadGateJson,"attempts":$attempts,"cores":$cores,"sf":"$sfDir"}"""
     // sidecar survives even if both stdout lines are clipped
     try {
       java.nio.file.Files.write(
@@ -294,7 +337,7 @@ object Bench {
     // the driver contract line: compact and LAST so a stdout-tail
     // capture of any reasonable size keeps it whole (r6 lost the
     // headline to a single oversized line — never again)
-    println(s"""{"metric":"total","value":$totalJson,"unit":"sec","timing":"median_of_runs_after_warmup","queries":$qs,"spread_flagged":$spreadJson,"failed":$failedJson,"contended_start":$contended,"cpu_steal_pct":$stealJson,"steal_contaminated":$stealContaminated,"attempts":$attempts,"cores":$cores,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$totalJson,"unit":"sec","timing":"median_of_runs_after_warmup","queries":$qs,"spread_flagged":$spreadJson,"failed":$failedJson,"contended_start":$contended,"cpu_steal_pct":$stealJson,"steal_contaminated":$stealContaminated,$loadGateJson,"attempts":$attempts,"cores":$cores,"sf":"$sfDir"}""")
     spark.stop()
     // a partially-failed bench must not look green to exit-code
     // automation (r8: 13 failed queries rode out under rc 0)

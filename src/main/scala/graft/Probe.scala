@@ -62,6 +62,46 @@ object Probe {
       println(f"[probe] sf1 ${args(1)} median=${Bench.median(ts)}%.2f s all=${ts.map(t => f"$t%.2f").mkString(",")}")
       spark.stop(); return
     }
+    if (args.headOption.contains("spread")) {
+      // spread/GC forensics for one query (the ZORDER_PROBE method):
+      // optional heap-dirtying query first, then the Bench discipline
+      // (1 warm-up, System.gc quiesce) and 12 timed runs, each recording
+      // the delta of cumulative GC pause time/count from the JVM's
+      // collector beans — a slow run whose GC delta explains the gap is
+      // allocation/ambient-heap context, not operator work. Writes
+      // SPREAD_PROBE.json. Usage: Probe spread <query> [dirtyQuery]
+      val fn = queryArg()
+      val dir = "/root/testdata/sf0.1"
+      def noop(f: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+        f(spark, dir).write.format("noop").mode("overwrite").save()
+      import scala.jdk.CollectionConverters._
+      def gcStats(): (Long, Long) = {
+        val beans = java.lang.management.ManagementFactory
+          .getGarbageCollectorMXBeans.asScala
+        (beans.map(_.getCollectionTime).sum, beans.map(_.getCollectionCount).sum)
+      }
+      args.lift(2).foreach { d =>
+        val dirty = SparkEntry.queries(d)
+        time(s"dirty $d")(noop(dirty))
+      }
+      noop(fn) // warm-up (untimed, as in Bench)
+      System.gc()
+      val runs = (1 to 12).map { _ =>
+        val (g0, c0) = gcStats()
+        val t0 = System.nanoTime()
+        noop(fn)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val (g1, c1) = gcStats()
+        (sec, (g1 - g0) / 1000.0, c1 - c0)
+      }
+      val json = s"""{"probe":"spread","query":"${args(1)}","dirty":"${args.lift(2).getOrElse("")}","runs":[""" +
+        runs.map { case (s, g, c) =>
+          f"""{"sec":$s%.3f,"gc_sec":$g%.3f,"gc_n":$c}""" }.mkString(",") + "]}"
+      println(json)
+      java.nio.file.Files.write(java.nio.file.Paths.get("SPREAD_PROBE.json"),
+        (json + "\n").getBytes("UTF-8"))
+      spark.stop(); return
+    }
     if (args.headOption.contains("query")) {
       // time one SparkEntry query at sf0.1 (warm-up + 3 timed runs) —
       // the same noop-sink materialization Bench uses

@@ -20,9 +20,16 @@ import org.apache.spark.sql.functions._
   *     frame dropped, so every frame is full-width on both engines).
   *  2. FEATURE: per-frame energy `sum(samples) mod 256` — one byte of
   *     frame identity (the spectral-peak stand-in).
-  *  3. LANDMARKS: consecutive-frame feature pairs hashed into a
-  *     16-bit key (e_f · 256 + e_{f+1}) — the constellation pair with
-  *     dt = 1. One (track, frame, key) row per landmark.
+  *  3. LANDMARKS: frame-feature pairs over a TARGET ZONE — every
+  *     (f, f+dt) pair with dt ∈ [1, [[MaxDt]]] (Wang 2003 §2's anchor
+  *     fan-out), hashed into an 18-bit key
+  *     ((e_f · 256 + e_{f+dt}) · 4 + dt). One (track, frame, key) row
+  *     per landmark. The fan-out is the robustness story: a corrupted
+  *     byte poisons ONE frame's feature and with dt = 1 only that
+  *     kills every pair chain through it — periodic corruption (every
+  *     other frame) zeroes the dt = 1 vote entirely, while dt = 2/3
+  *     pairs between surviving frames still accumulate offset-coherent
+  *     votes (spec-pinned with a flipped-byte excerpt).
   *  4. INDEX + DF CAP: landmarks whose key occurs more than
   *     [[MaxKeyDf]] times corpus-wide are dropped from the index —
   *     a key shared by thousands of tracks identifies nothing and its
@@ -56,6 +63,12 @@ object AudioMatch {
     * synthetic payloads (median ~300 bytes). */
   val FrameLen = 16
 
+  /** Target-zone width: each anchor frame f pairs with frames f+1 …
+    * f+MaxDt (Wang 2003's fan-out). 3 multiplies index size by ~3 and
+    * buys survival of periodic single-byte corruption that defeats a
+    * dt = 1-only constellation (see the robustness spec). */
+  val MaxDt = 3
+
   /** Clip excerpt geometry: clips start at frame [[ClipOffFrames]] of
     * their source track (frame-aligned, as a real fingerprint matcher
     * guarantees by sliding the query window) and run [[ClipFrames]]
@@ -83,12 +96,18 @@ object AudioMatch {
 
   /** (id, pos, key) landmark relation for a PCM string column: frame
     * energies as one codegen'd fold (no per-sample explode), then
-    * consecutive-pair keys. Tracks shorter than two full frames have
+    * target-zone pair keys — for each anchor f, one landmark per dt in
+    * [1, maxDt] that stays in range (the inner sequence bound
+    * `least(maxDt, nF-1-f)` is ≥ 1 for every generated anchor, so no
+    * descending `sequence`). Tracks shorter than two full frames have
     * no landmarks and are filtered before the sequence expressions
     * (Spark's `sequence(a, b)` with b < a would count DOWN).
+    * `maxDt` parameterizes the whole chain so the robustness spec can
+    * compare the dt = 1-only constellation against the fan-out on the
+    * same payloads.
     */
   private def landmarks(rows: DataFrame, pcm: Column,
-      idName: String, posName: String): DataFrame = {
+      idName: String, posName: String, maxDt: Int = MaxDt): DataFrame = {
     val nF = floor(length(pcm) / lit(FrameLen)).cast("int")
     // per-sample `substr(pos, 1)` + ascii, NOT a split-once char
     // array: a `split(pcm, "")` bound outside the lambda is inlined
@@ -104,15 +123,17 @@ object AudioMatch {
     rows.filter(length(pcm) >= 2 * FrameLen)
       .select(col(idName), energies.as("en"))
       .select(col(idName),
-        explode(transform(sequence(lit(0), size(col("en")) - 2), f =>
-          struct(f.cast("long").as(posName),
-            (element_at(col("en"), f + 1) * 256 +
-              element_at(col("en"), f + 2)).as("key")))).as("lm"))
+        explode(flatten(transform(sequence(lit(0), size(col("en")) - 2), f =>
+          transform(sequence(lit(1), least(lit(maxDt), size(col("en")) - 1 - f)),
+            dt => struct(f.cast("long").as(posName),
+              ((element_at(col("en"), f + 1) * 256 +
+                element_at(col("en"), f + dt + 1)) * 4 + dt).as("key"))))))
+          .as("lm"))
       .select(col(idName), col(s"lm.$posName").as(posName), col("lm.key").as("key"))
   }
 
   /** The corpus landmark index: (media_id, f, key), one row per
-    * consecutive-frame pair per audio track. Oracle-exact.
+    * target-zone frame pair per audio track. Oracle-exact.
     */
   def fingerprint(s: SparkSession, dir: String): DataFrame =
     landmarks(audio(s, dir), col("pcm"), "media_id", "f")
@@ -128,8 +149,8 @@ object AudioMatch {
     val a = audio(s, dir)
     val idx = landmarks(a, col("pcm"), "media_id", "f")
       .withColumnRenamed("media_id", "track_id")
-    // key-df cap: the keep set is bounded by the 16-bit key space
-    // (≤ 65536 rows) — broadcast, never a shuffle of the index
+    // key-df cap: the keep set is bounded by the 18-bit key space
+    // (≤ 262144 rows) — broadcast, never a shuffle of the index
     val keep = idx.groupBy(col("key")).agg(count(lit(1)).as("kdf"))
       .filter(col("kdf") <= MaxKeyDf).select(col("key"))
     val idxKept = idx.join(broadcast(keep), Seq("key"))
@@ -148,12 +169,17 @@ object AudioMatch {
       .orderBy(col("clip_id"))
   }
 
+  /** The full coherent vote of an intact clip: one landmark per
+    * (anchor, dt) pair that fits inside [[ClipFrames]] frames —
+    * Σ_{dt=1..MaxDt} (ClipFrames − dt) = 18 at the default geometry. */
+  val FullVote: Int = (1 to MaxDt).map(ClipFrames - _).sum
+
   /** Multi-match vote floor: a (clip, track, offset) needs at least
     * this many offset-coherent landmark votes to be reported by
     * [[matchClipsAll]] — half the full vote, so truncated/partial
     * copies still surface while scattered chance collisions (votes
     * 1–2 at test scale) don't. */
-  val MinVotes = 4
+  val MinVotes: Int = FullVote / 2
 
   /** ALL coherent matches per clip (votes ≥ [[MinVotes]]) — the
     * production report shape: a catalog with duplicate tracks should
@@ -169,12 +195,15 @@ object AudioMatch {
         .withColumnRenamed("media_id", "track_id"),
       clipRel(s, dir))
 
-  /** Multi-match core over in-memory relations (spec-injectable). */
+  /** Multi-match core over in-memory relations (spec-injectable;
+    * `maxDt` lets the robustness spec compare the dt = 1-only
+    * constellation against the fan-out — the index passed in must use
+    * the same width). */
   private[graft] def allCoherentMatches(idx: DataFrame, clips: DataFrame,
-      minVotes: Int = MinVotes): DataFrame = {
+      minVotes: Int = MinVotes, maxDt: Int = MaxDt): DataFrame = {
     val keep = idx.groupBy(col("key")).agg(count(lit(1)).as("kdf"))
       .filter(col("kdf") <= MaxKeyDf).select(col("key"))
-    val clipLmk = landmarks(clips, col("cpcm"), "clip_id", "j")
+    val clipLmk = landmarks(clips, col("cpcm"), "clip_id", "j", maxDt)
     idx.join(broadcast(keep), Seq("key"))
       .join(broadcast(clipLmk), Seq("key"))
       .groupBy(col("clip_id"), col("track_id"),
@@ -204,8 +233,9 @@ object AudioMatch {
        |  SELECT clip_id, j, CAST(sum(v) % 256 AS BIGINT) AS e
        |  FROM csmp GROUP BY 1, 2
        |), clmk AS (
-       |  SELECT a.clip_id, a.j, a.e * 256 + b.e AS key
-       |  FROM cen a JOIN cen b ON b.clip_id = a.clip_id AND b.j = a.j + 1
+       |  SELECT a.clip_id, a.j, (a.e * 256 + b.e) * 4 + (b.j - a.j) AS key
+       |  FROM cen a JOIN cen b ON b.clip_id = a.clip_id
+       |   AND b.j - a.j BETWEEN 1 AND $MaxDt
        |)
        |SELECT c.clip_id, l.media_id AS track_id, l.f - c.j AS offset_frames,
        |       CAST(count(*) AS BIGINT) AS votes
@@ -216,7 +246,7 @@ object AudioMatch {
        |ORDER BY clip_id, track_id, offset_frames""".stripMargin
 
   /** Key-bucket width for the persisted index layout: 64 partition
-    * dirs (not 65536 — one dir per key would drown the file listing at
+    * dirs (not 262144 — one dir per key would drown the file listing at
     * metadata scale; 64 buckets × many files each keeps both the
     * listing and the pruning granularity sane). */
   val KeyBuckets = 64
@@ -239,7 +269,7 @@ object AudioMatch {
       new java.io.File(s"$dir/documents.parquet"))
     val path = ArtifactCache.ensure(
       s"/tmp/graft-audioidx/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}" +
-        s"-$fp-w$FrameLen-df$MaxKeyDf") { tmp =>
+        s"-$fp-w$FrameLen-df$MaxKeyDf-dt$MaxDt-b$KeyBuckets") { tmp =>
       val idx = landmarks(audio(s, dir), col("pcm"), "media_id", "f")
         .withColumnRenamed("media_id", "track_id")
       val keep = idx.groupBy(col("key")).agg(count(lit(1)).as("kdf"))
@@ -286,13 +316,14 @@ object AudioMatch {
   // metadata-scale per-key df table maintained as APPEND-ONLY partials
   // (landmark counts are algebraic, the maintainDictionary discipline
   // — no read-overwrite hazard, crash = at worst a re-appendable
-  // partial). The probe aggregates ≤ key-space rows (65536) to get
+  // partial). The probe aggregates ≤ key-space rows (262144) to get
   // live dfs, so an over-cap key is excluded from every later probe
   // without touching storage, and insert cost is ∝ the delta.
 
   /** Landmark relation of a (track_id, pcm) relation. */
-  private[graft] def trackLandmarks(tracks: DataFrame): DataFrame =
-    landmarks(tracks, col("pcm"), "track_id", "f")
+  private[graft] def trackLandmarks(tracks: DataFrame,
+      maxDt: Int = MaxDt): DataFrame =
+    landmarks(tracks, col("pcm"), "track_id", "f", maxDt)
 
   /** Frame-aligned excerpt of every clip-eligible track in a
     * (track_id, pcm) relation — the ingest-time probe set (no ClipMod
@@ -328,7 +359,7 @@ object AudioMatch {
   }
 
   /** The probe core over in-memory relations: landmark postings, raw
-    * df partials (summed here — ≤ 65536 live rows), and a
+    * df partials (summed here — ≤ 262144 live rows), and a
     * (clip_id, cpcm) clip set. Shared by [[matchAgainst]] and the
     * streaming-ingest replay spec. */
   private[graft] def probeIndex(idx: DataFrame, dfPartials: DataFrame,
@@ -353,7 +384,7 @@ object AudioMatch {
   }
 
   /** Probe an incremental index with a (clip_id, cpcm) relation. The
-    * live df table (partials summed — ≤ 65536 rows) applies the cap at
+    * live df table (partials summed — ≤ 262144 rows) applies the cap at
     * query time; the capped keep set and the clip landmarks both
     * broadcast, and the bucket key in the join prunes index files via
     * DPP exactly as in [[matchClipsIndexed]]. Works on both flat and
@@ -396,7 +427,7 @@ object AudioMatch {
       new java.io.File(s"$dir/documents.parquet"))
     val path = ArtifactCache.ensure(
       s"/tmp/graft-audioincr/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}" +
-        s"-$fp-w$FrameLen-df$MaxKeyDf") { tmp =>
+        s"-$fp-w$FrameLen-df$MaxKeyDf-dt$MaxDt-b$KeyBuckets") { tmp =>
       val tracks = audio(s, dir)
         .select(col("media_id").as("track_id"), col("pcm"))
       buildIncremental(s, tracks.filter(col("track_id") % 2 === 0), tmp)
@@ -423,8 +454,9 @@ object AudioMatch {
        |  SELECT media_id, f, CAST(sum(v) % 256 AS BIGINT) AS e
        |  FROM smp GROUP BY 1, 2
        |), lmk AS (
-       |  SELECT a.media_id, a.f, a.e * 256 + b.e AS key
-       |  FROM en a JOIN en b ON b.media_id = a.media_id AND b.f = a.f + 1
+       |  SELECT a.media_id, a.f, (a.e * 256 + b.e) * 4 + (b.f - a.f) AS key
+       |  FROM en a JOIN en b ON b.media_id = a.media_id
+       |   AND b.f - a.f BETWEEN 1 AND $MaxDt
        |)""".stripMargin
 
   /** DuckDB restatement of [[fingerprint]]. */
@@ -453,8 +485,9 @@ object AudioMatch {
        |  SELECT clip_id, j, CAST(sum(v) % 256 AS BIGINT) AS e
        |  FROM csmp GROUP BY 1, 2
        |), clmk AS (
-       |  SELECT a.clip_id, a.j, a.e * 256 + b.e AS key
-       |  FROM cen a JOIN cen b ON b.clip_id = a.clip_id AND b.j = a.j + 1
+       |  SELECT a.clip_id, a.j, (a.e * 256 + b.e) * 4 + (b.j - a.j) AS key
+       |  FROM cen a JOIN cen b ON b.clip_id = a.clip_id
+       |   AND b.j - a.j BETWEEN 1 AND $MaxDt
        |), votes AS (
        |  SELECT c.clip_id, l.media_id AS track_id, l.f - c.j AS offset_frames,
        |         CAST(count(*) AS BIGINT) AS votes

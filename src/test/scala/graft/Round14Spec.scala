@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Multimodal
+import graft.operators.{AudioMatch, Multimodal}
 
 /** Round-14 scale/robustness work. The DuckDB oracle gate re-checks
   * the exact outputs; these specs pin what the oracle can't — the
@@ -76,5 +76,42 @@ class Round14Spec extends SparkSpec {
       l.contains("HashAggregate") && l.contains("keys=[win"))
     assert(winAggs == 2, // partial + final of the ONE grouping
       s"expected one partial+final window aggregate pair, saw $winAggs")
+  }
+
+  // --- audio landmark fan-out robustness ----------------------------
+
+  test("audio target-zone fan-out: an excerpt with every other frame " +
+    "corrupted still matches coherently, while a dt=1-only " +
+    "constellation collects ZERO votes on the same bytes") {
+    import spark.implicits._
+    val w = AudioMatch.FrameLen
+    // 16 frames with pairwise-distinct energies: frame i is char
+    // ('!'+i) repeated, energy = 16·(33+i) mod 256 — injective on 0..15
+    val payload = (0 until 16).map(i => ('!' + i).toChar.toString * w).mkString
+    val track = Seq((1L, payload)).toDF("track_id", "pcm")
+    // clip = frames 4..11 of the track, then ONE byte flipped (char+1)
+    // in each of its odd frames 1,3,5,7 — every dt=1 pair inside the
+    // clip touches a corrupted frame, so the dt=1 chain is fully
+    // severed; the even frames 0,2,4,6 survive and pair at dt=2
+    val lo = AudioMatch.ClipOffFrames * w
+    val clean = payload.substring(lo, lo + AudioMatch.ClipFrames * w)
+    val corrupted = clean.toCharArray
+    Seq(1, 3, 5, 7).foreach(f => corrupted(f * w) = (corrupted(f * w) + 1).toChar)
+    val clip = Seq((100L, new String(corrupted))).toDF("clip_id", "cpcm")
+
+    val dt1 = AudioMatch.allCoherentMatches(
+      AudioMatch.trackLandmarks(track, maxDt = 1), clip,
+      minVotes = 1, maxDt = 1).collect()
+    assert(dt1.isEmpty,
+      s"dt=1-only constellation must be defeated by the flips: ${dt1.toSeq}")
+
+    val fan = AudioMatch.allCoherentMatches(
+      AudioMatch.trackLandmarks(track), clip, minVotes = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // surviving coherent votes: the dt=2 pairs between clean frames
+    // (0,2), (2,4), (4,6) — all at the true offset
+    assert(fan.toSeq == Seq((100L, 1L,
+        AudioMatch.ClipOffFrames.toLong, 3L)),
+      s"fan-out must keep the corrupted excerpt matchable: ${fan.toSeq}")
   }
 }

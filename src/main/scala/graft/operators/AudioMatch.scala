@@ -358,6 +358,81 @@ object AudioMatch {
       .coalesce(1).write.mode("append").parquet(s"$path/keydf")
   }
 
+  /** Phase A of [[compactKeyDf]]: sum the CURRENT df part files into a
+    * hidden temp dir, then commit by writing the marker naming exactly
+    * the files merged. Returns false (no-op) when ≤ 1 part file exists
+    * or a previous compaction's marker is already pending (resume that
+    * one instead of re-merging over a half-swapped table). Split out so
+    * the crash-resume spec can stop exactly between the phases. */
+  private[graft] def compactKeyDfPhaseA(s: SparkSession, path: String): Boolean = {
+    val root = new java.io.File(s"$path/keydf")
+    val marker = new java.io.File(root, ".compact-commit")
+    val tmp = new java.io.File(root, ".compact-tmp")
+    if (marker.exists()) return true
+    val files = keyDfParts(root)
+    if (files.size <= 1) return false
+    ArtifactCache.deleteRecursively(tmp)
+    s.read.parquet(files.map(_.getPath): _*)
+      .groupBy(col("key")).agg(sum(col("cnt")).as("cnt"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+    // the marker records the EXACT inputs merged into the temp dir:
+    // phase B may strip only these — a partial appended by an insert
+    // racing the compaction is absent from the merge and must survive
+    java.nio.file.Files.write(marker.toPath,
+      files.map(_.getName).mkString("\n").getBytes("UTF-8"))
+    true
+  }
+
+  private def keyDfParts(root: java.io.File): Seq[java.io.File] =
+    Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+
+  /** Compact the append-only per-key df partials at `path/keydf` into
+    * one merged partial. [[insertTracks]] appends one partial file per
+    * insert forever — correct (the probe sums partials) but after
+    * thousands of daily inserts the ≤ 262144-row logical table is
+    * thousands of physical files and every probe pays per-file open
+    * cost. Probe-identical by algebra: sum over the merged partial ==
+    * sum over the originals.
+    *
+    * The [[graft.streaming.EventStream.compactStaging]] discipline,
+    * adapted to a flat parquet dir:
+    *  - phase A ([[compactKeyDfPhaseA]]): merged counts → hidden temp,
+    *    then a commit marker listing exactly the merged inputs;
+    *  - phase B, re-runnable from the marker alone: delete exactly the
+    *    listed files, adopt the temp parts under fresh names, drop the
+    *    marker.
+    * Re-running after a crash at ANY point resumes to the identical
+    * end state (spec-simulated at both phase boundaries). While the
+    * marker exists the table is MID-SWAP — the merged counts live only
+    * in the hidden temp dir, which readers don't see — so
+    * [[matchAgainst]] refuses to probe until the compaction is re-run
+    * to completion (probing half-swapped partials would undercount
+    * every df and let over-cap keys match again). Concurrent INSERTS
+    * are safe in both phases: their partials are not in the marker's
+    * list and survive untouched. Local-FS contract, like the rest of
+    * the incremental lifecycle.
+    */
+  def compactKeyDf(s: SparkSession, path: String): Unit = {
+    if (!compactKeyDfPhaseA(s, path)) return
+    val root = new java.io.File(s"$path/keydf")
+    val marker = new java.io.File(root, ".compact-commit")
+    val tmp = new java.io.File(root, ".compact-tmp")
+    val merged = new String(
+      java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+      .split("\n").filter(_.nonEmpty).toSet
+    keyDfParts(root).filter(f => merged.contains(f.getName)).foreach(_.delete())
+    Option(tmp.listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(root, s"compacted-${f.getName}").toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    marker.delete()
+    ArtifactCache.deleteRecursively(tmp)
+  }
+
   /** The probe core over in-memory relations: landmark postings, raw
     * df partials (summed here — ≤ 262144 live rows), and a
     * (clip_id, cpcm) clip set. Shared by [[matchAgainst]] and the
@@ -396,12 +471,29 @@ object AudioMatch {
     * landmark-eligible tracks) creates a dir with only `_SUCCESS` — no
     * parquet footer anywhere, so a naive read dies on schema
     * inference. An index with no postings matches nothing: return the
-    * empty verdict relation directly. */
+    * empty verdict relation directly.
+    *
+    * LOCAL-FS CONTRACT: this guard (and the compaction/exactly-once
+    * markers across the incremental lifecycle, incl.
+    * [[graft.streaming.EventStream.streamingAudioIngest]]'s) walk
+    * `java.io.File`, so `path` must live on the driver-local default
+    * filesystem. On HDFS/S3 the walk sees nothing and every probe
+    * would silently return empty verdicts — port the guards to the
+    * Hadoop `FileSystem` API resolved from `s` before pointing `path`
+    * at a remote store. */
   private[graft] def matchAgainst(s: SparkSession, path: String,
       clips: DataFrame): DataFrame = {
     def hasParquet(f: java.io.File): Boolean =
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.exists(hasParquet)
       else f.getName.endsWith(".parquet")
+    // mid-swap guard: between compactKeyDf's commit marker and the
+    // final adoption the merged df counts live only in the hidden temp
+    // dir — probing would undercount every key's df and re-admit
+    // over-cap keys. Finish the compaction first (re-run it).
+    if (new java.io.File(s"$path/keydf/.compact-commit").exists())
+      throw new IllegalStateException(
+        s"pending keydf compaction at $path: re-run compactKeyDf to " +
+          "completion before probing")
     if (!hasParquet(new java.io.File(s"$path/landmarks")))
       clips.select(col("clip_id"), lit(0L).as("track_id"),
         lit(0L).as("offset_frames"), lit(0L).as("votes")).limit(0)

@@ -672,6 +672,17 @@ object EventStream {
     * so a replayed batch skips completed writes and a crash between
     * the two stages replays into the identical state (the index-before
     * for batch N is always exactly batches < N).
+    *
+    * LOCAL-FS CONTRACT: the `_SUCCESS` replay guards here (and
+    * [[graft.operators.AudioMatch.matchAgainst]]'s empty-index walk)
+    * use `java.io.File`, so `outPath` — whatever `checkpointLocation`
+    * points at — must live on the driver-local default filesystem. On
+    * HDFS/S3 the guards read as permanently false: every replayed
+    * batch re-stages (duplicating partials) and every probe silently
+    * returns empty verdicts. Port the guards to the Hadoop
+    * `FileSystem` API resolved from the batch's session before
+    * pointing `outPath` at a remote store (the repo-wide staging
+    * convention — see [[compactStaging]]).
     */
   def streamingAudioIngest(tracks: DataFrame, outPath: String,
       checkpointLocation: Option[String] = None): StreamingQuery = {

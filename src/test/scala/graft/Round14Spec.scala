@@ -114,4 +114,69 @@ class Round14Spec extends SparkSpec {
         AudioMatch.ClipOffFrames.toLong, 3L)),
       s"fan-out must keep the corrupted excerpt matchable: ${fan.toSeq}")
   }
+
+  // --- incremental audio index: keydf compaction ---------------------
+
+  test("compactKeyDf: many insert partials collapse to one file with a " +
+    "byte-identical probe; crash at either phase boundary resumes; a " +
+    "mid-swap probe refuses; a racing insert's partial survives") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-audiocompact")
+      .toString + "/idx"
+    val w = AudioMatch.FrameLen
+    // frame = 15 spaces + one varying char, so the frame ENERGY is
+    // (seed·41 + i·17) % 200 directly — chosen so no two tracks' energy
+    // sequences coincide at ANY shift (41Δ ≢ 17d mod 200 for the used
+    // ranges), i.e. no cross-track full-vote tie-break ambiguity
+    def payload(seed: Int) = (0 until 14)
+      .map(i => (" " * (w - 1)) +
+        (32 + (seed * 41 + i * 17) % 200).toChar).mkString
+    def tracks(ids: Seq[Int]) = ids.map(i => (i.toLong, payload(i)))
+      .toDF("track_id", "pcm")
+    AudioMatch.buildIncremental(spark, tracks(Seq(0, 1)), path)
+    (2 to 4).foreach(i => AudioMatch.insertTracks(spark, path, tracks(Seq(i))))
+    def dfFiles() = new java.io.File(s"$path/keydf").listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
+    assert(dfFiles().size == 4, s"expected 4 partials, got ${dfFiles().size}")
+    val clips = AudioMatch.trackClips(tracks(Seq(0, 3)))
+    val before = AudioMatch.matchAgainst(spark, path, clips)
+      .collect().map(_.toSeq).toSeq
+    assert(before.nonEmpty)
+
+    // CRASH between phase A and B: merged temp + marker exist, swap
+    // not started — a probe must refuse (finishing the compaction is
+    // the only way the df table is consistent again)
+    assert(AudioMatch.compactKeyDfPhaseA(spark, path))
+    val mid = intercept[IllegalStateException] {
+      AudioMatch.matchAgainst(spark, path, clips)
+    }
+    assert(mid.getMessage.contains("pending keydf compaction"))
+    // a racing insert lands while the swap is pending — its partial is
+    // NOT in the commit marker's merge list and must survive
+    AudioMatch.insertTracks(spark, path, tracks(Seq(5)))
+    // CRASH mid-phase-B: one merged input already stripped; re-running
+    // the whole compaction must resume from the marker (NOT re-merge
+    // over the half-swapped table) and land in the identical end state
+    val marker = new java.io.File(s"$path/keydf/.compact-commit")
+    val listed = new String(java.nio.file.Files.readAllBytes(marker.toPath),
+      "UTF-8").split("\n").filter(_.nonEmpty)
+    assert(new java.io.File(s"$path/keydf/${listed.head}").delete())
+    AudioMatch.compactKeyDf(spark, path)
+
+    assert(!marker.exists())
+    assert(dfFiles().size == 2, // the merged file + the racing insert's
+      s"expected merged+racing partials, got ${dfFiles().map(_.getName).toSeq}")
+    val after = AudioMatch.matchAgainst(spark, path, clips)
+      .collect().map(_.toSeq).toSeq
+    assert(after == before, "probe diverged across compaction")
+    // full-corpus sanity incl. the racing insert: its clip matches
+    val clip5 = AudioMatch.matchAgainst(spark, path,
+      AudioMatch.trackClips(tracks(Seq(5)))).collect()
+    assert(clip5.length == 1 && clip5(0).getLong(1) == 5L)
+    // idempotent: a second compaction merges the two survivors to one
+    AudioMatch.compactKeyDf(spark, path)
+    assert(dfFiles().size == 1)
+    assert(AudioMatch.matchAgainst(spark, path, clips)
+      .collect().map(_.toSeq).toSeq == before)
+  }
 }

@@ -102,6 +102,52 @@ object Probe {
         (json + "\n").getBytes("UTF-8"))
       spark.stop(); return
     }
+    if (args.headOption.contains("pagerank_converge")) {
+      // does the integer fixed point actually arrive? run a deep
+      // iteration budget and report the early-exit iteration
+      val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+      val iters = if (args.length > 2) args(2).toInt else 300
+      val out = graft.operators.Graphs.pageRank(spark, dir, iters)
+      out.write.format("noop").mode("overwrite").save()
+      println(s"[probe] converged_at=" +
+        spark.sparkContext.getLocalProperty("graft.pagerank.converged_at"))
+      spark.stop(); return
+    }
+    if (args.headOption.contains("pagerank_steps")) {
+      // stage decomposition of q_pagerank: setup (edges distinct +
+      // repartition + degree count) vs per-iteration cost vs the final
+      // checkpointed sort
+      import org.apache.spark.sql.functions._
+      val dir = "/root/testdata/sf0.1"
+      (1 to 2).foreach { round =>
+        val edges = graft.operators.Graphs.supplyEdges(spark, dir)
+          .repartition(col("src")).persist()
+        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .select(col("src").as("node"), col("deg"))
+          .repartition(col("node")).persist()
+        val n = time(s"r$round setup(count deg)")(deg.count())
+        println(s"[probe] nodes=$n edges=" + time(s"r$round edges count")(edges.count()))
+        var ranks = deg.select(col("node"), lit(1000000L).as("r"), col("deg")).persist()
+        ranks.count()
+        (1 to 5).foreach { i =>
+          val prev = ranks
+          val share = ranks.select(col("node").as("src"), expr("r div deg").as("c"))
+          val contrib = edges.join(broadcast(share), Seq("src"))
+            .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+          ranks = deg.join(broadcast(contrib.withColumnRenamed("dst", "node")),
+              Seq("node"), "left")
+            .select(col("node"), (lit(7L) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"),
+              col("deg")).persist()
+          time(s"r$round iter $i")(ranks.count())
+          prev.unpersist()
+        }
+        val out = time(s"r$round checkpoint")(
+          ranks.select(col("node"), col("r").as("rank_fp"))
+            .orderBy(col("rank_fp").desc, col("node").asc).localCheckpoint(true))
+        edges.unpersist(); deg.unpersist(); ranks.unpersist(); out.unpersist()
+      }
+      spark.stop(); return
+    }
     if (args.headOption.contains("query")) {
       // time one SparkEntry query at sf0.1 (warm-up + 3 timed runs) —
       // the same noop-sink materialization Bench uses

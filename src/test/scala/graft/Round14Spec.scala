@@ -115,6 +115,38 @@ class Round14Spec extends SparkSpec {
       s"fan-out must keep the corrupted excerpt matchable: ${fan.toSeq}")
   }
 
+  // --- pagerank: chunked lazy iterations stay bit-exact ---------------
+
+  test("pageRank chunked execution: a 7-iteration run (5+2 chunk split) " +
+    "equals an independent in-test integer recompute node for node") {
+    import graft.operators.Graphs
+    val unit = 1000000000000L
+    val pairs = Tables.load(spark, sf, "lineitem")
+      .select(concat(lit("s"), col("l_suppkey")).as("sn"),
+        concat(lit("p"), col("l_partkey")).as("pn"))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val n = deg.size.toLong
+    var r = deg.keys.map(_ -> unit / n).toMap
+    val teleport = (15L * unit) / (100L * n)
+    (1 to 7).foreach { _ =>
+      val contrib = scala.collection.mutable.Map.empty[String, Long]
+      edges.foreach { case (src, dst) =>
+        contrib(dst) = contrib.getOrElse(dst, 0L) + r(src) / deg(src)
+      }
+      r = deg.keys.map(k =>
+        k -> (teleport + (85L * contrib.getOrElse(k, 0L)) / 100L)).toMap
+    }
+    val want = r.toSeq.sortBy { case (k, v) => (-v, k) }
+    val got = Graphs.pageRank(spark, sf, iters = 7).collect()
+      .map(row => (row.getString(0), row.getLong(1))).toSeq
+    assert(got == want, {
+      val bad = got.zip(want).find { case (g, w) => g != w }
+      s"chunked pagerank diverges from the reference recompute at $bad"
+    })
+  }
+
   // --- incremental audio index: keydf compaction ---------------------
 
   test("compactKeyDf: many insert partials collapse to one file with a " +

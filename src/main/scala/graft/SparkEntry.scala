@@ -114,6 +114,12 @@ object SparkEntry {
     "q_mixture_temperature" -> ((s: SparkSession, d: String) =>
       DatasetOps.mixtureTemperature(s, d)),
     "q_snapshot_diff" -> ((s: SparkSession, d: String) => Reconcile.snapshotDiff(s, d)),
+    // mixed-schema parquet ingestion: two physically drifted epochs
+    // (INT32/INT96/narrow-decimal vs INT64/µs/widened + added column)
+    // normalized through one loader; oracle recomputes from the
+    // original rows, proving the evolved read loses nothing
+    "q_schema_drift" -> ((s: SparkSession, d: String) =>
+      graft.sources.SchemaDrift.driftSummary(s, d)),
     "q_mixture_sample" -> (DatasetOps.mixtureSample _),
     "q_source_overlap" -> ((s: SparkSession, d: String) => DatasetOps.sourceOverlapMatrix(s, d)),
     // training-run prep: deterministic global shuffle + sharding,
@@ -890,6 +896,8 @@ object SparkEntry {
         |SELECT doc_id, CAST(start_tok / 96 AS BIGINT) AS chunk_id, start_tok,
         | CAST(least(128, n_tokens - start_tok) AS BIGINT) AS chunk_tokens
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_schema_drift" ->
+      graft.sources.SchemaDrift.driftSummaryOracleSql,
     "q_snapshot_diff" ->
       """WITH a AS (
         | SELECT (event_id % 1000003) * (2654435761 % 1000003) % 1000003 AS h

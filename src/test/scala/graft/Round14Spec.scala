@@ -115,6 +115,60 @@ class Round14Spec extends SparkSpec {
       s"fan-out must keep the corrupted excerpt matchable: ${fan.toSeq}")
   }
 
+  // --- schema-drift ingestion -----------------------------------------
+
+  test("schema-drift fixture is PHYSICALLY drifted (INT96 vs INT64 ts, " +
+    "INT32 vs INT64 keys, added column) and the evolved loader reads " +
+    "both epochs losslessly") {
+    import graft.sources.SchemaDrift
+    val root = SchemaDrift.driftedCorpus(spark, sf)
+    def footerType(dir: String, colName: String): Option[String] = {
+      val f = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getPath),
+        spark.sparkContext.hadoopConfiguration)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        if (!schema.containsField(colName)) None
+        else Some(schema.getType(schema.getFieldIndex(colName))
+          .asPrimitiveType().getPrimitiveTypeName.toString)
+      } finally reader.close()
+    }
+    // the r9 incident class made first-class: same logical timestamp,
+    // two physical encodings across epochs
+    assert(footerType(s"$root/v1", "ts").contains("INT96"))
+    assert(footerType(s"$root/v2", "ts").contains("INT64"))
+    assert(footerType(s"$root/v1", "o_orderkey").contains("INT32"))
+    assert(footerType(s"$root/v2", "o_orderkey").contains("INT64"))
+    assert(footerType(s"$root/v1", "channel").isEmpty, "v1 must lack channel")
+    assert(footerType(s"$root/v2", "channel").contains("BINARY"))
+
+    // losslessness: the evolved read equals the original rows pushed
+    // through the same normalization (independent recompute, no loader)
+    val got = SchemaDrift.readEvolved(spark,
+        Seq((s"$root/v1", 0L), (s"$root/v2", 1L)))
+      .select(col("epoch"), col("o_orderkey"), col("amount").cast("string"),
+        unix_micros(col("ts")), coalesce(col("channel"), lit("-")))
+      .collect().map(_.toSeq).toSet
+    val want = Tables.load(spark, sf, "orders")
+      .select((col("o_orderkey") % 2).as("epoch"), col("o_orderkey"),
+        when(col("o_orderkey") % 2 === 0,
+          col("o_totalprice").cast("decimal(12,2)").cast("decimal(18,4)"))
+          .otherwise(col("o_totalprice").cast("decimal(18,4)"))
+          .cast("string"),
+        unix_micros(col("o_orderdate").cast("timestamp")),
+        when(col("o_orderkey") % 2 === 1,
+          concat(lit("ch"), (col("o_orderkey") % 3).cast("string")))
+          .otherwise(lit("-")))
+      .collect().map(_.toSeq).toSet
+    assert(got == want,
+      s"evolved read diverges: missing=${(want -- got).take(3)} " +
+        s"extra=${(got -- want).take(3)}")
+    assert(got.nonEmpty)
+  }
+
   // --- pagerank: chunked lazy iterations stay bit-exact ---------------
 
   test("pageRank chunked execution: a 7-iteration run (5+2 chunk split) " +

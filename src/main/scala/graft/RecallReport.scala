@@ -28,7 +28,8 @@ object RecallReport {
     val spark = GraftSession.local(appName = "graft-recall")
 
     val ann = Similarity.annRecall(spark, dir).collect().map { r =>
-      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        Some(r.getLong(4)))
     }
 
     // two-level-assignment recall (r11): same fine cells, corpus
@@ -48,7 +49,8 @@ object RecallReport {
         .select(col("query_id"), col("neighbor_id")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       ("knn_ivf_hier", brute.size.toLong, brute.intersect(got).size.toLong,
-        if (brute.isEmpty) 1.0 else brute.intersect(got).size.toDouble / brute.size)
+        if (brute.isEmpty) 1.0 else brute.intersect(got).size.toDouble / brute.size,
+        None: Option[Long])
     }
 
     // MinHash recall on strong pairs (≥0.9 exact jaccard, k=3 shingles)
@@ -61,7 +63,8 @@ object RecallReport {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val mhRow = ("minhash_strong09", strong.size.toLong,
       strong.intersect(mh).size.toLong,
-      if (strong.isEmpty) 1.0 else strong.intersect(mh).size.toDouble / strong.size)
+      if (strong.isEmpty) 1.0 else strong.intersect(mh).size.toDouble / strong.size,
+      None: Option[Long])
 
     // SimHash parity vs brute-force Hamming <= 3 over signatures
     val sig = Dedup.simhashSignatures(Tables.load(spark, dir, "documents"))
@@ -76,11 +79,15 @@ object RecallReport {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val shRow = ("simhash_hamming3", bruteSim.size.toLong,
       bruteSim.intersect(sh).size.toLong,
-      if (bruteSim.isEmpty) 1.0 else bruteSim.intersect(sh).size.toDouble / bruteSim.size)
+      if (bruteSim.isEmpty) 1.0 else bruteSim.intersect(sh).size.toDouble / bruteSim.size,
+      None: Option[Long])
 
     val rows = ann.toSeq :+ hierRow :+ mhRow :+ shRow
-    val body = rows.map { case (n, e, m, r) =>
-      f""""$n":{"n_expected":$e,"n_matched":$m,"recall":$r%.4f}"""
+    // n_candidates (where measured) is the COST axis of the
+    // recall curve: rows the probe scores at that width
+    val body = rows.map { case (n, e, m, r, c) =>
+      val cost = c.map(v => s""","n_candidates":$v""").getOrElse("")
+      f""""$n":{"n_expected":$e,"n_matched":$m,"recall":$r%.4f$cost}"""
     }.mkString(",")
     val json = s"""{"metric":"ann_lsh_recall","sf":"$dir",$body}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("RECALL.json"),

@@ -596,16 +596,21 @@ object Similarity {
     *
     * `nprobe` is THE recall/cost knob and defaults to 16: on the
     * weakly clustered testdata (nearest-neighbor cosine ≈ 0.4 against
-    * a mean pairwise of 0) the measured curve (RECALL.json) is
-    * 0.14/0.20/0.42/0.60/0.80 recall at nprobe 1/2/4/8/16 — true
-    * neighbors spread across cells, so a narrow probe silently drops
-    * a large share of them, and a default should not hand back 40%
-    * missing neighbors. The cost of the wider default is linear and
-    * modest: candidate volume ∝ n·nprobe/C, so 16 cells at the
-    * 4096-cell cap reads 0.4% of a 10⁹-vector corpus per query.
-    * Strongly clustered corpora (where each query's neighbors
-    * concentrate in one cell) can drop to 4–8; tune against a recall
-    * probe like [[annRecall]] on a sample before narrowing.
+    * a mean pairwise of 0) the measured curve (RECALL.json, with
+    * n_candidates as the cost axis) is 0.14/0.20/0.42/0.60/0.80/0.96/
+    * 1.00 recall at nprobe 1/2/4/8/16/32/64 — true neighbors spread
+    * across cells, so a narrow probe silently drops a large share of
+    * them, and a default should not hand back 40% missing neighbors.
+    * The ≥0.9 path is measured, not hypothesized: nprobe=32 reaches
+    * 0.96 at almost exactly 2× the default's scored candidates
+    * (14.5k vs 7.3k at sf0.1) — cost stays linear in the knob all the
+    * way up, so a recall-critical deployment just widens. The cost of
+    * the wider default is linear and modest: candidate volume ∝
+    * n·nprobe/C, so 16 cells at the 4096-cell cap reads 0.4% of a
+    * 10⁹-vector corpus per query. Strongly clustered corpora (where
+    * each query's neighbors concentrate in one cell) can drop to 4–8;
+    * tune with [[recommendNprobe]] (target-recall driven, sweeps to
+    * 64) or read the curve from [[annRecall]].
     *
     * The probe step scores queries×C by exploding the literal centroid
     * array per query row (a generator, not a join — tiny: 10×C); the
@@ -720,7 +725,21 @@ object Similarity {
           .take(np).zipWithIndex
           .map { case ((cid, _), p) => (qid, qe, qn, cid, p + 1) }
       }
-    val widths = Seq(1, 2, 4, 8, 16)
+    // 32/64 added in r14: the curve must SHOW a ≥0.9 recall point with
+    // its measured cost, not stop at the 0.80 default — the wider
+    // widths reuse the same one-candidate-join sweep, so the extra
+    // report cost is the extra candidates themselves
+    val widths = Seq(1, 2, 4, 8, 16, 32, 64)
+    // cost axis of the curve: rows the probe must score at width w =
+    // Σ sizes of the probed cells (includes each query's self row —
+    // a fixed ≤|queries| offset, not worth a second counting job)
+    def cellSizesOf(path: String): Map[Long, Long] =
+      s.read.parquet(s"$path/assigned")
+        .groupBy(col("cent_id")).agg(count(lit(1)).as("cn")).collect()
+        .map(r => (r.getAs[Number](0).longValue(), r.getLong(1))).toMap
+    def probeCost(p: Seq[(Long, Seq[Double], Double, Long, Int)], np: Int,
+        sizes: Map[Long, Long]): Long =
+      p.filter(_._5 <= np).map(pr => sizes.getOrElse(pr._4, 0L)).sum
     import s.implicits._
     val probes1 = rankedProbes(cells, widths.max)
     val probesDf = probes1.toDF("query_id", "q_emb", "q_nrm", "cent_id", "p_rnk")
@@ -748,15 +767,17 @@ object Similarity {
       .select(col("w"), col("query_id"), col("vec_id"))
       .collect().map(r => (r.getInt(0), (r.getLong(1), r.getLong(2))))
     val bruteSet = bruteRows.toSet
+    val sizes1 = cellSizesOf(path1)
     def counts(pairs: Seq[(Long, Long)]): (Long, Long) =
       (bruteSet.size.toLong, bruteSet.intersect(pairs.toSet).size.toLong)
-    def fromCounts(name: String, c: (Long, Long)) =
-      (name, c._1, c._2, math.floor(c._2.toDouble / c._1 * 10000 + 0.5) / 10000)
+    def fromCounts(name: String, c: (Long, Long), cost: Long) =
+      (name, c._1, c._2,
+        math.floor(c._2.toDouble / c._1 * 10000 + 0.5) / 10000, cost)
     // the two persisted-index variants stay MEASURED searches through
     // their artifacts (one job each: the probe model is driver state,
     // the scan is partition-pruned, top-k is the bounded-heap agg)
     def searchRow(name: String, path: String,
-        cs0: CellIndex = null): (String, Long, Long, Double) = {
+        cs0: CellIndex = null): (String, Long, Long, Double, Long) = {
       val cs = Option(cs0).getOrElse(cellsOfArtifact(s, path))
       val p = rankedProbes(cs, 16)
       val pairs = searchCells(
@@ -766,20 +787,24 @@ object Similarity {
           .drop("p_rnk")), k)
         .select(col("query_id"), col("neighbor_id"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-      fromCounts(name, counts(pairs))
+      fromCounts(name, counts(pairs),
+        probeCost(p, 16, if (path == path1) sizes1 else cellSizesOf(path)))
     }
     val resultRows = {
       val sweep = widths.map(w => fromCounts(f"knn_ivf_nprobe$w%02d",
-        counts(topAll.filter(_._1 == w).map(_._2).toSeq)))
+        counts(topAll.filter(_._1 == w).map(_._2).toSeq),
+        probeCost(probes1, w, sizes1)))
       // knn_ivf IS the width-16 sweep point (same grid, same probe
       // policy — previously recomputed as an identical separate job)
-      val dflt = fromCounts("knn_ivf", counts(topAll.filter(_._1 == 16).map(_._2).toSeq))
+      val dflt = fromCounts("knn_ivf",
+        counts(topAll.filter(_._1 == 16).map(_._2).toSeq),
+        probeCost(probes1, 16, sizes1))
       (Seq(dflt,
         searchRow("knn_ivf_kmeans", IvfIndex.ensureIndex(s, dir, kmeansIters = 2)),
         searchRow("knn_ivf_indexed", path1, cells)) ++ sweep)
         .sortBy(_._1)
     }
-    resultRows.toDF("variant", "n_expected", "n_matched", "recall")
+    resultRows.toDF("variant", "n_expected", "n_matched", "recall", "n_candidates")
   }
 
   /** Exact top-k (query_id, neighbor_id) pairs for the standard query
@@ -827,7 +852,7 @@ object Similarity {
     */
   def recommendNprobe(s: SparkSession, dir: String, k: Int = 5,
       targetRecall: Double = 0.8,
-      widths: Seq[Int] = Seq(1, 2, 4, 8, 16, 32)): Int = {
+      widths: Seq[Int] = Seq(1, 2, 4, 8, 16, 32, 64)): Int = {
     require(widths.nonEmpty && widths == widths.sorted, "widths must be ascending")
     val brute = bruteGroundTruth(s, dir, k).toSet
     if (brute.isEmpty) return widths.head

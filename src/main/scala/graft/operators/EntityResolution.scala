@@ -218,8 +218,18 @@ object EntityResolution {
     *    exactly in the oracle.
     */
   def fuzzyNamesUnionBlocked(s: SparkSession, dir: String,
-      maxDist: Int = 2, maxBlock: Int = 10000): DataFrame = {
-    val nm = Tables.load(s, dir, "part")
+      maxDist: Int = 2, maxBlock: Int = 10000): DataFrame =
+    fuzzyNamesUnionBlockedRel(
+      Tables.load(s, dir, "part").select(col("p_name")), maxDist, maxBlock)
+
+  /** Relation-level core of [[fuzzyNamesUnionBlocked]] over any
+    * single-column (p_name) relation — split out so the anchor-star
+    * degradation (dead on the 92-word TPC-H vocabulary at the default
+    * cap) is exercisable by a spec with a synthetic relation and a
+    * tiny maxBlock. */
+  private[graft] def fuzzyNamesUnionBlockedRel(names: DataFrame,
+      maxDist: Int, maxBlock: Int): DataFrame = {
+    val nm = names
       .select(col("p_name"),
         element_at(split(col("p_name"), " "), -1).as("blk_last"),
         element_at(split(col("p_name"), " "), 1).as("blk_first"),

@@ -201,6 +201,55 @@ class Round14Spec extends SparkSpec {
     })
   }
 
+  // --- entity resolution: anchor-star degradation ---------------------
+
+  test("fuzzyNamesUnionBlocked anchor-star path: a block past maxBlock " +
+    "degrades to anchor pairs exactly as documented (in-test recompute); " +
+    "non-anchor in-block pairs are knowingly dropped, small blocks stay full") {
+    import spark.implicits._
+    import graft.operators.EntityResolution
+    // 'rod' head-noun block has 4 distinct names (> maxBlock=2) -> star;
+    // 'zeta' first-token block has 2 (<= cap) -> full pairs
+    val names = Seq("alpha rod", "alphb rod", "alphc rod", "delta rod",
+      "zeta cap", "zeta cup")
+    val maxDist = 2
+    val got = EntityResolution.fuzzyNamesUnionBlockedRel(
+        names.toDF("p_name"), maxDist = maxDist, maxBlock = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    def leg(key: String => String): Set[(String, String)] =
+      names.distinct.groupBy(key).values.flatMap { block =>
+        val sorted = block.distinct.sorted
+        if (sorted.size > 2) {
+          val anchor = sorted.head
+          sorted.tail.filter(x => math.abs(x.length - anchor.length) <= maxDist)
+            .map(x => (anchor, x))
+        } else for {
+          x <- sorted; y <- sorted
+          if x < y && math.abs(x.length - y.length) <= maxDist
+        } yield (x, y)
+      }.toSet
+    val want = (leg(_.split(" ").last) ++ leg(_.split(" ").head))
+      .filter { case (a, b) => lev(a, b) <= maxDist }
+      .toSeq.sorted.map { case (a, b) => (a, b, lev(a, b).toLong) }
+    assert(got == want, s"got=$got want=$want")
+    // the star really engaged: anchor pairs present, a non-anchor
+    // in-block pair (full-pairs mode would emit it at dist 1) absent
+    assert(got.contains(("alpha rod", "alphb rod", 1L)))
+    assert(!got.exists(p => p._1 == "alphb rod" && p._2 == "alphc rod"),
+      "non-anchor pair leaked — the big-block leg ran full pairs")
+    // the small-block leg stayed full-pairs
+    assert(got.contains(("zeta cap", "zeta cup", 1L)))
+  }
+
   // --- incremental audio index: keydf compaction ---------------------
 
   test("compactKeyDf: many insert partials collapse to one file with a " +

@@ -128,7 +128,8 @@ class Round13Spec extends SparkSpec {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft-audiocap").toString + "/idx"
     // every track shares one payload -> identical landmark keys; each
-    // track adds 1 to every key's df (3 full frames -> 2 landmarks)
+    // track adds the same count to every key's df (3 full frames ->
+    // two dt=1 landmarks on one key + one dt=2 landmark on another)
     val payload = "abcdefghijklmnop" * 3
     def tracks(ids: Range) = ids.map(i => (i.toLong, payload)).toDF("track_id", "pcm")
     val half = AudioMatch.MaxKeyDf / 2

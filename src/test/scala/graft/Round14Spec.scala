@@ -169,6 +169,71 @@ class Round14Spec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  // --- streaming audio keydf: compactStaging composes ------------------
+
+  test("streaming audio ingest keydf: compactStaging folds the per-batch " +
+    "df partials into one data-bearing dir, probes stay byte-identical, " +
+    "and a resumed stream appends past the compaction") {
+    import spark.implicits._
+    import graft.streaming.EventStream
+    val src = java.nio.file.Files.createTempDirectory("graft-audiocmp-src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-audiocmp").toString
+    val w = AudioMatch.FrameLen
+    def payload(seed: Int) = (0 until 14)
+      .map(i => (" " * (w - 1)) +
+        (32 + (seed * 41 + i * 17) % 200).toChar).mkString
+    def file(ids: Range): Unit = {
+      ids.map(i => (i.toLong, payload(i))).toDF("track_id", "pcm")
+        .repartition(1).write.mode("append").parquet(src)
+      Thread.sleep(1100) // distinct mtimes -> deterministic batch order
+    }
+    def run(): Unit = {
+      val stream = spark.readStream.schema("track_id LONG, pcm STRING")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val q = EventStream.streamingAudioIngest(stream, out, Some(s"$out/ckpt"))
+      try q.processAllAvailable() finally q.stop()
+    }
+    (0 until 3).foreach(b => file(b * 2 until b * 2 + 2))
+    run()
+
+    val keydf = s"$out/index/keydf"
+    def dataDirs(): Seq[String] = new java.io.File(keydf).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("batch=") &&
+        Option(d.listFiles()).toSeq.flatten.exists(_.getName.endsWith(".parquet")))
+      .map(_.getName).sorted.toSeq
+    assert(dataDirs().size >= 3, s"expected >=3 staged partials: ${dataDirs()}")
+    val clips = AudioMatch.trackClips(
+      Seq((0L, payload(0)), (5L, payload(5))).toDF("track_id", "pcm"))
+    val before = AudioMatch.matchAgainst(spark, s"$out/index", clips)
+      .collect().map(_.toSeq).toSeq
+    assert(before.nonEmpty)
+
+    // OFFLINE compaction of the df partials (stream stopped): one
+    // data-bearing dir remains, every original keeps its _SUCCESS so
+    // replays still skip their stage write, and the probe — which sums
+    // partials — is byte-identical
+    EventStream.compactStaging(spark, keydf)
+    assert(dataDirs().size == 1, s"expected one merged dir: ${dataDirs()}")
+    assert(new java.io.File(keydf).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("batch="))
+      .forall(d => new java.io.File(d, "_SUCCESS").exists()),
+      "stripped batch dirs must keep their replay markers")
+    val after = AudioMatch.matchAgainst(spark, s"$out/index", clips)
+      .collect().map(_.toSeq).toSeq
+    assert(after == before, "probe diverged across keydf compaction")
+
+    // the stream resumes PAST the compaction: new batches append fresh
+    // partials and their content becomes probe-visible
+    file(6 until 8)
+    run()
+    assert(dataDirs().size == 2, s"resume must append one partial: ${dataDirs()}")
+    val clip7 = AudioMatch.matchAgainst(spark, s"$out/index",
+      AudioMatch.trackClips(Seq((7L, payload(7))).toDF("track_id", "pcm")))
+      .collect()
+    assert(clip7.length == 1 && clip7(0).getLong(1) == 7L,
+      s"post-compaction ingest must be probe-visible: ${clip7.toSeq}")
+  }
+
   // --- pagerank: chunked lazy iterations stay bit-exact ---------------
 
   test("pageRank chunked execution: a 7-iteration run (5+2 chunk split) " +

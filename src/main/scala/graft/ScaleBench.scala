@@ -149,7 +149,18 @@ object ScaleBench {
       // fixed, so probe-join fan-out grows with corpus until the
       // MaxKeyDf cap binds); this curve guards exactly that join — it
       // must stay ≤ clip-landmarks × MaxKeyDf, never corpus²
-      ("audio_match", dir => graft.operators.AudioMatch.matchClips(spark, dir), 3))
+      ("audio_match", dir => graft.operators.AudioMatch.matchClips(spark, dir), 3),
+      // round-14: the reworked exact media audit — candidates from ONE
+      // gram-keyed groupBy(collect_set) + map-side pair explode. This
+      // was the last super-linear operator (7.07×/decade pre-rework);
+      // the 3-point curve pins the new shape across TWO decades: the
+      // window relation grows ∝ bytes, the df cap bounds per-window
+      // fan-out, so the decade ratio must stay far under quadratic
+      ("media_neardups_exact",
+        dir => graft.operators.Multimodal.mediaNearDupsExact(spark, dir), 3),
+      // its sampled production sibling (CDC anchors → MinHash/LSH)
+      ("media_neardups",
+        dir => graft.operators.Multimodal.mediaNearDups(spark, dir), 3))
     val embOps: Seq[(String, String => DataFrame)] = Seq(
       "dedup_embedding" -> (dir => Dedup.embeddingNearDups(spark, dir, 0.9)),
       "knn_ivf" -> (dir => Similarity.knnIvf(spark, dir)))

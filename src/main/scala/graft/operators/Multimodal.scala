@@ -203,8 +203,8 @@ object Multimodal {
         explode(transform(positions, p => col("content").substr(p, lit(16)))).as("win"))
     // gram-keyed shuffle blocking (the q_repeated_spans shape): ONE
     // shuffle of the window relation groups each window's DISTINCT
-    // media set (collect_set dedupes with map-side partials, so the
-    // former standalone `.distinct()` pass is subsumed), and the
+    // media set (the capped aggregator dedupes with map-side partials,
+    // so the former standalone `.distinct()` pass is subsumed), and the
     // window-frequency gate — identical semantics, mirrored exactly in
     // the oracle SQL so the result stays hash-checkable — is `size()`
     // on the grouped set:
@@ -219,14 +219,20 @@ object Multimodal {
     // shuffled the full 16-byte-window relation four times and re-shuffled
     // every shared-window occurrence through a join; it measured
     // 7.07×/decade at the sf1 battery (13.6 s at sf1). Here pairs are
-    // generated MAP-SIDE from each ≤ maxDf-sized group (ordered a < b via
-    // the sorted set — each unordered pair exactly once per shared
-    // window), so after the one grouping shuffle only the pair ids
-    // themselves move, through the final distinct.
+    // generated MAP-SIDE from each group (ordered a < b via the sorted
+    // set — each unordered pair exactly once per shared window), so
+    // after the one grouping shuffle only the pair ids themselves move,
+    // through the final distinct. The set aggregation is the SIZE-CAPPED
+    // [[graft.functions.CappedDistinctAggregator]], not collect_set:
+    // a structural-boilerplate window shared corpus-wide (the exact case
+    // the df cap exists for) must cost a (maxDf+1)-bounded buffer, not a
+    // corpus-sized one — the capped set stops growing once the group is
+    // provably over-cap, and under-cap groups are exact (and pre-sorted,
+    // subsuming the former array_sort).
+    val cappedSet = udaf(new graft.functions.CappedDistinctAggregator(maxDf))
     val grouped = wins.groupBy(col("win"))
-      .agg(collect_set(col("media_id")).as("ms"))
+      .agg(cappedSet(col("media_id")).as("ms"))
       .filter(size(col("ms")).between(2, maxDf))
-      .select(array_sort(col("ms")).as("ms"))
     val cand = grouped
       .select(explode(flatten(transform(col("ms"), (a, i) =>
         transform(slice(col("ms"), i + lit(2), size(col("ms"))),

@@ -75,7 +75,11 @@ object SchemaDrift {
       path: String): Unit = {
     val orders = Tables.load(s, dir, "orders")
     val tsTypeKey = "spark.sql.parquet.outputTimestampType"
-    val prev = s.conf.get(tsTypeKey, "TIMESTAMP_MICROS")
+    // getOption + set-or-unset restore: the conf's BUILT-IN default is
+    // INT96, so pinning a fallback value here would silently change the
+    // physical timestamp encoding of every later parquet write in the
+    // session whenever the key was never explicitly set
+    val prev = s.conf.getOption(tsTypeKey)
     try {
       // epoch v1: the narrow legacy producer — INT32 keys, cent-scale
       // decimals, INT96 timestamps, no channel column. The INT96 output
@@ -98,7 +102,10 @@ object SchemaDrift {
           col("o_orderdate").as("ts"),
           concat(lit("ch"), (col("o_orderkey") % 3).cast("string")).as("channel"))
         .write.mode("overwrite").parquet(s"$path/v2")
-    } finally s.conf.set(tsTypeKey, prev)
+    } finally prev match {
+      case Some(v) => s.conf.set(tsTypeKey, v)
+      case None => s.conf.unset(tsTypeKey)
+    }
   }
 
   /** Oracle-gated summary over the evolved read: per-epoch row count,

@@ -110,6 +110,63 @@ class Round15Spec extends SparkSpec {
     Graphs.releaseResults()
   }
 
+  // --- capped distinct aggregation (the media-exact df gate) ----------
+
+  test("CappedDistinctAggregator: exact sorted sets under the cap; " +
+    "over-cap groups stop at cap+1 elements; equals collect_set gating") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.udaf
+    val cap = 4
+    val capped = udaf(new graft.functions.CappedDistinctAggregator(cap))
+    // group g1: 3 distinct (under cap, with duplicates); g2: exactly cap;
+    // g3: cap+3 distinct (over cap — must be detected, not fully built)
+    val rows = Seq.tabulate(3)(i => ("g1", i.toLong)) ++
+      Seq(("g1", 1L), ("g1", 2L)) ++
+      Seq.tabulate(4)(i => ("g2", 10L + i)) ++
+      Seq.tabulate(7)(i => ("g3", 100L + i))
+    // many partitions so merge() paths are exercised
+    val df = rows.toDF("g", "id").repartition(8)
+    val got = df.groupBy($"g").agg(capped($"id").as("ms"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(got("g1") == Seq(0L, 1L, 2L), s"under-cap must be exact: ${got("g1")}")
+    assert(got("g2") == Seq(10L, 11L, 12L, 13L))
+    assert(got("g3").size == cap + 1,
+      s"over-cap groups must stop at cap+1 (provably droppable): ${got("g3")}")
+    assert(got("g3") == got("g3").sorted && got("g3").distinct == got("g3"))
+    // the operator-level equivalence: size-gated capped agg == size-gated
+    // collect_set (the contract mediaNearDupsExact relies on)
+    import org.apache.spark.sql.functions.{collect_set, size => asize, array_sort}
+    val viaCollect = df.groupBy($"g")
+      .agg(array_sort(collect_set($"id")).as("ms"))
+      .filter(asize($"ms") <= cap)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val viaCapped = got.filter(_._2.size <= cap)
+    assert(viaCapped == viaCollect)
+  }
+
+  // --- drift fixture must not re-pin session conf ----------------------
+
+  test("buildDriftedCorpus restores spark.sql.parquet.outputTimestampType " +
+    "to UNSET when it was never set (not to a pinned fallback)") {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val before = spark.conf.getOption(key)
+    try {
+      spark.conf.unset(key)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-drift-conf").toString
+      graft.sources.SchemaDrift.buildDriftedCorpus(spark, "/root/testdata/sf0.001", tmp)
+      graft.operators.ArtifactCache.deleteRecursively(new java.io.File(tmp))
+      // an unset conf must STAY unset: Spark's built-in default is INT96,
+      // and pinning TIMESTAMP_MICROS would silently change the physical
+      // encoding of every later parquet write in the session
+      assert(spark.conf.getOption(key).isEmpty ||
+        spark.conf.getOption(key).contains("INT96"),
+        s"conf must not be pinned after the fixture build: ${spark.conf.getOption(key)}")
+    } finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => if (spark.conf.getOption(key).isDefined) spark.conf.unset(key)
+    }
+  }
+
   test("pageRank clears a stale converged_at: a non-converging run after " +
     "a converged one must not report the old iteration count") {
     import spark.implicits._

@@ -84,10 +84,17 @@ object RecallReport {
 
     val rows = ann.toSeq :+ hierRow :+ mhRow :+ shRow
     // n_candidates (where measured) is the COST axis of the
-    // recall curve: rows the probe scores at that width
+    // recall curve: rows the probe scores at that width. For the
+    // sq8-rerank row it counts FULL-PRECISION reads (the exact pass's
+    // pool) — the quantized stage-1 volume is the same probed-cell set
+    // as the plain nprobe32 row, published alongside as n_quantized so
+    // the two-stage cost split is explicit in the artifact.
+    val np32Cost = ann.find(_._1 == "knn_ivf_nprobe32").flatMap(_._5)
     val body = rows.map { case (n, e, m, r, c) =>
       val cost = c.map(v => s""","n_candidates":$v""").getOrElse("")
-      f""""$n":{"n_expected":$e,"n_matched":$m,"recall":$r%.4f$cost}"""
+      val quant = if (n == "knn_ivf_sq8w32")
+        np32Cost.map(v => s""","n_quantized":$v""").getOrElse("") else ""
+      f""""$n":{"n_expected":$e,"n_matched":$m,"recall":$r%.4f$cost$quant}"""
     }.mkString(",")
     val json = s"""{"metric":"ann_lsh_recall","sf":"$dir",$body}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("RECALL.json"),

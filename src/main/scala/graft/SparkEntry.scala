@@ -170,6 +170,11 @@ object SparkEntry {
     "q_knn_ivf_kmeans" -> ((s: SparkSession, d: String) =>
       IvfIndex.knnIndexed(s, d, kmeansIters = 2)),
     "q_knn_ivf_indexed" -> ((s: SparkSession, d: String) => IvfIndex.knnIndexed(s, d)),
+    // IVF + int8 sidecar + exact rerank: the cheap wide-probe path
+    // (rows-only like the other grid-seeded variants; its exact
+    // companion is q_knn_brute, and a Round15 spec pins it equal to
+    // the plain full-precision nprobe=32 search)
+    "q_knn_ivf_sq8" -> ((s: SparkSession, d: String) => IvfIndex.knnSq8Rerank(s, d)),
     // ANN quality as data (rows-only): recall of each approximate
     // variant vs the exact brute-force top-k on the same queries
     "q_ann_recall" -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),

@@ -92,6 +92,109 @@ object IvfIndex {
     Similarity.searchCells(assigned, probes, k)
   }
 
+  /** Quantized (int8) SIDECAR of a persisted index — the FAISS
+    * IVF+SQ8 layout as a second cent_id-partitioned table:
+    * `assigned_sq8/` holding (vec_id, nrm, scale, qemb array<tinyint>)
+    * — 1 byte/dim where `assigned/` carries 8. Built ONCE per index
+    * artifact (the index path is fingerprint-keyed and immutable, so
+    * `$indexPath-sq8` inherits its generation); [[insert]] appends the
+    * quantized delta whenever the sidecar exists, and [[compact]]
+    * DROPS it (physical tombstone removal can't be mirrored without a
+    * rewrite — the sidecar is derived state and rebuilds on demand).
+    *
+    * Why it exists: the probed-cell scan dominates IVF search cost,
+    * and it only needs enough precision to get the true top-k into a
+    * rerank pool — [[knnSq8Rerank]] scores probed cells from THIS
+    * table and touches full-precision rows only for the tiny pool, so
+    * a ≥0.9-recall probe width stops costing a wide full-precision
+    * scan (measured in RECALL.json: the nprobe=32 point's scored
+    * full-precision reads drop from ~14.5k rows to queries × rerank).
+    */
+  def ensureSq8(s: SparkSession, indexPath: String): String =
+    ArtifactCache.ensure(s"$indexPath-sq8") { tmp =>
+      writeSq8(s.read.parquet(s"$indexPath/assigned")
+        .withColumn("cent_id", col("cent_id").cast("long")), tmp, "overwrite")
+    }
+
+  private def writeSq8(assigned: DataFrame, path: String, mode: String): Unit = {
+    val (scale, qemb) = Similarity.sq8Cols(col("emb"))
+    assigned
+      .select(col("cent_id"), col("vec_id"), col("nrm"),
+        scale.as("scale"), qemb.as("qemb"))
+      .write.mode(mode).partitionBy("cent_id").parquet(s"$path/assigned_sq8")
+  }
+
+  /** Two-stage search over the persisted index: probe `nprobe` cells,
+    * score the probed candidates from the QUANTIZED sidecar, keep the
+    * top `rerank` per query (bounded-heap partial agg), then re-score
+    * ONLY that pool from the full-precision table — partition-pruned
+    * to the probed cells AND row-filtered by the pooled vec_ids (a
+    * pushed `In`, so parquet row-group stats skip everything else).
+    * Final top-k is exact arithmetic end-to-end ([[Similarity.knnSq8]]
+    * contract: with rerank ≫ k the result equals the plain
+    * full-precision nprobe-wide search — spec-asserted).
+    *
+    * The cost shape this buys at a wide (recall-critical) probe:
+    * full-precision reads stop scaling with probe width — stage 1
+    * reads 1-byte dims of the probed cells, stage 2 reads
+    * queries × rerank full-precision rows regardless of nprobe.
+    */
+  def knnSq8Rerank(s: SparkSession, dir: String, k: Int = 5,
+      nprobe: Int = 32, rerank: Int = 50): DataFrame = {
+    val path = ensureIndex(s, dir)
+    val q = Similarity.emb(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    knnSq8RerankAt(s, path, q, k, nprobe, rerank)
+  }
+
+  /** Path-parameterized core of [[knnSq8Rerank]] — specs drive temp
+    * indexes through the insert/compact lifecycle with it. */
+  private[graft] def knnSq8RerankAt(s: SparkSession, path: String,
+      q: DataFrame, k: Int, nprobe: Int, rerank: Int): DataFrame = {
+    VectorFunctions.register(s)
+    val sq8 = ensureSq8(s, path)
+    val cells = Similarity.cellsOfArtifact(s, path)
+    val probes = Similarity.probeCells(q, cells, nprobe)
+    val probedIds = probes.select(col("cent_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    // stage 1: quantized scan of the probed cells (tombstones applied
+    // here so a deleted vector can't burn a pool slot either)
+    val pruned = s.read.parquet(s"$sq8/assigned_sq8")
+      .filter(col("cent_id").isin(probedIds: _*))
+    val live = tombstones(s, path)
+      .fold(pruned)(d => pruned.join(broadcast(d), Seq("vec_id"), "left_anti"))
+    val approx = live.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("acos", Similarity.sq8Cos(col("qemb"), col("scale"),
+        col("nrm"), col("q_emb"), col("q_nrm")))
+    val poolTopk = udaf(new graft.functions.TopKAggregator(rerank))
+    val pool = approx
+      .groupBy(col("query_id"))
+      .agg(poolTopk(col("acos"), col("vec_id")).as("top"))
+      .select(col("query_id"), explode(col("top.id")).as("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+    // stage 2: exact re-score of the pool only — the pooled ids are
+    // bounded driver state (≤ queries × rerank), so they push down as
+    // partition prune + In filter before a full-precision byte is read
+    val poolIds = pool.select(col("vec_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    // observable cost axis for the recall report: full-precision rows
+    // the exact pass reads (the pooled distinct ids — everything else
+    // is pruned/filtered before a full-precision byte moves)
+    s.sparkContext.setLocalProperty("graft.ivf.sq8.fp_reads",
+      poolIds.length.toString)
+    val exactRows = s.read.parquet(s"$path/assigned")
+      .filter(col("cent_id").isin(probedIds: _*))
+      .filter(col("vec_id").isin(poolIds: _*))
+      .select(col("vec_id"), col("emb"), col("nrm"))
+    val rescored = exactRows.join(broadcast(pool), Seq("vec_id"))
+      .withColumn("cos", graft.functions.Rounding.portableRound4(
+        VectorFunctions.arrayDot(col("emb"), col("q_emb")) /
+          (col("nrm") * col("q_nrm"))))
+    Similarity.topKPerQuery(rescored, k)
+  }
+
   /** Incremental insert: fold new vectors into the persisted index
     * WITHOUT rebuilding — the vector-side counterpart of
     * [[IndexStore.merge]]. New vectors are assigned to their nearest
@@ -112,8 +215,15 @@ object IvfIndex {
   def insert(s: SparkSession, path: String, delta: DataFrame): Unit = {
     VectorFunctions.register(s)
     val cells = Similarity.collectCells(s.read.parquet(s"$path/centroids"))
-    Similarity.assignCells(delta, cells)
+    val assigned = Similarity.assignCells(delta, cells)
+    assigned
       .write.mode("append").partitionBy("cent_id").parquet(s"$path/assigned")
+    // keep the quantized sidecar consistent at delta cost: quantize the
+    // SAME assigned rows and append under the same touched cells (a
+    // sidecar that hasn't been built yet needs nothing — it derives
+    // from assigned/ whenever first demanded)
+    if (ArtifactCache.isDone(s"$path-sq8"))
+      writeSq8(assigned, s"$path-sq8", "append")
   }
 
   /** Tombstone delete — the FAISS `remove_ids` analog, split into the
@@ -187,6 +297,11 @@ object IvfIndex {
       snapshot.foreach(_.delete())
       if (Option(delDir.listFiles()).exists(_.forall(!_.getName.endsWith(".parquet"))))
         ArtifactCache.deleteRecursively(delDir)
+      // the quantized sidecar still holds the physically-removed rows
+      // and, with the tombstones cleared, would resurrect them in a
+      // quantized probe — it is derived state, so drop it and let the
+      // next knnSq8Rerank rebuild from the compacted assigned/
+      ArtifactCache.deleteRecursively(new java.io.File(s"$path-sq8"))
     }
   }
 

@@ -75,7 +75,7 @@ object Similarity {
     * SQ8-rerank, and IVF search paths so none of them can regress to
     * a corpus-sized window partition.
     */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+  private[graft] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new graft.functions.TopKAggregator(k))
     scored
       .groupBy(col("query_id"))
@@ -202,22 +202,40 @@ object Similarity {
     * is forced to 0 (they have no direction) and exact rerank never
     * sees them above real candidates.
     */
+  /** Per-vector symmetric int8 quantization of an `array<double>`
+    * column: (scale, qemb) with `scale = max|x|/127` and
+    * `qemb = round(x/scale)` (all-zero vectors quantize to zeros with
+    * scale 0). Shared by [[knnSq8]] and the persisted-index sidecar
+    * ([[IvfIndex.ensureSq8]]) so the two quantized paths can never
+    * drift on the encoding. */
+  private[graft] def sq8Cols(embCol: Column): (Column, Column) = {
+    val scale = array_max(transform(embCol, x => abs(x))) / lit(127.0)
+    val qemb = transform(embCol,
+      x => when(embCol.isNotNull && scale > 0, round(x / scale))
+        .otherwise(lit(0.0)).cast("tinyint"))
+    (scale, qemb)
+  }
+
+  /** Asymmetric SQ8 cosine: quantized database vector (qemb, scale,
+    * nrm) against a full-precision query (q_emb, q_nrm). */
+  private[graft] def sq8Cos(qemb: Column, scale: Column, nrm: Column,
+      qEmb: Column, qNrm: Column): Column =
+    when(scale > 0,
+      VectorFunctions.arrayDot(transform(qemb, _.cast("double")), qEmb) *
+        scale / (nrm * qNrm))
+      .otherwise(lit(0.0))
+
   def knnSq8(s: SparkSession, dir: String, k: Int = 5, rerank: Int = 50): DataFrame = {
     val e = emb(s, dir)
-    val scale = array_max(transform(col("emb"), x => abs(x))) / lit(127.0)
+    val (scale, qembCol) = sq8Cols(col("emb"))
     val qz = e.select(col("vec_id"), col("nrm"), scale.as("scale"),
-      transform(col("emb"),
-        x => when(col("emb").isNotNull && scale > 0, round(x / scale))
-          .otherwise(lit(0.0)).cast("tinyint")).as("qemb"))
+      qembCol.as("qemb"))
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
     // pass 1: quantized corpus × broadcast queries, approx cosine
     val approx = qz.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("acos",
-        when(col("scale") > 0,
-          VectorFunctions.arrayDot(transform(col("qemb"), _.cast("double")), col("q_emb")) *
-            col("scale") / (col("nrm") * col("q_nrm")))
-          .otherwise(lit(0.0)))
+      .withColumn("acos", sq8Cos(col("qemb"), col("scale"), col("nrm"),
+        col("q_emb"), col("q_nrm")))
     // the candidate pool is a bounded-heap top-`rerank` per query over
     // the quantized scores (≤rerank rows/query/task reach the shuffle
     // — the corpus-sized scored set never funnels into per-query
@@ -799,7 +817,21 @@ object Similarity {
       val dflt = fromCounts("knn_ivf",
         counts(topAll.filter(_._1 == 16).map(_._2).toSeq),
         probeCost(probes1, 16, sizes1))
-      (Seq(dflt,
+      // the CHEAP ≥0.9 point (r15): the same wide probe scored from the
+      // int8 sidecar with an exact rerank — a MEASURED search through
+      // both artifacts; its n_candidates is the full-precision rows the
+      // exact pass actually read (the pooled distinct ids), where the
+      // plain nprobe32 row's is its whole probed-cell volume
+      val sq8Row = {
+        val pairs = IvfIndex.knnSq8Rerank(s, dir, k)
+          .select(col("query_id"), col("neighbor_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        val fpReads = Option(
+          s.sparkContext.getLocalProperty("graft.ivf.sq8.fp_reads"))
+          .map(_.toLong).getOrElse(-1L)
+        fromCounts("knn_ivf_sq8w32", counts(pairs), fpReads)
+      }
+      (Seq(dflt, sq8Row,
         searchRow("knn_ivf_kmeans", IvfIndex.ensureIndex(s, dir, kmeansIters = 2)),
         searchRow("knn_ivf_indexed", path1, cells)) ++ sweep)
         .sortBy(_._1)
@@ -885,6 +917,65 @@ object Similarity {
         brute.intersect(got).size.toDouble / brute.size >= targetRecall
       }.getOrElse(widths.max)
     } finally cand.unpersist()
+  }
+
+  /** A recommended IVF search configuration, everything MEASURED on
+    * the corpus: probe width, whether to serve stage 1 from the int8
+    * sidecar with an exact rerank, and the full-precision rows a query
+    * batch reads under the plan (the IO cost axis of RECALL.json). */
+  final case class SearchPlan(nprobe: Int, sq8Rerank: Boolean, rerank: Int,
+      fullPrecisionReads: Long, recall: Double)
+
+  /** [[recommendNprobe]] made SQ8-aware: pick the cheapest measured
+    * plan meeting `targetRecall`. A target the DEFAULT width already
+    * meets keeps the plain full-precision scan (one stage beats two
+    * when the scan is narrow anyway). A target needing a wider probe
+    * is where the quantized sidecar pays: the wide stage-1 scan reads
+    * 1-byte dims and the exact pass reads only the rerank pool, so the
+    * plan's full-precision reads stop scaling with width — the r15
+    * measurement (RECALL.json knn_ivf_sq8w32) holds nprobe=32's 0.96
+    * recall at ~pool-sized full-precision reads instead of the whole
+    * probed-cell volume. Falls back to the plain wide scan if the
+    * sq8 path misses the target on this corpus (quantization error is
+    * corpus-dependent; the recommendation must stay measured).
+    */
+  def recommendPlan(s: SparkSession, dir: String, k: Int = 5,
+      targetRecall: Double = 0.9, defaultWidth: Int = 16,
+      rerank: Int = 50): SearchPlan = {
+    val brute = bruteGroundTruth(s, dir, k).toSet
+    val w = recommendNprobe(s, dir, k, targetRecall)
+    val path1 = IvfIndex.ensureIndex(s, dir)
+    val cells = cellsOfArtifact(s, path1)
+    val sizes = s.read.parquet(s"$path1/assigned")
+      .groupBy(col("cent_id")).agg(count(lit(1)).as("cn")).collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getLong(1))).toMap
+    val q = emb(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    def scanReads(np: Int): Long = probeCells(q, cells, np)
+      .select(col("cent_id")).collect()
+      .map(r => sizes.getOrElse(r.getLong(0), 0L)).sum
+    def recallOf(pairs: Set[(Long, Long)]): Double =
+      if (brute.isEmpty) 1.0 else brute.intersect(pairs).size.toDouble / brute.size
+    if (w <= defaultWidth)
+      return SearchPlan(w, sq8Rerank = false, 0, scanReads(w),
+        recallOf(IvfIndex.knn(s, path1, q, k, w)
+          .select(col("query_id"), col("neighbor_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet))
+    val sq8Pairs = IvfIndex.knnSq8Rerank(s, dir, k, w, rerank)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fpReads = Option(
+      s.sparkContext.getLocalProperty("graft.ivf.sq8.fp_reads"))
+      .map(_.toLong).getOrElse(-1L)
+    val sq8Recall = recallOf(sq8Pairs)
+    if (sq8Recall >= targetRecall)
+      SearchPlan(w, sq8Rerank = true, rerank, fpReads, sq8Recall)
+    else
+      SearchPlan(w, sq8Rerank = false, 0, scanReads(w),
+        recallOf(IvfIndex.knn(s, path1, q, k, w)
+          .select(col("query_id"), col("neighbor_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet))
   }
 
   /** Search only the probed cells: equi-join the cell-assigned corpus

@@ -8,28 +8,34 @@ import org.apache.spark.sql.functions._
   * multimodal modality next to [[Multimodal]]'s image-shaped pipeline:
   * the landmark-hash + offset-coherence-vote design of production
   * audio search (Wang 2003, "An Industrial-Strength Audio Search
-  * Algorithm"), with the per-frame feature a deterministic stand-in
-  * for spectral peaks (this container has no audio codecs — the
-  * [[Multimodal.DecodeStub]] contract: swap the frame feature for a
-  * real FFT peak extractor on a cluster with codecs; every stage
-  * downstream of the feature is the real thing).
+  * Algorithm"), with a REAL spectral per-frame feature since r15: an
+  * integer fixed-point 16-point DFT + peak-pick (see the feature
+  * section below). The payload bytes themselves are still synthetic
+  * ASCII "PCM" (this container has no audio codecs — the
+  * [[Multimodal.DecodeStub]] contract), but every stage from samples
+  * onward — spectrum, peaks, landmarks, votes — is the real algorithm.
   *
   * Pipeline:
   *  1. FRAMES: interpret the audio payload as unsigned 8-bit PCM and
   *     slice it into fixed [[FrameLen]]-sample frames (partial tail
   *     frame dropped, so every frame is full-width on both engines).
-  *  2. FEATURE: per-frame energy `sum(samples) mod 256` — one byte of
-  *     frame identity (the spectral-peak stand-in).
+  *  2. FEATURE: one byte of spectral identity per frame — integer DFT
+  *     over bins 1..[[DftBins]], packed (peak bin, runner-up bin,
+  *     magnitude-ratio bucket). DC is excluded and ratios are
+  *     scale-free, so the feature survives amplitude rescaling that
+  *     destroyed the former byte-energy stand-in (spec-pinned).
   *  3. LANDMARKS: frame-feature pairs over a TARGET ZONE — every
   *     (f, f+dt) pair with dt ∈ [1, [[MaxDt]]] (Wang 2003 §2's anchor
   *     fan-out), hashed into an 18-bit key
   *     ((e_f · 256 + e_{f+dt}) · 4 + dt). One (track, frame, key) row
-  *     per landmark. The fan-out is the robustness story: a corrupted
-  *     byte poisons ONE frame's feature and with dt = 1 only that
-  *     kills every pair chain through it — periodic corruption (every
-  *     other frame) zeroes the dt = 1 vote entirely, while dt = 2/3
-  *     pairs between surviving frames still accumulate offset-coherent
-  *     votes (spec-pinned with a flipped-byte excerpt).
+  *     per landmark. The fan-out is the robustness story: corruption
+  *     heavy enough to flip a frame's SPECTRAL feature (small noise is
+  *     absorbed by the peak-pick — that's the feature's own layer of
+  *     robustness) kills, with dt = 1 only, every pair chain through
+  *     that frame — periodic corruption (every other frame) zeroes the
+  *     dt = 1 vote entirely, while dt = 2/3 pairs between surviving
+  *     frames still accumulate offset-coherent votes (spec-pinned with
+  *     a tone-swapped excerpt).
   *  4. INDEX + DF CAP: landmarks whose key occurs more than
   *     [[MaxKeyDf]] times corpus-wide are dropped from the index —
   *     a key shared by thousands of tracks identifies nothing and its
@@ -85,6 +91,78 @@ object AudioMatch {
     */
   val MaxKeyDf = 200
 
+  // ---- spectral frame feature (r15) --------------------------------
+  //
+  // The per-frame feature is a REAL spectral peak signature, not the
+  // former byte-energy stand-in: a 16-point DFT of the frame's samples
+  // in fixed-point INTEGER arithmetic (coefficients = round(1024·cos/
+  // sin), magnitudes as exact integer sums — every quantity < 2⁶³ and
+  // bit-identical in any engine), then Shazam-style peak-picking over
+  // bins 1..8: feature = (top bin, runner-up bin, log₂-ish magnitude
+  // ratio bucket) packed into one byte, (b1−1)·32 + (b2−1)·4 + r.
+  //
+  // Why this survives what byte-energy couldn't: bin 0 (the DC term —
+  // where uniform amplitude offsets land) is EXCLUDED, and scaling
+  // every sample about the PCM midpoint multiplies every bin magnitude
+  // by the same factor — argmax bin, runner-up, and their RATIO are
+  // all invariant, so an amplitude-rescaled or re-encoded copy keeps
+  // its landmark keys (spec-pinned) while byte-energy mod 256 was
+  // destroyed by any gain change. Ties break to the LOWEST bin in both
+  // engines (array_position first-match == row_number m2 DESC, b ASC).
+
+  /** DFT bins used for peak-picking: 1..DftBins of the 16-point
+    * transform (bin 0 = DC excluded by design; bins above 8 mirror
+    * 1..7 for real inputs). */
+  val DftBins = 8
+
+  /** Fixed-point coefficient scale. */
+  private val DftScale = 1024L
+
+  /** Feature-algorithm version tag for persisted-index cache keys: a
+    * landmark index is a function of the FEATURE as much as of the
+    * corpus, so the key must change when the feature does — r15's
+    * spectral switch silently probed r14 energy-keyed artifacts until
+    * this tag existed. */
+  private val FeatVer = "spec1"
+
+  /** round(1024·cos(2πbk/16)) / round(1024·sin(2πbk/16)) for b ∈
+    * [1, DftBins], k ∈ [0, FrameLen): ONE table, computed here and
+    * embedded as literals in BOTH the Spark expression and the
+    * generated oracle SQL — the two engines cannot drift on a
+    * coefficient. (No angle lands near a .5 rounding boundary, so the
+    * table is stable across JVM math implementations too.) */
+  private[graft] val CRe: Seq[Seq[Long]] = (1 to DftBins).map(b =>
+    (0 until FrameLen).map(k =>
+      math.round(DftScale * math.cos(2 * math.Pi * b * k / FrameLen))))
+  private[graft] val CIm: Seq[Seq[Long]] = (1 to DftBins).map(b =>
+    (0 until FrameLen).map(k =>
+      math.round(DftScale * math.sin(2 * math.Pi * b * k / FrameLen))))
+
+  /** Integer spectral feature of one frame's sample array (16 longs):
+    * see the section comment. `smp` must be a LAMBDA VARIABLE (bound
+    * via the `transform(array(...), v => …)` let-idiom) — referencing
+    * a built expression here would re-evaluate it per term. */
+  private def featureOf(smp: Column): Column = {
+    def dotLit(cs: Seq[Long]): Column =
+      cs.zipWithIndex.map { case (c, k) =>
+        element_at(smp, k + 1) * lit(c) }.reduce(_ + _)
+    val mag2 = array((0 until DftBins).map { i =>
+      val re = dotLit(CRe(i)); val im = dotLit(CIm(i))
+      re * re + im * im
+    }: _*)
+    element_at(transform(array(mag2), m => {
+      val mx = array_max(m)
+      val b1 = array_position(m, mx) // first max = lowest bin on ties
+      val rest = transform(sequence(lit(1), lit(DftBins)),
+        i => when(i.cast("long") === b1, lit(-1L)).otherwise(element_at(m, i)))
+      val mx2 = array_max(rest)
+      val b2 = array_position(rest, mx2)
+      val r = (mx >= mx2 * 2).cast("long") + (mx >= mx2 * 4).cast("long") +
+        (mx >= mx2 * 8).cast("long")
+      (b1 - 1) * 32 + (b2 - 1) * 4 + r
+    }), 1)
+  }
+
   /** Audio-kind media rows with the payload decoded back to its ASCII
     * sample string (documents are ASCII by construction — length ==
     * octet_length — so per-char codepoints ARE the payload bytes).
@@ -116,10 +194,15 @@ object AudioMatch {
     // split per SAMPLE — measured 1.7 s → 14 s at sf0.1. substr is a
     // byte-offset slice on this ASCII payload and stays O(FrameLen)
     // per frame
+    // frame → 16-long sample array → spectral feature byte; the sample
+    // array is bound as a lambda variable (the transform(array(…))
+    // let-idiom) so its 16 substr/ascii reads run ONCE per frame, not
+    // once per DFT term
     val energies = transform(sequence(lit(0), nF - 1), f =>
-      pmod(aggregate(sequence(lit(1), lit(FrameLen)), lit(0L),
-        (acc, k) => acc + ascii(pcm.substr(f * lit(FrameLen) + k, lit(1))).cast("long")),
-        lit(256L)))
+      element_at(transform(array(
+        transform(sequence(lit(1), lit(FrameLen)),
+          kk => ascii(pcm.substr(f * lit(FrameLen) + kk, lit(1))).cast("long"))),
+        smp => featureOf(smp)), 1))
     rows.filter(length(pcm) >= 2 * FrameLen)
       .select(col(idName), energies.as("en"))
       .select(col(idName),
@@ -227,12 +310,10 @@ object AudioMatch {
        |    AND length(text) >= ${(ClipOffFrames + ClipFrames) * FrameLen}
        |), csmp AS (
        |  SELECT clip_id, CAST((t.i - 1) // $FrameLen AS BIGINT) AS j,
+       |         CAST((t.i - 1) % $FrameLen AS BIGINT) AS k,
        |         ord(substring(ctext, CAST(t.i AS INT), 1)) AS v
        |  FROM clips, UNNEST(range(1, ${ClipFrames * FrameLen} + 1)) AS t(i)
-       |), cen AS (
-       |  SELECT clip_id, j, CAST(sum(v) % 256 AS BIGINT) AS e
-       |  FROM csmp GROUP BY 1, 2
-       |), clmk AS (
+       |), ${featureSql("csmp", "clip_id", "j", "cen")}, clmk AS (
        |  SELECT a.clip_id, a.j, (a.e * 256 + b.e) * 4 + (b.j - a.j) AS key
        |  FROM cen a JOIN cen b ON b.clip_id = a.clip_id
        |   AND b.j - a.j BETWEEN 1 AND $MaxDt
@@ -269,7 +350,7 @@ object AudioMatch {
       new java.io.File(s"$dir/documents.parquet"))
     val path = ArtifactCache.ensure(
       s"/tmp/graft-audioidx/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}" +
-        s"-$fp-w$FrameLen-df$MaxKeyDf-dt$MaxDt-b$KeyBuckets") { tmp =>
+        s"-$fp-$FeatVer-w$FrameLen-df$MaxKeyDf-dt$MaxDt-b$KeyBuckets") { tmp =>
       val idx = landmarks(audio(s, dir), col("pcm"), "media_id", "f")
         .withColumnRenamed("media_id", "track_id")
       val keep = idx.groupBy(col("key")).agg(count(lit(1)).as("kdf"))
@@ -528,7 +609,7 @@ object AudioMatch {
       new java.io.File(s"$dir/documents.parquet"))
     val path = ArtifactCache.ensure(
       s"/tmp/graft-audioincr/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}" +
-        s"-$fp-w$FrameLen-df$MaxKeyDf-dt$MaxDt-b$KeyBuckets") { tmp =>
+        s"-$fp-$FeatVer-w$FrameLen-df$MaxKeyDf-dt$MaxDt-b$KeyBuckets") { tmp =>
       val tracks = audio(s, dir)
         .select(col("media_id").as("track_id"), col("pcm"))
       buildIncremental(s, tracks.filter(col("track_id") % 2 === 0), tmp)
@@ -537,24 +618,57 @@ object AudioMatch {
     matchAgainst(s, path, clipRel(s, dir))
   }
 
-  /** Shared oracle CTE chain: per-byte unnest → frame energies →
-    * landmark keys, for tracks and clips. The per-byte unnest is the
-    * oracle's restatement (DuckDB has no codegen fold to mirror);
-    * byte values come from `ord` over the ASCII text exactly as the
-    * Spark side's `ascii` over the decoded payload.
+  /** The DFT coefficient table as literal VALUES — emitted from the
+    * SAME [[CRe]]/[[CIm]] arrays the Spark expression uses. */
+  private def coefSql: String = {
+    val rows = for (b <- 1 to DftBins; k <- 0 until FrameLen)
+      yield s"($b,$k,${CRe(b - 1)(k)},${CIm(b - 1)(k)})"
+    s"""coef AS (
+       |  SELECT * FROM (VALUES ${rows.mkString(",")}) t(b, k, cre, cim)
+       |)""".stripMargin
+  }
+
+  /** Spectral feature chain from a per-sample CTE `$src(id, pos, k, v)`
+    * to `$out(id, pos, e)` — the SQL restatement of [[featureOf]]:
+    * integer bin magnitudes via the coef join, peak/runner-up by
+    * `row_number(m2 DESC, b ASC)` (== the Spark side's first-match
+    * array_position tie-break), the same ratio buckets. */
+  private def featureSql(src: String, id: String, pos: String,
+      out: String): String =
+    s"""${out}_rk AS (
+       |  SELECT $id, $pos, b, re * re + im * im AS m2,
+       |         row_number() OVER (PARTITION BY $id, $pos
+       |           ORDER BY re * re + im * im DESC, b ASC) AS rn
+       |  FROM (SELECT $id, $pos, c.b,
+       |               SUM(v * c.cre) AS re, SUM(v * c.cim) AS im
+       |        FROM $src JOIN coef c ON c.k = $src.k GROUP BY 1, 2, 3)
+       |), $out AS (
+       |  SELECT p1.$id, p1.$pos,
+       |         CAST((p1.b - 1) * 32 + (p2.b - 1) * 4
+       |           + (CASE WHEN p1.m2 >= 2 * p2.m2 THEN 1 ELSE 0 END)
+       |           + (CASE WHEN p1.m2 >= 4 * p2.m2 THEN 1 ELSE 0 END)
+       |           + (CASE WHEN p1.m2 >= 8 * p2.m2 THEN 1 ELSE 0 END) AS BIGINT) AS e
+       |  FROM ${out}_rk p1 JOIN ${out}_rk p2
+       |    ON p2.$id = p1.$id AND p2.$pos = p1.$pos
+       |  WHERE p1.rn = 1 AND p2.rn = 2
+       |)""".stripMargin
+
+  /** Shared oracle CTE chain: per-byte unnest → spectral frame
+    * features → landmark keys, for tracks and clips. The per-byte
+    * unnest is the oracle's restatement (DuckDB has no codegen fold to
+    * mirror); byte values come from `ord` over the ASCII text exactly
+    * as the Spark side's `ascii` over the decoded payload.
     */
   private def lmkChainSql: String =
     s"""audio AS (
        |  SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 1
-       |), smp AS (
+       |), $coefSql, smp AS (
        |  SELECT media_id, CAST((t.i - 1) // $FrameLen AS BIGINT) AS f,
+       |         CAST((t.i - 1) % $FrameLen AS BIGINT) AS k,
        |         ord(substring(text, CAST(t.i AS INT), 1)) AS v
        |  FROM audio, UNNEST(range(1, (length(text) // $FrameLen) * $FrameLen + 1)) AS t(i)
        |  WHERE length(text) >= ${2 * FrameLen}
-       |), en AS (
-       |  SELECT media_id, f, CAST(sum(v) % 256 AS BIGINT) AS e
-       |  FROM smp GROUP BY 1, 2
-       |), lmk AS (
+       |), ${featureSql("smp", "media_id", "f", "en")}, lmk AS (
        |  SELECT a.media_id, a.f, (a.e * 256 + b.e) * 4 + (b.f - a.f) AS key
        |  FROM en a JOIN en b ON b.media_id = a.media_id
        |   AND b.f - a.f BETWEEN 1 AND $MaxDt
@@ -580,12 +694,10 @@ object AudioMatch {
        |    AND length(text) >= ${(ClipOffFrames + ClipFrames) * FrameLen}
        |), csmp AS (
        |  SELECT clip_id, CAST((t.i - 1) // $FrameLen AS BIGINT) AS j,
+       |         CAST((t.i - 1) % $FrameLen AS BIGINT) AS k,
        |         ord(substring(ctext, CAST(t.i AS INT), 1)) AS v
        |  FROM clips, UNNEST(range(1, ${ClipFrames * FrameLen} + 1)) AS t(i)
-       |), cen AS (
-       |  SELECT clip_id, j, CAST(sum(v) % 256 AS BIGINT) AS e
-       |  FROM csmp GROUP BY 1, 2
-       |), clmk AS (
+       |), ${featureSql("csmp", "clip_id", "j", "cen")}, clmk AS (
        |  SELECT a.clip_id, a.j, (a.e * 256 + b.e) * 4 + (b.j - a.j) AS key
        |  FROM cen a JOIN cen b ON b.clip_id = a.clip_id
        |   AND b.j - a.j BETWEEN 1 AND $MaxDt

@@ -19,13 +19,31 @@ class Round13Spec extends SparkSpec {
   // --- audio landmark matching ------------------------------------
 
   /** In-test reference fingerprints: plain Scala over the payload
-    * bytes — full frames only, energy = sum mod 256, target-zone pair
-    * keys (dt ∈ [1, MaxDt], key = (e_f·256 + e_{f+dt})·4 + dt). */
+    * bytes — full frames only, the r15 SPECTRAL feature re-derived
+    * from its definition (integer 16-point DFT, round(1024·cos/sin)
+    * coefficients, peak/runner-up/ratio-bucket packing, lowest-bin
+    * tie-breaks), then target-zone pair keys (dt ∈ [1, MaxDt],
+    * key = (e_f·256 + e_{f+dt})·4 + dt). */
   private def refLandmarks(pcm: String): Seq[(Long, Long)] = {
     val w = AudioMatch.FrameLen
     val nF = pcm.length / w
-    val en = (0 until nF).map(f =>
-      (0 until w).map(k => pcm.charAt(f * w + k).toLong).sum % 256)
+    def feat(f: Int): Long = {
+      val smp = (0 until w).map(k => pcm.charAt(f * w + k).toLong)
+      val mag2 = (1 to AudioMatch.DftBins).map { b =>
+        val re = (0 until w).map(k =>
+          smp(k) * math.round(1024 * math.cos(2 * math.Pi * b * k / w))).sum
+        val im = (0 until w).map(k =>
+          smp(k) * math.round(1024 * math.sin(2 * math.Pi * b * k / w))).sum
+        re * re + im * im
+      }
+      val b1 = mag2.indexOf(mag2.max) + 1 // first max = lowest bin
+      val rest = mag2.updated(b1 - 1, -1L)
+      val b2 = rest.indexOf(rest.max) + 1
+      val (m1, m2) = (mag2(b1 - 1), rest(b2 - 1))
+      val r = Seq(2L, 4L, 8L).count(x => m1 >= x * m2)
+      (b1 - 1) * 32L + (b2 - 1) * 4L + r
+    }
+    val en = (0 until nF).map(feat)
     for {
       f <- 0 until nF - 1
       dt <- 1 to math.min(AudioMatch.MaxDt, nF - 1 - f)
@@ -245,11 +263,12 @@ class Round13Spec extends SparkSpec {
     "variant would keep only the tie-break winner); vote floor holds") {
     import spark.implicits._
     // 12 DISTINCT frames (a frame-periodic payload would coherently
-    // match at every offset — correct, but not what this test pins)
-    val payload = (0 until 12)
-      .map(i => ('a' + i).toChar.toString * AudioMatch.FrameLen).mkString
+    // match at every offset — correct, but not what this test pins);
+    // tone-coded since r15: constant-char frames are spectrally void
+    val payload = ToneAudio.payload(0 until 12)
     val idx = AudioMatch.trackLandmarks(
-        Seq((7L, payload), (3L, payload), (9L, "zzzz" * 16))
+        Seq((7L, payload), (3L, payload),
+          (9L, ToneAudio.payload(Seq(40, 41, 42, 43))))
           .toDF("track_id", "pcm"))
       .withColumn("kb", pmod(col("key"), lit(AudioMatch.KeyBuckets)))
     // clip = frames 0..5 of the duplicated payload (5+4+3 = 12

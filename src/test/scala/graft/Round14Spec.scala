@@ -85,19 +85,25 @@ class Round14Spec extends SparkSpec {
     "constellation collects ZERO votes on the same bytes") {
     import spark.implicits._
     val w = AudioMatch.FrameLen
-    // 16 frames with pairwise-distinct energies: frame i is char
-    // ('!'+i) repeated, energy = 16·(33+i) mod 256 — injective on 0..15
-    val payload = (0 until 16).map(i => ('!' + i).toChar.toString * w).mkString
+    // 16 tone frames with pairwise-distinct spectral features
+    // (ToneAudio classes 0..15 map to 16 distinct (b1, b2) pairs)
+    val payload = ToneAudio.payload(0 until 16)
     val track = Seq((1L, payload)).toDF("track_id", "pcm")
-    // clip = frames 4..11 of the track, then ONE byte flipped (char+1)
-    // in each of its odd frames 1,3,5,7 — every dt=1 pair inside the
-    // clip touches a corrupted frame, so the dt=1 chain is fully
-    // severed; the even frames 0,2,4,6 survive and pair at dt=2
+    // clip = frames 4..11 of the track, then its odd frames 1,3,5,7
+    // TONE-SWAPPED to classes the track never plays (25/27/29/31 use
+    // the runner-up-offset-4 family, absent from classes 0..15) —
+    // heavy enough corruption to flip the spectral feature (a ±1 byte
+    // flip is absorbed by the peak-pick now, by design). Every dt=1
+    // pair inside the clip touches a corrupted frame, so the dt=1
+    // chain is fully severed; the even frames 0,2,4,6 survive and
+    // pair at dt=2, and the corrupted classes pair only with each
+    // other under keys the track index doesn't contain
     val lo = AudioMatch.ClipOffFrames * w
     val clean = payload.substring(lo, lo + AudioMatch.ClipFrames * w)
-    val corrupted = clean.toCharArray
-    Seq(1, 3, 5, 7).foreach(f => corrupted(f * w) = (corrupted(f * w) + 1).toChar)
-    val clip = Seq((100L, new String(corrupted))).toDF("clip_id", "cpcm")
+    val corrupted = new StringBuilder(clean)
+    Seq(1, 3, 5, 7).zip(Seq(25, 27, 29, 31)).foreach { case (f, cls) =>
+      corrupted.replace(f * w, (f + 1) * w, ToneAudio.frame(cls)) }
+    val clip = Seq((100L, corrupted.toString)).toDF("clip_id", "cpcm")
 
     val dt1 = AudioMatch.allCoherentMatches(
       AudioMatch.trackLandmarks(track, maxDt = 1), clip,
@@ -179,9 +185,11 @@ class Round14Spec extends SparkSpec {
     val src = java.nio.file.Files.createTempDirectory("graft-audiocmp-src").toString
     val out = java.nio.file.Files.createTempDirectory("graft-audiocmp").toString
     val w = AudioMatch.FrameLen
-    def payload(seed: Int) = (0 until 14)
-      .map(i => (" " * (w - 1)) +
-        (32 + (seed * 41 + i * 17) % 200).toChar).mkString
+    // tone-coded since r15 (spectral features): scrambled class walk —
+    // a LINEAR class progression would alias across seeds (two tracks
+    // become frame-shifted copies in class space and cross-match)
+    def payload(seed: Int) = ToneAudio.payload((0 until 14)
+      .map(i => ((((seed * 14 + i) * 2654435761L) >>> 7) % 56).toInt))
     def file(ids: Range): Unit = {
       ids.map(i => (i.toLong, payload(i))).toDF("track_id", "pcm")
         .repartition(1).write.mode("append").parquet(src)
@@ -324,13 +332,11 @@ class Round14Spec extends SparkSpec {
     val path = java.nio.file.Files.createTempDirectory("graft-audiocompact")
       .toString + "/idx"
     val w = AudioMatch.FrameLen
-    // frame = 15 spaces + one varying char, so the frame ENERGY is
-    // (seed·41 + i·17) % 200 directly — chosen so no two tracks' energy
-    // sequences coincide at ANY shift (41Δ ≢ 17d mod 200 for the used
-    // ranges), i.e. no cross-track full-vote tie-break ambiguity
-    def payload(seed: Int) = (0 until 14)
-      .map(i => (" " * (w - 1)) +
-        (32 + (seed * 41 + i * 17) % 200).toChar).mkString
+    // tone-coded since r15 (spectral features): scrambled class walk —
+    // a LINEAR class progression would alias across seeds (two tracks
+    // become frame-shifted copies in class space and cross-match)
+    def payload(seed: Int) = ToneAudio.payload((0 until 14)
+      .map(i => ((((seed * 14 + i) * 2654435761L) >>> 7) % 56).toInt))
     def tracks(ids: Seq[Int]) = ids.map(i => (i.toLong, payload(i)))
       .toDF("track_id", "pcm")
     AudioMatch.buildIncremental(spark, tracks(Seq(0, 1)), path)

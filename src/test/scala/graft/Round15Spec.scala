@@ -144,6 +144,90 @@ class Round15Spec extends SparkSpec {
     assert(viaCapped == viaCollect)
   }
 
+  // --- IVF + SQ8 sidecar + exact rerank --------------------------------
+
+  test("knnSq8Rerank equals the plain full-precision IVF search at the " +
+    "same probe width: quantization only orders the pool, never the result") {
+    import graft.operators.{IvfIndex, Similarity}
+    val plain = {
+      val path = IvfIndex.ensureIndex(spark, sf)
+      val q = Similarity.emb(spark, sf).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+          col("nrm").as("q_nrm"))
+      IvfIndex.knn(spark, path, q, k = 5, nprobe = 32).collect().toSeq
+    }
+    val sq8 = IvfIndex.knnSq8Rerank(spark, sf, k = 5, nprobe = 32).collect().toSeq
+    assert(sq8.nonEmpty && sq8 == plain,
+      s"sq8=${sq8.take(3)} plain=${plain.take(3)}")
+  }
+
+  test("sq8 sidecar lifecycle: insert appends the quantized delta; " +
+    "compact drops the sidecar so physically-removed vectors cannot " +
+    "resurface from stale quantized rows") {
+    import graft.operators.{ArtifactCache, IvfIndex, Similarity}
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-sq8spec").toString
+    IvfIndex.build(spark, sf, path)
+    val e = Similarity.emb(spark, sf)
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    // builds the sidecar on first demand
+    IvfIndex.knnSq8RerankAt(spark, path, q, 5, 32, 50).count()
+    assert(ArtifactCache.isDone(s"$path-sq8"), "sidecar must be published")
+
+    // insert a twin of vector 0 under a fresh id: the sidecar append
+    // must make it visible to the QUANTIZED stage too (cosine 1 twin
+    // always survives the pool into the exact rerank)
+    val delta = e.filter(col("vec_id") === 0)
+      .select(lit(1000000L).as("vec_id"), col("emb"), col("label"), col("nrm"))
+    IvfIndex.insert(spark, path, delta)
+    val withTwin = IvfIndex.knnSq8RerankAt(spark, path, q, 5, 32, 50)
+      .filter(col("query_id") === 0 && col("neighbor_id") === 1000000L)
+      .collect()
+    assert(withTwin.length == 1 && withTwin(0).getAs[Double]("cos") == 1.0,
+      "inserted twin must be quantized-probe-visible at cosine 1")
+
+    // tombstone + compact the twin: the sidecar is derived state and
+    // must be dropped (a stale quantized row would resurrect the
+    // vector once the tombstones are cleared), then rebuild on demand
+    IvfIndex.delete(spark, path, Seq(1000000L).toDF("vec_id"))
+    IvfIndex.compact(spark, path)
+    assert(!ArtifactCache.isDone(s"$path-sq8"),
+      "compact must invalidate the quantized sidecar")
+    val after = IvfIndex.knnSq8RerankAt(spark, path, q, 5, 32, 50)
+      .filter(col("neighbor_id") === 1000000L).collect()
+    assert(after.isEmpty, "compacted vector must not resurface")
+    ArtifactCache.deleteRecursively(new java.io.File(path))
+    ArtifactCache.deleteRecursively(new java.io.File(s"$path-sq8"))
+  }
+
+  // --- spectral audio feature: amplitude robustness ---------------------
+
+  test("spectral audio feature survives amplitude rescaling: a 75%-gain " +
+    "excerpt still matches its source track at the full coherent vote " +
+    "(the byte-energy feature this replaced was destroyed by ANY gain " +
+    "change: sum mod 256 scrambles under scaling)") {
+    import spark.implicits._
+    import graft.operators.AudioMatch
+    val w = AudioMatch.FrameLen
+    val payload = ToneAudio.payload(0 until 16)
+    val track = Seq((1L, payload)).toDF("track_id", "pcm")
+    // scale the excerpt BYTES about the PCM midpoint — gain applied to
+    // the raw samples, not regenerated tones, so this is exactly what
+    // a re-encoded/re-leveled copy looks like
+    val lo = AudioMatch.ClipOffFrames * w
+    val clean = payload.substring(lo, lo + AudioMatch.ClipFrames * w)
+    val scaled = clean.map(c => (128 + math.round(0.75 * (c - 128))).toChar)
+    val clip = Seq((100L, scaled)).toDF("clip_id", "cpcm")
+    val got = AudioMatch.allCoherentMatches(
+        AudioMatch.trackLandmarks(track), clip).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((100L, 1L, AudioMatch.ClipOffFrames.toLong,
+      AudioMatch.FullVote.toLong)),
+      s"scaled excerpt must keep every landmark: ${got.toSeq}")
+  }
+
   // --- drift fixture must not re-pin session conf ----------------------
 
   test("buildDriftedCorpus restores spark.sql.parquet.outputTimestampType " +

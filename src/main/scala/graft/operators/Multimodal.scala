@@ -230,7 +230,31 @@ object Multimodal {
     // provably over-cap, and under-cap groups are exact (and pre-sorted,
     // subsuming the former array_sort).
     val cappedSet = udaf(new graft.functions.CappedDistinctAggregator(maxDf))
-    val grouped = wins.groupBy(col("win"))
+    // COUNT-GATED generation (r15): singleton windows — the vast
+    // majority of the relation — used to ride all the way THROUGH the
+    // shuffle into the set aggregation (an opaque-buffer
+    // ObjectHashAggregate that falls back to an external SORT of the
+    // whole window relation past its tiny group threshold: the
+    // measured single-box spill at the 100× ScaleBench point). Now a
+    // cheap first pass counts window occurrences (win-only projection,
+    // codegen'd count with MAP-SIDE partials — the shuffle carries
+    // per-mapper distinct wins, not raw rows) and the survivors
+    // (occurrence count ≥ 2, necessary for df ≥ 2) broadcast back as a
+    // semi filter BELOW the set aggregation's exchange: only
+    // shared-window rows are ever shuffled or buffered by the object
+    // aggregation (spec-asserted). The payload column is scanned
+    // twice — two projections of one parquet column are far cheaper
+    // than sorting the full window relation through spill.
+    val nMedia = media.count() // parquet metadata count — no scan
+    val kept = wins.select(col("win")).groupBy(col("win"))
+      .agg(count(lit(1)).as("wcnt"))
+      .filter(col("wcnt") >= 2).select(col("win"))
+    // the shared-window key set broadcasts below the same media budget
+    // the verify lookups use; past it the semi degrades to a shuffle
+    // join (distributed sort on a real cluster)
+    val keptSide = if (nMedia <= BroadcastMediaBudget) broadcast(kept) else kept
+    val grouped = wins.join(keptSide, Seq("win"), "left_semi")
+      .groupBy(col("win"))
       .agg(cappedSet(col("media_id")).as("ms"))
       .filter(size(col("ms")).between(2, maxDf))
     val cand = grouped
@@ -263,7 +287,6 @@ object Multimodal {
       col("n2").as("na2"))
     val hvB = hv.select(col("media_id").as("media_b"), col("hvec").as("vb"),
       col("n2").as("nb2"))
-    val nMedia = media.count() // parquet metadata count — no scan
     val (sideA, sideB) =
       if (nMedia <= BroadcastMediaBudget) (broadcast(hvA), broadcast(hvB))
       else (hvA, hvB)

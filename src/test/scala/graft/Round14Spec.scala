@@ -57,9 +57,9 @@ class Round14Spec extends SparkSpec {
     assert(want.nonEmpty, "fixture produced no window-sharing pairs")
   }
 
-  test("exact media near-dup plan: candidates come from ONE grouping " +
-    "shuffle with map-side pair generation — the only joins are the " +
-    "broadcast verification lookups") {
+  test("exact media near-dup plan: the count gate's semi filter sits " +
+    "BELOW the set aggregation's exchange (only shared-window rows " +
+    "shuffle or buffer) — the only joins are broadcasts") {
     val plan = Multimodal.mediaNearDupsExact(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
@@ -69,13 +69,24 @@ class Round14Spec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       "no unkeyed join may appear")
     assert(plan.contains("BroadcastHashJoin"),
-      "histogram verification lookups must broadcast")
-    // exactly one aggregate keyed on the raw window bytes (the df gate
-    // rides on the grouped set — no second full-window pass)
+      "histogram verification lookups (and the count-gate semi) must broadcast")
+    // r15 count gate: two win-keyed aggregations — the cheap codegen'd
+    // count (primitive buffers) and the capped-set object aggregation
+    // fed only by count-gate survivors — each partial+final
     val winAggs = plan.split("\n").count(l =>
       l.contains("HashAggregate") && l.contains("keys=[win"))
-    assert(winAggs == 2, // partial + final of the ONE grouping
-      s"expected one partial+final window aggregate pair, saw $winAggs")
+    assert(winAggs == 4,
+      s"expected count + capped-set aggregate pairs on win, saw $winAggs")
+    // the load-bearing property: the PARTIAL set aggregation (map
+    // side, below its exchange) consumes the semi-joined relation —
+    // i.e. singleton windows are dropped before a row is shuffled or
+    // an object buffer is built
+    val lines = plan.split("\n")
+    val partialSet = lines.indexWhere(_.contains("partial_cappeddistinct"))
+    val semi = lines.indexWhere(_.contains("LeftSemi"))
+    assert(partialSet >= 0 && semi > partialSet,
+      s"count-gate semi must feed the partial set aggregation " +
+        s"(partial at $partialSet, semi at $semi)")
   }
 
   // --- audio landmark fan-out robustness ----------------------------

@@ -113,6 +113,44 @@ object Probe {
         spark.sparkContext.getLocalProperty("graft.pagerank.converged_at"))
       spark.stop(); return
     }
+    if (args.headOption.contains("pagerank_warm")) {
+      // warm-start iteration savings on a perturbed graph: cold-run the
+      // synthetic hub-of-cliques graph to its exact fixed point, drop
+      // one intra-clique edge (node count unchanged), then compare the
+      // cold vs warm-seeded re-convergence iteration counts (results
+      // are identical by the start-independent fixed point — asserted)
+      import spark.implicits._
+      import graft.operators.Graphs
+      def cliques(sizes: Seq[Int]): Seq[(String, String)] = {
+        val e = scala.collection.mutable.ListBuffer.empty[(String, String)]
+        sizes.zipWithIndex.foreach { case (sz, ci) =>
+          val ids = (0 until sz).map(i => s"c${ci}n$i")
+          for (a <- ids; b <- ids if a < b) { e += ((a, b)); e += ((b, a)) }
+          e += ((s"c${ci}n0", "hub")); e += (("hub", s"c${ci}n0"))
+        }
+        e.toSeq
+      }
+      def conv(): String = Option(spark.sparkContext
+        .getLocalProperty("graft.pagerank.converged_at")).getOrElse("none")
+      val all = cliques(Seq.tabulate(30)(i => 3 + i % 6))
+      val base = all.toDF("src", "dst")
+      val pert = all.filterNot { case (a, b) =>
+        Set(a, b) == Set("c0n1", "c0n2") }.toDF("src", "dst")
+      val cold0 = Graphs.run(spark, base, 300, None)
+      cold0.count()
+      val coldBaseIters = conv()
+      val warm = Graphs.run(spark, pert, 300, Some(cold0))
+      val warmRows = warm.collect().toSeq
+      val warmIters = conv()
+      val coldP = Graphs.run(spark, pert, 300, None)
+      val identical = coldP.collect().toSeq == warmRows
+      val coldIters = conv()
+      Graphs.releaseResults()
+      println(s"""{"probe":"pagerank_warm","cold_base_iters":$coldBaseIters,""" +
+        s""""cold_perturbed_iters":$coldIters,"warm_perturbed_iters":$warmIters,""" +
+        s""""identical_fixed_point":$identical}""")
+      spark.stop(); return
+    }
     if (args.headOption.contains("pagerank_steps")) {
       // stage decomposition of q_pagerank: setup (edges distinct +
       // repartition + degree count) vs per-iteration cost vs the final

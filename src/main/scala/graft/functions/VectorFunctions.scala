@@ -354,7 +354,12 @@ object VectorFunctions {
       "nearest_cell", exprs => NearestCell(exprs(0), exprs(1), exprs(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nearest_cell_hier", exprs => NearestCellHier(exprs), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "spectral_features", exprs => SpectralFeatures(exprs(0)), "built-in")
   }
+
+  def spectralFeatures(pcm: Column): Column =
+    call_function("spectral_features", pcm)
 
   def arrayDot(a: Column, b: Column): Column = call_function("array_dot", a, b)
 

@@ -114,9 +114,9 @@ object AudioMatch {
     * transform (bin 0 = DC excluded by design; bins above 8 mirror
     * 1..7 for real inputs). */
   val DftBins = 8
-
-  /** Fixed-point coefficient scale. */
-  private val DftScale = 1024L
+  require(FrameLen == graft.functions.AudioFeature.FrameLen &&
+    DftBins == graft.functions.AudioFeature.DftBins,
+    "landmark geometry must match the native feature kernel's")
 
   /** Feature-algorithm version tag for persisted-index cache keys: a
     * landmark index is a function of the FEATURE as much as of the
@@ -126,42 +126,14 @@ object AudioMatch {
   private val FeatVer = "spec1"
 
   /** round(1024·cos(2πbk/16)) / round(1024·sin(2πbk/16)) for b ∈
-    * [1, DftBins], k ∈ [0, FrameLen): ONE table, computed here and
-    * embedded as literals in BOTH the Spark expression and the
-    * generated oracle SQL — the two engines cannot drift on a
-    * coefficient. (No angle lands near a .5 rounding boundary, so the
-    * table is stable across JVM math implementations too.) */
-  private[graft] val CRe: Seq[Seq[Long]] = (1 to DftBins).map(b =>
-    (0 until FrameLen).map(k =>
-      math.round(DftScale * math.cos(2 * math.Pi * b * k / FrameLen))))
-  private[graft] val CIm: Seq[Seq[Long]] = (1 to DftBins).map(b =>
-    (0 until FrameLen).map(k =>
-      math.round(DftScale * math.sin(2 * math.Pi * b * k / FrameLen))))
-
-  /** Integer spectral feature of one frame's sample array (16 longs):
-    * see the section comment. `smp` must be a LAMBDA VARIABLE (bound
-    * via the `transform(array(...), v => …)` let-idiom) — referencing
-    * a built expression here would re-evaluate it per term. */
-  private def featureOf(smp: Column): Column = {
-    def dotLit(cs: Seq[Long]): Column =
-      cs.zipWithIndex.map { case (c, k) =>
-        element_at(smp, k + 1) * lit(c) }.reduce(_ + _)
-    val mag2 = array((0 until DftBins).map { i =>
-      val re = dotLit(CRe(i)); val im = dotLit(CIm(i))
-      re * re + im * im
-    }: _*)
-    element_at(transform(array(mag2), m => {
-      val mx = array_max(m)
-      val b1 = array_position(m, mx) // first max = lowest bin on ties
-      val rest = transform(sequence(lit(1), lit(DftBins)),
-        i => when(i.cast("long") === b1, lit(-1L)).otherwise(element_at(m, i)))
-      val mx2 = array_max(rest)
-      val b2 = array_position(rest, mx2)
-      val r = (mx >= mx2 * 2).cast("long") + (mx >= mx2 * 4).cast("long") +
-        (mx >= mx2 * 8).cast("long")
-      (b1 - 1) * 32 + (b2 - 1) * 4 + r
-    }), 1)
-  }
+    * [1, DftBins], k ∈ [0, FrameLen): ONE table — owned by the native
+    * kernel ([[graft.functions.AudioFeature]], which the Spark-side
+    * expression executes) and embedded as literals in the generated
+    * oracle SQL from these same arrays — the two engines cannot drift
+    * on a coefficient. (No angle lands near a .5 rounding boundary, so
+    * the table is stable across JVM math implementations too.) */
+  private[graft] def CRe: Array[Array[Long]] = graft.functions.AudioFeature.CRe
+  private[graft] def CIm: Array[Array[Long]] = graft.functions.AudioFeature.CIm
 
   /** Audio-kind media rows with the payload decoded back to its ASCII
     * sample string (documents are ASCII by construction — length ==
@@ -186,23 +158,13 @@ object AudioMatch {
     */
   private def landmarks(rows: DataFrame, pcm: Column,
       idName: String, posName: String, maxDt: Int = MaxDt): DataFrame = {
-    val nF = floor(length(pcm) / lit(FrameLen)).cast("int")
-    // per-sample `substr(pos, 1)` + ascii, NOT a split-once char
-    // array: a `split(pcm, "")` bound outside the lambda is inlined
-    // into every element_at access by codegen (no common-subexpression
-    // elimination inside higher-order functions), replaying the regex
-    // split per SAMPLE — measured 1.7 s → 14 s at sf0.1. substr is a
-    // byte-offset slice on this ASCII payload and stays O(FrameLen)
-    // per frame
-    // frame → 16-long sample array → spectral feature byte; the sample
-    // array is bound as a lambda variable (the transform(array(…))
-    // let-idiom) so its 16 substr/ascii reads run ONCE per frame, not
-    // once per DFT term
-    val energies = transform(sequence(lit(0), nF - 1), f =>
-      element_at(transform(array(
-        transform(sequence(lit(1), lit(FrameLen)),
-          kk => ascii(pcm.substr(f * lit(FrameLen) + kk, lit(1))).cast("long"))),
-        smp => featureOf(smp)), 1))
+    // the whole per-track feature array in ONE native kernel call
+    // (graft.functions.SpectralFeatures — primitive DFT loops, a
+    // single static call inside whole-stage codegen). The first cut
+    // composed the DFT from SQL expressions and paid 3.4× across every
+    // fingerprint-side audio query on the expression-tree overhead.
+    graft.functions.VectorFunctions.register(rows.sparkSession)
+    val energies = graft.functions.VectorFunctions.spectralFeatures(pcm)
     rows.filter(length(pcm) >= 2 * FrameLen)
       .select(col(idName), energies.as("en"))
       .select(col(idName),

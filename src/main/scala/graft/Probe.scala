@@ -113,6 +113,61 @@ object Probe {
         spark.sparkContext.getLocalProperty("graft.pagerank.converged_at"))
       spark.stop(); return
     }
+    if (args.headOption.contains("media_steps")) {
+      // stage decomposition of mediaNearDupsExact on an arbitrary
+      // corpus dir (default: the ScaleBench 100x replica) — where does
+      // the 100x point actually spend its time?
+      import org.apache.spark.sql.functions._
+      val dir = if (args.length > 1) args(1) else "/tmp/graft-scale/sf10"
+      val media = graft.operators.Multimodal.mediaTable(spark, dir)
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      val positions = sequence(lit(1), greatest(length(col("content")) - 15, lit(1)), lit(4))
+      val wins = media.select(col("media_id"),
+        explode(transform(positions, p => col("content").substr(p, lit(16)))).as("win"))
+      (1 to 2).foreach { round =>
+        time(s"r$round wins explode only")(noop(wins))
+        val kept = wins.select(col("win")).groupBy(col("win"))
+          .agg(count(lit(1)).as("wcnt")).filter(col("wcnt") >= 2).select(col("win"))
+        time(s"r$round count gate (agg+filter)")(noop(kept))
+        val semi = wins.join(broadcast(kept), Seq("win"), "left_semi")
+        time(s"r$round semi-filtered wins")(noop(semi))
+        println(s"[probe] r$round kept wins = " + time(s"r$round kept count")(kept.count()))
+        println(s"[probe] r$round semi rows = " + time(s"r$round semi count")(semi.count()))
+        val cappedSet = org.apache.spark.sql.functions.udaf(
+          new graft.functions.CappedDistinctAggregator(64))
+        val grouped = semi.groupBy(col("win"))
+          .agg(cappedSet(col("media_id")).as("ms"))
+          .filter(size(col("ms")).between(2, 64))
+        time(s"r$round grouped capped sets")(noop(grouped))
+        val cand = grouped
+          .select(explode(flatten(transform(col("ms"), (a, i) =>
+            transform(slice(col("ms"), i + lit(2), size(col("ms"))),
+              b => array(a, b))))).as("p"))
+          .select(element_at(col("p"), 1).as("media_a"),
+            element_at(col("p"), 2).as("media_b"))
+          .distinct()
+        time(s"r$round cand pairs distinct")(noop(cand))
+        val hv = graft.operators.Multimodal.byteHistVec(spark, media)
+        time(s"r$round byteHistVec")(noop(hv))
+        time(s"r$round full operator")(noop(
+          graft.operators.Multimodal.mediaNearDupsExact(spark, dir)))
+      }
+      spark.stop(); return
+    }
+    if (args.headOption.contains("media_pairs")) {
+      // output density of the exact media audit at 1x and the 100x
+      // replica corpus: candidate pairs and verified near-dups — the
+      // denominator of the honest pairs/sec scale story
+      import org.apache.spark.sql.functions._
+      Seq("/root/testdata/sf0.1", "/tmp/graft-scale/sf10").foreach { dir =>
+        val cand = graft.operators.Multimodal
+          .mediaNearDupsExact(spark, dir, threshold = 0.0)
+        val n = time(s"cand pairs $dir")(cand.count())
+        println(s"[probe] $dir candidate_pairs=$n")
+      }
+      spark.stop(); return
+    }
     if (args.headOption.contains("pagerank_warm")) {
       // warm-start iteration savings on a perturbed graph: cold-run the
       // synthetic hub-of-cliques graph to its exact fixed point, drop

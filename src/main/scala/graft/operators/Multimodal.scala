@@ -36,6 +36,24 @@ object Multimodal {
     * not a perf knob. */
   val BroadcastMediaBudget = 1000000L
 
+  /** On-disk corpus size below which [[mediaNearDupsExact]] skips its
+    * count gate outright: a window relation derived from this little
+    * data aggregates without spilling, so the gate could only add
+    * cost. Metadata-only decision (file lengths, no scan). */
+  val GateBytes: Long = 200L * 1024 * 1024
+
+  /** Survivor-row fraction above which the count gate's semi filter is
+    * NOT planned: a dup-dense corpus keeps nearly every window row
+    * (measured 0.98 on the ScaleBench replica corpus), and a semi that
+    * drops nothing is pure overhead. */
+  val GateKeepFraction = 0.5
+
+  private def corpusBytes(dir: String): Long = {
+    val f = new java.io.File(s"$dir/documents.parquet")
+    val parts = if (f.isDirectory) Option(f.listFiles()).toSeq.flatten else Seq(f)
+    parts.filter(p => p.isFile).map(_.length).sum
+  }
+
   /** Typed metadata extracted by "decoding" the payload. */
   case class MediaMeta(media_id: Long, kind: String, n_bytes: Long,
       checksum: Long, width: Int, height: Int)
@@ -196,7 +214,16 @@ object Multimodal {
     * the text dedup family.
     */
   def mediaNearDupsExact(s: SparkSession, dir: String,
-      threshold: Double = 0.99, maxDf: Int = 64): DataFrame = {
+      threshold: Double = 0.99, maxDf: Int = 64): DataFrame =
+    mediaNearDupsExactGated(s, dir, threshold, maxDf, GateBytes, GateKeepFraction)
+
+  /** [[mediaNearDupsExact]] with the gate-decision knobs exposed —
+    * specs force each regime deterministically (gateBytes = 0 engages
+    * the counting pass on any corpus; keepFraction > 1 forces the semi
+    * whenever the pass ran). */
+  private[graft] def mediaNearDupsExactGated(s: SparkSession, dir: String,
+      threshold: Double, maxDf: Int, gateBytes: Long,
+      keepFraction: Double): DataFrame = {
     val media = mediaTable(s, dir)
     val positions = sequence(lit(1), greatest(length(col("content")) - 15, lit(1)), lit(4))
     val wins = media.select(col("media_id"),
@@ -230,30 +257,48 @@ object Multimodal {
     // provably over-cap, and under-cap groups are exact (and pre-sorted,
     // subsuming the former array_sort).
     val cappedSet = udaf(new graft.functions.CappedDistinctAggregator(maxDf))
-    // COUNT-GATED generation (r15): singleton windows — the vast
-    // majority of the relation — used to ride all the way THROUGH the
-    // shuffle into the set aggregation (an opaque-buffer
-    // ObjectHashAggregate that falls back to an external SORT of the
-    // whole window relation past its tiny group threshold: the
-    // measured single-box spill at the 100× ScaleBench point). Now a
-    // cheap first pass counts window occurrences (win-only projection,
-    // codegen'd count with MAP-SIDE partials — the shuffle carries
-    // per-mapper distinct wins, not raw rows) and the survivors
-    // (occurrence count ≥ 2, necessary for df ≥ 2) broadcast back as a
-    // semi filter BELOW the set aggregation's exchange: only
-    // shared-window rows are ever shuffled or buffered by the object
-    // aggregation (spec-asserted). The payload column is scanned
-    // twice — two projections of one parquet column are far cheaper
-    // than sorting the full window relation through spill.
+    // ADAPTIVE COUNT GATE (r15): singleton windows can never pair, so
+    // on a typical sparse-duplication corpus pre-filtering them keeps
+    // the set aggregation's shuffle + sort-fallback spill proportional
+    // to SHARED windows, not corpus bytes. But the gate is only worth
+    // its own cost when it filters, and that is a CORPUS property —
+    // the dup-dense ScaleBench replica corpus keeps 47.1M of 48M rows
+    // (measured), making the semi pure overhead. So the plan adapts on
+    // two measured facts:
+    //  - corpora under [[GateBytes]] on-disk skip the gate entirely
+    //    (a window relation this small aggregates in memory — the
+    //    spill the gate prevents cannot occur; file-length metadata,
+    //    no scan);
+    //  - larger corpora pay one cheap counting pass (win-only
+    //    projection, codegen'd count with MAP-SIDE partials — its
+    //    shuffle carries per-mapper distinct wins, not raw rows) and
+    //    read the SURVIVOR ROW FRACTION off the count relation with a
+    //    tiny second-level aggregate: the semi filter is planned only
+    //    when it would actually drop most rows (≤ [[GateKeepFraction]]
+    //    survive). The decision input is the relation the gate needs
+    //    anyway — measured stats, not guesses.
+    // Either way the set aggregation is the SIZE-CAPPED
+    // [[graft.functions.CappedDistinctAggregator]], so even a
+    // corpus-wide boilerplate window costs a (maxDf+1)-bounded buffer.
     val nMedia = media.count() // parquet metadata count — no scan
-    val kept = wins.select(col("win")).groupBy(col("win"))
-      .agg(count(lit(1)).as("wcnt"))
-      .filter(col("wcnt") >= 2).select(col("win"))
-    // the shared-window key set broadcasts below the same media budget
-    // the verify lookups use; past it the semi degrades to a shuffle
-    // join (distributed sort on a real cluster)
-    val keptSide = if (nMedia <= BroadcastMediaBudget) broadcast(kept) else kept
-    val grouped = wins.join(keptSide, Seq("win"), "left_semi")
+    val gateInput = if (corpusBytes(dir) <= gateBytes) wins else {
+      val winCounts = wins.select(col("win")).groupBy(col("win"))
+        .agg(count(lit(1)).as("wcnt"))
+      val st = winCounts.agg(sum(col("wcnt")).as("total"),
+        sum(when(col("wcnt") >= 2, col("wcnt")).otherwise(0L)).as("kept"))
+        .head()
+      val (total, keptRows) = (st.getLong(0), st.getLong(1))
+      if (keptRows > (total * keepFraction).toLong) wins
+      else {
+        val kept = winCounts.filter(col("wcnt") >= 2).select(col("win"))
+        // the shared-window key set broadcasts below the same media
+        // budget the verify lookups use; past it the semi degrades to
+        // a shuffle join (distributed sort on a real cluster)
+        val keptSide = if (nMedia <= BroadcastMediaBudget) broadcast(kept) else kept
+        wins.join(keptSide, Seq("win"), "left_semi")
+      }
+    }
+    val grouped = gateInput
       .groupBy(col("win"))
       .agg(cappedSet(col("media_id")).as("ms"))
       .filter(size(col("ms")).between(2, maxDf))

@@ -57,9 +57,8 @@ class Round14Spec extends SparkSpec {
     assert(want.nonEmpty, "fixture produced no window-sharing pairs")
   }
 
-  test("exact media near-dup plan: the count gate's semi filter sits " +
-    "BELOW the set aggregation's exchange (only shared-window rows " +
-    "shuffle or buffer) — the only joins are broadcasts") {
+  test("exact media near-dup plan, small-corpus regime (gate skipped): " +
+    "ONE grouping shuffle, no shuffle joins, broadcast-only verification") {
     val plan = Multimodal.mediaNearDupsExact(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
@@ -69,24 +68,41 @@ class Round14Spec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       "no unkeyed join may appear")
     assert(plan.contains("BroadcastHashJoin"),
-      "histogram verification lookups (and the count-gate semi) must broadcast")
-    // r15 count gate: two win-keyed aggregations — the cheap codegen'd
-    // count (primitive buffers) and the capped-set object aggregation
-    // fed only by count-gate survivors — each partial+final
+      "histogram verification lookups must broadcast")
+    assert(!plan.contains("LeftSemi"),
+      "a sub-GateBytes corpus must skip the count gate (it can only cost)")
+    // exactly one aggregate keyed on the raw window bytes: partial +
+    // final of the ONE grouping
+    val winAggs = plan.split("\n").count(l =>
+      l.contains("HashAggregate") && l.contains("keys=[win"))
+    assert(winAggs == 2,
+      s"expected one partial+final window aggregate pair, saw $winAggs")
+  }
+
+  test("exact media near-dup plan, gated regime (forced): the count " +
+    "gate's semi filter sits BELOW the set aggregation's exchange — " +
+    "singleton windows are dropped before a row shuffles or buffers — " +
+    "and the result is row-identical to the ungated plan") {
+    val gated = Multimodal.mediaNearDupsExactGated(spark, sf,
+      threshold = 0.0, maxDf = 64, gateBytes = 0L, keepFraction = 1.01)
+    val plan = gated.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"))
+    // count + capped-set aggregations on win, each partial+final
     val winAggs = plan.split("\n").count(l =>
       l.contains("HashAggregate") && l.contains("keys=[win"))
     assert(winAggs == 4,
       s"expected count + capped-set aggregate pairs on win, saw $winAggs")
-    // the load-bearing property: the PARTIAL set aggregation (map
-    // side, below its exchange) consumes the semi-joined relation —
-    // i.e. singleton windows are dropped before a row is shuffled or
-    // an object buffer is built
     val lines = plan.split("\n")
     val partialSet = lines.indexWhere(_.contains("partial_cappeddistinct"))
     val semi = lines.indexWhere(_.contains("LeftSemi"))
     assert(partialSet >= 0 && semi > partialSet,
       s"count-gate semi must feed the partial set aggregation " +
         s"(partial at $partialSet, semi at $semi)")
+    // gating is an EXECUTION choice, never a semantic one
+    val got = gated.collect().map(_.toSeq).toSeq
+    val want = Multimodal.mediaNearDupsExact(spark, sf, threshold = 0.0)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want, "gated and ungated plans must be row-identical")
   }
 
   // --- audio landmark fan-out robustness ----------------------------

@@ -222,6 +222,14 @@ object SparkEntry {
     // LSH-banded q_media_neardups stays rows-only by construction)
     "q_media_neardups_exact" -> ((s: SparkSession, d: String) =>
       Multimodal.mediaNearDupsExact(s, d)),
+    // image perceptual near-dup: 56-bit dHash (gradient-sign
+    // fingerprint, brightness-invariant) + exact pigeonhole blocking
+    // under Hamming <= 3 — both fully oracled (integer pixel sums,
+    // comparisons, XOR popcounts)
+    "q_image_phash" -> ((s: SparkSession, d: String) =>
+      graft.operators.PerceptualHash.imagePhash(s, d)),
+    "q_image_neardups" -> ((s: SparkSession, d: String) =>
+      graft.operators.PerceptualHash.imageNearDups(s, d)),
     // second modality: audio landmark fingerprinting (constellation
     // pairs over frame features) and excerpt matching by
     // offset-coherent votes — integer arithmetic, exact oracles
@@ -1412,6 +1420,8 @@ object SparkEntry {
         |   / ceil(CAST(n_bytes AS DOUBLE) / 4)) AS BIGINT) END AS n_frames,
         | n_bytes AS frame_bytes
         |FROM m ORDER BY media_id""".stripMargin,
+    "q_image_phash" -> graft.operators.PerceptualHash.imagePhashOracleSql,
+    "q_image_neardups" -> graft.operators.PerceptualHash.imageNearDupsOracleSql,
     // the gate corpus is pure ASCII (verified), so the oracle restates
     // the BYTE-level window/histogram ops on VARCHAR: code point ==
     // byte, length == octet_length. The Spark side stays byte-exact on

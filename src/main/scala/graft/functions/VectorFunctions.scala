@@ -356,10 +356,14 @@ object VectorFunctions {
       "nearest_cell_hier", exprs => NearestCellHier(exprs), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "spectral_features", exprs => SpectralFeatures(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dhash56", exprs => DHash56(exprs(0)), "built-in")
   }
 
   def spectralFeatures(pcm: Column): Column =
     call_function("spectral_features", pcm)
+
+  def dhash56(content: Column): Column = call_function("dhash56", content)
 
   def arrayDot(a: Column, b: Column): Column = call_function("array_dot", a, b)
 

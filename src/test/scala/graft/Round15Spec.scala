@@ -228,6 +228,67 @@ class Round15Spec extends SparkSpec {
       s"scaled excerpt must keep every landmark: ${got.toSeq}")
   }
 
+  // --- image perceptual hash (dHash) -----------------------------------
+
+  /** Independent plain-Scala dHash re-derivation (the spec's own
+    * restatement of the kernel's definition). */
+  private def refDhash(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    if (n == 0) return 0L
+    val px = new Array[Long](63)
+    bytes.zipWithIndex.foreach { case (b, j) =>
+      px((j.toLong * 63 / n).toInt) += b & 0xFF }
+    (0 until 56).map { b =>
+      val i = (b / 8) * 9 + (b % 8)
+      if (px(i) > px(i + 1)) 1L << b else 0L
+    }.sum
+  }
+
+  test("image dHash equals an independent in-test recompute on every " +
+    "image payload; blocked near-dups equal brute-force Hamming <= 3 " +
+    "(pigeonhole exactness, recall 1.0)") {
+    import graft.operators.PerceptualHash
+    val texts = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") % 3 === 0 && length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8")).toMap
+    val want = texts.map { case (id, b) => id -> refDhash(b) }
+    val got = PerceptualHash.imagePhash(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, {
+      val bad = got.keys.find(k => got(k) != want(k))
+      s"dHash diverges from the reference recompute at id $bad"
+    })
+    assert(got.nonEmpty)
+    // brute-force Hamming <= 3 over the reference hashes (NO df cap:
+    // prove the cap dropped nothing on this corpus, then compare)
+    val ids = want.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      h = java.lang.Long.bitCount(want(ids(i)) ^ want(ids(j)))
+      if h <= PerceptualHash.MaxHamming
+    } yield (ids(i), ids(j), h.toLong)).toSet
+    val blocked = PerceptualHash.imageNearDups(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(blocked == brute,
+      s"pigeonhole blocking must be exact: missing=${(brute -- blocked).take(3)} " +
+        s"extra=${(blocked -- brute).take(3)}")
+  }
+
+  test("image dHash is brightness-invariant: scaling every pixel by a " +
+    "positive gain leaves the gradient-sign hash bit-identical (an " +
+    "absolute-value fingerprint would scramble)") {
+    import graft.functions.ImageHash
+    // synthetic 'image': 630 bytes with a deterministic non-flat
+    // pattern, then a 50% gain applied byte-wise
+    val base = Array.tabulate(630)(j =>
+      (40 + 80 * math.sin(j / 17.0) + (j % 13) * 3).toInt.toByte)
+    val dimmed = base.map(b => ((b & 0xFF) / 2).toByte)
+    assert(ImageHash.dhash56(base) == ImageHash.dhash56(dimmed),
+      "a 50%-gain copy must keep the exact dHash")
+    assert(ImageHash.dhash56(base) != 0L, "fixture must not be gradient-flat")
+  }
+
   // --- drift fixture must not re-pin session conf ----------------------
 
   test("buildDriftedCorpus restores spark.sql.parquet.outputTimestampType " +

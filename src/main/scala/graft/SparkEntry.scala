@@ -230,6 +230,10 @@ object SparkEntry {
       graft.operators.PerceptualHash.imagePhash(s, d)),
     "q_image_neardups" -> ((s: SparkSession, d: String) =>
       graft.operators.PerceptualHash.imageNearDups(s, d)),
+    // video excerpt matching: frame-sampled dHash constellation +
+    // offset-coherent votes (the audio design on the third modality)
+    "q_video_matches" -> ((s: SparkSession, d: String) =>
+      graft.operators.PerceptualHash.videoMatches(s, d)),
     // second modality: audio landmark fingerprinting (constellation
     // pairs over frame features) and excerpt matching by
     // offset-coherent votes — integer arithmetic, exact oracles
@@ -1422,6 +1426,7 @@ object SparkEntry {
         |FROM m ORDER BY media_id""".stripMargin,
     "q_image_phash" -> graft.operators.PerceptualHash.imagePhashOracleSql,
     "q_image_neardups" -> graft.operators.PerceptualHash.imageNearDupsOracleSql,
+    "q_video_matches" -> graft.operators.PerceptualHash.videoMatchesOracleSql,
     // the gate corpus is pure ASCII (verified), so the oracle restates
     // the BYTE-level window/histogram ops on VARCHAR: code point ==
     // byte, length == octet_length. The Spark side stays byte-exact on

@@ -80,6 +80,121 @@ object PerceptualHash {
       .orderBy(col("media_a"), col("media_b"))
   }
 
+  // ---- video excerpt matching (frame-hash constellation) -----------
+
+  /** Frames per video for the match relation (a real pipeline samples
+    * decoded frames; here [[Multimodal.frameSample]]'s contiguous
+    * chunks stand in behind the same decode-stub contract). */
+  val VideoFrames = 12
+
+  /** Excerpt geometry: clips are frames [[VClipOff]] … VClipOff +
+    * [[VClipLen]] − 1 of every [[VClipMod]]-th video. */
+  val VClipOff = 3
+  val VClipLen = 6
+  val VClipMod = 5
+
+  /** A frame dHash shared by more than this many frames corpus-wide
+    * identifies nothing (blank-ish frames) — dropped from matching,
+    * the audio MaxKeyDf discipline. */
+  val MaxFrameDf = 200
+
+  /** Video near-duplicate excerpt matching — the third modality on the
+    * offset-coherent vote design ([[AudioMatch]]'s Shazam criterion
+    * replayed for video): per-frame dHashes are the landmark keys, a
+    * clip's frames probe the corpus frame table, votes count per
+    * (clip, video, frame-offset), and only offset-coherent votes rank
+    * a match — a true excerpt aligns every matched frame at ONE
+    * offset. Exact oracle: frame chunking, dHash, df cap, votes and
+    * the (votes DESC, video ASC, offset ASC) tie-break are all integer
+    * arithmetic. Scale shape: frames ∝ corpus (narrow flatMap), the
+    * probe side is tiny (clips × VClipLen rows, broadcast), vote
+    * counting shuffles only matched frame pairs — df-capped, never
+    * corpus².
+    */
+  def videoMatches(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val frames = Multimodal.frameSample(s,
+        Multimodal.mediaTable(s, dir).filter(col("kind") === "video"),
+        VideoFrames)
+      .select(col("media_id").as("video_id"), col("frame_idx").cast("long").as("f"),
+        VectorFunctions.dhash56(col("frame")).as("fh"))
+    val keep = frames.groupBy(col("fh")).agg(count(lit(1)).as("fdf"))
+      .filter(col("fdf") <= MaxFrameDf).select(col("fh"))
+    val idx = frames.join(broadcast(keep), Seq("fh"))
+    val clips = frames
+      .filter(pmod(col("video_id"), lit(VClipMod)) === 0 &&
+        col("f").between(VClipOff, VClipOff + VClipLen - 1))
+      .select(col("video_id").as("clip_id"), (col("f") - VClipOff).as("j"),
+        col("fh"))
+    val votes = idx.join(broadcast(clips), Seq("fh"))
+      .groupBy(col("clip_id"), col("video_id"),
+        (col("f") - col("j")).as("offset_frames"))
+      .agg(count(lit(1)).as("votes"))
+    val best = org.apache.spark.sql.expressions.Window.partitionBy(col("clip_id"))
+      .orderBy(col("votes").desc, col("video_id").asc, col("offset_frames").asc)
+    votes.withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select(col("clip_id"), col("video_id"), col("offset_frames"), col("votes"))
+      .orderBy(col("clip_id"))
+  }
+
+  /** DuckDB restatement of [[videoMatches]]: frame chunk boundaries
+    * (size = ⌈len/12⌉, last frame short), per-frame dHash over the
+    * frame's OWN balanced cells, df cap, offset-coherent votes, same
+    * tie-break. */
+  def videoMatchesOracleSql: String = {
+    val bits = (0 until ImageHash.HashBits).map { b =>
+      val i = (b / 8) * ImageHash.RowCells + (b % 8)
+      s"(CASE WHEN px[${i + 1}] > px[${i + 2}] THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH videos AS (
+       |  SELECT doc_id AS media_id, text,
+       |         GREATEST(CAST(ceil(length(text) / $VideoFrames.0) AS INT), 1) AS fsz
+       |  FROM documents WHERE doc_id % 3 = 2 AND length(text) > 0
+       |), fbytes AS (
+       |  SELECT media_id, CAST((t.i - 1) // fsz AS BIGINT) AS f,
+       |         (t.i - 1) % fsz AS jf,
+       |         LEAST(fsz, length(text) - ((t.i - 1) // fsz) * fsz) AS flen,
+       |         ord(substring(text, CAST(t.i AS INT), 1)) AS v
+       |  FROM videos, UNNEST(range(1, length(text) + 1)) AS t(i)
+       |), px0 AS (
+       |  SELECT media_id, f, CAST((jf * ${ImageHash.Cells}) // flen AS INT) AS cell,
+       |         CAST(sum(v) AS BIGINT) AS s
+       |  FROM fbytes GROUP BY 1, 2, 3
+       |), pxd AS (
+       |  SELECT fr.media_id, fr.f, CAST(g.gi AS INT) AS cell, coalesce(p.s, 0) AS s
+       |  FROM (SELECT DISTINCT media_id, f FROM px0) fr
+       |  CROSS JOIN UNNEST(range(0, ${ImageHash.Cells})) AS g(gi)
+       |  LEFT JOIN px0 p ON p.media_id = fr.media_id AND p.f = fr.f AND p.cell = g.gi
+       |), frames AS (
+       |  SELECT media_id AS video_id, f,
+       |         CAST($bits AS BIGINT) AS fh
+       |  FROM (SELECT media_id, f, list(s ORDER BY cell) AS px
+       |        FROM pxd GROUP BY 1, 2)
+       |), keep AS (
+       |  SELECT fh FROM (SELECT fh, count(*) AS fdf FROM frames GROUP BY 1)
+       |  WHERE fdf <= $MaxFrameDf
+       |), idx AS (
+       |  SELECT fr.* FROM frames fr JOIN keep k ON k.fh = fr.fh
+       |), clips AS (
+       |  SELECT video_id AS clip_id, f - $VClipOff AS j, fh
+       |  FROM frames
+       |  WHERE video_id % $VClipMod = 0
+       |    AND f BETWEEN $VClipOff AND ${VClipOff + VClipLen - 1}
+       |), votes AS (
+       |  SELECT c.clip_id, i.video_id, i.f - c.j AS offset_frames,
+       |         CAST(count(*) AS BIGINT) AS votes
+       |  FROM clips c JOIN idx i ON i.fh = c.fh
+       |  GROUP BY 1, 2, 3
+       |), best AS (
+       |  SELECT *, row_number() OVER (PARTITION BY clip_id
+       |    ORDER BY votes DESC, video_id ASC, offset_frames ASC) AS rn
+       |  FROM votes
+       |)
+       |SELECT clip_id, video_id, offset_frames, votes FROM best
+       |WHERE rn = 1 ORDER BY clip_id""".stripMargin
+  }
+
   /** DuckDB restatement of [[imagePhash]]: per-byte unnest → balanced
     * 63-cell sums → adjacent-comparison bits packed into a BIGINT.
     * Byte values via `ord` over the ASCII text, exactly as the Spark

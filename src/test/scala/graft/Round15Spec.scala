@@ -275,6 +275,37 @@ class Round15Spec extends SparkSpec {
         s"extra=${(blocked -- brute).take(3)}")
   }
 
+  test("video excerpt matching: every clip resolves to its source video " +
+    "with the full 6-frame coherent vote; frame hashes equal an " +
+    "independent per-chunk dHash recompute") {
+    import graft.operators.{Multimodal, PerceptualHash}
+    val rows = PerceptualHash.videoMatches(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(rows.nonEmpty, "fixture produced no video clips")
+    // the winner always carries the FULL coherent vote (the source
+    // video guarantees that score exists); winner identity follows the
+    // audio caveat — the corpus plants byte-identical duplicates, and
+    // the (votes, video_id, offset) tie-break resolves to the
+    // smallest-id copy, so a foreign winner is only ever a SMALLER id
+    assert(rows.forall { case (clip, video, votes) =>
+      votes == PerceptualHash.VClipLen.toLong && video <= clip },
+      s"winner must hold the full vote and never a larger id: " +
+        s"${rows.filterNot(r => r._3 == PerceptualHash.VClipLen.toLong || r._2 > r._1).take(3).toSeq}")
+    // frame hashes vs the spec's own recompute over frameSample chunks
+    val media = Multimodal.mediaTable(spark, sf).filter(col("kind") === "video")
+    val want = Multimodal.frameSample(spark, media, PerceptualHash.VideoFrames)
+      .select(col("media_id"), col("frame_idx"), col("frame")).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong) ->
+        refDhash(r.getAs[Array[Byte]](2))).toMap
+    import graft.functions.VectorFunctions
+    VectorFunctions.register(spark)
+    val got = Multimodal.frameSample(spark, media, PerceptualHash.VideoFrames)
+      .select(col("media_id"), col("frame_idx").cast("long"),
+        VectorFunctions.dhash56(col("frame"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want, "frame dHash diverges from the in-test recompute")
+  }
+
   test("image dHash is brightness-invariant: scaling every pixel by a " +
     "positive gain leaves the gradient-sign hash bit-identical (an " +
     "absolute-value fingerprint would scramble)") {

@@ -65,8 +65,12 @@ object Bench {
     * iterative driver loops (pagerank) re-enter the same codegen'd
     * stages 5× per run, so the JIT tiers across EXECUTIONS — r12's
     * one-pass warm-up left its first two timed runs 2.2–2.7× over
-    * steady state. */
-  private val ExtraWarmups = Map("q_pagerank" -> 3)
+    * steady state. q_hard_negatives added in r16: its ObjectHashAgg
+    * UDAF (TopKAggregator) path tiers the same way — the r15 battery's
+    * one spread flag was a 0.51 s first run over a 0.22 s floor with
+    * every later run at steady state (the JIT shape, confirmed by the
+    * 12-run standalone probe in SPREAD_PROBE.json). */
+  private val ExtraWarmups = Map("q_pagerank" -> 3, "q_hard_negatives" -> 2)
 
   /** True median: middle element, or mean of the two middles for the
     * even-sized run lists the spread retry can produce (taking the

@@ -82,7 +82,23 @@ object RecallReport {
       if (bruteSim.isEmpty) 1.0 else bruteSim.intersect(sh).size.toDouble / bruteSim.size,
       None: Option[Long])
 
-    val rows = ann.toSeq :+ hierRow :+ mhRow :+ shRow
+    // routed search (r16): recommendPlan wired into the query path —
+    // the committed evidence of what the router actually chose on this
+    // corpus and what the chosen plan costs in full-precision reads
+    val routedRow = {
+      val brute = Similarity.bruteGroundTruth(spark, dir, 5).toSet
+      val plan = Similarity.recommendPlan(spark, dir)
+      val got = Similarity.knnRouted(spark, dir)
+        .select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val name = if (plan.sq8Rerank)
+        s"knn_ivf_routed_sq8w${plan.nprobe}" else s"knn_ivf_routed_w${plan.nprobe}"
+      (name, brute.size.toLong, brute.intersect(got).size.toLong,
+        if (brute.isEmpty) 1.0 else brute.intersect(got).size.toDouble / brute.size,
+        Some(plan.fullPrecisionReads))
+    }
+
+    val rows = ann.toSeq :+ hierRow :+ mhRow :+ shRow :+ routedRow
     // n_candidates (where measured) is the COST axis of the
     // recall curve: rows the probe scores at that width. For the
     // sq8-rerank row it counts FULL-PRECISION reads (the exact pass's

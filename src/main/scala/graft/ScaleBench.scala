@@ -158,6 +158,15 @@ object ScaleBench {
       // fan-out, so the decade ratio must stay far under quadratic
       ("media_neardups_exact",
         dir => graft.operators.Multimodal.mediaNearDupsExact(spark, dir), 3),
+      // round-16: the LINEAR-OUTPUT group form of the same audit. The
+      // pair form above is output-bound on the dup-dense replica
+      // corpus (124M pairs at 100× — a quadratic encoding of
+      // near-clique groups, 5.56×/decade in r15); the group form
+      // streams candidates un-deduplicated through map-side union-find
+      // contraction and emits one row per MEMBER, so its decade ratio
+      // measures the plan, not the encoding
+      ("media_dup_groups",
+        dir => graft.operators.Multimodal.mediaDupGroups(spark, dir), 3),
       // its sampled production sibling (CDC anchors → MinHash/LSH)
       ("media_neardups",
         dir => graft.operators.Multimodal.mediaNearDups(spark, dir), 3))

@@ -222,6 +222,14 @@ object SparkEntry {
     // LSH-banded q_media_neardups stays rows-only by construction)
     "q_media_neardups_exact" -> ((s: SparkSession, d: String) =>
       Multimodal.mediaNearDupsExact(s, d)),
+    // LINEAR-OUTPUT group form of the exact media audit: connected
+    // components over the same verified near-dup relation, one row per
+    // member (group_id = canonical min member) — the pair report is a
+    // quadratic encoding of near-clique groups; this is the form that
+    // survives a dup-dense corpus (candidates stream un-deduplicated
+    // through map-side union-find contraction, never shuffled)
+    "q_media_dup_groups" -> ((s: SparkSession, d: String) =>
+      Multimodal.mediaDupGroups(s, d)),
     // image perceptual near-dup: 56-bit dHash (gradient-sign
     // fingerprint, brightness-invariant) + exact pigeonhole blocking
     // under Hamming <= 3 — both fully oracled (integer pixel sums,
@@ -230,10 +238,22 @@ object SparkEntry {
       graft.operators.PerceptualHash.imagePhash(s, d)),
     "q_image_neardups" -> ((s: SparkSession, d: String) =>
       graft.operators.PerceptualHash.imageNearDups(s, d)),
+    // incremental image lifecycle: build the chunk index on the
+    // even-id half, INSERT the odd half, serve the pair set under the
+    // query-time df cap — row-identical to q_image_neardups (uncapped
+    // stored postings + summed df partials = one-shot chunk-df
+    // semantics), so it shares the oracle
+    "q_image_neardups_indexed" -> ((s: SparkSession, d: String) =>
+      graft.operators.PerceptualHash.imageNearDupsIndexed(s, d)),
     // video excerpt matching: frame-sampled dHash constellation +
     // offset-coherent votes (the audio design on the third modality)
     "q_video_matches" -> ((s: SparkSession, d: String) =>
       graft.operators.PerceptualHash.videoMatches(s, d)),
+    // same semantics served from the persisted + incrementally-built
+    // frame index (bucket-partitioned postings, query-time frame-df
+    // cap, DPP-pruned probe) — row-identical, shares the oracle
+    "q_video_matches_indexed" -> ((s: SparkSession, d: String) =>
+      graft.operators.PerceptualHash.videoMatchesIndexed(s, d)),
     // second modality: audio landmark fingerprinting (constellation
     // pairs over frame features) and excerpt matching by
     // offset-coherent votes — integer arithmetic, exact oracles
@@ -1426,7 +1446,14 @@ object SparkEntry {
         |FROM m ORDER BY media_id""".stripMargin,
     "q_image_phash" -> graft.operators.PerceptualHash.imagePhashOracleSql,
     "q_image_neardups" -> graft.operators.PerceptualHash.imageNearDupsOracleSql,
+    // the incremental chunk-index lifecycle is row-identical by the
+    // uncapped-storage + query-time-cap design
+    "q_image_neardups_indexed" ->
+      graft.operators.PerceptualHash.imageNearDupsOracleSql,
     "q_video_matches" -> graft.operators.PerceptualHash.videoMatchesOracleSql,
+    // persisted/incremental frame index: row-identical by construction
+    "q_video_matches_indexed" ->
+      graft.operators.PerceptualHash.videoMatchesOracleSql,
     // the gate corpus is pure ASCII (verified), so the oracle restates
     // the BYTE-level window/histogram ops on VARCHAR: code point ==
     // byte, length == octet_length. The Spark side stays byte-exact on
@@ -1467,6 +1494,51 @@ object SparkEntry {
         |WHERE CAST(d.dot AS DOUBLE)
         |   / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.99
         |ORDER BY 1, 2""".stripMargin,
+    // transitive closure over the SAME verified pair relation: the
+    // recursive-CTE reachability restatement (the q_dedup_groups_exact
+    // discipline) — group label = min reachable node, exactly
+    // Dedup.connectedComponents' semantics, one row per member
+    "q_media_dup_groups" ->
+      """WITH RECURSIVE w AS (
+        | SELECT DISTINCT d.doc_id AS media_id,
+        |  substring(d.text, CAST(t.p AS INT), 16) AS win
+        | FROM documents d,
+        |  UNNEST(range(1, GREATEST(length(d.text) - 15, 1) + 1, 4)) AS t(p)),
+        |keepw AS (
+        | SELECT win FROM (SELECT win, count(*) AS w_df FROM w GROUP BY 1)
+        | WHERE w_df >= 2 AND w_df <= 64),
+        |ws AS (SELECT w.* FROM w JOIN keepw USING (win)),
+        |cand AS (
+        | SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
+        | FROM ws a JOIN ws b ON a.win = b.win AND a.media_id < b.media_id),
+        |h AS (
+        | SELECT d.doc_id AS media_id,
+        |  (ord(substring(d.text, CAST(t.i AS INT), 1)) // 4) AS bin,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        | FROM documents d, UNNEST(range(1, length(d.text) + 1, 1)) AS t(i)
+        | GROUP BY 1, 2),
+        |n AS (SELECT media_id, SUM(cnt * cnt) AS n2 FROM h GROUP BY 1),
+        |dots AS (
+        | SELECT c.media_a, c.media_b, SUM(ha.cnt * hb.cnt) AS dot
+        | FROM cand c
+        | JOIN h ha ON ha.media_id = c.media_a
+        | JOIN h hb ON hb.media_id = c.media_b AND hb.bin = ha.bin
+        | GROUP BY 1, 2),
+        |edges AS (
+        | SELECT d.media_a, d.media_b
+        | FROM dots d
+        | JOIN n na ON na.media_id = d.media_a
+        | JOIN n nb ON nb.media_id = d.media_b
+        | WHERE CAST(d.dot AS DOUBLE)
+        |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.99),
+        |sym AS (SELECT media_a AS a, media_b AS b FROM edges
+        |  UNION SELECT media_b, media_a FROM edges),
+        |reach(node, r) AS (
+        | SELECT a, a FROM (SELECT DISTINCT a FROM sym) base
+        | UNION
+        | SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a)
+        |SELECT node AS media_id, min(r) AS group_id
+        |FROM reach GROUP BY node ORDER BY media_id""".stripMargin,
     // audio landmark family: integer frame energies + constellation
     // keys + offset-coherent votes — byte values via ord() over the
     // ASCII payload text, same convention as q_media_neardups_exact

@@ -570,7 +570,80 @@ object Dedup {
     *    round, never data.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
-      driverEdgeCap: Long = 1L << 20): DataFrame = {
+      driverEdgeCap: Long = 1L << 20): DataFrame =
+    ccImpl(pairs, None, maxIter, driverEdgeCap)
+
+  /** WARM-STARTED connected components: labels seed from a previous
+    * run's (doc_id, group_id) output instead of each node's own id —
+    * the [[Graphs.pageRankWarm]] move for the label-propagation
+    * fixpoint. VALID FOR APPEND-ONLY DELTAS ONLY: when `pairs` is a
+    * superset of the pair set that produced `seed` (dedup streams only
+    * ADD near-dup pairs as documents arrive), every seed label is the
+    * min id of an OLD component, which is a node id inside the same —
+    * possibly now larger — NEW component; min-propagation over seeded
+    * labels therefore converges to the min over all seed labels in the
+    * component = the component's min node id = exactly the cold
+    * labels (spec-asserted). The seed only changes how many rounds the
+    * min needs to travel: merged clusters start pre-labeled, so the
+    * warm run converges in the diameter of the DELTA's merge graph,
+    * not the full cluster diameter. A seed from a pair set that LOST
+    * edges breaks the subset argument — cold-start after deletions.
+    * Nodes absent from the seed start at their own id; the driver
+    * union-find cutover still applies below the edge cap (seed-blind
+    * there — one collect beats any round count).
+    */
+  def connectedComponentsWarm(pairs: DataFrame, seed: DataFrame,
+      maxIter: Int = 20, driverEdgeCap: Long = 1L << 20): DataFrame =
+    ccImpl(pairs, Some(seed), maxIter, driverEdgeCap)
+
+  /** Per-partition spanning forest over a (doc_a, doc_b) pair stream:
+    * union-find within each partition, emitting one (node, local_root)
+    * edge per non-root node — connectivity-equivalent to the input
+    * (a spanning forest per partition; components that span partitions
+    * reconnect through their shared nodes) but ≤ distinct-nodes-per-
+    * partition rows instead of |pairs|. THE map-side contraction that
+    * lets group extraction over a near-clique pair relation (dup
+    * groups are near-cliques — the quadratic encoding) collapse
+    * BEFORE anything shuffles: duplicate and transitively-redundant
+    * pairs die inside the partition, so [[connectedComponents]]
+    * downstream sees member-proportional edges, never pair-
+    * proportional. Also why callers can skip a `.distinct()` on the
+    * pair stream entirely — the forest absorbs duplicates for free.
+    */
+  private[graft] def localForest(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x0: Long): Long = {
+          var x = x0
+          parent.getOrElseUpdate(x, x)
+          while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+          x
+        }
+        it.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        // snapshot keys before the final find sweep (path-halving
+        // mutates values; iterating the live map while writing it is
+        // undefined) — roots emit no edge (self-loops add nothing)
+        val ks = parent.keys.toArray
+        ks.iterator.map(n => (n, find(n))).filter(t => t._1 != t._2)
+      }.toDF("doc_a", "doc_b")
+  }
+
+  /** Distributed rounds the last [[connectedComponents]] propagation
+    * took (0 = driver union-find path) — observable so the warm-start
+    * saving is measurable, the `graft.pagerank.converged_at` pattern. */
+  val CcRoundsProperty = "graft.cc.rounds"
+
+  private def ccImpl(pairs: DataFrame, seed: Option[DataFrame],
+      maxIter: Int, driverEdgeCap: Long): DataFrame = {
+    val sess = pairs.sparkSession
+    sess.sparkContext.setLocalProperty(CcRoundsProperty, null)
     // normalize ids to long up front: the driver path reads rows with
     // getLong, and both paths should emit one group_id type regardless
     // of whether the caller's ids were int or long
@@ -587,12 +660,27 @@ object Dedup {
     // — both compute the minimum node id per component — and the
     // propagation path below remains the beyond-cap plan; equality of
     // the two paths is spec-asserted.
-    if (sym.count() <= driverEdgeCap)
+    if (sym.count() <= driverEdgeCap) {
+      sess.sparkContext.setLocalProperty(CcRoundsProperty, "0")
       try return driverUnionFind(pairs.sparkSession, sym)
       finally sym.unpersist()
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
+    }
+    val nodes = sym.select(col("src").as("node")).distinct()
+    var labels = (seed match {
+      case None => nodes.withColumn("label", col("node"))
+      case Some(sd) =>
+        // least(): under the append-only contract seed ≤ node already
+        // (a group id is its component's min member); the clamp just
+        // keeps a malformed seed row from ever RAISING a label above
+        // the node's own id (labels must be monotone non-increasing
+        // for the sum-based convergence read)
+        nodes.join(
+            sd.select(col("doc_id").cast("long").as("node"),
+              col("group_id").cast("long").as("seed_l")),
+            Seq("node"), "left")
+          .select(col("node"),
+            least(coalesce(col("seed_l"), col("node")), col("node")).as("label"))
+    }).localCheckpoint(true)
     try {
       def labelSum(df: DataFrame): Long = {
         val r = df.agg(sum(col("label"))).collect()(0)
@@ -615,9 +703,10 @@ object Dedup {
         prevSum = s
         iter += 1
       }
-      if (converged)
+      if (converged) {
+        sess.sparkContext.setLocalProperty(CcRoundsProperty, iter.toString)
         labels.select(col("node").as("doc_id"), col("label").as("group_id"))
-      else {
+      } else {
         // chain-shaped graph: plain propagation needs O(diameter)
         // rounds, so after maxIter hand the edges to the O(log n)
         // star-contraction scheme instead of crashing — same labels

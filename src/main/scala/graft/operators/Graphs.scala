@@ -85,6 +85,18 @@ object Graphs {
       case lr: LogicalRDD => lr.rdd
     }
 
+  /** ALL LogicalRDD leaves of a plan — the seed-pin set. A warm seed
+    * composed from MORE than one handed-off result (a union/join of two
+    * previous outputs) has several checkpoint-backed leaves, and each
+    * must survive the entry releaseResults or the it0 materialization
+    * dies on missing blocks (checkpointed RDDs have no lineage to
+    * recompute). `checkpointRdd` (first leaf) remains correct for the
+    * single-leaf handles this file creates itself. */
+  private def checkpointRdds(df: DataFrame): Seq[RDD[_]] =
+    df.queryExecution.analyzed.collectLeaves().collect {
+      case lr: LogicalRDD => lr.rdd
+    }
+
   /** Final-result checkpoints handed off to callers. The returned
     * DataFrame is BACKED by its checkpoint blocks (freeing them before
     * the caller consumes the result would kill the data — a
@@ -162,7 +174,8 @@ object Graphs {
     // free previous runs' handed-off finals — except one currently
     // serving as this run's seed (its blocks are read by the it0
     // materialization below, and the caller may still hold it)
-    releaseResults(keep = start.flatMap(checkpointRdd).map(_.id).toSet)
+    releaseResults(keep =
+      start.toSeq.flatMap(checkpointRdds).map(_.id).toSet)
     // eager src layout: the shuffle regime reuses it across all
     // iterations; the broadcast regime only needs SOME even layout, and
     // hash(src) is one (an unrepartitioned persist was tried in r14 and

@@ -110,11 +110,24 @@ object IvfIndex {
     * scan (measured in RECALL.json: the nprobe=32 point's scored
     * full-precision reads drop from ~14.5k rows to queries × rerank).
     */
-  def ensureSq8(s: SparkSession, indexPath: String): String =
+  def ensureSq8(s: SparkSession, indexPath: String): String = {
+    // crash-consistency check BEFORE serving stage 1: insert() appends
+    // to assigned/ then to the sidecar, and a process death between the
+    // two leaves a done-marked sidecar that is short the delta — which
+    // no failure handler can see afterwards. Row counts are parquet
+    // footer metadata (no data scan), so validating costs two metadata
+    // reads; a mismatch drops the sidecar (derived state) and the
+    // ensure below rebuilds it from the authoritative assigned/.
+    val side = new java.io.File(s"$indexPath-sq8")
+    if (ArtifactCache.isDone(s"$indexPath-sq8") &&
+        s.read.parquet(s"$side/assigned_sq8").count() !=
+          s.read.parquet(s"$indexPath/assigned").count())
+      ArtifactCache.deleteRecursively(side)
     ArtifactCache.ensure(s"$indexPath-sq8") { tmp =>
       writeSq8(s.read.parquet(s"$indexPath/assigned")
         .withColumn("cent_id", col("cent_id").cast("long")), tmp, "overwrite")
     }
+  }
 
   private def writeSq8(assigned: DataFrame, path: String, mode: String): Unit = {
     val (scale, qemb) = Similarity.sq8Cols(col("emb"))
@@ -221,9 +234,21 @@ object IvfIndex {
     // keep the quantized sidecar consistent at delta cost: quantize the
     // SAME assigned rows and append under the same touched cells (a
     // sidecar that hasn't been built yet needs nothing — it derives
-    // from assigned/ whenever first demanded)
+    // from assigned/ whenever first demanded). The two appends are NOT
+    // one transaction: a crash or write failure between them would
+    // leave the sidecar permanently missing this delta while its done
+    // marker stays valid, and knnSq8Rerank would silently omit the
+    // inserted vectors from stage 1 forever. The sidecar is DERIVED
+    // state, so the consistent recovery is the same one compact() uses:
+    // on any append failure drop the whole sidecar and let the next
+    // two-stage query rebuild it from assigned/ (which already holds
+    // the delta — its append committed above).
     if (ArtifactCache.isDone(s"$path-sq8"))
-      writeSq8(assigned, s"$path-sq8", "append")
+      try writeSq8(assigned, s"$path-sq8", "append")
+      catch { case e: Throwable =>
+        ArtifactCache.deleteRecursively(new java.io.File(s"$path-sq8"))
+        throw e
+      }
   }
 
   /** Tombstone delete — the FAISS `remove_ids` analog, split into the

@@ -224,6 +224,52 @@ object Multimodal {
   private[graft] def mediaNearDupsExactGated(s: SparkSession, dir: String,
       threshold: Double, maxDf: Int, gateBytes: Long,
       keepFraction: Double): DataFrame = {
+    val (media, cand, nMedia) = candidateStream(s, dir, maxDf, gateBytes, keepFraction)
+    // the PAIR report dedupes candidates before verification (a pair
+    // sharing three windows must verify — and appear — once)
+    verifiedPairs(s, media, cand.distinct(), nMedia, threshold)
+      .select(col("media_a"), col("media_b"),
+        graft.functions.Rounding.portableRound4(col("cosu")).as("cos"))
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
+  /** LINEAR-OUTPUT dup-group form of the exact media audit —
+    * `q_media_dup_groups`. The pair report is a QUADRATIC encoding of
+    * near-clique dup groups (124M pairs for 500k dup-dense media at
+    * the 100× ScaleBench point — output-bound, the last superlinear
+    * scale point), so the group form never materializes it:
+    * candidates stream UN-deduplicated out of the window grouping
+    * (duplicates are harmless to a union-find, so the pair-wide
+    * `.distinct()` shuffle is skipped entirely), verification is the
+    * same broadcast-lookup cosine (map-side — the pair stream is
+    * never shuffled), and [[Dedup.localForest]] contracts each
+    * partition's verified pairs to a spanning forest on the spot —
+    * member-proportional edges into [[Dedup.connectedComponents]],
+    * member-proportional output (media_id, group_id = canonical min
+    * member). Same near-dup relation as [[mediaNearDupsExact]] by
+    * construction (same candidates, same cosine, same threshold), so
+    * the oracle is the recursive-CTE reachability closure over the
+    * SAME pair SQL — the `q_dedup_groups_exact` discipline.
+    */
+  def mediaDupGroups(s: SparkSession, dir: String,
+      threshold: Double = 0.99, maxDf: Int = 64): DataFrame = {
+    val (media, cand, nMedia) =
+      candidateStream(s, dir, maxDf, GateBytes, GateKeepFraction)
+    val verified = verifiedPairs(s, media, cand, nMedia, threshold)
+      .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
+    Dedup.connectedComponents(Dedup.localForest(verified))
+      .select(col("doc_id").as("media_id"), col("group_id"))
+      .orderBy(col("media_id"))
+  }
+
+  /** Candidate generation shared by the pair and group forms: the
+    * adaptive count gate, the size-capped per-window distinct-media
+    * sets, and the map-side pair explode. Returns the media table, the
+    * UN-deduplicated candidate pair stream (one row per shared window
+    * per pair — callers decide whether a distinct is worth a shuffle),
+    * and the media count the broadcast budget decisions key on. */
+  private def candidateStream(s: SparkSession, dir: String, maxDf: Int,
+      gateBytes: Long, keepFraction: Double): (DataFrame, DataFrame, Long) = {
     val media = mediaTable(s, dir)
     val positions = sequence(lit(1), greatest(length(col("content")) - 15, lit(1)), lit(4))
     val wins = media.select(col("media_id"),
@@ -284,8 +330,13 @@ object Multimodal {
     val gateInput = if (corpusBytes(dir) <= gateBytes) wins else {
       val winCounts = wins.select(col("win")).groupBy(col("win"))
         .agg(count(lit(1)).as("wcnt"))
-      val st = winCounts.agg(sum(col("wcnt")).as("total"),
-        sum(when(col("wcnt") >= 2, col("wcnt")).otherwise(0L)).as("kept"))
+      // coalesce: sum() over ZERO rows is null, and an empty window
+      // relation (empty/filtered media table under a forced gate) is a
+      // reachable state — getLong on it would NPE
+      val st = winCounts.agg(
+        coalesce(sum(col("wcnt")), lit(0L)).as("total"),
+        coalesce(sum(when(col("wcnt") >= 2, col("wcnt")).otherwise(0L)),
+          lit(0L)).as("kept"))
         .head()
       val (total, keptRows) = (st.getLong(0), st.getLong(1))
       if (keptRows > (total * keepFraction).toLong) wins
@@ -308,26 +359,35 @@ object Multimodal {
           b => array(a, b))))).as("p"))
       .select(element_at(col("p"), 1).as("media_a"),
         element_at(col("p"), 2).as("media_b"))
-      .distinct()
+    (media, cand, nMedia)
+  }
+
+  /** Shared verification stage: join each candidate pair to both
+    * byte-histogram vectors and keep pairs with cosine ≥ threshold.
+    * Returns (media_a, media_b, cosu).
+    *
+    * hv is media-count-sized (64 doubles/row — 26 MB at the sf1
+    * battery), so below a media-count budget both lookups BROADCAST:
+    * the pair set — the only large side — is never shuffled for
+    * verification. Above the budget the lookups fall back to plain
+    * equi-joins (pair set shuffles on its media keys — ∝ candidates,
+    * still never corpus²). Both regimes were measured at the 100×
+    * ScaleBench point (500k media, ~265 MB per broadcast side):
+    * broadcast 62 s vs join 76 s — broadcast wins while the driver
+    * can hold it, so the budget guards driver survival at true
+    * corpus scale rather than picking the faster local plan.
+    * Pair-keyed: every joined row is ONE candidate pair carrying two
+    * 64-element vectors; dot/norms are codegen loops over
+    * exact-integer-valued doubles, bit-identical to the bin-exploded
+    * integer SQL the oracle runs.
+    */
+  private def verifiedPairs(s: SparkSession, media: DataFrame,
+      cand: DataFrame, nMedia: Long, threshold: Double): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val hv = byteHistVec(s, media)
       .withColumn("n2", graft.functions.VectorFunctions.arrayDot(col("hvec"), col("hvec")))
-    // pair-keyed verification: every joined row is ONE candidate pair
-    // carrying two 64-element vectors; dot/norms are codegen loops over
-    // exact-integer-valued doubles, bit-identical to the bin-exploded
-    // integer SQL the oracle runs
     val cosu = graft.functions.VectorFunctions.arrayDot(col("va"), col("vb")) /
       (sqrt(col("na2")) * sqrt(col("nb2")))
-    // hv is media-count-sized (64 doubles/row — 26 MB at the sf1
-    // battery), so below a media-count budget both lookups BROADCAST:
-    // the pair set — the only large side — is never shuffled for
-    // verification. Above the budget the lookups fall back to plain
-    // equi-joins (pair set shuffles on its media keys — ∝ candidates,
-    // still never corpus²). Both regimes were measured at the 100×
-    // ScaleBench point (500k media, ~265 MB per broadcast side):
-    // broadcast 62 s vs join 76 s — broadcast wins while the driver
-    // can hold it, so the budget guards driver survival at true
-    // corpus scale rather than picking the faster local plan
     val hvA = hv.select(col("media_id").as("media_a"), col("hvec").as("va"),
       col("n2").as("na2"))
     val hvB = hv.select(col("media_id").as("media_b"), col("hvec").as("vb"),
@@ -339,9 +399,7 @@ object Multimodal {
       .join(sideA, Seq("media_a"))
       .join(sideB, Seq("media_b"))
       .filter(cosu >= threshold)
-      .select(col("media_a"), col("media_b"),
-        graft.functions.Rounding.portableRound4(cosu).as("cos"))
-      .orderBy(col("media_a"), col("media_b"))
+      .select(col("media_a"), col("media_b"), cosu.as("cosu"))
   }
 
   def mediaNearDups(s: SparkSession, dir: String, threshold: Double = 0.99): DataFrame = {

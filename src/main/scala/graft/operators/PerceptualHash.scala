@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{ImageHash, VectorFunctions}
@@ -80,6 +80,111 @@ object PerceptualHash {
       .orderBy(col("media_a"), col("media_b"))
   }
 
+  // ---- incremental image chunk index --------------------------------
+  //
+  // The audio incremental-lifecycle discipline for the image blocking
+  // state: chunk postings are stored UNCAPPED and bucket-partitioned
+  // (image ingest = pure bucket append, no stored file rewritten), and
+  // the MaxChunkDf cap is applied at QUERY time from an append-only
+  // per-chunk df partial table — a chunk bucket that crosses the cap
+  // AFTER an insert stops blocking without touching storage
+  // (cap-crossing EVICTION, spec-pinned), and a rebuilt-from-scratch
+  // index answers identically (summed partials = full-corpus chunk
+  // df). Unlike the video/audio key domains, (cid, cv) lives in
+  // Chunks × 2^ChunkBits ≤ 65536 values, so the live keep set is
+  // BOUNDED and always broadcasts — the audio 18-bit posture. The df
+  // partials share the audio (key, cnt) layout, so
+  // [[AudioMatch.compactKeyDf]] applies to image index paths verbatim.
+
+  /** Combined chunk key: cid · 2^ChunkBits + cv — one equality column
+    * where the ad-hoc blocking joins on (cid, cv). ≤ 65536 values. */
+  private def ck: Column = (col("cid") * (1 << ChunkBits) + col("cv")).as("key")
+
+  private val ImageVer = "dh56v1"
+
+  /** Chunk-posting relation of an (media_id, phash) image set: one row
+    * per (image, chunk), keyed and bucket-partitioned. */
+  private def imagePostings(images: DataFrame): DataFrame =
+    images.select(col("media_id"), col("phash"),
+      explode(expr(s"transform(sequence(0, ${Chunks - 1}), " +
+        s"i -> struct(i as cid, (phash div CAST(pow(2, i * $ChunkBits) AS BIGINT))" +
+        s" % ${1 << ChunkBits} as cv))")).as("c"))
+      .select(col("media_id"), col("phash"),
+        col("c.cid").as("cid"), col("c.cv").as("cv"))
+      .select(col("media_id"), col("phash"), ck)
+      .withColumn("kb", pmod(col("key"), lit(FrameKeyBuckets)))
+
+  /** Create the incremental chunk index at `path` from an
+    * (media_id, phash) relation: uncapped bucket-partitioned postings
+    * + the first per-chunk df partial. */
+  private[graft] def buildImageIndex(s: SparkSession, images: DataFrame,
+      path: String): Unit = {
+    val p = imagePostings(images)
+    p.write.mode("overwrite").partitionBy("kb").parquet(s"$path/chunks")
+    p.select(col("key")).groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/keydf")
+  }
+
+  /** Fold new images into the index: append their chunk postings and
+    * one df partial — cost ∝ delta, never index size. */
+  private[graft] def insertImages(s: SparkSession, path: String,
+      images: DataFrame): Unit = {
+    val p = imagePostings(images)
+    p.write.mode("append").partitionBy("kb").parquet(s"$path/chunks")
+    p.select(col("key")).groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+      .coalesce(1).write.mode("append").parquet(s"$path/keydf")
+  }
+
+  /** The FULL near-dup pair set over every indexed image, served from
+    * the persisted chunk postings under the query-time df cap —
+    * row-identical to [[imageNearDups]] over the same image set. */
+  private[graft] def imageNearDupsAgainst(s: SparkSession, path: String,
+      maxHamming: Int = MaxHamming): DataFrame = {
+    require(maxHamming < Chunks,
+      s"pigeonhole exactness needs maxHamming < $Chunks chunks")
+    if (new java.io.File(s"$path/keydf/.compact-commit").exists())
+      throw new IllegalStateException(
+        s"pending keydf compaction at $path: re-run AudioMatch.compactKeyDf " +
+          "to completion before probing")
+    // live chunk dfs from the append-only partials: ≤ 65536 rows by
+    // the key domain — bounded model state, always broadcastable
+    val keep = s.read.parquet(s"$path/keydf")
+      .groupBy(col("key")).agg(sum(col("cnt")).as("cdf"))
+      .filter(col("cdf") <= MaxChunkDf).select(col("key"))
+    val kept = s.read.parquet(s"$path/chunks")
+      .join(broadcast(keep), Seq("key"))
+    val a = kept.select(col("key"), col("media_id").as("media_a"),
+      col("phash").as("ha"))
+    val b = kept.select(col("key"), col("media_id").as("media_b"),
+      col("phash").as("hb"))
+    a.join(b, Seq("key"))
+      .filter(col("media_a") < col("media_b"))
+      .select(col("media_a"), col("media_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
+  /** Driver-contract lifecycle query — `q_image_neardups_indexed`:
+    * build the chunk index from the even-id half of the image corpus,
+    * INSERT the odd-id half, report the pair set. Row-identical to
+    * [[imageNearDups]] (shares its oracle): uncapped stored postings +
+    * query-time cap over summed partials = the one-shot chunk-df
+    * semantics exactly. */
+  def imageNearDupsIndexed(s: SparkSession, dir: String): DataFrame = {
+    val fp = ArtifactCache.fingerprint(
+      new java.io.File(s"$dir/documents.parquet"))
+    val path = ArtifactCache.ensure(
+      s"/tmp/graft-imageidx/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}" +
+        s"-$fp-$ImageVer-c$Chunks-df$MaxChunkDf") { tmp =>
+      val h = imagePhash(s, dir)
+      buildImageIndex(s, h.filter(col("media_id") % 2 === 0), tmp)
+      insertImages(s, tmp, h.filter(col("media_id") % 2 === 1))
+    }
+    imageNearDupsAgainst(s, path)
+  }
+
   // ---- video excerpt matching (frame-hash constellation) -----------
 
   /** Frames per video for the match relation (a real pipeline samples
@@ -98,6 +203,61 @@ object PerceptualHash {
     * the audio MaxKeyDf discipline. */
   val MaxFrameDf = 200
 
+  /** Frame-row budget above which the video matcher's corpus-derived
+    * relations stop broadcasting and degrade to shuffle joins. Unlike
+    * the audio analog — whose 18-bit key domain bounds the keep set at
+    * 262144 rows — a frame-dHash keep set lives in a 56-bit domain and
+    * grows ∝ corpus frames, and the default derived clip batch grows
+    * with the corpus too; broadcasting either unconditionally is a
+    * driver OOM at the claimed scale posture (the
+    * [[Multimodal.BroadcastMediaBudget]] discipline). */
+  val BroadcastFrameBudget = 1000000L
+
+  /** Video-kind media rows. */
+  private def videoMedia(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mediaTable(s, dir).filter(col("kind") === "video")
+
+  /** Corpus frame-hash relation (video_id, f, fh): [[VideoFrames]]
+    * sampled frames per video, each hashed by the native dHash kernel
+    * — one narrow flatMap + kernel projection, no shuffle. */
+  private[graft] def videoFrames(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    Multimodal.frameSample(s, videoMedia(s, dir), VideoFrames)
+      .select(col("media_id").as("video_id"),
+        col("frame_idx").cast("long").as("f"),
+        VectorFunctions.dhash56(col("frame")).as("fh"))
+  }
+
+  /** The default probe batch, derived from the corpus itself (the
+    * [[VClipMod]] geometry): RAW frame payloads, (clip_id, j, frame) —
+    * the same contract an external caller's clip batch carries, so the
+    * matcher hashes clip frames itself and a re-encoded/re-brightened
+    * excerpt probes exactly like a corpus-derived one (spec-pinned). */
+  private[graft] def derivedClips(s: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSample(s, videoMedia(s, dir), VideoFrames)
+      .filter(pmod(col("media_id"), lit(VClipMod)) === 0 &&
+        col("frame_idx").between(VClipOff, VClipOff + VClipLen - 1))
+      .select(col("media_id").as("clip_id"),
+        (col("frame_idx").cast("long") - VClipOff).as("j"), col("frame"))
+
+  /** Hash a (clip_id, j, frame) batch into probe landmarks. */
+  private[graft] def clipLandmarks(s: SparkSession, clips: DataFrame): DataFrame = {
+    VectorFunctions.register(s)
+    clips.select(col("clip_id"), col("j"),
+      VectorFunctions.dhash56(col("frame")).as("fh"))
+  }
+
+  /** Best offset-coherent match per clip from a vote relation —
+    * (votes DESC, video ASC, offset ASC), the Shazam tie-break. */
+  private def bestPerClip(votes: DataFrame): DataFrame = {
+    val best = org.apache.spark.sql.expressions.Window.partitionBy(col("clip_id"))
+      .orderBy(col("votes").desc, col("video_id").asc, col("offset_frames").asc)
+    votes.withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select(col("clip_id"), col("video_id"), col("offset_frames"), col("votes"))
+      .orderBy(col("clip_id"))
+  }
+
   /** Video near-duplicate excerpt matching — the third modality on the
     * offset-coherent vote design ([[AudioMatch]]'s Shazam criterion
     * replayed for video): per-frame dHashes are the landmark keys, a
@@ -106,36 +266,149 @@ object PerceptualHash {
     * a match — a true excerpt aligns every matched frame at ONE
     * offset. Exact oracle: frame chunking, dHash, df cap, votes and
     * the (votes DESC, video ASC, offset ASC) tie-break are all integer
-    * arithmetic. Scale shape: frames ∝ corpus (narrow flatMap), the
-    * probe side is tiny (clips × VClipLen rows, broadcast), vote
-    * counting shuffles only matched frame pairs — df-capped, never
-    * corpus².
+    * arithmetic. Scale shape: frames ∝ corpus (narrow flatMap), probe
+    * and keep relations broadcast only under [[BroadcastFrameBudget]]
+    * (shuffle joins past it), vote counting shuffles only matched
+    * frame pairs — df-capped, never corpus².
     */
-  def videoMatches(s: SparkSession, dir: String): DataFrame = {
-    VectorFunctions.register(s)
-    val frames = Multimodal.frameSample(s,
-        Multimodal.mediaTable(s, dir).filter(col("kind") === "video"),
-        VideoFrames)
-      .select(col("media_id").as("video_id"), col("frame_idx").cast("long").as("f"),
-        VectorFunctions.dhash56(col("frame")).as("fh"))
+  def videoMatches(s: SparkSession, dir: String): DataFrame =
+    videoMatches(s, dir, derivedClips(s, dir))
+
+  /** [[videoMatches]] against a CALLER-SUPPLIED clip batch
+    * (clip_id, j, frame) — the [[AudioMatch.matchClips]] contract: a
+    * deployment matches ARRIVING clips against the corpus, not a set
+    * the operator derives itself. The default overload passes the
+    * derived batch, so the existing oracle pins this path too. */
+  def videoMatches(s: SparkSession, dir: String, clips: DataFrame): DataFrame = {
+    val nVideos = videoMedia(s, dir).count()
+    val broadcastOk = nVideos * VideoFrames <= BroadcastFrameBudget
+    def side(df: DataFrame) = if (broadcastOk) broadcast(df) else df
+    val frames = videoFrames(s, dir)
     val keep = frames.groupBy(col("fh")).agg(count(lit(1)).as("fdf"))
       .filter(col("fdf") <= MaxFrameDf).select(col("fh"))
-    val idx = frames.join(broadcast(keep), Seq("fh"))
-    val clips = frames
-      .filter(pmod(col("video_id"), lit(VClipMod)) === 0 &&
-        col("f").between(VClipOff, VClipOff + VClipLen - 1))
-      .select(col("video_id").as("clip_id"), (col("f") - VClipOff).as("j"),
-        col("fh"))
-    val votes = idx.join(broadcast(clips), Seq("fh"))
+    val idx = frames.join(side(keep), Seq("fh"))
+    val clipLmk = clipLandmarks(s, clips)
+    val votes = idx.join(side(clipLmk), Seq("fh"))
       .groupBy(col("clip_id"), col("video_id"),
         (col("f") - col("j")).as("offset_frames"))
       .agg(count(lit(1)).as("votes"))
-    val best = org.apache.spark.sql.expressions.Window.partitionBy(col("clip_id"))
-      .orderBy(col("votes").desc, col("video_id").asc, col("offset_frames").asc)
-    votes.withColumn("rn", row_number().over(best))
-      .filter(col("rn") === 1)
-      .select(col("clip_id"), col("video_id"), col("offset_frames"), col("votes"))
-      .orderBy(col("clip_id"))
+    bestPerClip(votes)
+  }
+
+  // ---- persisted + incremental video frame index -------------------
+  //
+  // The audio incremental-lifecycle discipline (AudioMatch.scala),
+  // replayed for the frame table: postings are stored UNCAPPED and
+  // bucket-partitioned (insert = pure bucket append, no stored file
+  // rewritten), and the frame-df cap is applied at QUERY time from an
+  // append-only per-key df partial table — so a key that crosses
+  // MaxFrameDf after an insert stops matching without touching
+  // storage, and a probe batch reads only the key buckets its clips
+  // hash into (DPP prune). The ONE structural difference from audio:
+  // the key domain is 56-bit, so the df table is corpus-proportional,
+  // and the probe therefore restricts the df lookup to ITS OWN key set
+  // first (broadcast of clip keys — query-sized) instead of
+  // broadcasting a corpus-sized keep set. Column names match audio's
+  // layout ((key, cnt) partials) so [[AudioMatch.compactKeyDf]] — the
+  // crash-safe two-phase partial merge — applies to video index paths
+  // verbatim.
+
+  /** Key-bucket width of the persisted frame index (the audio
+    * [[AudioMatch.KeyBuckets]] rationale). */
+  val FrameKeyBuckets = 64
+
+  /** Hash-algorithm version tag for index cache keys (the audio
+    * FeatVer discipline: an index is a function of the feature). */
+  private val FrameVer = "dh56v1"
+
+  private def postings(frames: DataFrame): DataFrame =
+    frames.select(col("video_id"), col("f"), col("fh").as("key"))
+      .withColumn("kb", pmod(col("key"), lit(FrameKeyBuckets)))
+
+  /** Create the incremental frame index at `path`: uncapped
+    * bucket-partitioned postings + the first per-key df partial. */
+  private[graft] def buildVideoIndex(s: SparkSession, frames: DataFrame,
+      path: String): Unit = {
+    postings(frames)
+      .write.mode("overwrite").partitionBy("kb").parquet(s"$path/frames")
+    frames.select(col("fh").as("key")).groupBy(col("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/keydf")
+  }
+
+  /** Fold new videos' frames into the index: append postings under the
+    * touched key buckets + one df partial — cost ∝ delta, never index
+    * size; no stored file rewritten. */
+  private[graft] def insertVideoFrames(s: SparkSession, path: String,
+      frames: DataFrame): Unit = {
+    postings(frames)
+      .write.mode("append").partitionBy("kb").parquet(s"$path/frames")
+    frames.select(col("fh").as("key")).groupBy(col("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .coalesce(1).write.mode("append").parquet(s"$path/keydf")
+  }
+
+  /** Probe the persisted index with a (clip_id, j, frame) batch.
+    * Per-query cost is ∝ the clip batch: the df lookup joins the
+    * partials to the BROADCAST clip key set before summing (≤ clip
+    * keys rows — never the corpus-proportional key table), the capped
+    * probe broadcasts onto the postings scan, and the bucket column in
+    * the join keys lets DPP prune index files (plan-spec'd). Batches
+    * past [[BroadcastFrameBudget]] degrade both sides to shuffle
+    * joins. Mid-compaction keydf state refuses to probe, and an empty
+    * index matches nothing — both the [[AudioMatch.matchAgainst]]
+    * guards, local-FS contract included. */
+  private[graft] def matchAgainstVideo(s: SparkSession, path: String,
+      clips: DataFrame): DataFrame = {
+    if (new java.io.File(s"$path/keydf/.compact-commit").exists())
+      throw new IllegalStateException(
+        s"pending keydf compaction at $path: re-run AudioMatch.compactKeyDf " +
+          "to completion before probing")
+    def hasParquet(f: java.io.File): Boolean =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.exists(hasParquet)
+      else f.getName.endsWith(".parquet")
+    if (!hasParquet(new java.io.File(s"$path/frames")))
+      return clips.select(col("clip_id"), lit(0L).as("video_id"),
+        lit(0L).as("offset_frames"), lit(0L).as("votes")).limit(0)
+    val clipLmk = clipLandmarks(s, clips)
+      .withColumn("kb", pmod(col("fh"), lit(FrameKeyBuckets)))
+    val broadcastOk = clips.count() <= BroadcastFrameBudget
+    def side(df: DataFrame) = if (broadcastOk) broadcast(df) else df
+    val liveDf = s.read.parquet(s"$path/keydf")
+      .join(side(clipLmk.select(col("fh").as("key")).distinct()), Seq("key"))
+      .groupBy(col("key")).agg(sum(col("cnt")).as("kdf"))
+    val keep = liveDf.filter(col("kdf") <= MaxFrameDf)
+      .select(col("key").as("fh"))
+    // both query-sized: clip landmarks ∩ under-cap keys
+    val probe = clipLmk.join(keep, Seq("fh"))
+      .select(col("clip_id"), col("j"), col("fh").as("key"), col("kb"))
+    val votes = s.read.parquet(s"$path/frames")
+      .join(side(probe), Seq("key", "kb"))
+      .groupBy(col("clip_id"), col("video_id"),
+        (col("f") - col("j")).as("offset_frames"))
+      .agg(count(lit(1)).as("votes"))
+    bestPerClip(votes)
+  }
+
+  /** Driver-contract lifecycle query — `q_video_matches_indexed`:
+    * build the frame index from the even-id half of the video corpus,
+    * INSERT the odd-id half, probe with the standard derived clips.
+    * Row-identical to [[videoMatches]] by the uncapped-storage +
+    * query-time-cap design (summed df partials = full-corpus frame
+    * df), so it shares the oracle. Published whole (build + insert
+    * inside one [[ArtifactCache.ensure]]) for idempotent repeats; the
+    * rebuild-equivalence and DPP plan contracts are spec-pinned. */
+  def videoMatchesIndexed(s: SparkSession, dir: String): DataFrame = {
+    val fp = ArtifactCache.fingerprint(
+      new java.io.File(s"$dir/documents.parquet"))
+    val path = ArtifactCache.ensure(
+      s"/tmp/graft-videoidx/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}" +
+        s"-$fp-$FrameVer-n$VideoFrames-df$MaxFrameDf-b$FrameKeyBuckets") { tmp =>
+      val frames = videoFrames(s, dir)
+      buildVideoIndex(s, frames.filter(col("video_id") % 2 === 0), tmp)
+      insertVideoFrames(s, tmp, frames.filter(col("video_id") % 2 === 1))
+    }
+    matchAgainstVideo(s, path, derivedClips(s, dir))
   }
 
   /** DuckDB restatement of [[videoMatches]]: frame chunk boundaries

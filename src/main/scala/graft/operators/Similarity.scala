@@ -978,6 +978,36 @@ object Similarity {
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet))
   }
 
+  /** Observable routing decision of the last [[knnRouted]] call:
+    * "nprobe=…,sq8=…,rerank=…,fp_reads=…". */
+  val RoutedPlanProperty = "graft.ivf.routed_plan"
+
+  /** MEASURED-PLAN IVF search: [[recommendPlan]] wired into the query
+    * path. A caller states a recall target; the router picks the
+    * cheapest measured configuration — the plain partition-pruned
+    * full-precision search when the default probe width already meets
+    * the target, or the SQ8-sidecar two-stage ([[IvfIndex
+    * .knnSq8Rerank]]) when the target needs a wide probe (where
+    * RECALL.json r15 measured 448 full-precision reads vs 14,465 for
+    * the plain nprobe=32 scan at recall 0.96). The returned rows are
+    * IDENTICAL to calling the chosen branch directly (spec-pinned);
+    * the decision is recorded in [[RoutedPlanProperty]] and the plan's
+    * measured cost lands in RECALL.json as `knn_ivf_routed`.
+    * recommendPlan's tuning pass is per-corpus/index-GENERATION cost
+    * (ground truth + grid are build-once artifacts), not per query.
+    */
+  def knnRouted(s: SparkSession, dir: String, k: Int = 5,
+      targetRecall: Double = 0.9): DataFrame = {
+    val plan = recommendPlan(s, dir, k, targetRecall)
+    s.sparkContext.setLocalProperty(RoutedPlanProperty,
+      s"nprobe=${plan.nprobe},sq8=${plan.sq8Rerank},rerank=${plan.rerank}," +
+        s"fp_reads=${plan.fullPrecisionReads}")
+    if (plan.sq8Rerank)
+      IvfIndex.knnSq8Rerank(s, dir, k, plan.nprobe, plan.rerank)
+    else
+      IvfIndex.knnIndexed(s, dir, k, plan.nprobe)
+  }
+
   /** Search only the probed cells: equi-join the cell-assigned corpus
     * to the broadcast probe set on `cent_id`, score with the codegen
     * dot, keep top-k per query.

@@ -41,6 +41,30 @@ object Probe {
       time("full 3")(noop(graft.operators.Dedup.minhashNearDups(spark, dir)))
       spark.stop(); return
     }
+    if (args.headOption.contains("media_stages")) {
+      // stage decomposition of the exact-media candidate pipeline on an
+      // arbitrary corpus dir (default: the ScaleBench 100x replica) —
+      // which stage owns the wall clock at the superlinear point?
+      import graft.operators.{Dedup, Multimodal}
+      val dir = if (args.length > 1) args(1) else "/tmp/graft-scale/sf10"
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      def stages(): Unit = {
+        val (media, cand, nMedia) = Multimodal.candidateStream(spark, dir,
+          64, Multimodal.GateBytes, Multimodal.GateKeepFraction)
+        time("candidates (explode, no distinct)")(noop(cand))
+        val verified = Multimodal.verifiedPairs(spark, media, cand, nMedia, 0.99)
+        time("verified (join+cos)")(noop(verified))
+        time("forest")(noop(Dedup.localForest(
+          verified.select(org.apache.spark.sql.functions.col("media_a").as("doc_a"),
+            org.apache.spark.sql.functions.col("media_b").as("doc_b")))))
+        time("distinct over candidates")(noop(cand.distinct()))
+        time("full mediaDupGroups")(noop(Multimodal.mediaDupGroups(spark, dir)))
+        time("full mediaNearDupsExact")(noop(Multimodal.mediaNearDupsExact(spark, dir)))
+      }
+      stages(); println("[probe] --- second pass (warm) ---"); stages()
+      spark.stop(); return
+    }
     if (args.headOption.contains("sf1")) {
       // time one SparkEntry query against the synthetic sf1 replica
       // (built once into /tmp/graft-sf1-bench, reused across probes)

@@ -635,6 +635,41 @@ object Dedup {
       }.toDF("doc_a", "doc_b")
   }
 
+  /** Iterated [[localForest]]: contract until the edge set fits under
+    * `cap` (or `maxPasses` is spent). Pass 1 runs union-find inside
+    * whatever partitioning the pair stream arrives in — its output is
+    * ≤ Σ per-partition distinct nodes, which for a wide stream is
+    * ~nodes × partitions (every hot node appears in every partition).
+    * Later passes REPARTITION the shrinking edge set by node — odd
+    * passes on `doc_a` (each member's per-partition root edges meet
+    * and merge), even passes on `doc_b` (each root's star collapses) —
+    * so near-clique components converge to ~one edge per member in
+    * 1–2 cheap extra shuffles of an already-contracted relation.
+    * Motivation measured at the 100× media point: the pass-1 forest
+    * was ~12M edges (over the driver cutover), pushing
+    * [[connectedComponents]] into ~4 propagation rounds over a
+    * 25M-row symmetric relation — ~21 s of the 50 s wall; contracted
+    * under the cap, the closure is one collect + union-find.
+    * Returns an UNPERSISTED-lineage DataFrame backed by a persisted
+    * final level; callers should unpersist it once the closure has
+    * materialized. */
+  private[graft] def contractedForest(pairs: DataFrame,
+      cap: Long = 1L << 20, maxPasses: Int = 4): DataFrame = {
+    var edges = localForest(pairs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var n = edges.count()
+    var pass = 1
+    while (n > cap && pass < maxPasses) {
+      val key = if (pass % 2 == 1) "doc_a" else "doc_b"
+      val next = localForest(edges.repartition(col(key)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val m = next.count()
+      edges.unpersist()
+      edges = next; n = m; pass += 1
+    }
+    edges
+  }
+
   /** Distributed rounds the last [[connectedComponents]] propagation
     * took (0 = driver union-find path) — observable so the warm-start
     * saving is measurable, the `graft.pagerank.converged_at` pattern. */

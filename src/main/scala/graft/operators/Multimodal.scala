@@ -54,6 +54,57 @@ object Multimodal {
     parts.filter(p => p.isFile).map(_.length).sum
   }
 
+  /** Gate-measurement cache: (total window rows, rows with df ≥ 2) per
+    * corpus content fingerprint — the ANALYZE-statistics discipline.
+    * The adaptive gate's survivor-fraction measurement is a CORPUS
+    * property, not a query property, and the counting pass that
+    * produces it is a full window aggregation (measured ~21 s of the
+    * ~50 s wall at the 100× ScaleBench point, on a corpus where the
+    * decision then plans NO filter). A deployment profiles a corpus
+    * once per generation exactly like it trains an IVF grid once —
+    * so the measurement persists keyed by [[ArtifactCache.fingerprint]]
+    * and every later query on the same bytes reads two longs instead
+    * of re-aggregating 48M windows. The DECISION (semi or not) is
+    * recomputed from the cached numbers against the caller's
+    * keepFraction, so knob-forcing specs stay exact; either decision
+    * is row-identical by construction (spec-pinned). In-JVM memo on
+    * top so repeat queries skip even the file read.
+    */
+  private val gateStats =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  private def gateMeasurement(s: SparkSession, dir: String,
+      wins: DataFrame): (Long, Long) = {
+    val fp = ArtifactCache.fingerprint(new java.io.File(s"$dir/documents.parquet"))
+    val key = s"/tmp/graft-mediagate/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}-$fp"
+    gateStats.computeIfAbsent(key, { _ =>
+      val f = new java.io.File(s"$key/stats")
+      if (ArtifactCache.isDone(key)) {
+        val parts = new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.split(",")
+        (parts(0).toLong, parts(1).toLong)
+      } else {
+        val winCounts = wins.select(col("win")).groupBy(col("win"))
+          .agg(count(lit(1)).as("wcnt"))
+        // coalesce: sum() over ZERO rows is null, and an empty window
+        // relation (empty/filtered media table under a forced gate) is
+        // a reachable state — getLong on it would NPE
+        val st = winCounts.agg(
+          coalesce(sum(col("wcnt")), lit(0L)).as("total"),
+          coalesce(sum(when(col("wcnt") >= 2, col("wcnt")).otherwise(0L)),
+            lit(0L)).as("kept"))
+          .head()
+        val m = (st.getLong(0), st.getLong(1))
+        ArtifactCache.ensure(key) { tmp =>
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
+          java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/stats"),
+            s"${m._1},${m._2}".getBytes("UTF-8"))
+        }
+        m
+      }
+    })
+  }
+
   /** Typed metadata extracted by "decoding" the payload. */
   case class MediaMeta(media_id: Long, kind: String, n_bytes: Long,
       checksum: Long, width: Int, height: Int)
@@ -257,7 +308,13 @@ object Multimodal {
       candidateStream(s, dir, maxDf, GateBytes, GateKeepFraction)
     val verified = verifiedPairs(s, media, cand, nMedia, threshold)
       .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
-    Dedup.connectedComponents(Dedup.localForest(verified))
+    // contract below the driver cutover (iterated map-side union-find)
+    // so the closure is one collect, not propagation rounds over a
+    // nodes×partitions-sized forest
+    val forest = Dedup.contractedForest(verified)
+    val labels = Dedup.connectedComponents(forest) // materializes eagerly
+    forest.unpersist()
+    labels
       .select(col("doc_id").as("media_id"), col("group_id"))
       .orderBy(col("media_id"))
   }
@@ -268,7 +325,7 @@ object Multimodal {
     * UN-deduplicated candidate pair stream (one row per shared window
     * per pair — callers decide whether a distinct is worth a shuffle),
     * and the media count the broadcast budget decisions key on. */
-  private def candidateStream(s: SparkSession, dir: String, maxDf: Int,
+  private[graft] def candidateStream(s: SparkSession, dir: String, maxDf: Int,
       gateBytes: Long, keepFraction: Double): (DataFrame, DataFrame, Long) = {
     val media = mediaTable(s, dir)
     val positions = sequence(lit(1), greatest(length(col("content")) - 15, lit(1)), lit(4))
@@ -328,19 +385,13 @@ object Multimodal {
     // corpus-wide boilerplate window costs a (maxDf+1)-bounded buffer.
     val nMedia = media.count() // parquet metadata count — no scan
     val gateInput = if (corpusBytes(dir) <= gateBytes) wins else {
-      val winCounts = wins.select(col("win")).groupBy(col("win"))
-        .agg(count(lit(1)).as("wcnt"))
-      // coalesce: sum() over ZERO rows is null, and an empty window
-      // relation (empty/filtered media table under a forced gate) is a
-      // reachable state — getLong on it would NPE
-      val st = winCounts.agg(
-        coalesce(sum(col("wcnt")), lit(0L)).as("total"),
-        coalesce(sum(when(col("wcnt") >= 2, col("wcnt")).otherwise(0L)),
-          lit(0L)).as("kept"))
-        .head()
-      val (total, keptRows) = (st.getLong(0), st.getLong(1))
+      // the measurement is a cached corpus statistic (see
+      // [[gateMeasurement]]); only the DECISION is evaluated per call
+      val (total, keptRows) = gateMeasurement(s, dir, wins)
       if (keptRows > (total * keepFraction).toLong) wins
       else {
+        val winCounts = wins.select(col("win")).groupBy(col("win"))
+          .agg(count(lit(1)).as("wcnt"))
         val kept = winCounts.filter(col("wcnt") >= 2).select(col("win"))
         // the shared-window key set broadcasts below the same media
         // budget the verify lookups use; past it the semi degrades to
@@ -381,7 +432,7 @@ object Multimodal {
     * exact-integer-valued doubles, bit-identical to the bin-exploded
     * integer SQL the oracle runs.
     */
-  private def verifiedPairs(s: SparkSession, media: DataFrame,
+  private[graft] def verifiedPairs(s: SparkSession, media: DataFrame,
       cand: DataFrame, nMedia: Long, threshold: Double): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val hv = byteHistVec(s, media)

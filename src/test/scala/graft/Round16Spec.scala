@@ -54,6 +54,14 @@ class Round16Spec extends SparkSpec {
     val forestRows = Dedup.localForest(raw).count()
     assert(forestRows < raw.count(),
       s"forest ($forestRows) must contract the duplicated pair stream (${raw.count()})")
+    // iterated contraction (cap=1 forces every pass, alternating
+    // repartition keys) preserves connectivity exactly
+    val contracted = Dedup.contractedForest(raw, cap = 1)
+    val viaContracted = Dedup.connectedComponents(contracted)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    contracted.unpersist()
+    assert(viaContracted == direct,
+      "contractedForest must preserve the component structure")
   }
 
   // --- warm-started connected components -------------------------------

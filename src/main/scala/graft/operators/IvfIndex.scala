@@ -110,7 +110,22 @@ object IvfIndex {
     * scan (measured in RECALL.json: the nprobe=32 point's scored
     * full-precision reads drop from ~14.5k rows to queries × rerank).
     */
+  /** Sidecars this JVM has already built or count-validated — the
+    * torn-insert check guards against a CRASHED PREVIOUS process, so
+    * it needs to run once per (process, sidecar), not once per query;
+    * every in-process mutation ([[insert]], [[compact]]) drops the
+    * entry so the next query revalidates. */
+  private val sq8Validated =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Test hook: simulate a process restart for `indexPath`'s sidecar
+    * (the torn-insert spec mutates assigned/ behind the memo's back
+    * the way a crashed previous process would have). */
+  private[graft] def forgetSidecarValidation(indexPath: String): Unit =
+    sq8Validated.remove(s"$indexPath-sq8")
+
   def ensureSq8(s: SparkSession, indexPath: String): String = {
+    val key = s"$indexPath-sq8"
     // crash-consistency check BEFORE serving stage 1: insert() appends
     // to assigned/ then to the sidecar, and a process death between the
     // two leaves a done-marked sidecar that is short the delta — which
@@ -118,15 +133,21 @@ object IvfIndex {
     // footer metadata (no data scan), so validating costs two metadata
     // reads; a mismatch drops the sidecar (derived state) and the
     // ensure below rebuilds it from the authoritative assigned/.
-    val side = new java.io.File(s"$indexPath-sq8")
-    if (ArtifactCache.isDone(s"$indexPath-sq8") &&
-        s.read.parquet(s"$side/assigned_sq8").count() !=
+    // Memoized per JVM: the torn state can only be inherited FROM A
+    // PREVIOUS process, so one validation per process suffices and
+    // repeat queries skip both counts (measured ~0.3-0.5 s per call on
+    // a 4096-cell layout — partition discovery, not data, but paid per
+    // query without the memo).
+    if (!sq8Validated.contains(key) && ArtifactCache.isDone(key) &&
+        s.read.parquet(s"$key/assigned_sq8").count() !=
           s.read.parquet(s"$indexPath/assigned").count())
-      ArtifactCache.deleteRecursively(side)
-    ArtifactCache.ensure(s"$indexPath-sq8") { tmp =>
+      ArtifactCache.deleteRecursively(new java.io.File(key))
+    val out = ArtifactCache.ensure(key) { tmp =>
       writeSq8(s.read.parquet(s"$indexPath/assigned")
         .withColumn("cent_id", col("cent_id").cast("long")), tmp, "overwrite")
     }
+    sq8Validated.add(key)
+    out
   }
 
   private def writeSq8(assigned: DataFrame, path: String, mode: String): Unit = {
@@ -249,6 +270,7 @@ object IvfIndex {
         ArtifactCache.deleteRecursively(new java.io.File(s"$path-sq8"))
         throw e
       }
+      finally sq8Validated.remove(s"$path-sq8") // revalidate after mutation
   }
 
   /** Tombstone delete — the FAISS `remove_ids` analog, split into the
@@ -327,6 +349,7 @@ object IvfIndex {
       // quantized probe — it is derived state, so drop it and let the
       // next knnSq8Rerank rebuild from the compacted assigned/
       ArtifactCache.deleteRecursively(new java.io.File(s"$path-sq8"))
+      sq8Validated.remove(s"$path-sq8")
     }
   }
 

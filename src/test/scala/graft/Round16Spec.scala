@@ -195,6 +195,48 @@ class Round16Spec extends SparkSpec {
     }
   }
 
+  test("AudioMatch.compactKeyDf applies verbatim to the video and image " +
+    "index keydf layouts: partials fold to one file, probes identical") {
+    import graft.operators.AudioMatch
+    import spark.implicits._
+    def parts(p: String): Int = Option(new java.io.File(s"$p/keydf").listFiles())
+      .toSeq.flatten.count(f => f.isFile && f.getName.endsWith(".parquet"))
+    // video: build + insert leaves >= 2 df partials
+    val vp = java.nio.file.Files.createTempDirectory("graft-vcompact").toString
+    val ip = java.nio.file.Files.createTempDirectory("graft-icompact").toString
+    try {
+      val frames = PerceptualHash.videoFrames(spark, sf)
+      PerceptualHash.buildVideoIndex(spark,
+        frames.filter(col("video_id") % 2 === 0), vp)
+      PerceptualHash.insertVideoFrames(spark, vp,
+        frames.filter(col("video_id") % 2 === 1))
+      val clips = PerceptualHash.derivedClips(spark, sf)
+      val beforeV = PerceptualHash.matchAgainstVideo(spark, vp, clips)
+        .collect().toSeq
+      assert(parts(vp) >= 2, "insert must append a second df partial")
+      AudioMatch.compactKeyDf(spark, vp)
+      assert(parts(vp) == 1, "compaction must fold the partials to one file")
+      assert(PerceptualHash.matchAgainstVideo(spark, vp, clips)
+        .collect().toSeq == beforeV, "compaction must be probe-identical")
+      // image: same lifecycle on the chunk index
+      val h1 = 0x00ABCDEF012345L
+      PerceptualHash.buildImageIndex(spark,
+        Seq((1L, h1), (2L, h1 ^ 0x5L)).toDF("media_id", "phash"), ip)
+      PerceptualHash.insertImages(spark,
+        ip, Seq((7L, 0x00112233445566L)).toDF("media_id", "phash"))
+      val beforeI = PerceptualHash.imageNearDupsAgainst(spark, ip)
+        .collect().toSeq
+      assert(parts(ip) >= 2)
+      AudioMatch.compactKeyDf(spark, ip)
+      assert(parts(ip) == 1)
+      assert(PerceptualHash.imageNearDupsAgainst(spark, ip)
+        .collect().toSeq == beforeI)
+    } finally {
+      ArtifactCache.deleteRecursively(new java.io.File(vp))
+      ArtifactCache.deleteRecursively(new java.io.File(ip))
+    }
+  }
+
   // --- routed IVF search ------------------------------------------------
 
   test("knnRouted returns exactly the rows of the branch recommendPlan " +
@@ -244,6 +286,10 @@ class Round16Spec extends SparkSpec {
         .select(lit(3000000L).as("vec_id"), col("emb"), col("label"), col("nrm"))
       Similarity.assignCells(delta, cells)
         .write.mode("append").partitionBy("cent_id").parquet(s"$path/assigned")
+      // the torn state is inherited from a CRASHED PREVIOUS process —
+      // simulate the restart (the per-JVM validation memo would
+      // otherwise rightly skip the recount)
+      IvfIndex.forgetSidecarValidation(path)
       // the next two-stage query must NOT silently omit the twin: the
       // count check drops the stale sidecar and rebuilds from assigned/
       val twin = IvfIndex.knnSq8RerankAt(spark, path, q, 5, 32, 50)

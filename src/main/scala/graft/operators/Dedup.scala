@@ -659,7 +659,12 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var n = edges.count()
     var pass = 1
-    while (n > cap && pass < maxPasses) {
+    // compare the SYMMETRIZED size (2n — forest edges are distinct
+    // non-self pairs, so symmetrize+distinct downstream is exactly 2n)
+    // against the cap: [[connectedComponents]]'s driver cutover tests
+    // sym.count() ≤ cap, so contracting to just under `cap` RAW rows
+    // would still miss the one-collect path near the boundary
+    while (2 * n > cap && pass < maxPasses) {
       val key = if (pass % 2 == 1) "doc_a" else "doc_b"
       val next = localForest(edges.repartition(col(key)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -118,6 +118,21 @@ object IvfIndex {
   private val sq8Validated =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Per-sidecar mutation/validation lock (intern'd by sidecar path).
+    * [[ensureSq8]]'s count validation races an in-flight [[insert]] in
+    * the same JVM without it: insert appends to assigned/ BEFORE the
+    * sidecar, so a concurrent first-validation observes a transient
+    * count mismatch and deletes a healthy sidecar out from under the
+    * in-flight append — leaving a half-written dir whose done marker
+    * is gone but whose files can collide with the rebuild. All sidecar
+    * mutation (insert's append, compact's drop) and validation
+    * serialize on this object; cross-process mutation remains a
+    * single-writer contract (the ArtifactCache publish-lock scope). */
+  private val sq8Locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def sq8Lock(key: String): Object =
+    sq8Locks.computeIfAbsent(key, _ => new Object)
+
   /** Test hook: simulate a process restart for `indexPath`'s sidecar
     * (the torn-insert spec mutates assigned/ behind the memo's back
     * the way a crashed previous process would have). */
@@ -138,16 +153,18 @@ object IvfIndex {
     // repeat queries skip both counts (measured ~0.3-0.5 s per call on
     // a 4096-cell layout — partition discovery, not data, but paid per
     // query without the memo).
-    if (!sq8Validated.contains(key) && ArtifactCache.isDone(key) &&
-        s.read.parquet(s"$key/assigned_sq8").count() !=
-          s.read.parquet(s"$indexPath/assigned").count())
-      ArtifactCache.deleteRecursively(new java.io.File(key))
-    val out = ArtifactCache.ensure(key) { tmp =>
-      writeSq8(s.read.parquet(s"$indexPath/assigned")
-        .withColumn("cent_id", col("cent_id").cast("long")), tmp, "overwrite")
+    sq8Lock(key).synchronized {
+      if (!sq8Validated.contains(key) && ArtifactCache.isDone(key) &&
+          s.read.parquet(s"$key/assigned_sq8").count() !=
+            s.read.parquet(s"$indexPath/assigned").count())
+        ArtifactCache.deleteRecursively(new java.io.File(key))
+      val out = ArtifactCache.ensure(key) { tmp =>
+        writeSq8(s.read.parquet(s"$indexPath/assigned")
+          .withColumn("cent_id", col("cent_id").cast("long")), tmp, "overwrite")
+      }
+      sq8Validated.add(key)
+      out
     }
-    sq8Validated.add(key)
-    out
   }
 
   private def writeSq8(assigned: DataFrame, path: String, mode: String): Unit = {
@@ -250,6 +267,12 @@ object IvfIndex {
     VectorFunctions.register(s)
     val cells = Similarity.collectCells(s.read.parquet(s"$path/centroids"))
     val assigned = Similarity.assignCells(delta, cells)
+    // BOTH appends run under the sidecar lock: a concurrent ensureSq8
+    // validation interleaving between them would observe the transient
+    // assigned-ahead-of-sidecar count mismatch, rebuild the sidecar
+    // (already delta-inclusive), and then this append would land the
+    // delta a second time
+    sq8Lock(s"$path-sq8").synchronized {
     assigned
       .write.mode("append").partitionBy("cent_id").parquet(s"$path/assigned")
     // keep the quantized sidecar consistent at delta cost: quantize the
@@ -271,6 +294,7 @@ object IvfIndex {
         throw e
       }
       finally sq8Validated.remove(s"$path-sq8") // revalidate after mutation
+    }
   }
 
   /** Tombstone delete — the FAISS `remove_ids` analog, split into the
@@ -348,8 +372,10 @@ object IvfIndex {
       // and, with the tombstones cleared, would resurrect them in a
       // quantized probe — it is derived state, so drop it and let the
       // next knnSq8Rerank rebuild from the compacted assigned/
-      ArtifactCache.deleteRecursively(new java.io.File(s"$path-sq8"))
-      sq8Validated.remove(s"$path-sq8")
+      sq8Lock(s"$path-sq8").synchronized {
+        ArtifactCache.deleteRecursively(new java.io.File(s"$path-sq8"))
+        sq8Validated.remove(s"$path-sq8")
+      }
     }
   }
 

@@ -73,36 +73,51 @@ object Multimodal {
   private val gateStats =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
 
+  /** Version token for the persisted gate stats: the measurement bakes
+    * in the window geometry (16-byte windows at stride 4) and the
+    * df ≥ 2 "kept" threshold, so the cache key must carry them — a
+    * later change to any of these constants must MISS the cache, not
+    * silently serve a stale measurement and flip the gate decision
+    * (the ImageVer/FrameVer discipline). */
+  private val GateStatsVer = "w16s4k2v1"
+
   private def gateMeasurement(s: SparkSession, dir: String,
       wins: DataFrame): (Long, Long) = {
     val fp = ArtifactCache.fingerprint(new java.io.File(s"$dir/documents.parquet"))
-    val key = s"/tmp/graft-mediagate/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}-$fp"
-    gateStats.computeIfAbsent(key, { _ =>
-      val f = new java.io.File(s"$key/stats")
-      if (ArtifactCache.isDone(key)) {
-        val parts = new String(
-          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.split(",")
-        (parts(0).toLong, parts(1).toLong)
-      } else {
-        val winCounts = wins.select(col("win")).groupBy(col("win"))
-          .agg(count(lit(1)).as("wcnt"))
-        // coalesce: sum() over ZERO rows is null, and an empty window
-        // relation (empty/filtered media table under a forced gate) is
-        // a reachable state — getLong on it would NPE
-        val st = winCounts.agg(
-          coalesce(sum(col("wcnt")), lit(0L)).as("total"),
-          coalesce(sum(when(col("wcnt") >= 2, col("wcnt")).otherwise(0L)),
-            lit(0L)).as("kept"))
-          .head()
-        val m = (st.getLong(0), st.getLong(1))
-        ArtifactCache.ensure(key) { tmp =>
-          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
-          java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/stats"),
-            s"${m._1},${m._2}".getBytes("UTF-8"))
-        }
-        m
+    val key = s"/tmp/graft-mediagate/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}" +
+      s"-$fp-$GateStatsVer"
+    // plain get / putIfAbsent, NOT computeIfAbsent: the miss path runs
+    // a full Spark aggregation (~seconds), which must not execute while
+    // holding a ConcurrentHashMap bin lock. A racing duplicate compute
+    // is harmless — both arrive at the same numbers and ensure() is
+    // idempotent under its own publish lock.
+    val cached = gateStats.get(key)
+    if (cached != null) return cached
+    val m = if (ArtifactCache.isDone(key)) {
+      val parts = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$key/stats")), "UTF-8").trim.split(",")
+      (parts(0).toLong, parts(1).toLong)
+    } else {
+      val winCounts = wins.select(col("win")).groupBy(col("win"))
+        .agg(count(lit(1)).as("wcnt"))
+      // coalesce: sum() over ZERO rows is null, and an empty window
+      // relation (empty/filtered media table under a forced gate) is
+      // a reachable state — getLong on it would NPE
+      val st = winCounts.agg(
+        coalesce(sum(col("wcnt")), lit(0L)).as("total"),
+        coalesce(sum(when(col("wcnt") >= 2, col("wcnt")).otherwise(0L)),
+          lit(0L)).as("kept"))
+        .head()
+      val v = (st.getLong(0), st.getLong(1))
+      ArtifactCache.ensure(key) { tmp =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/stats"),
+          s"${v._1},${v._2}".getBytes("UTF-8"))
       }
-    })
+      v
+    }
+    gateStats.putIfAbsent(key, m)
+    m
   }
 
   /** Typed metadata extracted by "decoding" the payload. */

@@ -271,24 +271,45 @@ object PerceptualHash {
     * (shuffle joins past it), vote counting shuffles only matched
     * frame pairs — df-capped, never corpus².
     */
-  def videoMatches(s: SparkSession, dir: String): DataFrame =
-    videoMatches(s, dir, derivedClips(s, dir))
+  def videoMatches(s: SparkSession, dir: String): DataFrame = {
+    // the derived batch is ≤ nVideos/VClipMod clips × VClipLen frames,
+    // so the corpus row count bounds the clip side too — an upper
+    // bound is all a broadcast-SAFETY gate needs, and it spares the
+    // default path a counting job over the frame sample
+    val nVideos = videoMedia(s, dir).count()
+    videoMatchesCore(s, dir, derivedClips(s, dir), nVideos,
+      clipRowBound = nVideos * VClipLen)
+  }
 
   /** [[videoMatches]] against a CALLER-SUPPLIED clip batch
     * (clip_id, j, frame) — the [[AudioMatch.matchClips]] contract: a
     * deployment matches ARRIVING clips against the corpus, not a set
     * the operator derives itself. The default overload passes the
     * derived batch, so the existing oracle pins this path too. */
-  def videoMatches(s: SparkSession, dir: String, clips: DataFrame): DataFrame = {
-    val nVideos = videoMedia(s, dir).count()
-    val broadcastOk = nVideos * VideoFrames <= BroadcastFrameBudget
-    def side(df: DataFrame) = if (broadcastOk) broadcast(df) else df
+  def videoMatches(s: SparkSession, dir: String, clips: DataFrame): DataFrame =
+    videoMatchesCore(s, dir, clips, videoMedia(s, dir).count(), clips.count())
+
+  /** Shared matcher core. The two broadcast decisions are gated on the
+    * row count of THEIR OWN side ([[Multimodal.BroadcastMediaBudget]]
+    * discipline): the keep set grows with corpus frames, the probe
+    * landmarks with the clip batch — a large EXTERNAL batch probed
+    * against a small corpus must not be broadcast just because the
+    * corpus is small (that is exactly the driver-OOM case the budget
+    * exists for, and [[matchAgainstVideo]] already gates this way),
+    * while a small batch against a huge corpus still broadcasts its
+    * landmarks onto the shuffle-joined frame table. */
+  private def videoMatchesCore(s: SparkSession, dir: String, clips: DataFrame,
+      nVideos: Long, clipRowBound: Long): DataFrame = {
+    val corpusOk = nVideos * VideoFrames <= BroadcastFrameBudget
+    val clipsOk = clipRowBound <= BroadcastFrameBudget
+    def corpusSide(df: DataFrame) = if (corpusOk) broadcast(df) else df
+    def clipSide(df: DataFrame) = if (clipsOk) broadcast(df) else df
     val frames = videoFrames(s, dir)
     val keep = frames.groupBy(col("fh")).agg(count(lit(1)).as("fdf"))
       .filter(col("fdf") <= MaxFrameDf).select(col("fh"))
-    val idx = frames.join(side(keep), Seq("fh"))
+    val idx = frames.join(corpusSide(keep), Seq("fh"))
     val clipLmk = clipLandmarks(s, clips)
-    val votes = idx.join(side(clipLmk), Seq("fh"))
+    val votes = idx.join(clipSide(clipLmk), Seq("fh"))
       .groupBy(col("clip_id"), col("video_id"),
         (col("f") - col("j")).as("offset_frames"))
       .agg(count(lit(1)).as("votes"))

@@ -104,6 +104,15 @@ object Probe {
           .getGarbageCollectorMXBeans.asScala
         (beans.map(_.getCollectionTime).sum, beans.map(_.getCollectionCount).sum)
       }
+      // leak forensics (the r16-verdict walk): persistent-RDD census
+      // after each run — a lifecycle leak shows as rdd_n/rdd_mb
+      // climbing run-over-run; flat-at-zero means released-by-contract
+      def storage(): (Int, Double) = {
+        val inf = spark.sparkContext.getRDDStorageInfo
+        (inf.length, inf.map(i => (i.memSize + i.diskSize).toDouble).sum / 1e6)
+      }
+      def jitMs(): Long = Option(java.lang.management.ManagementFactory
+        .getCompilationMXBean).map(_.getTotalCompilationTime).getOrElse(0L)
       args.lift(2).foreach { d =>
         val dirty = SparkEntry.queries(d)
         time(s"dirty $d")(noop(dirty))
@@ -111,16 +120,17 @@ object Probe {
       noop(fn) // warm-up (untimed, as in Bench)
       System.gc()
       val runs = (1 to 12).map { _ =>
-        val (g0, c0) = gcStats()
+        val (g0, c0) = gcStats(); val j0 = jitMs()
         val t0 = System.nanoTime()
         noop(fn)
         val sec = (System.nanoTime() - t0) / 1e9
         val (g1, c1) = gcStats()
-        (sec, (g1 - g0) / 1000.0, c1 - c0)
+        val (rn, rmb) = storage()
+        (sec, (g1 - g0) / 1000.0, c1 - c0, jitMs() - j0, rn, rmb)
       }
       val json = s"""{"probe":"spread","query":"${args(1)}","dirty":"${args.lift(2).getOrElse("")}","runs":[""" +
-        runs.map { case (s, g, c) =>
-          f"""{"sec":$s%.3f,"gc_sec":$g%.3f,"gc_n":$c}""" }.mkString(",") + "]}"
+        runs.map { case (s, g, c, j, rn, rmb) =>
+          f"""{"sec":$s%.3f,"gc_sec":$g%.3f,"gc_n":$c,"jit_ms":$j,"rdd_n":$rn,"rdd_mb":$rmb%.1f}""" }.mkString(",") + "]}"
       println(json)
       java.nio.file.Files.write(java.nio.file.Paths.get("SPREAD_PROBE.json"),
         (json + "\n").getBytes("UTF-8"))

@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Tombstone delete + compaction for the bucket-partitioned media
+  * posting indexes (the video frame index and the image chunk index —
+  * `PerceptualHash.scala`): the takedown operation a media catalog
+  * runs weekly (DMCA / GDPR / opt-out), previously only available to
+  * the IVF vector index. The [[IvfIndex.delete]]/[[IvfIndex.compact]]
+  * design, adapted to the shared layout both indexes use:
+  *
+  *   `$path/<sub>/kb=<bucket>/…`  — uncapped postings, one row per
+  *                                  (media, key), partitioned by the
+  *                                  bounded bucket column `kb`;
+  *   `$path/keydf/` part files    — append-only (key, cnt) df partials
+  *                                  (summed at probe time; compacted by
+  *                                  [[AudioMatch.compactKeyDf]]).
+  *
+  * Phases:
+  *  - [[delete]] is an O(ids) append to `$path/deleted/` — no data
+  *    file touched, immediately visible: queries anti-join the
+  *    tombstone set (bounded by the delete rate between compactions,
+  *    so it broadcasts).
+  *  - [[compact]] physically removes tombstoned postings, rewriting
+  *    ONLY the kb buckets that contain one (dynamic partition
+  *    overwrite — untouched buckets' bytes are never rewritten;
+  *    spec-pinned by mtime), and reconciles the df statistic by
+  *    appending NEGATIVE (key, −cnt) partials for exactly the removed
+  *    postings, so summed live df equals a from-scratch rebuild's df
+  *    (delete + compact ≡ rebuild, spec-pinned).
+  *
+  * df staleness window, documented honestly: BETWEEN delete and
+  * compact the tombstoned rows still count toward the df cap — a key
+  * whose live df would re-enter the cap after the removal stays
+  * dropped until compaction. Staleness is strictly conservative (df
+  * only over-counts, so no over-cap key can wrongly match), and the
+  * deleted media themselves stop matching immediately via the
+  * anti-join.
+  *
+  * Crash safety follows [[AudioMatch.compactKeyDf]]'s marker protocol,
+  * extended to cover the postings rewrite: phase A stages the negative
+  * partials in a hidden dir and commits a marker naming exactly the
+  * tombstone files being applied (atomic rename); phase B — resumable
+  * from the marker alone — rewrites the touched buckets, adopts the
+  * staged partials, clears exactly the marker's tombstone files, and
+  * drops the marker last. The negative partials are computed BEFORE
+  * any posting is rewritten (a resume after a partial rewrite could
+  * not reconstruct them), and a delete() racing the compaction appends
+  * a tombstone file that is absent from the marker and survives for
+  * the next compaction. While the marker exists the index is mid-swap
+  * and probes refuse ([[pendingApply]]), the keydf mid-compaction
+  * discipline. Single-writer contract for mutations, local-FS
+  * contract for the guards — both as the rest of the incremental
+  * lifecycle family.
+  */
+object MediaIndexOps {
+
+  private def tombstoneFiles(path: String): Seq[java.io.File] =
+    Option(new java.io.File(s"$path/deleted").listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+
+  /** Tombstone the given media ids (any single-column frame). O(ids). */
+  def delete(s: SparkSession, path: String, ids: DataFrame, idCol: String): Unit =
+    ids.select(col(ids.columns.head).cast("long").as(idCol))
+      .write.mode("append").parquet(s"$path/deleted")
+
+  /** The live tombstone id set, or None when nothing is deleted. */
+  private[graft] def tombstones(s: SparkSession, path: String,
+      idCol: String): Option[DataFrame] =
+    if (tombstoneFiles(path).nonEmpty)
+      Some(s.read.parquet(s"$path/deleted").select(col(idCol)).distinct())
+    else None
+
+  /** True while a [[compact]] is mid-swap — probes must refuse and the
+    * caller must re-run compact to completion first. */
+  private[graft] def pendingApply(path: String): Boolean =
+    new java.io.File(s"$path/deleted/.apply-commit").exists()
+
+  /** Apply pending tombstones physically. `sub` is the postings subdir
+    * ("frames" for video, "chunks" for image); `idCol` the media id
+    * column in the postings rows. Cost ∝ touched buckets + one
+    * postings scan to locate them — never a full-index rewrite. */
+  def compact(s: SparkSession, path: String, sub: String, idCol: String): Unit =
+    if (compactPhaseA(s, path, sub, idCol))
+      compactPhaseB(s, path, sub, idCol)
+
+  /** Phase A: stage the df reconciliation, then commit intent via the
+    * marker (atomic rename). Returns false when there is nothing to
+    * apply; true when a marker is pending — either freshly committed
+    * or inherited from a crashed previous run (resume that one; the
+    * staged partials and marker fully describe it). Split out so the
+    * crash-resume spec can stop exactly between the phases. */
+  private[graft] def compactPhaseA(s: SparkSession, path: String, sub: String,
+      idCol: String): Boolean = {
+    val marker = new java.io.File(s"$path/deleted/.apply-commit")
+    val stage = new java.io.File(s"$path/keydf/.delete-tmp")
+    if (marker.exists()) return true
+    val snapshot = tombstoneFiles(path)
+    if (snapshot.isEmpty) return false
+    val deleted = s.read.parquet(snapshot.map(_.getPath): _*)
+      .select(col(idCol)).distinct()
+    ArtifactCache.deleteRecursively(stage)
+    // the removed postings' per-key counts, negated — computed from
+    // the UNTOUCHED postings (before any rewrite), the only point
+    // where they are still reconstructible
+    s.read.parquet(s"$path/$sub")
+      .join(broadcast(deleted), Seq(idCol), "left_semi")
+      .groupBy(col("key")).agg((-count(lit(1))).as("cnt"))
+      .coalesce(1).write.mode("overwrite").parquet(stage.getPath)
+    val markerTmp = new java.io.File(s"$path/deleted/.apply-commit.tmp")
+    java.nio.file.Files.write(markerTmp.toPath,
+      snapshot.map(_.getName).mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(markerTmp.toPath, marker.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    true
+  }
+
+  /** Phase B: re-runnable from the marker alone. */
+  private[graft] def compactPhaseB(s: SparkSession, path: String, sub: String,
+      idCol: String): Unit = {
+    val marker = new java.io.File(s"$path/deleted/.apply-commit")
+    val stage = new java.io.File(s"$path/keydf/.delete-tmp")
+    val listed = new String(
+      java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+      .split("\n").filter(_.nonEmpty).toSet
+    val files = tombstoneFiles(path).filter(f => listed.contains(f.getName))
+    if (files.nonEmpty) {
+      val deleted = s.read.parquet(files.map(_.getPath): _*)
+        .select(col(idCol)).distinct()
+      val postings = s.read.parquet(s"$path/$sub")
+      // touched buckets re-derived from what is STILL on disk: after a
+      // crashed partial rewrite the already-clean buckets drop out and
+      // the resume rewrites only the remainder (kb domain is bounded,
+      // so the collect is ≤ the bucket count)
+      val touched = postings.join(broadcast(deleted), Seq(idCol), "left_semi")
+        .select(col("kb").cast("long")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      if (touched.nonEmpty) {
+        val remaining = postings
+          .filter(col("kb").isin(touched.toIndexedSeq: _*))
+          .join(broadcast(deleted), Seq(idCol), "left_anti")
+          // reads the very partitions the overwrite replaces — pin
+          // first (bounded by the touched-bucket slice)
+          .localCheckpoint(true)
+        try {
+          val survivors = remaining.select(col("kb").cast("long")).distinct()
+            .collect().map(_.getLong(0)).toSet
+          remaining.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("kb").parquet(s"$path/$sub")
+          // a bucket emptied entirely is removed explicitly: dynamic
+          // overwrite only replaces partitions PRESENT in the frame
+          touched.filterNot(survivors).foreach { b =>
+            ArtifactCache.deleteRecursively(new java.io.File(s"$path/$sub/kb=$b"))
+          }
+        } finally remaining.unpersist()
+      }
+    }
+    // adopt the staged negative partials under the live keydf — from
+    // here the summed df equals the rebuild df for every touched key
+    Option(stage.listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(s"$path/keydf", s"deleted-${f.getName}").toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    // clear exactly the applied tombstone files (a racing delete()'s
+    // new file survives for the next compaction), then the marker LAST
+    files.foreach(_.delete())
+    ArtifactCache.deleteRecursively(stage)
+    marker.delete()
+    val delDir = new java.io.File(s"$path/deleted")
+    if (tombstoneFiles(path).isEmpty &&
+        Option(delDir.listFiles()).exists(_.forall(f => !f.getName.endsWith(".parquet"))))
+      ArtifactCache.deleteRecursively(delDir)
+  }
+}

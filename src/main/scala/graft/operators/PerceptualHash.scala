@@ -146,12 +146,23 @@ object PerceptualHash {
       throw new IllegalStateException(
         s"pending keydf compaction at $path: re-run AudioMatch.compactKeyDf " +
           "to completion before probing")
+    if (MediaIndexOps.pendingApply(path))
+      throw new IllegalStateException(
+        s"pending tombstone compaction at $path: re-run MediaIndexOps.compact " +
+          "to completion before probing")
     // live chunk dfs from the append-only partials: ≤ 65536 rows by
-    // the key domain — bounded model state, always broadcastable
+    // the key domain — bounded model state, always broadcastable.
+    // Tombstoned images still count toward the df until compaction —
+    // strictly conservative (see [[MediaIndexOps]]).
     val keep = s.read.parquet(s"$path/keydf")
       .groupBy(col("key")).agg(sum(col("cnt")).as("cdf"))
       .filter(col("cdf") <= MaxChunkDf).select(col("key"))
-    val kept = s.read.parquet(s"$path/chunks")
+    val stored = s.read.parquet(s"$path/chunks")
+    // tombstoned images must not pair on either side; the set is
+    // bounded by the delete rate between compactions, so it broadcasts
+    val live = MediaIndexOps.tombstones(s, path, "media_id")
+      .fold(stored)(d => stored.join(broadcast(d), Seq("media_id"), "left_anti"))
+    val kept = live
       .join(broadcast(keep), Seq("key"))
     val a = kept.select(col("key"), col("media_id").as("media_a"),
       col("phash").as("ha"))
@@ -385,6 +396,10 @@ object PerceptualHash {
       throw new IllegalStateException(
         s"pending keydf compaction at $path: re-run AudioMatch.compactKeyDf " +
           "to completion before probing")
+    if (MediaIndexOps.pendingApply(path))
+      throw new IllegalStateException(
+        s"pending tombstone compaction at $path: re-run MediaIndexOps.compact " +
+          "to completion before probing")
     def hasParquet(f: java.io.File): Boolean =
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.exists(hasParquet)
       else f.getName.endsWith(".parquet")
@@ -403,7 +418,13 @@ object PerceptualHash {
     // both query-sized: clip landmarks ∩ under-cap keys
     val probe = clipLmk.join(keep, Seq("fh"))
       .select(col("clip_id"), col("j"), col("fh").as("key"), col("kb"))
-    val votes = s.read.parquet(s"$path/frames")
+    val stored = s.read.parquet(s"$path/frames")
+    // tombstoned videos must not surface as match targets (their df
+    // contribution stays until compaction — strictly conservative, see
+    // [[MediaIndexOps]]); bounded by the delete rate, so it broadcasts
+    val liveFrames = MediaIndexOps.tombstones(s, path, "video_id")
+      .fold(stored)(d => stored.join(broadcast(d), Seq("video_id"), "left_anti"))
+    val votes = liveFrames
       .join(side(probe), Seq("key", "kb"))
       .groupBy(col("clip_id"), col("video_id"),
         (col("f") - col("j")).as("offset_frames"))

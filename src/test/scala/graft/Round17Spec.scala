@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ArtifactCache, MediaIndexOps, PerceptualHash}
+
+/** Round-17 specs: tombstone delete + compaction for the video frame
+  * index and the image chunk index (the takedown lifecycle the IVF
+  * index already had).
+  */
+class Round17Spec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // --- video frame index: tombstone lifecycle ---------------------------
+
+  test("video index delete: a tombstoned video stops matching immediately, " +
+    "compact rewrites only its buckets (untouched buckets byte-identical) " +
+    "and equals a rebuild without the video") {
+    val path = java.nio.file.Files.createTempDirectory("graft-vdel").toString
+    val rebuildPath = java.nio.file.Files.createTempDirectory("graft-vdel-rb").toString
+    try {
+      import spark.implicits._
+      val frames = PerceptualHash.videoFrames(spark, sf)
+      PerceptualHash.buildVideoIndex(spark, frames, path)
+      val clips = PerceptualHash.derivedClips(spark, sf)
+      val before = PerceptualHash.matchAgainstVideo(spark, path, clips).collect()
+      assert(before.nonEmpty, "fixture must produce matches")
+      // take down the best-matched video
+      val victim = before.head.getAs[Long]("video_id")
+      // buckets the victim's frames live in — the only ones compact may touch
+      val victimBuckets = spark.read.parquet(s"$path/frames")
+        .filter(col("video_id") === victim)
+        .select(col("kb").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(victimBuckets.nonEmpty)
+      def bucketMtimes(): Map[String, Long] =
+        Option(new java.io.File(s"$path/frames").listFiles()).toSeq.flatten
+          .filter(f => f.isDirectory && f.getName.startsWith("kb="))
+          .flatMap(d => Option(d.listFiles()).toSeq.flatten
+            .map(f => s"${d.getName}/${f.getName}" -> f.lastModified()))
+          .toMap
+      val mtimesBefore = bucketMtimes()
+      MediaIndexOps.delete(spark, path, Seq(victim).toDF("video_id"), "video_id")
+      // tombstone visibility: the victim is gone BEFORE any compaction
+      val afterDelete = PerceptualHash.matchAgainstVideo(spark, path, clips).collect()
+      assert(!afterDelete.exists(_.getAs[Long]("video_id") == victim),
+        "tombstoned video must stop matching immediately")
+      MediaIndexOps.compact(spark, path, "frames", "video_id")
+      // untouched buckets: every file outside the victim's buckets is
+      // bit-for-bit the one written at build time (same path + mtime)
+      val mtimesAfter = bucketMtimes()
+      val untouched = mtimesBefore.keySet.filter { k =>
+        val b = k.split("/")(0).stripPrefix("kb=").toLong
+        !victimBuckets.contains(b)
+      }
+      assert(untouched.nonEmpty, "fixture must leave some buckets untouched")
+      untouched.foreach { k =>
+        assert(mtimesAfter.get(k).contains(mtimesBefore(k)),
+          s"untouched bucket file $k must not be rewritten")
+      }
+      // physically gone + tombstones cleared
+      assert(spark.read.parquet(s"$path/frames")
+        .filter(col("video_id") === victim).count() == 0)
+      assert(!new java.io.File(s"$path/deleted").exists())
+      // delete + compact == rebuild without the victim: identical
+      // verdicts AND identical live df statistic
+      PerceptualHash.buildVideoIndex(spark,
+        frames.filter(col("video_id") =!= victim), rebuildPath)
+      val got = PerceptualHash.matchAgainstVideo(spark, path, clips).collect().toSeq
+      val want = PerceptualHash.matchAgainstVideo(spark, rebuildPath, clips)
+        .collect().toSeq
+      assert(got == want, s"compacted=${got.take(3)} rebuilt=${want.take(3)}")
+      def liveDf(p: String): Map[Long, Long] =
+        spark.read.parquet(s"$p/keydf").groupBy(col("key"))
+          .agg(sum(col("cnt")).as("df")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).filter(_._2 != 0L).toMap
+      assert(liveDf(path) == liveDf(rebuildPath),
+        "negative partials must reconcile the df to the rebuild's")
+    } finally {
+      ArtifactCache.deleteRecursively(new java.io.File(path))
+      ArtifactCache.deleteRecursively(new java.io.File(rebuildPath))
+    }
+  }
+
+  // --- image chunk index: tombstone lifecycle + df un-eviction ----------
+
+  test("image index delete: pair disappears immediately; compacting a " +
+    "deleted flood lets a previously over-cap bucket match again " +
+    "(negative partials reconcile the df), equal to a rebuild") {
+    import spark.implicits._
+    val h1 = 0x00F0F0F0F0F0F0L
+    val h2 = h1 ^ 0x7L // hamming 3 of h1
+    val g1 = 0x00123456789ABCL
+    val g2 = g1 ^ 0x3L // control pair
+    val base = Seq((1L, h1), (2L, h2), (5L, g1), (6L, g2)).toDF("media_id", "phash")
+    val path = java.nio.file.Files.createTempDirectory("graft-idel").toString
+    val rb = java.nio.file.Files.createTempDirectory("graft-idel-rb").toString
+    try {
+      PerceptualHash.buildImageIndex(spark, base, path)
+      def pairs(): Set[(Long, Long)] =
+        PerceptualHash.imageNearDupsAgainst(spark, path).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs() == Set((1L, 2L), (5L, 6L)))
+      // takedown of image 6: (5,6) disappears before any compaction
+      MediaIndexOps.delete(spark, path, Seq(6L).toDF("media_id"), "media_id")
+      assert(pairs() == Set((1L, 2L)),
+        "tombstoned image must stop pairing immediately")
+      MediaIndexOps.compact(spark, path, "chunks", "media_id")
+      assert(pairs() == Set((1L, 2L)))
+      // flood h1's buckets over the cap: (1,2) evicted from blocking
+      val flood = (100L until (100L + PerceptualHash.MaxChunkDf + 1))
+        .map(i => (i, h1)).toDF("media_id", "phash")
+      PerceptualHash.insertImages(spark, path, flood)
+      assert(pairs() == Set.empty,
+        "over-cap buckets must stop blocking after the flood")
+      // take the flood down again — BETWEEN delete and compact the df
+      // is stale-high (strictly conservative): still no pair
+      MediaIndexOps.delete(spark, path,
+        flood.select(col("media_id")), "media_id")
+      assert(pairs() == Set.empty,
+        "pre-compact df staleness must stay conservative")
+      // compaction applies the negative partials: the bucket re-enters
+      // the cap and the pair matches again
+      MediaIndexOps.compact(spark, path, "chunks", "media_id")
+      assert(pairs() == Set((1L, 2L)),
+        "compaction must un-evict the bucket via the reconciled df")
+      // and the end state equals a from-scratch rebuild over base \ {6}
+      PerceptualHash.buildImageIndex(spark,
+        base.filter(col("media_id") =!= 6L), rb)
+      val rebuilt = PerceptualHash.imageNearDupsAgainst(spark, rb).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rebuilt == pairs())
+    } finally {
+      ArtifactCache.deleteRecursively(new java.io.File(path))
+      ArtifactCache.deleteRecursively(new java.io.File(rb))
+    }
+  }
+
+  // --- crash-resume at the phase boundary --------------------------------
+
+  test("tombstone compaction crash-resume: after phase A alone the index " +
+    "refuses to probe; re-running compact converges to the identical " +
+    "end state, and a tombstone appended mid-compaction survives") {
+    import spark.implicits._
+    val h1 = 0x00ABCDEF012345L
+    val base = Seq((1L, h1), (2L, h1 ^ 0x5L), (9L, 0x00111111111111L))
+      .toDF("media_id", "phash")
+    val path = java.nio.file.Files.createTempDirectory("graft-idel-crash").toString
+    try {
+      PerceptualHash.buildImageIndex(spark, base, path)
+      MediaIndexOps.delete(spark, path, Seq(2L).toDF("media_id"), "media_id")
+      // crash exactly between the phases: marker + staged partials only
+      assert(MediaIndexOps.compactPhaseA(spark, path, "chunks", "media_id"))
+      assert(MediaIndexOps.pendingApply(path))
+      intercept[IllegalStateException] {
+        PerceptualHash.imageNearDupsAgainst(spark, path).collect()
+      }
+      // a delete racing the crashed compaction appends a NEW tombstone
+      // file — it is not in the marker and must survive the resume
+      MediaIndexOps.delete(spark, path, Seq(9L).toDF("media_id"), "media_id")
+      // resume = just run compact again
+      MediaIndexOps.compact(spark, path, "chunks", "media_id")
+      assert(!MediaIndexOps.pendingApply(path))
+      assert(spark.read.parquet(s"$path/chunks")
+        .filter(col("media_id") === 2L).count() == 0,
+        "resumed compaction must finish the physical removal")
+      // the racing tombstone is still pending and still masks id 9
+      val pend = spark.read.parquet(s"$path/deleted").collect()
+        .map(_.getLong(0)).toSet
+      assert(pend == Set(9L), s"racing tombstone must survive: $pend")
+      val afterPairs = PerceptualHash.imageNearDupsAgainst(spark, path).collect()
+      assert(afterPairs.isEmpty)
+      // second compact applies it; end state = only image 1 remains
+      MediaIndexOps.compact(spark, path, "chunks", "media_id")
+      assert(spark.read.parquet(s"$path/chunks")
+        .select(col("media_id")).distinct().collect()
+        .map(_.getLong(0)).toSet == Set(1L))
+    } finally ArtifactCache.deleteRecursively(new java.io.File(path))
+  }
+}

@@ -230,6 +230,14 @@ object SparkEntry {
     // through map-side union-find contraction, never shuffled)
     "q_media_dup_groups" -> ((s: SparkSession, d: String) =>
       Multimodal.mediaDupGroups(s, d)),
+    // incremental group maintenance: ingest the below-400 half as
+    // generation 0, the rest as generation 1 — delta-headed candidates,
+    // appended verified pairs, warm-started closure, and the exact
+    // cap-crossing repair make the final labels identical to the
+    // one-shot over the full corpus, so it shares the reachability
+    // oracle (q_dedup_incremental's lifecycle discipline)
+    "q_media_dup_groups_incremental" -> ((s: SparkSession, d: String) =>
+      graft.operators.MediaGroupsInc.mediaDupGroupsIncremental(s, d)),
     // image perceptual near-dup: 56-bit dHash (gradient-sign
     // fingerprint, brightness-invariant) + exact pigeonhole blocking
     // under Hamming <= 3 — both fully oracled (integer pixel sums,
@@ -452,6 +460,56 @@ object SparkEntry {
       |     THEN 1 ELSE 0 END AS BIGINT) AS keep
       |  FROM canon
       |)""".stripMargin
+
+  /** Transitive closure over the verified media near-dup relation: the
+    * recursive-CTE reachability restatement (the q_dedup_groups_exact
+    * discipline) — group label = min reachable node, exactly
+    * Dedup.connectedComponents' semantics, one row per member. Shared
+    * by the one-shot and the incremental lifecycle (which converges to
+    * identical labels — delta-headed emission is complete under
+    * growing dfs, and the cap-crossing repair removes exactly the
+    * over-emissions). */
+  private val mediaDupGroupsOracle: String =
+    """WITH RECURSIVE w AS (
+      | SELECT DISTINCT d.doc_id AS media_id,
+      |  substring(d.text, CAST(t.p AS INT), 16) AS win
+      | FROM documents d,
+      |  UNNEST(range(1, GREATEST(length(d.text) - 15, 1) + 1, 4)) AS t(p)),
+      |keepw AS (
+      | SELECT win FROM (SELECT win, count(*) AS w_df FROM w GROUP BY 1)
+      | WHERE w_df >= 2 AND w_df <= 64),
+      |ws AS (SELECT w.* FROM w JOIN keepw USING (win)),
+      |cand AS (
+      | SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
+      | FROM ws a JOIN ws b ON a.win = b.win AND a.media_id < b.media_id),
+      |h AS (
+      | SELECT d.doc_id AS media_id,
+      |  (ord(substring(d.text, CAST(t.i AS INT), 1)) // 4) AS bin,
+      |  CAST(count(*) AS BIGINT) AS cnt
+      | FROM documents d, UNNEST(range(1, length(d.text) + 1, 1)) AS t(i)
+      | GROUP BY 1, 2),
+      |n AS (SELECT media_id, SUM(cnt * cnt) AS n2 FROM h GROUP BY 1),
+      |dots AS (
+      | SELECT c.media_a, c.media_b, SUM(ha.cnt * hb.cnt) AS dot
+      | FROM cand c
+      | JOIN h ha ON ha.media_id = c.media_a
+      | JOIN h hb ON hb.media_id = c.media_b AND hb.bin = ha.bin
+      | GROUP BY 1, 2),
+      |edges AS (
+      | SELECT d.media_a, d.media_b
+      | FROM dots d
+      | JOIN n na ON na.media_id = d.media_a
+      | JOIN n nb ON nb.media_id = d.media_b
+      | WHERE CAST(d.dot AS DOUBLE)
+      |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.99),
+      |sym AS (SELECT media_a AS a, media_b AS b FROM edges
+      |  UNION SELECT media_b, media_a FROM edges),
+      |reach(node, r) AS (
+      | SELECT a, a FROM (SELECT DISTINCT a FROM sym) base
+      | UNION
+      | SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a)
+      |SELECT node AS media_id, min(r) AS group_id
+      |FROM reach GROUP BY node ORDER BY media_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing" ->
@@ -1498,47 +1556,12 @@ object SparkEntry {
     // recursive-CTE reachability restatement (the q_dedup_groups_exact
     // discipline) — group label = min reachable node, exactly
     // Dedup.connectedComponents' semantics, one row per member
-    "q_media_dup_groups" ->
-      """WITH RECURSIVE w AS (
-        | SELECT DISTINCT d.doc_id AS media_id,
-        |  substring(d.text, CAST(t.p AS INT), 16) AS win
-        | FROM documents d,
-        |  UNNEST(range(1, GREATEST(length(d.text) - 15, 1) + 1, 4)) AS t(p)),
-        |keepw AS (
-        | SELECT win FROM (SELECT win, count(*) AS w_df FROM w GROUP BY 1)
-        | WHERE w_df >= 2 AND w_df <= 64),
-        |ws AS (SELECT w.* FROM w JOIN keepw USING (win)),
-        |cand AS (
-        | SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
-        | FROM ws a JOIN ws b ON a.win = b.win AND a.media_id < b.media_id),
-        |h AS (
-        | SELECT d.doc_id AS media_id,
-        |  (ord(substring(d.text, CAST(t.i AS INT), 1)) // 4) AS bin,
-        |  CAST(count(*) AS BIGINT) AS cnt
-        | FROM documents d, UNNEST(range(1, length(d.text) + 1, 1)) AS t(i)
-        | GROUP BY 1, 2),
-        |n AS (SELECT media_id, SUM(cnt * cnt) AS n2 FROM h GROUP BY 1),
-        |dots AS (
-        | SELECT c.media_a, c.media_b, SUM(ha.cnt * hb.cnt) AS dot
-        | FROM cand c
-        | JOIN h ha ON ha.media_id = c.media_a
-        | JOIN h hb ON hb.media_id = c.media_b AND hb.bin = ha.bin
-        | GROUP BY 1, 2),
-        |edges AS (
-        | SELECT d.media_a, d.media_b
-        | FROM dots d
-        | JOIN n na ON na.media_id = d.media_a
-        | JOIN n nb ON nb.media_id = d.media_b
-        | WHERE CAST(d.dot AS DOUBLE)
-        |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.99),
-        |sym AS (SELECT media_a AS a, media_b AS b FROM edges
-        |  UNION SELECT media_b, media_a FROM edges),
-        |reach(node, r) AS (
-        | SELECT a, a FROM (SELECT DISTINCT a FROM sym) base
-        | UNION
-        | SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a)
-        |SELECT node AS media_id, min(r) AS group_id
-        |FROM reach GROUP BY node ORDER BY media_id""".stripMargin,
+    "q_media_dup_groups" -> mediaDupGroupsOracle,
+    // the incremental lifecycle converges to the identical labels
+    // (delta-headed emission is complete under growing dfs; the
+    // cap-crossing repair removes exactly the over-emissions), so the
+    // same reachability closure oracles it
+    "q_media_dup_groups_incremental" -> mediaDupGroupsOracle,
     // audio landmark family: integer frame energies + constellation
     // keys + offset-coherent votes — byte values via ord() over the
     // ASCII payload text, same convention as q_media_neardups_exact

@@ -2,11 +2,14 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{ArtifactCache, MediaIndexOps, PerceptualHash}
+import graft.operators.{ArtifactCache, Dedup, MediaGroupsInc, MediaIndexOps,
+  Multimodal, PerceptualHash}
 
 /** Round-17 specs: tombstone delete + compaction for the video frame
   * index and the image chunk index (the takedown lifecycle the IVF
-  * index already had).
+  * index already had), and incremental media dup-group maintenance
+  * (delta-headed candidates + warm-started closure + exact
+  * cap-crossing repair).
   */
 class Round17Spec extends SparkSpec {
 
@@ -177,5 +180,112 @@ class Round17Spec extends SparkSpec {
         .select(col("media_id")).distinct().collect()
         .map(_.getLong(0)).toSet == Set(1L))
     } finally ArtifactCache.deleteRecursively(new java.io.File(path))
+  }
+
+  // --- incremental media dup groups --------------------------------------
+
+  private def labelsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("mediaDupGroupsIncremental (two-generation ingest) produces labels " +
+    "identical to the one-shot mediaDupGroups over the full corpus") {
+    val oneShot = labelsOf(Multimodal.mediaDupGroups(spark, sf))
+    // split at the corpus midpoint so both generations carry real media
+    val mid = Multimodal.mediaTable(spark, sf)
+      .agg(expr("percentile(media_id, 0.5)")).head().getDouble(0).toLong
+    val inc = labelsOf(MediaGroupsInc.mediaDupGroupsIncremental(spark, sf, mid))
+    assert(oneShot.nonEmpty, "fixture corpus must contain media dup groups")
+    assert(inc == oneShot,
+      s"incremental labels diverge: ${(inc.toSet diff oneShot.toSet).take(3)}")
+  }
+
+  test("cap-crossing repair: a window crossing maxDf retroactively drops " +
+    "its unsupported pairs (and only those) — incremental labels equal " +
+    "the one-shot under the final-corpus df cap") {
+    import spark.implicits._
+    // 16-byte blocks; contents are block concatenations so the stride-4
+    // window relation is fully controlled (shared block = shared window)
+    def blk(c: Char) = c.toString * 16
+    val docs = Seq(
+      // scenario B: docs 1,2 share ONLY window W — the crossing removes
+      // their pair and nothing supports it
+      1L -> (blk('W') + blk('a')),
+      2L -> (blk('W') + blk('b')),
+      // scenario A: docs 5,6 share P and Q (and the P|Q-spanning mixed
+      // windows); P crosses, Q keeps supporting the pair
+      5L -> (blk('P') + blk('Q') + blk('c')),
+      6L -> (blk('P') + blk('Q') + blk('d')),
+      // generation 1: two more W carriers (df 2 -> 4, crossing maxDf=2)
+      101L -> (blk('W') + blk('e')),
+      102L -> (blk('W') + blk('f')),
+      // ... and one more P carrier (df 2 -> 3, crossing maxDf=2)
+      105L -> (blk('P') + blk('g')))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-minc-cross").toString
+    val state = java.nio.file.Files.createTempDirectory("graft-minc-state").toString
+    try {
+      docs.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val media = Multimodal.mediaTable(spark, tmp)
+        .select(col("media_id"), col("content"))
+      MediaGroupsInc.ingest(spark, state,
+        media.filter(col("media_id") < 100), threshold = 0.0, maxDf = 2)
+      // generation 0 sees both pairs
+      assert(labelsOf(MediaGroupsInc.currentLabels(spark, state)) ==
+        Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L))
+      val got = labelsOf(MediaGroupsInc.ingest(spark, state,
+        media.filter(col("media_id") >= 100), threshold = 0.0, maxDf = 2))
+      // (1,2) lost its only support (W over cap) -> removed; (5,6) keeps
+      // Q -> survives; the new carriers pair with nothing
+      assert(got == Map(5L -> 5L, 6L -> 5L), s"got $got")
+      val oneShot = labelsOf(Multimodal.mediaDupGroups(spark, tmp,
+        threshold = 0.0, maxDf = 2))
+      assert(got == oneShot, s"one-shot=$oneShot incremental=$got")
+      // the removal is committed state, not a recompute artifact
+      assert(spark.read.parquet(s"$state/removed").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    } finally {
+      ArtifactCache.deleteRecursively(new java.io.File(tmp))
+      ArtifactCache.deleteRecursively(new java.io.File(state))
+    }
+  }
+
+  test("incremental ingest warm-starts the closure: a crossing-free delta " +
+    "that bridges two groups converges in fewer propagation rounds than " +
+    "a cold run, with identical labels") {
+    import spark.implicits._
+    def rounds(): Int = Option(spark.sparkContext
+      .getLocalProperty(Dedup.CcRoundsProperty)).map(_.toInt).getOrElse(-1)
+    def blk(c: Char) = c.toString * 16
+    // two 6-node chain groups: media i pairs with i+1 via shared block
+    val chainA = (0L to 5L).map(i =>
+      i -> (blk(('A' + i.toInt).toChar) + blk(('A' + i.toInt + 1).toChar)))
+    val chainB = (10L to 15L).map(i =>
+      i -> (blk(('a' + (i - 10).toInt).toChar) + blk(('a' + (i - 10).toInt + 1).toChar)))
+    // the bridge shares one interior block with each chain (df 2 -> 3,
+    // no crossing at the default cap)
+    val bridge = Seq(20L -> (blk('C') + blk('c')))
+    val state = java.nio.file.Files.createTempDirectory("graft-minc-warm").toString
+    try {
+      val toMedia = (s: Seq[(Long, String)]) => s.toDF("media_id", "text")
+        .select(col("media_id"), encode(col("text"), "UTF-8").as("content"))
+      MediaGroupsInc.ingest(spark, state, toMedia(chainA ++ chainB),
+        threshold = 0.0, driverEdgeCap = 0)
+      assert(labelsOf(MediaGroupsInc.currentLabels(spark, state))
+        .values.toSet == Set(0L, 10L), "two chain components before the bridge")
+      val warm = labelsOf(MediaGroupsInc.ingest(spark, state, toMedia(bridge),
+        threshold = 0.0, driverEdgeCap = 0))
+      val warmRounds = rounds()
+      assert(warm.values.toSet == Set(0L), "bridged graph is one component")
+      // cold baseline over the same live pair store
+      val cold = labelsOf(Dedup.connectedComponents(
+        spark.read.parquet(s"$state/pairs").select(col("doc_a"), col("doc_b")),
+        driverEdgeCap = 0)
+        .select(col("doc_id"), col("group_id")))
+      val coldRounds = rounds()
+      assert(warm == cold, "warm labels must equal the cold fixpoint")
+      assert(warmRounds > 0 && coldRounds > 0)
+      assert(warmRounds < coldRounds,
+        s"warm start must save rounds: warm=$warmRounds cold=$coldRounds")
+    } finally ArtifactCache.deleteRecursively(new java.io.File(state))
   }
 }

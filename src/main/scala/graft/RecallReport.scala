@@ -87,8 +87,11 @@ object RecallReport {
     // corpus and what the chosen plan costs in full-precision reads
     val routedRow = {
       val brute = Similarity.bruteGroundTruth(spark, dir, 5).toSet
-      val plan = Similarity.recommendPlan(spark, dir)
-      val got = Similarity.knnRouted(spark, dir)
+      // ONE plan resolution (persisted artifact + in-JVM memo) feeds
+      // both the report fields and the routed query — the tuning pass
+      // runs at most once per corpus generation, not three times
+      val plan = Similarity.ensurePlan(spark, dir)
+      val got = Similarity.knnRoutedWith(spark, dir, 5, plan)
         .select(col("query_id"), col("neighbor_id")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val name = if (plan.sq8Rerank)

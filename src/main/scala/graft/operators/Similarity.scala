@@ -982,6 +982,48 @@ object Similarity {
     * "nprobe=…,sq8=…,rerank=…,fp_reads=…". */
   val RoutedPlanProperty = "graft.ivf.routed_plan"
 
+  // published SearchPlan artifacts are fingerprint-keyed → immutable;
+  // the per-JVM memo skips even the plan-file read on repeat routing
+  private val planCache =
+    new java.util.concurrent.ConcurrentHashMap[String, SearchPlan]()
+
+  /** Count of MEASURED tuning passes ([[recommendPlan]] runs) this JVM
+    * has paid for — the observable a routing-cost spec reads: repeat
+    * [[knnRouted]] calls on one corpus must not increment it. */
+  private[graft] val planTunings = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The routing decision as a build-once artifact. [[recommendPlan]]
+    * re-collects brute ground truth, the nprobe grid AND a full SQ8
+    * query run — a per-(corpus, k, target) property, not per-query
+    * work — so the chosen plan persists under the [[ArtifactCache]]
+    * discipline keyed by the embeddings fingerprint and every
+    * parameter the measurement depends on, with an in-JVM memo on
+    * top. A new corpus generation (fingerprint change) re-tunes;
+    * repeat queries read five numbers. */
+  def ensurePlan(s: SparkSession, dir: String, k: Int = 5,
+      targetRecall: Double = 0.9, defaultWidth: Int = 16,
+      rerank: Int = 50): SearchPlan = {
+    val fp = ArtifactCache.fingerprint(new java.io.File(s"$dir/embeddings.parquet"))
+    val key = s"${dir.replaceAll("[^A-Za-z0-9.]+", "_")}-$fp-k$k" +
+      s"-t$targetRecall-w$defaultWidth-r$rerank"
+    val memo = planCache.get(key)
+    if (memo != null) return memo
+    val path = ArtifactCache.ensure(s"/tmp/graft-ivfplan/$key") { tmp =>
+      planTunings.incrementAndGet()
+      val p = recommendPlan(s, dir, k, targetRecall, defaultWidth, rerank)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/plan.csv"),
+        s"${p.nprobe},${p.sq8Rerank},${p.rerank},${p.fullPrecisionReads},${p.recall}"
+          .getBytes("UTF-8"))
+    }
+    val Array(np, sq, rr, fpr, rc) = new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$path/plan.csv")), "UTF-8").trim.split(",")
+    val plan = SearchPlan(np.toInt, sq.toBoolean, rr.toInt, fpr.toLong, rc.toDouble)
+    planCache.putIfAbsent(key, plan)
+    plan
+  }
+
   /** MEASURED-PLAN IVF search: [[recommendPlan]] wired into the query
     * path. A caller states a recall target; the router picks the
     * cheapest measured configuration — the plain partition-pruned
@@ -994,11 +1036,21 @@ object Similarity {
     * the decision is recorded in [[RoutedPlanProperty]] and the plan's
     * measured cost lands in RECALL.json as `knn_ivf_routed`.
     * recommendPlan's tuning pass is per-corpus/index-GENERATION cost
-    * (ground truth + grid are build-once artifacts), not per query.
+    * (ground truth + grid are build-once artifacts, and the decision
+    * itself persists via [[ensurePlan]]), not per query: the second
+    * routed call on a corpus launches ONLY the chosen branch's jobs
+    * (spec-pinned by job-group count against the direct branch).
     */
   def knnRouted(s: SparkSession, dir: String, k: Int = 5,
-      targetRecall: Double = 0.9): DataFrame = {
-    val plan = recommendPlan(s, dir, k, targetRecall)
+      targetRecall: Double = 0.9): DataFrame =
+    knnRoutedWith(s, dir, k, ensurePlan(s, dir, k, targetRecall))
+
+  /** The routed branch dispatch for an already-chosen [[SearchPlan]] —
+    * what a caller holding [[ensurePlan]]'s result (e.g. RecallReport,
+    * which also needs the plan's cost fields) uses to avoid a second
+    * plan resolution. */
+  def knnRoutedWith(s: SparkSession, dir: String, k: Int,
+      plan: SearchPlan): DataFrame = {
     s.sparkContext.setLocalProperty(RoutedPlanProperty,
       s"nprobe=${plan.nprobe},sq8=${plan.sq8Rerank},rerank=${plan.rerank}," +
         s"fp_reads=${plan.fullPrecisionReads}")

@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{ArtifactCache, Dedup, MediaGroupsInc, MediaIndexOps,
-  Multimodal, PerceptualHash}
+import graft.operators.{ArtifactCache, Dedup, IvfIndex, MediaGroupsInc,
+  MediaIndexOps, Multimodal, PerceptualHash, Similarity}
 
 /** Round-17 specs: tombstone delete + compaction for the video frame
   * index and the image chunk index (the takedown lifecycle the IVF
@@ -287,5 +287,34 @@ class Round17Spec extends SparkSpec {
       assert(warmRounds < coldRounds,
         s"warm start must save rounds: warm=$warmRounds cold=$coldRounds")
     } finally ArtifactCache.deleteRecursively(new java.io.File(state))
+  }
+
+  // --- routed ANN: the decision as a build-once artifact ----------------
+
+  test("routed-ANN plan persists: repeat knnRouted calls pay zero tuning " +
+    "passes and launch exactly the chosen branch's jobs") {
+    val sc = spark.sparkContext
+    val plan = Similarity.ensurePlan(spark, sf) // publishes artifact + memo
+    // warm the chosen branch once so one-time index/sidecar validation
+    // jobs don't skew the job-count comparison below
+    Similarity.knnRoutedWith(spark, sf, 5, plan).collect()
+    val tunings0 = Similarity.planTunings.get()
+    sc.setJobGroup("r17-routed", "routed repeat call", interruptOnCancel = false)
+    val routed = Similarity.knnRouted(spark, sf).collect().toSeq
+    sc.clearJobGroup()
+    sc.setJobGroup("r17-direct", "direct chosen branch", interruptOnCancel = false)
+    val direct = (if (plan.sq8Rerank)
+        IvfIndex.knnSq8Rerank(spark, sf, 5, plan.nprobe, plan.rerank)
+      else IvfIndex.knnIndexed(spark, sf, 5, plan.nprobe)).collect().toSeq
+    sc.clearJobGroup()
+    assert(Similarity.planTunings.get() == tunings0,
+      "a published plan must never re-run the measured tuning pass")
+    assert(routed.nonEmpty && routed == direct,
+      "routed rows must equal the chosen branch exactly")
+    val routedJobs = sc.statusTracker.getJobIdsForGroup("r17-routed").length
+    val directJobs = sc.statusTracker.getJobIdsForGroup("r17-direct").length
+    assert(routedJobs == directJobs,
+      s"routed repeat call must launch only the chosen branch's jobs: " +
+        s"routed=$routedJobs direct=$directJobs")
   }
 }

@@ -218,13 +218,23 @@ object ScaleBench {
       "decontam_semantic" -> (dir =>
         graft.operators.DatasetOps.semanticDecontam(spark, dir)))
 
-    val rows = docOps.map { case (name, fn, nScales) =>
-      (name, docDirs.take(nScales).map(d => timed(() => fn(d))))
+    // ops whose OUTPUT SIZE is the adjudication axis: the exact media
+    // pair audit is output-bound by construction (dup groups are
+    // near-cliques, pairs a quadratic encoding of them), and that
+    // claim must be committed data, not narrative — record emitted
+    // rows per scale point next to the times (one count run each; the
+    // group form's member-linear count sits beside it for contrast)
+    val countOps = Set("media_neardups_exact", "media_dup_groups", "media_neardups")
+    val rows: Seq[(String, Seq[Double], Option[Seq[Long]])] =
+      docOps.map { case (name, fn, nScales) =>
+        val dirs = docDirs.take(nScales)
+        (name, dirs.map(d => timed(() => fn(d))),
+          if (countOps(name)) Some(dirs.map(d => fn(d).count())) else None)
     } ++ embOps.map { case (name, fn) =>
       (name, Seq(timed(() => fn(emb1xDir)), timed(() => fn(emb10xDir)),
-        timed(() => fn(emb100xDir))))
+        timed(() => fn(emb100xDir))), None)
     } ++ relOps.map { case (name, fn) =>
-      (name, relDirs.map(d => timed(() => fn(d))))
+      (name, relDirs.map(d => timed(() => fn(d))), None)
     }
 
     // ---------------- IVF assignment cost vs C: flat O(n·C·d) vs the
@@ -278,9 +288,11 @@ object ScaleBench {
     }
     val keeps = Seq(emb1xDir, emb10xDir, emb100xDir).map(pruneRate)
 
-    val opsJson = rows.map { case (name, ts) =>
+    val opsJson = rows.map { case (name, ts, counts) =>
       val times = ts.map(t => f"$t%.2f").mkString("[", ",", "]")
-      f""""$name":{"times":$times,"ratio_per_10x":${math.pow(ts.last / ts.head, 1.0 / (ts.size - 1))}%.2f}"""
+      val nRows = counts.map(ns =>
+        s""","n_rows":${ns.mkString("[", ",", "]")}""").getOrElse("")
+      f""""$name":{"times":$times,"ratio_per_10x":${math.pow(ts.last / ts.head, 1.0 / (ts.size - 1))}%.2f$nRows}"""
     }.mkString("{", ",", "}")
     val keepJson = keeps.map(k => f"$k%.4f").mkString("[", ",", "]")
     val stealJson = (for {

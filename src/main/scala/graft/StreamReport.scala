@@ -27,6 +27,12 @@ import graft.streaming.EventStream
   *  5. staged histogram maintenance (foreachBatch + rebuild)
   *  6. staged BPE word-dictionary maintenance + train-from-dictionary
   *     (counts AND trained merges both vs the one-shot batch run)
+  *  7. streaming audio-ingest matching (ContentID) vs a replay that
+  *     probes the accumulated index at each batch boundary
+  *  8. streaming video-ingest matching vs per-boundary index rebuilds
+  *  9. streaming image-ingest matching vs per-boundary index rebuilds
+  * 10. streaming near-dup group maintenance (warm closure) vs the
+  *     cold connected components over the accumulated pair store
   */
 object StreamReport {
 
@@ -268,6 +274,107 @@ object StreamReport {
           col("votes"), col("batch").cast("long").as("batch"))
       reports += PathReport("audio_ingest_match", perBatch,
         streamed.count(), replay.count(), setEqual(streamed, replay))
+    }
+
+    // 8. streaming video-ingest matching: per-batch verdicts vs a
+    //    replay that REBUILDS the frame index from strictly-earlier
+    //    batches at every boundary — proves the staged incremental
+    //    index gives each micro-batch exactly the batches-<N view
+    locally {
+      val vidDir = s"$tmp/videosrc"
+      stageOrdered(operators.Multimodal.mediaTable(spark, dir)
+        .filter(col("kind") === "video")
+        .select(col("media_id"), col("content")), "media_id", vidDir)
+      val out = s"$tmp/videoingest"
+      val q = EventStream.streamingVideoIngest(spark.readStream
+        .schema("media_id LONG, content BINARY")
+        .option("maxFilesPerTrigger", 1).parquet(vidDir), out)
+      try q.processAllAvailable() finally q.stop()
+      val perBatch = q.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0)
+      val ids = new java.io.File(s"$out/index/frames").listFiles()
+        .filter(_.getName.startsWith("batch="))
+        .map(_.getName.stripPrefix("batch=").toLong).sorted
+      val allV = spark.read.parquet(vidDir)
+        .select(col("media_id"), lit("video").as("kind"), col("content"))
+      def framesOfBatch(i: Long) = spark.read
+        .parquet(s"$out/index/frames/batch=$i")
+        .select(col("video_id"), col("f"), col("key").as("fh"))
+      val replays = ids.toSeq.map { i =>
+        val prior = ids.filter(_ < i)
+        val rb = s"$tmp/vrb$i"
+        val priorFrames =
+          if (prior.isEmpty) framesOfBatch(i).limit(0)
+          else prior.map(framesOfBatch).reduce(_ unionByName _)
+        operators.PerceptualHash.buildVideoIndex(spark, priorFrames, rb)
+        val batchIds = spark.read.parquet(s"$out/index/frames/batch=$i")
+          .select(col("video_id").as("media_id")).distinct()
+        operators.PerceptualHash.matchAgainstVideo(spark, rb,
+            operators.PerceptualHash.ingestClips(spark,
+              allV.join(batchIds, Seq("media_id"))))
+          .withColumn("batch", lit(i))
+      }
+      val replay = replays.reduce(_ unionByName _)
+      val streamed = spark.read.parquet(s"$out/matches")
+        .select(col("clip_id"), col("video_id"), col("offset_frames"),
+          col("votes"), col("batch").cast("long").as("batch"))
+      reports += PathReport("video_ingest_match", perBatch,
+        streamed.count(), replay.count(), setEqual(streamed, replay))
+    }
+
+    // 9. streaming image-ingest matching: same per-boundary rebuild
+    //    replay for the chunk index
+    locally {
+      val imgDir = s"$tmp/imagesrc"
+      stageOrdered(operators.Multimodal.mediaTable(spark, dir)
+        .filter(col("kind") === "image" && length(col("content")) > 0)
+        .select(col("media_id"), col("content")), "media_id", imgDir)
+      val out = s"$tmp/imageingest"
+      val q = EventStream.streamingImageIngest(spark.readStream
+        .schema("media_id LONG, content BINARY")
+        .option("maxFilesPerTrigger", 1).parquet(imgDir), out)
+      try q.processAllAvailable() finally q.stop()
+      val perBatch = q.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0)
+      val ids = new java.io.File(s"$out/index/chunks").listFiles()
+        .filter(_.getName.startsWith("batch="))
+        .map(_.getName.stripPrefix("batch=").toLong).sorted
+      def hashesOfBatch(i: Long) = spark.read
+        .parquet(s"$out/index/chunks/batch=$i")
+        .select(col("media_id"), col("phash")).distinct()
+      val replays = ids.toSeq.map { i =>
+        val prior = ids.filter(_ < i)
+        val rb = s"$tmp/irb$i"
+        val priorHashes =
+          if (prior.isEmpty) hashesOfBatch(i).limit(0)
+          else prior.map(hashesOfBatch).reduce(_ unionByName _)
+        operators.PerceptualHash.buildImageIndex(spark, priorHashes, rb)
+        operators.PerceptualHash.probeImages(spark, rb, hashesOfBatch(i))
+          .withColumn("batch", lit(i))
+      }
+      val replay = replays.reduce(_ unionByName _)
+      val streamed = spark.read.parquet(s"$out/matches")
+        .select(col("media_id"), col("match_id"), col("hamming"),
+          col("batch").cast("long").as("batch"))
+      reports += PathReport("image_ingest_match", perBatch,
+        streamed.count(), replay.count(), setEqual(streamed, replay))
+    }
+
+    // 10. streaming near-dup group maintenance: the warm per-batch
+    //     closure's final labels vs the COLD connected components over
+    //     the accumulated pair store (the exact warm-CC contract; the
+    //     every-boundary form is spec-pinned at fixture scale)
+    locally {
+      val out = s"$tmp/dedupgroups"
+      val q = EventStream.streamingNearDedupGroups(docsStream, out)
+      try q.processAllAvailable() finally q.stop()
+      val perBatch = q.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0)
+      val gens = new java.io.File(s"$out/groups").listFiles()
+        .filter(_.getName.startsWith("gen="))
+        .map(_.getName.stripPrefix("gen=").toLong).sorted
+      val streamed = spark.read.parquet(s"$out/groups/gen=${gens.last}")
+      val cold = operators.Dedup.connectedComponents(
+        spark.read.parquet(s"$out/pairs").select(col("doc_a"), col("doc_b")))
+      reports += PathReport("dedup_groups_warm", perBatch,
+        streamed.count(), cold.count(), setEqual(streamed, cold))
     }
 
     val allMatch = reports.forall(_.matches)

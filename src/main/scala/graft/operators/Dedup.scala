@@ -270,6 +270,28 @@ object Dedup {
       pBatch, pIdx, threshold, maxDf)
   }
 
+  /** The verified-pair core under the decision layer: all n-gram
+    * Jaccard ≥ `threshold` pairs HEADED by a batch doc (doc_b in the
+    * batch; doc_a any lower-id doc — existing corpus or an earlier doc
+    * of the same batch, one predicate because index ids precede every
+    * batch id). The streaming GROUP path persists these pairs
+    * append-only — each batch's pair delta is exactly this relation,
+    * so the accumulated store stays the warm-CC seed contract
+    * ([[connectedComponentsWarm]]: pairs only ever added). */
+  private[graft] def batchDedupPairs(batchIds: DataFrame, batchSh: DataFrame,
+      indexSh: DataFrame, threshold: Double, maxDf: Int): DataFrame = {
+    val sh = dfCapped(indexSh.unionByName(batchSh), maxDf)
+    // candidates: batch shingles against ALL lower-id postings
+    val cands = sh.join(batchIds, Seq("doc_id"), "left_semi").as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("b.doc_id") < col("a.doc_id"))
+      .select(col("b.doc_id").as("doc_a"), col("a.doc_id").as("doc_b"))
+      .distinct()
+    val candDocs = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+    verifyJaccard(cands, sh.join(candDocs, Seq("doc_id"), "left_semi"), threshold)
+  }
+
   /** The decision core shared by [[incrementalNgramDedup]] and the
     * streaming ingest variant: dedup `batchDocs` (with shingle
     * postings `batchSh`) against `indexSh` (everything seen before
@@ -278,20 +300,8 @@ object Dedup {
     */
   private[graft] def batchDedupDecisions(batchDocs: DataFrame, batchSh: DataFrame,
       indexSh: DataFrame, threshold: Double, maxDf: Int): DataFrame = {
-    val sh = dfCapped(indexSh.unionByName(batchSh), maxDf)
     val batchIds = batchDocs.select(col("doc_id"))
-    // candidates: batch shingles against ALL lower-id postings — the
-    // existing corpus and earlier batch docs fall out of one predicate
-    // because index ids precede every batch id
-    val cands = sh.join(batchIds, Seq("doc_id"), "left_semi").as("a")
-      .join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("b.doc_id") < col("a.doc_id"))
-      .select(col("b.doc_id").as("doc_a"), col("a.doc_id").as("doc_b"))
-      .distinct()
-    val candDocs = cands.select(col("doc_a").as("doc_id"))
-      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
-    val pairs = verifyJaccard(
-      cands, sh.join(candDocs, Seq("doc_id"), "left_semi"), threshold)
+    val pairs = batchDedupPairs(batchIds, batchSh, indexSh, threshold, maxDf)
     val hits = pairs.groupBy(col("doc_b").as("doc_id"))
       .agg(min(col("doc_a")).as("dup_min"),
         min_by(col("jaccard"), col("doc_a")).as("dup_jac"))

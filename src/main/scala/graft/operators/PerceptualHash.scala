@@ -38,14 +38,18 @@ object PerceptualHash {
   val ChunkBits: Int = ImageHash.HashBits / Chunks // 14
   val MaxChunkDf = 200
 
-  /** Image-kind media with their dHash — `q_image_phash`. */
-  def imagePhash(s: SparkSession, dir: String): DataFrame = {
+  /** dHash projection of an arbitrary (media_id, content) image set —
+    * the per-batch hashing leg of the streaming ingest path. */
+  private[graft] def imageHashes(s: SparkSession, images: DataFrame): DataFrame = {
     VectorFunctions.register(s)
-    Multimodal.mediaTable(s, dir)
-      .filter(col("kind") === "image" && length(col("content")) > 0)
+    images.filter(length(col("content")) > 0)
       .select(col("media_id"), VectorFunctions.dhash56(col("content")).as("phash"))
-      .orderBy(col("media_id"))
   }
+
+  /** Image-kind media with their dHash — `q_image_phash`. */
+  def imagePhash(s: SparkSession, dir: String): DataFrame =
+    imageHashes(s, Multimodal.mediaTable(s, dir).filter(col("kind") === "image"))
+      .orderBy(col("media_id"))
 
   /** Near-duplicate image pairs (Hamming ≤ maxHamming over dHash) —
     * `q_image_neardups`. Exact via pigeonhole blocking. */
@@ -177,6 +181,77 @@ object PerceptualHash {
       .orderBy(col("media_a"), col("media_b"))
   }
 
+  /** Probe the chunk index with a BATCH of hashed images
+    * (media_id, phash) — upload-time ContentID for the image modality:
+    * every indexed image within `maxHamming` of a batch image, as
+    * (media_id = batch image, match_id = indexed image, hamming).
+    * Strictly-earlier semantics live at the CALLER: the batch's own
+    * postings are staged after the probe. Per-query cost ∝ batch +
+    * matched postings: the under-cap keep set is bounded by the
+    * 16-bit chunk-key domain (always broadcasts), the batch's keyed
+    * postings broadcast onto the stored-posting scan under the
+    * (key, kb) join when the batch is small
+    * ([[Multimodal.BroadcastMediaBudget]] gate on the batch's OWN
+    * size), and tombstoned images are anti-joined out exactly as in
+    * [[imageNearDupsAgainst]]. Same mid-compaction and empty-index
+    * guards as [[matchAgainstVideo]]. */
+  private[graft] def probeImages(s: SparkSession, path: String,
+      images: DataFrame, maxHamming: Int = MaxHamming): DataFrame = {
+    require(maxHamming < Chunks,
+      s"pigeonhole exactness needs maxHamming < $Chunks chunks")
+    if (new java.io.File(s"$path/keydf/.compact-commit").exists())
+      throw new IllegalStateException(
+        s"pending keydf compaction at $path: re-run AudioMatch.compactKeyDf " +
+          "to completion before probing")
+    if (MediaIndexOps.pendingApply(path))
+      throw new IllegalStateException(
+        s"pending tombstone compaction at $path: re-run MediaIndexOps.compact " +
+          "to completion before probing")
+    def hasParquet(f: java.io.File): Boolean =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.exists(hasParquet)
+      else f.getName.endsWith(".parquet")
+    if (!hasParquet(new java.io.File(s"$path/chunks")))
+      return images.select(col("media_id"), lit(0L).as("match_id"),
+        lit(0L).as("hamming")).limit(0)
+    val keep = s.read.parquet(s"$path/keydf")
+      .groupBy(col("key")).agg(sum(col("cnt")).as("cdf"))
+      .filter(col("cdf") <= MaxChunkDf).select(col("key"))
+    val batchOk = images.count() <= Multimodal.BroadcastMediaBudget
+    def side(df: DataFrame) = if (batchOk) broadcast(df) else df
+    val probe = imagePostings(images)
+      .join(broadcast(keep), Seq("key"))
+      .select(col("media_id").as("probe_id"), col("phash").as("hp"),
+        col("key"), col("kb"))
+    val stored = s.read.parquet(s"$path/chunks")
+    val live = MediaIndexOps.tombstones(s, path, "media_id")
+      .fold(stored)(d => stored.join(broadcast(d), Seq("media_id"), "left_anti"))
+    live.select(col("key"), col("kb"),
+        col("media_id").as("match_id"), col("phash").as("hs"))
+      .join(side(probe), Seq("key", "kb"))
+      .select(col("probe_id").as("media_id"), col("match_id"),
+        bit_count(col("hs").bitwiseXOR(col("hp"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy(col("media_id"), col("match_id"))
+  }
+
+  /** Stage one streaming batch's chunk postings + df partial under
+    * `_SUCCESS`-guarded `batch=` dirs — the audio landmark staging
+    * layout: replays become idempotent dir writes instead of blind
+    * appends, and the readers see the accumulated layout unchanged
+    * (`batch=` surfaces as an ignored partition column). */
+  private[graft] def stageImageBatch(s: SparkSession, path: String,
+      images: DataFrame, batchId: Long): Unit = {
+    val bC = s"$path/chunks/batch=$batchId"
+    val bD = s"$path/keydf/batch=$batchId"
+    if (!new java.io.File(s"$bC/_SUCCESS").exists())
+      imagePostings(images)
+        .write.mode("overwrite").partitionBy("kb").parquet(bC)
+    if (!new java.io.File(s"$bD/_SUCCESS").exists())
+      imagePostings(images).groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+        .coalesce(1).write.mode("overwrite").parquet(bD)
+  }
+
   /** Driver-contract lifecycle query — `q_image_neardups_indexed`:
     * build the chunk index from the even-id half of the image corpus,
     * INSERT the odd-id half, report the pair set. Row-identical to
@@ -228,16 +303,33 @@ object PerceptualHash {
   private def videoMedia(s: SparkSession, dir: String): DataFrame =
     Multimodal.mediaTable(s, dir).filter(col("kind") === "video")
 
-  /** Corpus frame-hash relation (video_id, f, fh): [[VideoFrames]]
-    * sampled frames per video, each hashed by the native dHash kernel
-    * — one narrow flatMap + kernel projection, no shuffle. */
-  private[graft] def videoFrames(s: SparkSession, dir: String): DataFrame = {
+  /** Frame-hash relation (video_id, f, fh) of an arbitrary video set —
+    * [[VideoFrames]] sampled frames per video, each hashed by the
+    * native dHash kernel: one narrow flatMap + kernel projection, no
+    * shuffle. The per-batch hashing leg of the streaming ingest. */
+  private[graft] def framesOf(s: SparkSession, videos: DataFrame): DataFrame = {
     VectorFunctions.register(s)
-    Multimodal.frameSample(s, videoMedia(s, dir), VideoFrames)
+    Multimodal.frameSample(s, videos, VideoFrames)
       .select(col("media_id").as("video_id"),
         col("frame_idx").cast("long").as("f"),
         VectorFunctions.dhash56(col("frame")).as("fh"))
   }
+
+  /** Corpus frame-hash relation — [[framesOf]] over the dir's
+    * video-kind media. */
+  private[graft] def videoFrames(s: SparkSession, dir: String): DataFrame =
+    framesOf(s, videoMedia(s, dir))
+
+  /** Probe clips of an ARRIVING video batch — the ingest question "is
+    * this content already in the catalog?": the standard excerpt
+    * geometry ([[VClipOff]]…+[[VClipLen]]−1) cut from EVERY batch
+    * video (no [[VClipMod]] subsampling — every upload is checked),
+    * clip_id = the uploading video's id. */
+  private[graft] def ingestClips(s: SparkSession, videos: DataFrame): DataFrame =
+    Multimodal.frameSample(s, videos, VideoFrames)
+      .filter(col("frame_idx").between(VClipOff, VClipOff + VClipLen - 1))
+      .select(col("media_id").as("clip_id"),
+        (col("frame_idx").cast("long") - VClipOff).as("j"), col("frame"))
 
   /** The default probe batch, derived from the corpus itself (the
     * [[VClipMod]] geometry): RAW frame payloads, (clip_id, j, frame) —
@@ -378,6 +470,23 @@ object PerceptualHash {
     frames.select(col("fh").as("key")).groupBy(col("key"))
       .agg(count(lit(1)).as("cnt"))
       .coalesce(1).write.mode("append").parquet(s"$path/keydf")
+  }
+
+  /** Stage one streaming batch's frame postings + df partial under
+    * `_SUCCESS`-guarded `batch=` dirs (the [[stageImageBatch]] /
+    * audio-landmark staging layout): idempotent replay instead of
+    * blind appends; [[matchAgainstVideo]] reads the accumulated
+    * layout unchanged. */
+  private[graft] def stageVideoBatch(s: SparkSession, path: String,
+      frames: DataFrame, batchId: Long): Unit = {
+    val bF = s"$path/frames/batch=$batchId"
+    val bD = s"$path/keydf/batch=$batchId"
+    if (!new java.io.File(s"$bF/_SUCCESS").exists())
+      postings(frames).write.mode("overwrite").partitionBy("kb").parquet(bF)
+    if (!new java.io.File(s"$bD/_SUCCESS").exists())
+      frames.select(col("fh").as("key")).groupBy(col("key"))
+        .agg(count(lit(1)).as("cnt"))
+        .coalesce(1).write.mode("overwrite").parquet(bD)
   }
 
   /** Probe the persisted index with a (clip_id, j, frame) batch.

@@ -653,6 +653,95 @@ object EventStream {
       .start()
   }
 
+  /** Streaming near-dup GROUP maintenance — [[streamingNearDedup]]'s
+    * pair relation upgraded to transitive closure, served WARM: each
+    * micro-batch stages its verified Jaccard pairs (batch docs vs the
+    * index accumulated from earlier batches plus lower-id docs of the
+    * same batch — [[graft.operators.Dedup.batchDedupPairs]]), and the
+    * batch's group labels are the connected components over the
+    * ACCUMULATED pair store, seeded from the PREVIOUS batch's labels
+    * ([[graft.operators.Dedup.connectedComponentsWarm]] — valid here
+    * by construction: the pair store only ever appends, so every seed
+    * label is the min id of an old component inside the same new one).
+    * A merged cluster therefore converges in the diameter of the
+    * DELTA's merge graph, not the full cluster diameter — the
+    * measured-round saving is spec-pinned via `graft.cc.rounds`, and
+    * warm ≡ cold labels at EVERY batch boundary.
+    *
+    * Layout under `outPath`: `index/batch=N` (shingle postings),
+    * `pairs/batch=N` (that batch's verified pair delta),
+    * `groups/gen=N` (full labels as of batch N). Staging order is
+    * pairs → index → groups, each `_SUCCESS`-guarded, so a replayed
+    * batch recomputes its groups from an identical pair store (the
+    * [[maintainSummary]] idempotence discipline; same decision-time
+    * df-cap caveat as [[streamingNearDedup]]).
+    *
+    * Scale: the pair stage is delta-cost (batch shingles + matched
+    * postings); the closure re-reads the accumulated pair store —
+    * member-proportional, contracted map-side by the warm CC's forest
+    * path — but propagates only as far as the delta's merges reach.
+    * `driverEdgeCap` is exposed so specs can force distributed
+    * propagation and read the round count.
+    */
+  def streamingNearDedupGroups(docs: DataFrame, outPath: String,
+      threshold: Double = 0.3, maxDf: Int = 50,
+      checkpointLocation: Option[String] = None,
+      driverEdgeCap: Long = 1L << 20): StreamingQuery = {
+    val idxDir = s"$outPath/index"
+    val pairDir = s"$outPath/pairs"
+    val grpDir = s"$outPath/groups"
+    val writer = docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val bPair = s"$pairDir/batch=$batchId"
+        val bIdx = s"$idxDir/batch=$batchId"
+        val bGrp = s"$grpDir/gen=$batchId"
+        val batchSh = graft.operators.Dedup.shingleHashes(
+          batch.select(col("doc_id"), col("text")), k = 2)
+        if (!new java.io.File(s"$bPair/_SUCCESS").exists()) {
+          val existing = new java.io.File(idxDir)
+          val indexSh =
+            if (Option(existing.listFiles()).exists(_.nonEmpty))
+              s.read.parquet(idxDir).select(col("doc_id"), col("sh"))
+            else batchSh.limit(0)
+          graft.operators.Dedup.batchDedupPairs(
+              batch.select(col("doc_id")), batchSh, indexSh, threshold, maxDf)
+            .select(col("doc_a"), col("doc_b"))
+            .write.mode("overwrite").parquet(bPair)
+        }
+        if (!new java.io.File(s"$bIdx/_SUCCESS").exists())
+          batchSh.write.mode("overwrite").parquet(bIdx)
+        if (!new java.io.File(s"$bGrp/_SUCCESS").exists()) {
+          // an all-zero-pair prefix leaves no parquet part anywhere
+          // under pairs/ (only _SUCCESS markers) — no schema to infer,
+          // and no groups either
+          def hasParquet(f: java.io.File): Boolean =
+            if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.exists(hasParquet)
+            else f.getName.endsWith(".parquet")
+          val pairsAll =
+            if (hasParquet(new java.io.File(pairDir)))
+              s.read.parquet(pairDir).select(col("doc_a"), col("doc_b"))
+            else {
+              import s.implicits._
+              Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+            }
+          val seed = (0L until batchId).reverse
+            .find(g => new java.io.File(s"$grpDir/gen=$g/_SUCCESS").exists())
+            .map(g => s.read.parquet(s"$grpDir/gen=$g"))
+          val labels = seed match {
+            case Some(sd) => graft.operators.Dedup.connectedComponentsWarm(
+              pairsAll, sd, driverEdgeCap = driverEdgeCap)
+            case None => graft.operators.Dedup.connectedComponents(
+              pairsAll, driverEdgeCap = driverEdgeCap)
+          }
+          labels.write.mode("overwrite").parquet(bGrp)
+        }
+      }
+    checkpointLocation.fold(writer)(c => writer.option("checkpointLocation", c))
+      .start()
+  }
+
   /** Streaming audio-ingest matching — the upload-time ContentID
     * shape: tracks (track_id, pcm) arrive on a stream; each
     * micro-batch's clip-eligible tracks are excerpted and PROBED
@@ -710,6 +799,77 @@ object EventStream {
         if (!new java.io.File(s"$bDf/_SUCCESS").exists())
           lmk.groupBy(col("key")).agg(count(lit(1)).as("cnt"))
             .coalesce(1).write.mode("overwrite").parquet(bDf)
+      }
+    checkpointLocation.fold(writer)(c => writer.option("checkpointLocation", c))
+      .start()
+  }
+
+  /** Streaming video-ingest matching — [[streamingAudioIngest]]'s
+    * upload-time ContentID shape for the video modality: videos
+    * (media_id, content) arrive on a stream; each micro-batch's
+    * uploads are excerpted ([[graft.operators.PerceptualHash
+    * .ingestClips]] — every upload is checked, no subsampling) and
+    * PROBED against the frame index accumulated from earlier batches,
+    * verdicts land under `outPath/matches/batch=<id>`, then the
+    * batch's own frame postings + df partials stage into the
+    * incremental index layout — so the first copy of any content
+    * reports no match and every later copy matches the first, with
+    * insert cost ∝ batch.
+    *
+    * Exactly-once follows the staging discipline: matches stage
+    * BEFORE the frame append under `_SUCCESS`-guarded batch dirs, so
+    * a replayed batch skips completed writes and the index-before for
+    * batch N is always exactly batches < N. Same LOCAL-FS contract as
+    * the audio path (the `_SUCCESS` guards use `java.io.File`).
+    */
+  def streamingVideoIngest(videos: DataFrame, outPath: String,
+      checkpointLocation: Option[String] = None): StreamingQuery = {
+    import graft.operators.PerceptualHash
+    val idxDir = s"$outPath/index"
+    val matchDir = s"$outPath/matches"
+    val writer = videos.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val b = batch.select(col("media_id"), lit("video").as("kind"),
+          col("content"))
+        val bMatch = s"$matchDir/batch=$batchId"
+        if (!new java.io.File(s"$bMatch/_SUCCESS").exists())
+          PerceptualHash.matchAgainstVideo(s, idxDir,
+              PerceptualHash.ingestClips(s, b))
+            .write.mode("overwrite").parquet(bMatch)
+        PerceptualHash.stageVideoBatch(s, idxDir,
+          PerceptualHash.framesOf(s, b), batchId)
+      }
+    checkpointLocation.fold(writer)(c => writer.option("checkpointLocation", c))
+      .start()
+  }
+
+  /** Streaming image-ingest matching — the same ContentID shape for
+    * the image modality: each micro-batch's images are dHashed and
+    * probed against the chunk index accumulated from earlier batches
+    * ([[graft.operators.PerceptualHash.probeImages]] — every indexed
+    * image within the Hamming radius), verdicts land under
+    * `outPath/matches/batch=<id>`, then the batch's chunk postings +
+    * df partials stage into the incremental index layout. First copy
+    * unmatched, later copies match; insert ∝ batch; `_SUCCESS`-guarded
+    * replay; local-FS contract as above.
+    */
+  def streamingImageIngest(images: DataFrame, outPath: String,
+      checkpointLocation: Option[String] = None): StreamingQuery = {
+    import graft.operators.PerceptualHash
+    val idxDir = s"$outPath/index"
+    val matchDir = s"$outPath/matches"
+    val writer = images.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val h = PerceptualHash.imageHashes(s, batch)
+        val bMatch = s"$matchDir/batch=$batchId"
+        if (!new java.io.File(s"$bMatch/_SUCCESS").exists())
+          PerceptualHash.probeImages(s, idxDir, h)
+            .write.mode("overwrite").parquet(bMatch)
+        PerceptualHash.stageImageBatch(s, idxDir, h, batchId)
       }
     checkpointLocation.fold(writer)(c => writer.option("checkpointLocation", c))
       .start()

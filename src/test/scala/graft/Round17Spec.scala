@@ -289,6 +289,190 @@ class Round17Spec extends SparkSpec {
     } finally ArtifactCache.deleteRecursively(new java.io.File(state))
   }
 
+  // --- streaming video/image ingest (ContentID, modalities 2-3) ---------
+
+  test("streamingVideoIngest: per-batch verdicts equal a replay against an " +
+    "index rebuilt from strictly-earlier batches; a re-upload matches its " +
+    "original at the clip offset with a full coherent vote") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft-ving-src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-ving").toString
+    try {
+      val videos = Multimodal.mediaTable(spark, sf)
+        .filter(col("kind") === "video")
+        .select(col("media_id"), col("content"))
+      videos.filter(col("media_id") < 300).repartition(1)
+        .write.mode("append").parquet(src)
+      videos.filter(col("media_id") >= 300).repartition(1)
+        .write.mode("append").parquet(src)
+      // longest content => frame hashes almost surely unique, so the
+      // re-upload's match is deterministic (no df-cap or tie ambiguity)
+      val orig = videos.orderBy(length(col("content")).desc, col("media_id").asc).head()
+      Thread.sleep(1100) // distinct mtime => the dup file streams last
+      Seq((1000000L, orig.getAs[Array[Byte]]("content")))
+        .toDF("media_id", "content")
+        .repartition(1).write.mode("append").parquet(src)
+
+      val q = graft.streaming.EventStream.streamingVideoIngest(
+        spark.readStream.schema("media_id LONG, content BINARY")
+          .option("maxFilesPerTrigger", 1).parquet(src), out)
+      try q.processAllAvailable() finally q.stop()
+
+      val ids = new java.io.File(s"$out/index/frames").listFiles()
+        .filter(_.getName.startsWith("batch="))
+        .map(_.getName.stripPrefix("batch=").toLong).sorted
+      assert(ids.length >= 3, s"expected >=3 micro-batches, got ${ids.toSeq}")
+      val all = videos.unionByName(
+        Seq((1000000L, orig.getAs[Array[Byte]]("content"))).toDF("media_id", "content"))
+        .select(col("media_id"), lit("video").as("kind"), col("content"))
+      def framesOfBatch(i: Long) = spark.read
+        .parquet(s"$out/index/frames/batch=$i")
+        .select(col("video_id"), col("f"), col("key").as("fh"))
+      for (i <- ids) {
+        val prior = ids.filter(_ < i)
+        val rb = java.nio.file.Files.createTempDirectory(s"graft-ving-rb$i").toString
+        try {
+          val priorFrames =
+            if (prior.isEmpty) framesOfBatch(i).limit(0)
+            else prior.map(framesOfBatch).reduce(_ unionByName _)
+          PerceptualHash.buildVideoIndex(spark, priorFrames, rb)
+          val batchIds = spark.read.parquet(s"$out/index/frames/batch=$i")
+            .select(col("video_id").as("media_id")).distinct()
+          val clips = PerceptualHash.ingestClips(spark,
+            all.join(batchIds, Seq("media_id")))
+          val expected = PerceptualHash.matchAgainstVideo(spark, rb, clips)
+            .collect().map(_.toSeq).toSeq
+          val got = spark.read.parquet(s"$out/matches/batch=$i")
+            .select(col("clip_id"), col("video_id"), col("offset_frames"), col("votes"))
+            .orderBy(col("clip_id")).collect().map(_.toSeq).toSeq
+          assert(got == expected, s"batch $i verdicts diverge from replay")
+        } finally ArtifactCache.deleteRecursively(new java.io.File(rb))
+      }
+      val dup = spark.read.parquet(s"$out/matches")
+        .filter(col("clip_id") === 1000000L).collect()
+      assert(dup.length == 1, s"re-upload verdict missing: ${dup.toSeq}")
+      assert(dup(0).getAs[Long]("video_id") == orig.getAs[Long]("media_id") &&
+        dup(0).getAs[Long]("offset_frames") == PerceptualHash.VClipOff &&
+        dup(0).getAs[Long]("votes") == PerceptualHash.VClipLen,
+        s"re-upload must match its original with a full coherent vote: ${dup(0)}")
+    } finally {
+      ArtifactCache.deleteRecursively(new java.io.File(src))
+      ArtifactCache.deleteRecursively(new java.io.File(out))
+    }
+  }
+
+  test("streamingImageIngest: per-batch verdicts equal a replay against an " +
+    "index rebuilt from strictly-earlier batches; a duplicate upload " +
+    "matches its original at Hamming 0") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft-iing-src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-iing").toString
+    try {
+      val images = Multimodal.mediaTable(spark, sf)
+        .filter(col("kind") === "image" && length(col("content")) > 0)
+        .select(col("media_id"), col("content"))
+      images.filter(col("media_id") < 300).repartition(1)
+        .write.mode("append").parquet(src)
+      images.filter(col("media_id") >= 300).repartition(1)
+        .write.mode("append").parquet(src)
+      val orig = images.orderBy(length(col("content")).desc, col("media_id").asc).head()
+      Thread.sleep(1100)
+      Seq((1000000L, orig.getAs[Array[Byte]]("content")))
+        .toDF("media_id", "content")
+        .repartition(1).write.mode("append").parquet(src)
+
+      val q = graft.streaming.EventStream.streamingImageIngest(
+        spark.readStream.schema("media_id LONG, content BINARY")
+          .option("maxFilesPerTrigger", 1).parquet(src), out)
+      try q.processAllAvailable() finally q.stop()
+
+      val ids = new java.io.File(s"$out/index/chunks").listFiles()
+        .filter(_.getName.startsWith("batch="))
+        .map(_.getName.stripPrefix("batch=").toLong).sorted
+      assert(ids.length >= 3, s"expected >=3 micro-batches, got ${ids.toSeq}")
+      def hashesOfBatch(i: Long) = spark.read
+        .parquet(s"$out/index/chunks/batch=$i")
+        .select(col("media_id"), col("phash")).distinct()
+      for (i <- ids) {
+        val prior = ids.filter(_ < i)
+        val rb = java.nio.file.Files.createTempDirectory(s"graft-iing-rb$i").toString
+        try {
+          val priorHashes =
+            if (prior.isEmpty) hashesOfBatch(i).limit(0)
+            else prior.map(hashesOfBatch).reduce(_ unionByName _)
+          PerceptualHash.buildImageIndex(spark, priorHashes, rb)
+          val expected = PerceptualHash.probeImages(spark, rb, hashesOfBatch(i))
+            .collect().map(_.toSeq).toSeq
+          val got = spark.read.parquet(s"$out/matches/batch=$i")
+            .select(col("media_id"), col("match_id"), col("hamming"))
+            .orderBy(col("media_id"), col("match_id")).collect().map(_.toSeq).toSeq
+          assert(got == expected, s"batch $i verdicts diverge from replay")
+        } finally ArtifactCache.deleteRecursively(new java.io.File(rb))
+      }
+      val dup = spark.read.parquet(s"$out/matches")
+        .filter(col("media_id") === 1000000L &&
+          col("match_id") === orig.getAs[Long]("media_id")).collect()
+      assert(dup.length == 1 && dup(0).getAs[Long]("hamming") == 0L,
+        s"duplicate upload must match its original at Hamming 0: ${dup.toSeq}")
+    } finally {
+      ArtifactCache.deleteRecursively(new java.io.File(src))
+      ArtifactCache.deleteRecursively(new java.io.File(out))
+    }
+  }
+
+  // --- streaming text dedup groups: warm closure per batch --------------
+
+  test("streamingNearDedupGroups serves per-batch labels warm: identical " +
+    "to the cold closure at every batch boundary, fewer propagation rounds " +
+    "on a bridging delta") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def rounds(): Int = Option(spark.sparkContext
+      .getLocalProperty(Dedup.CcRoundsProperty)).map(_.toInt).getOrElse(-1)
+    // two 7-doc chain groups: doc i shares one 2-shingle with doc i+1
+    def chain(pfx: String, ids: Range): Seq[(Long, String)] = ids.map { i =>
+      val k = i - ids.head
+      (i.toLong, s"$pfx$k ${pfx}${k + 1} ${pfx}${k + 2}")
+    }
+    val chainA = chain("ca", 0 until 7)
+    val chainB = chain("db", 10 until 17)
+    // the bridge's shingles: one interior shingle of each chain
+    val bridge = Seq((20L, "ca3 ca4 ca3 db3 db4"))
+    val out = java.nio.file.Files.createTempDirectory("graft-sdg").toString
+    try {
+      val in = MemoryStream[(Long, String)]
+      val q = graft.streaming.EventStream.streamingNearDedupGroups(
+        in.toDF().toDF("doc_id", "text"), out,
+        threshold = 0.0, driverEdgeCap = 0)
+      def labelsAt(gen: Long): Map[Long, Long] =
+        spark.read.parquet(s"$out/groups/gen=$gen")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def coldLabels(): Map[Long, Long] = Dedup.connectedComponents(
+        spark.read.parquet(s"$out/pairs").select(col("doc_a"), col("doc_b")),
+        driverEdgeCap = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      try {
+        in.addData(chainA ++ chainB)
+        q.processAllAvailable()
+        val g0 = labelsAt(0)
+        assert(g0.values.toSet == Set(0L, 10L), "two chain components")
+        assert(g0 == coldLabels(), "gen 0 must equal the cold closure")
+        in.addData(bridge)
+        q.processAllAvailable()
+        val g1 = labelsAt(1)
+        val warmRounds = rounds()
+        assert(g1.values.toSet == Set(0L), "bridged graph is one component")
+        val cold = coldLabels()
+        val coldRounds = rounds()
+        assert(g1 == cold, "warm labels must equal the cold fixpoint")
+        assert(warmRounds > 0 && coldRounds > 0)
+        assert(warmRounds < coldRounds,
+          s"warm start must save rounds: warm=$warmRounds cold=$coldRounds")
+      } finally q.stop()
+    } finally ArtifactCache.deleteRecursively(new java.io.File(out))
+  }
+
   // --- routed ANN: the decision as a build-once artifact ----------------
 
   test("routed-ANN plan persists: repeat knnRouted calls pay zero tuning " +

@@ -33,6 +33,10 @@ import graft.streaming.EventStream
   *  9. streaming image-ingest matching vs per-boundary index rebuilds
   * 10. streaming near-dup group maintenance (warm closure) vs the
   *     cold connected components over the accumulated pair store
+  * 11. streaming incremental media dup groups vs the one-shot group
+  *     form over the whole corpus (exactness under cap-crossing
+  *     repair — the strongest parity in the set: stream state vs an
+  *     operator that never saw the chop)
   */
 object StreamReport {
 
@@ -375,6 +379,26 @@ object StreamReport {
         spark.read.parquet(s"$out/pairs").select(col("doc_a"), col("doc_b")))
       reports += PathReport("dedup_groups_warm", perBatch,
         streamed.count(), cold.count(), setEqual(streamed, cold))
+    }
+
+    // 11. streaming incremental media dup groups: the persisted group
+    //     state after the chopped ingest vs the ONE-SHOT group operator
+    //     over the whole corpus — the cap-crossing-repair exactness
+    //     argument as committed data
+    locally {
+      val medDir = s"$tmp/mediasrc"
+      stageOrdered(operators.Multimodal.mediaTable(spark, dir)
+        .select(col("media_id"), col("content")), "media_id", medDir)
+      val out = s"$tmp/mediagroups"
+      val q = EventStream.streamingMediaGroups(spark.readStream
+        .schema("media_id LONG, content BINARY")
+        .option("maxFilesPerTrigger", 1).parquet(medDir), out)
+      try q.processAllAvailable() finally q.stop()
+      val perBatch = q.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0)
+      val streamed = operators.MediaGroupsInc.currentLabels(spark, out)
+      val oneShot = operators.Multimodal.mediaDupGroups(spark, dir)
+      reports += PathReport("media_groups_incremental", perBatch,
+        streamed.count(), oneShot.count(), setEqual(streamed, oneShot))
     }
 
     val allMatch = reports.forall(_.matches)

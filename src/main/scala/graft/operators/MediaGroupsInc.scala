@@ -79,12 +79,24 @@ object MediaGroupsInc {
   /** Fold one media batch (media_id, content) into the group state and
     * return the new full labels (media_id, group_id). `driverEdgeCap`
     * is exposed so specs can force distributed propagation and read
-    * the measured round saving off [[Dedup.CcRoundsProperty]]. */
+    * the measured round saving off [[Dedup.CcRoundsProperty]].
+    *
+    * `genOverride` pins the generation number instead of deriving it
+    * from the existing `wins/batch=` dirs — the streaming wrapper's
+    * REPLAY contract: every per-generation write here is an
+    * `overwrite` of a gen-scoped dir and every read-back is a pure
+    * function of (accumulated state, this batch), so re-running a
+    * crashed generation WITH THE SAME gen reproduces the identical
+    * end state (a replay without the pin would mint gen+1 and trip
+    * the append-only id check). The prior-max contract check excludes
+    * the generation being (re)written for the same reason. */
   def ingest(s: SparkSession, path: String, batch: DataFrame,
       threshold: Double = 0.99, maxDf: Int = 64,
-      driverEdgeCap: Long = 1L << 20): DataFrame = {
+      driverEdgeCap: Long = 1L << 20,
+      genOverride: Option[Int] = None): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    val gen = batchDirs(path, "wins").lastOption.map(_ + 1).getOrElse(0)
+    val gen = genOverride.getOrElse(
+      batchDirs(path, "wins").lastOption.map(_ + 1).getOrElse(0))
     val b = batch.select(col("media_id").cast("long").as("media_id"), col("content"))
 
     // ---- arrival-order contract: batch ids strictly above all prior
@@ -93,7 +105,7 @@ object MediaGroupsInc {
     val (minDelta, maxDelta) = (ids.getLong(0), ids.getLong(1))
     val metaDir = new java.io.File(s"$path/meta")
     val priorMax = Option(metaDir.listFiles()).toSeq.flatten
-      .filter(_.getName.startsWith("batch-"))
+      .filter(f => f.getName.startsWith("batch-") && f.getName != s"batch-$gen")
       .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
         .trim.split(",")(1).toLong)
       .sorted.lastOption

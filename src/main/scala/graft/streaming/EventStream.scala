@@ -875,6 +875,42 @@ object EventStream {
       .start()
   }
 
+  /** Streaming incremental media dup-group maintenance: arriving
+    * media batches (media_id, content) fold into the persisted group
+    * state via [[graft.operators.MediaGroupsInc.ingest]] — delta-
+    * headed candidates, appended verified pairs, warm-started closure
+    * with exact cap-crossing repair — so the full group labels are
+    * current after every micro-batch at delta cost. The stream batch
+    * id IS the generation (pinned via `genOverride`), which makes
+    * replay safe: every per-generation write inside `ingest` is an
+    * overwrite of a gen-scoped dir, so a batch crashed anywhere
+    * mid-ingest re-runs into the identical end state, and the marker
+    * written AFTER a completed ingest lets clean replays skip the
+    * work entirely. Arrival contract as everywhere in this family:
+    * media ids ascend across batches (append-only ingest).
+    */
+  def streamingMediaGroups(media: DataFrame, outPath: String,
+      threshold: Double = 0.99, maxDf: Int = 64,
+      checkpointLocation: Option[String] = None,
+      driverEdgeCap: Long = 1L << 20): StreamingQuery = {
+    val writer = media.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val marker = new java.io.File(s"$outPath/ingested/batch-$batchId")
+        if (!marker.exists()) {
+          graft.operators.MediaGroupsInc.ingest(s, outPath,
+            batch.select(col("media_id"), col("content")),
+            threshold, maxDf, driverEdgeCap, genOverride = Some(batchId.toInt))
+          marker.getParentFile.mkdirs()
+          java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+          ()
+        }
+      }
+    checkpointLocation.fold(writer)(c => writer.option("checkpointLocation", c))
+      .start()
+  }
+
   /** Run a streaming DataFrame to completion against the bounded
     * source and return the materialized result from a memory sink.
     */

@@ -420,6 +420,51 @@ class Round17Spec extends SparkSpec {
     }
   }
 
+  test("streamingMediaGroups: labels after the stream equal the one-shot " +
+    "mediaDupGroups, and a replayed (crashed) generation re-runs into the " +
+    "identical state") {
+    val src = java.nio.file.Files.createTempDirectory("graft-smg-src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-smg").toString
+    try {
+      val media = Multimodal.mediaTable(spark, sf)
+        .select(col("media_id"), col("content"))
+      media.filter(col("media_id") < 300).repartition(1)
+        .write.mode("append").parquet(src)
+      Thread.sleep(1100) // distinct mtimes => batches arrive in id order
+      media.filter(col("media_id") >= 300).repartition(1)
+        .write.mode("append").parquet(src)
+      val q = graft.streaming.EventStream.streamingMediaGroups(
+        spark.readStream.schema("media_id LONG, content BINARY")
+          .option("maxFilesPerTrigger", 1).parquet(src), out)
+      try q.processAllAvailable() finally q.stop()
+      def labels(): Map[Long, Long] = MediaGroupsInc.currentLabels(spark, out)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val streamed = labels()
+      val oneShot = Multimodal.mediaDupGroups(spark, sf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed.nonEmpty && streamed == oneShot,
+        "streamed incremental labels must equal the one-shot group form")
+      // replay the LAST generation as a crash would: the marker never
+      // made it, so the batch re-ingests with the SAME pinned gen —
+      // every gen-scoped write overwrites and the state is unchanged
+      val lastGen = Option(new java.io.File(s"$out/wins").listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith("batch="))
+        .map(_.getName.stripPrefix("batch=").toInt).max
+      val pairsBefore = spark.read.parquet(s"$out/pairs")
+        .select(col("doc_a"), col("doc_b")).collect().map(_.toSeq).sortBy(_.toString)
+      MediaGroupsInc.ingest(spark, out,
+        media.filter(col("media_id") >= 300), genOverride = Some(lastGen))
+      assert(labels() == streamed, "replayed generation must not change labels")
+      val pairsAfter = spark.read.parquet(s"$out/pairs")
+        .select(col("doc_a"), col("doc_b")).collect().map(_.toSeq).sortBy(_.toString)
+      assert(pairsAfter.toSeq == pairsBefore.toSeq,
+        "replayed generation must not change the pair store")
+    } finally {
+      ArtifactCache.deleteRecursively(new java.io.File(src))
+      ArtifactCache.deleteRecursively(new java.io.File(out))
+    }
+  }
+
   // --- streaming text dedup groups: warm closure per batch --------------
 
   test("streamingNearDedupGroups serves per-batch labels warm: identical " +

@@ -546,6 +546,10 @@ object AudioMatch {
       throw new IllegalStateException(
         s"pending keydf compaction at $path: re-run compactKeyDf to " +
           "completion before probing")
+    if (MediaIndexOps.pendingConsolidate(path, "landmarks"))
+      throw new IllegalStateException(
+        s"pending batch consolidation at $path: re-run " +
+          "MediaIndexOps.consolidateBatches to completion before probing")
     if (!hasParquet(new java.io.File(s"$path/landmarks")))
       clips.select(col("clip_id"), lit(0L).as("track_id"),
         lit(0L).as("offset_frames"), lit(0L).as("votes")).limit(0)

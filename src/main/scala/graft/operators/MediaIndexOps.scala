@@ -77,6 +77,118 @@ object MediaIndexOps {
   private[graft] def pendingApply(path: String): Boolean =
     new java.io.File(s"$path/deleted/.apply-commit").exists()
 
+  /** True while a [[consolidateBatches]] is mid-swap — same refusal
+    * contract as [[pendingApply]]. */
+  private[graft] def pendingConsolidate(path: String, sub: String): Boolean =
+    new java.io.File(s"$path/$sub/.consol-commit").exists()
+
+  /** `batch=` dirs under `root` that still hold parquet data (a
+    * marker-only dir — `_SUCCESS` left for streaming replay guards —
+    * has nothing to merge). */
+  private def dataBatchIds(root: String): Seq[Int] = {
+    def hasParquet(f: java.io.File): Boolean =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.exists(hasParquet)
+      else f.getName.endsWith(".parquet")
+    Option(new java.io.File(root).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=") && hasParquet(f))
+      .map(_.getName.stripPrefix("batch=").toInt).sorted
+  }
+
+  /** Consolidate a STREAMED index's per-micro-batch dirs — the
+    * small-file debt every `foreachBatch` ingest accrues (one
+    * `batch=N` dir per trigger under the postings subdir AND `keydf`)
+    * — into the single newest batch dir, without changing any query
+    * answer: postings are unioned verbatim, df partials are summed
+    * per key (summed-partials semantics make the merge exact by
+    * construction — including any negative takedown partials, which
+    * fold in). Consumed older dirs are left MARKER-ONLY (`_SUCCESS`
+    * kept, data removed) so a Structured Streaming replay of an
+    * already-staged batch still finds its guard and skips the
+    * re-stage; the layout stays uniformly batch-partitioned, so probes,
+    * [[delete]]/[[compact]] and later stages read on unchanged.
+    *
+    * Crash safety is the two-phase marker protocol: phase A builds
+    * both consolidated dirs under hidden `.consol-tmp` siblings and
+    * commits the consumed id lists via atomic marker rename; phase B —
+    * re-runnable from the marker alone — swaps the newest batch dir
+    * for the consolidated build, empties the older dirs down to their
+    * markers, and drops the marker last. While the marker exists
+    * probes refuse ([[pendingConsolidate]]). Run from the single
+    * writer between triggers (or on the paused stream) — the same
+    * single-writer contract as every compaction in this family.
+    */
+  def consolidateBatches(s: SparkSession, path: String, sub: String): Unit =
+    if (consolidatePhaseA(s, path, sub)) consolidatePhaseB(s, path, sub)
+
+  private[graft] def consolidatePhaseA(s: SparkSession, path: String,
+      sub: String): Boolean = {
+    require(!pendingApply(path),
+      s"pending tombstone compaction at $path: run compact to completion " +
+        "before consolidating")
+    val marker = new java.io.File(s"$path/$sub/.consol-commit")
+    if (marker.exists()) return true
+    val subIds = dataBatchIds(s"$path/$sub")
+    val dfIds = dataBatchIds(s"$path/keydf")
+    if (subIds.size <= 1 && dfIds.size <= 1) return false
+    if (subIds.size > 1) {
+      val tmp = s"$path/$sub/.consol-tmp"
+      ArtifactCache.deleteRecursively(new java.io.File(tmp))
+      s.read.parquet(s"$path/$sub")
+        .filter(col("batch").isin(subIds: _*)).drop("batch")
+        .write.mode("overwrite").partitionBy("kb").parquet(tmp)
+    }
+    if (dfIds.size > 1) {
+      val tmp = s"$path/keydf/.consol-tmp"
+      ArtifactCache.deleteRecursively(new java.io.File(tmp))
+      s.read.parquet(s"$path/keydf")
+        .filter(col("batch").isin(dfIds: _*))
+        .groupBy(col("key")).agg(sum(col("cnt")).as("cnt"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+    }
+    val markerTmp = new java.io.File(s"$path/$sub/.consol-commit.tmp")
+    java.nio.file.Files.write(markerTmp.toPath,
+      (s"sub:${subIds.mkString(",")}\nkeydf:${dfIds.mkString(",")}")
+        .getBytes("UTF-8"))
+    java.nio.file.Files.move(markerTmp.toPath, marker.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    true
+  }
+
+  private[graft] def consolidatePhaseB(s: SparkSession, path: String,
+      sub: String): Unit = {
+    val marker = new java.io.File(s"$path/$sub/.consol-commit")
+    val lines = new String(
+      java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").split("\n")
+    def idsOf(tag: String): Seq[Int] = lines.find(_.startsWith(s"$tag:"))
+      .map(_.stripPrefix(s"$tag:")).filter(_.nonEmpty)
+      .map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq.empty)
+    def swap(root: String, ids: Seq[Int]): Unit = if (ids.size > 1) {
+      val target = new java.io.File(s"$root/batch=${ids.max}")
+      val tmp = new java.io.File(s"$root/.consol-tmp")
+      if (tmp.exists()) { // not yet swapped (or crashed pre-swap): redo
+        ArtifactCache.deleteRecursively(target)
+        java.nio.file.Files.move(tmp.toPath, target.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      // the parquet job wrote _SUCCESS inside the build, but guard the
+      // crash-between-move-and-verify window anyway: the streaming
+      // replay contract needs the marker file present
+      val ok = new java.io.File(target, "_SUCCESS")
+      if (!ok.exists())
+        java.nio.file.Files.write(ok.toPath, Array.emptyByteArray)
+      ids.filter(_ != ids.max).foreach { i =>
+        val d = new java.io.File(s"$root/batch=$i")
+        ArtifactCache.deleteRecursively(d)
+        d.mkdirs()
+        java.nio.file.Files.write(new java.io.File(d, "_SUCCESS").toPath,
+          Array.emptyByteArray)
+      }
+    }
+    swap(s"$path/$sub", idsOf("sub"))
+    swap(s"$path/keydf", idsOf("keydf"))
+    marker.delete()
+  }
+
   /** Apply pending tombstones physically. `sub` is the postings subdir
     * ("frames" for video, "chunks" for image); `idCol` the media id
     * column in the postings rows. Cost ∝ touched buckets + one
@@ -93,6 +205,9 @@ object MediaIndexOps {
     * crash-resume spec can stop exactly between the phases. */
   private[graft] def compactPhaseA(s: SparkSession, path: String, sub: String,
       idCol: String): Boolean = {
+    require(!pendingConsolidate(path, sub),
+      s"pending batch consolidation at $path/$sub: run consolidateBatches " +
+        "to completion before compacting")
     val marker = new java.io.File(s"$path/deleted/.apply-commit")
     val stage = new java.io.File(s"$path/keydf/.delete-tmp")
     if (marker.exists()) return true
@@ -129,41 +244,63 @@ object MediaIndexOps {
       val deleted = s.read.parquet(files.map(_.getPath): _*)
         .select(col(idCol)).distinct()
       val postings = s.read.parquet(s"$path/$sub")
-      // touched buckets re-derived from what is STILL on disk: after a
-      // crashed partial rewrite the already-clean buckets drop out and
-      // the resume rewrites only the remainder (kb domain is bounded,
-      // so the collect is ≤ the bucket count)
+      // a STREAMED index carries the per-micro-batch `batch` partition
+      // column above `kb` — the rewrite must address (batch, kb)
+      // partitions or the dynamic overwrite would write a second,
+      // flat copy of every surviving row next to the batch dirs
+      val parts = if (postings.columns.contains("batch"))
+        Seq("batch", "kb") else Seq("kb")
+      def partKey = concat_ws("/", parts.map(c => col(c).cast("string")): _*)
+      // touched partitions re-derived from what is STILL on disk:
+      // after a crashed partial rewrite the already-clean ones drop
+      // out and the resume rewrites only the remainder (kb is bounded
+      // and batch dirs are bounded by the consolidation cadence, so
+      // the collect stays small)
       val touched = postings.join(broadcast(deleted), Seq(idCol), "left_semi")
-        .select(col("kb").cast("long")).distinct()
-        .collect().map(_.getLong(0)).sorted
+        .select(partKey.as("pk")).distinct()
+        .collect().map(_.getString(0)).sorted
       if (touched.nonEmpty) {
         val remaining = postings
-          .filter(col("kb").isin(touched.toIndexedSeq: _*))
+          .filter(partKey.isin(touched.toIndexedSeq: _*))
           .join(broadcast(deleted), Seq(idCol), "left_anti")
           // reads the very partitions the overwrite replaces — pin
-          // first (bounded by the touched-bucket slice)
+          // first (bounded by the touched-partition slice)
           .localCheckpoint(true)
         try {
-          val survivors = remaining.select(col("kb").cast("long")).distinct()
-            .collect().map(_.getLong(0)).toSet
+          val survivors = remaining.select(partKey).distinct()
+            .collect().map(_.getString(0)).toSet
           remaining.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("kb").parquet(s"$path/$sub")
-          // a bucket emptied entirely is removed explicitly: dynamic
-          // overwrite only replaces partitions PRESENT in the frame
-          touched.filterNot(survivors).foreach { b =>
-            ArtifactCache.deleteRecursively(new java.io.File(s"$path/$sub/kb=$b"))
+            .partitionBy(parts: _*).parquet(s"$path/$sub")
+          // a partition emptied entirely is removed explicitly:
+          // dynamic overwrite only replaces partitions PRESENT in the
+          // frame. Only the leaf (kb=…) dir goes — a batch dir keeps
+          // its _SUCCESS marker for the streaming replay guard.
+          touched.filterNot(survivors).foreach { pk =>
+            val leaf = parts.zip(pk.split("/")).map { case (c, v) => s"$c=$v" }
+              .mkString("/")
+            ArtifactCache.deleteRecursively(new java.io.File(s"$path/$sub/$leaf"))
           }
         } finally remaining.unpersist()
       }
     }
     // adopt the staged negative partials under the live keydf — from
-    // here the summed df equals the rebuild df for every touched key
+    // here the summed df equals the rebuild df for every touched key.
+    // A batch-layout keydf adopts them under the reserved `batch=-1`
+    // dir (stream batch ids are non-negative, so it never collides,
+    // and a later consolidation folds the negatives in like any other
+    // partial).
+    val keydfBatched = Option(new java.io.File(s"$path/keydf").listFiles())
+      .toSeq.flatten.exists(f => f.isDirectory && f.getName.startsWith("batch="))
+    val adoptDir = if (keydfBatched) {
+      val d = new java.io.File(s"$path/keydf/batch=-1")
+      d.mkdirs(); d
+    } else new java.io.File(s"$path/keydf")
     Option(stage.listFiles()).toSeq.flatten
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
       .foreach { f =>
         java.nio.file.Files.move(f.toPath,
-          new java.io.File(s"$path/keydf", s"deleted-${f.getName}").toPath,
+          new java.io.File(adoptDir, s"deleted-${f.getName}").toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
     // clear exactly the applied tombstone files (a racing delete()'s

@@ -154,6 +154,10 @@ object PerceptualHash {
       throw new IllegalStateException(
         s"pending tombstone compaction at $path: re-run MediaIndexOps.compact " +
           "to completion before probing")
+    if (MediaIndexOps.pendingConsolidate(path, "chunks"))
+      throw new IllegalStateException(
+        s"pending batch consolidation at $path: re-run " +
+          "MediaIndexOps.consolidateBatches to completion before probing")
     // live chunk dfs from the append-only partials: ≤ 65536 rows by
     // the key domain — bounded model state, always broadcastable.
     // Tombstoned images still count toward the df until compaction —
@@ -207,6 +211,10 @@ object PerceptualHash {
       throw new IllegalStateException(
         s"pending tombstone compaction at $path: re-run MediaIndexOps.compact " +
           "to completion before probing")
+    if (MediaIndexOps.pendingConsolidate(path, "chunks"))
+      throw new IllegalStateException(
+        s"pending batch consolidation at $path: re-run " +
+          "MediaIndexOps.consolidateBatches to completion before probing")
     def hasParquet(f: java.io.File): Boolean =
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.exists(hasParquet)
       else f.getName.endsWith(".parquet")
@@ -509,6 +517,10 @@ object PerceptualHash {
       throw new IllegalStateException(
         s"pending tombstone compaction at $path: re-run MediaIndexOps.compact " +
           "to completion before probing")
+    if (MediaIndexOps.pendingConsolidate(path, "frames"))
+      throw new IllegalStateException(
+        s"pending batch consolidation at $path: re-run " +
+          "MediaIndexOps.consolidateBatches to completion before probing")
     def hasParquet(f: java.io.File): Boolean =
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.exists(hasParquet)
       else f.getName.endsWith(".parquet")

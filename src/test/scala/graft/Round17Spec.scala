@@ -420,6 +420,131 @@ class Round17Spec extends SparkSpec {
     }
   }
 
+  // --- streamed-index lifecycle: consolidation + batch-aware takedown ---
+
+  private def parquetsUnder(root: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+    walk(new java.io.File(root))
+  }
+
+  test("consolidateBatches collapses a streamed index's micro-batch dirs: " +
+    "identical matches, replay of a consumed batch skips, later stages and " +
+    "probes keep working") {
+    val out = java.nio.file.Files.createTempDirectory("graft-consol").toString
+    val rb = java.nio.file.Files.createTempDirectory("graft-consol-rb").toString
+    try {
+      val frames = PerceptualHash.videoFrames(spark, sf)
+      PerceptualHash.stageVideoBatch(spark, out,
+        frames.filter(col("video_id") < 200), 0)
+      PerceptualHash.stageVideoBatch(spark, out,
+        frames.filter(col("video_id").between(200, 399)), 1)
+      val clips = PerceptualHash.derivedClips(spark, sf)
+      val before = PerceptualHash.matchAgainstVideo(spark, out, clips)
+        .collect().map(_.toSeq).toSeq
+      assert(before.nonEmpty, "fixture must produce matches")
+      val filesBefore = parquetsUnder(s"$out/frames").size +
+        parquetsUnder(s"$out/keydf").size
+      MediaIndexOps.consolidateBatches(spark, out, "frames")
+      val after = PerceptualHash.matchAgainstVideo(spark, out, clips)
+        .collect().map(_.toSeq).toSeq
+      assert(after == before, "consolidation must not change any answer")
+      val filesAfter = parquetsUnder(s"$out/frames").size +
+        parquetsUnder(s"$out/keydf").size
+      assert(filesAfter < filesBefore,
+        s"file debt must shrink: $filesBefore -> $filesAfter")
+      // consumed dir is marker-only: the streaming replay guard survives
+      assert(new java.io.File(s"$out/frames/batch=0/_SUCCESS").exists())
+      assert(parquetsUnder(s"$out/frames/batch=0").isEmpty)
+      // a replayed (already-consumed) batch skips its stage writes
+      PerceptualHash.stageVideoBatch(spark, out,
+        frames.filter(col("video_id") < 200), 0)
+      assert(parquetsUnder(s"$out/frames/batch=0").isEmpty,
+        "replay of a consolidated batch must not re-stage data")
+      // ingest continues: a NEW batch stages and the index answers like
+      // a from-scratch build over all frames
+      PerceptualHash.stageVideoBatch(spark, out,
+        frames.filter(col("video_id") >= 400), 2)
+      PerceptualHash.buildVideoIndex(spark, frames, rb)
+      val full = PerceptualHash.matchAgainstVideo(spark, out, clips)
+        .collect().map(_.toSeq).toSeq
+      val rebuilt = PerceptualHash.matchAgainstVideo(spark, rb, clips)
+        .collect().map(_.toSeq).toSeq
+      assert(full == rebuilt,
+        "post-consolidation staging must answer like a full rebuild")
+    } finally {
+      ArtifactCache.deleteRecursively(new java.io.File(out))
+      ArtifactCache.deleteRecursively(new java.io.File(rb))
+    }
+  }
+
+  test("consolidation crash-resume: after phase A alone probes refuse; " +
+    "re-running converges to the identical end state") {
+    val out = java.nio.file.Files.createTempDirectory("graft-consolcr").toString
+    try {
+      val h = PerceptualHash.imageHashes(spark, Multimodal.mediaTable(spark, sf)
+        .filter(col("kind") === "image" && length(col("content")) > 0)
+        .select(col("media_id"), col("content")))
+      PerceptualHash.stageImageBatch(spark, out, h.filter(col("media_id") % 2 === 0), 0)
+      PerceptualHash.stageImageBatch(spark, out, h.filter(col("media_id") % 2 === 1), 1)
+      val probeSet = h.filter(col("media_id") % 7 === 0)
+      val before = PerceptualHash.probeImages(spark, out, probeSet)
+        .collect().map(_.toSeq).toSeq
+      assert(MediaIndexOps.consolidatePhaseA(spark, out, "chunks"))
+      intercept[IllegalStateException] {
+        PerceptualHash.probeImages(spark, out, probeSet)
+      }
+      MediaIndexOps.consolidateBatches(spark, out, "chunks") // resume
+      val after = PerceptualHash.probeImages(spark, out, probeSet)
+        .collect().map(_.toSeq).toSeq
+      assert(after == before, "resumed consolidation must answer identically")
+      assert(!MediaIndexOps.pendingConsolidate(out, "chunks"))
+    } finally ArtifactCache.deleteRecursively(new java.io.File(out))
+  }
+
+  test("tombstone compaction on the STREAMED batch layout rewrites " +
+    "(batch, kb) partitions: deleted video gone, negatives adopt under " +
+    "keydf/batch=-1, answers equal a rebuild without it") {
+    val out = java.nio.file.Files.createTempDirectory("graft-bdel").toString
+    val rb = java.nio.file.Files.createTempDirectory("graft-bdel-rb").toString
+    try {
+      import spark.implicits._
+      val frames = PerceptualHash.videoFrames(spark, sf)
+      PerceptualHash.stageVideoBatch(spark, out,
+        frames.filter(col("video_id") % 2 === 0), 0)
+      PerceptualHash.stageVideoBatch(spark, out,
+        frames.filter(col("video_id") % 2 === 1), 1)
+      val clips = PerceptualHash.derivedClips(spark, sf)
+      val before = PerceptualHash.matchAgainstVideo(spark, out, clips).collect()
+      assert(before.nonEmpty)
+      val victim = before.head.getAs[Long]("video_id")
+      MediaIndexOps.delete(spark, out, Seq(victim).toDF("video_id"), "video_id")
+      val afterDelete = PerceptualHash.matchAgainstVideo(spark, out, clips).collect()
+      assert(!afterDelete.exists(_.getAs[Long]("video_id") == victim),
+        "tombstoned video must stop matching immediately on the batch layout")
+      MediaIndexOps.compact(spark, out, "frames", "video_id")
+      assert(new java.io.File(s"$out/keydf/batch=-1").exists(),
+        "negative df partials must adopt under the reserved batch=-1 dir")
+      // batch dirs keep their replay markers through the rewrite
+      assert(new java.io.File(s"$out/frames/batch=0/_SUCCESS").exists())
+      assert(new java.io.File(s"$out/frames/batch=1/_SUCCESS").exists())
+      PerceptualHash.buildVideoIndex(spark,
+        frames.filter(col("video_id") =!= victim), rb)
+      val got = PerceptualHash.matchAgainstVideo(spark, out, clips)
+        .collect().map(_.toSeq).toSeq
+      val want = PerceptualHash.matchAgainstVideo(spark, rb, clips)
+        .collect().map(_.toSeq).toSeq
+      assert(got == want, "delete+compact must equal a rebuild without the video")
+      // no stored posting of the victim survives anywhere
+      assert(spark.read.parquet(s"$out/frames")
+        .filter(col("video_id") === victim).isEmpty)
+    } finally {
+      ArtifactCache.deleteRecursively(new java.io.File(out))
+      ArtifactCache.deleteRecursively(new java.io.File(rb))
+    }
+  }
+
   test("streamingMediaGroups: labels after the stream equal the one-shot " +
     "mediaDupGroups, and a replayed (crashed) generation re-runs into the " +
     "identical state") {

@@ -45,7 +45,9 @@ import org.apache.spark.sql.functions._
   *   `labels/gen=N`    — the generation's closure (latest wins);
   *   `meta/batch-N`    — "minId,maxId" of the batch.
   * Single-writer contract for ingest, local-FS guards — the
-  * incremental-index family conventions.
+  * incremental-index family conventions. [[compactState]] folds the
+  * accrued per-generation debt back to a single generation between
+  * ingests (crash-safe, answer-identical).
   *
   * Scale shape: per-generation cost ∝ delta windows + touched-window
   * member sets (df-capped) + crossed-window repairs (≤ maxDf² per
@@ -76,6 +78,161 @@ object MediaGroupsInc {
       .filter(f => f.isDirectory && f.getName.startsWith("gen="))
       .map(_.getName.stripPrefix("gen=").toInt).sorted.lastOption
 
+  private def hasParquet(f: java.io.File): Boolean =
+    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.exists(hasParquet)
+    else f.getName.endsWith(".parquet")
+
+  /** True while a [[compactState]] is mid-swap — [[ingest]] refuses
+    * until the compaction is re-run to completion. [[currentLabels]]
+    * stays safe throughout: the latest label generation is never
+    * touched by the swap. */
+  private[graft] def pendingCompact(path: String): Boolean =
+    new java.io.File(s"$path/.compact-commit").exists()
+
+  /** Compact the accrued generation debt — one `batch=N` dir per
+    * ingest under `wins`/`windf`/`hv`/`pairs`, a `removed` store, a
+    * `labels/gen=N` per generation, one `meta/batch-N` file each —
+    * into the single newest generation, with zero answer change:
+    * postings and vectors are unioned verbatim, df partials are summed
+    * per window (summed-partials semantics make the merge exact by
+    * construction), the pair store is rewritten LIVE (the `removed`
+    * anti-join folds in, after which the removed store is dropped),
+    * meta files merge to one global `min,max` line (the arrival-order
+    * check only reads the max), and label generations below the latest
+    * are pruned. Generation numbering is preserved (the merged dirs
+    * keep `batch=<newest>`), so the next ingest's derived gen and the
+    * streaming wrapper's pinned gens are unaffected; the wrapper's
+    * `ingested/batch-N` replay markers are never touched, so a clean
+    * replay of a consumed generation still skips its re-ingest.
+    *
+    * Crash safety is the family's two-phase marker protocol
+    * ([[MediaIndexOps.consolidateBatches]]): phase A builds every
+    * merged store under hidden `.compact-tmp` siblings, then commits
+    * via atomic marker rename; phase B — re-runnable from the marker
+    * alone — swaps each tmp into `batch=<newest>`, deletes the
+    * consumed dirs, folds meta, prunes labels, and drops the marker
+    * last. While the marker exists [[ingest]] refuses. Run from the
+    * single writer between ingests (on a streamed state: between
+    * triggers, with every staged generation's ingest marker present —
+    * a crashed batch pending replay must re-run first, enforced). */
+  def compactState(s: SparkSession, path: String): Unit =
+    if (compactPhaseA(s, path)) compactPhaseB(s, path)
+
+  /** Phase A: build the merged stores, then commit intent via the
+    * marker. Returns false when there is nothing to compact; true when
+    * a marker is pending — freshly committed or inherited from a
+    * crashed run (resume it; the tmp dirs and marker fully describe
+    * it). Split out so the crash-resume spec can stop between the
+    * phases. */
+  private[graft] def compactPhaseA(s: SparkSession, path: String): Boolean = {
+    val marker = new java.io.File(s"$path/.compact-commit")
+    if (marker.exists()) return true
+    val gens = batchDirs(path, "wins")
+    if (gens.isEmpty) return false
+    // streamed-layout guard: an in-flight (crashed, replay-pending)
+    // generation must re-run BEFORE compaction — its replay would
+    // overwrite gen-scoped dirs the merge just consumed, double-
+    // counting the delta. Non-streamed states have no `ingested` dir
+    // and rely on the quiescent single-writer contract.
+    val ingDir = new java.io.File(s"$path/ingested")
+    if (ingDir.exists()) {
+      val marked = Option(ingDir.listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith("batch-"))
+        .map(_.getName.stripPrefix("batch-").toInt).toSet
+      val inflight = gens.filterNot(marked)
+      require(inflight.isEmpty,
+        s"generation(s) ${inflight.mkString(",")} at $path lack ingest " +
+          "markers (crashed batch pending replay): re-run the stream to " +
+          "completion before compacting")
+    }
+    val removedData = hasParquet(new java.io.File(s"$path/removed"))
+    val staleLabels = Option(new java.io.File(s"$path/labels").listFiles())
+      .toSeq.flatten.count(f => f.isDirectory && f.getName.startsWith("gen=")) > 1
+    if (gens.size <= 1 && !removedData && !staleLabels) return false
+    if (gens.size > 1) {
+      def tmpOf(sub: String): String = {
+        ArtifactCache.deleteRecursively(new java.io.File(s"$path/$sub/.compact-tmp"))
+        s"$path/$sub/.compact-tmp"
+      }
+      s.read.parquet(s"$path/wins").drop("batch")
+        .write.mode("overwrite").partitionBy("wb").parquet(tmpOf("wins"))
+      s.read.parquet(s"$path/windf")
+        .groupBy(col("win")).agg(sum(col("cnt")).as("cnt"))
+        .write.mode("overwrite").parquet(tmpOf("windf"))
+      s.read.parquet(s"$path/hv").drop("batch")
+        .write.mode("overwrite").parquet(tmpOf("hv"))
+    }
+    if (gens.size > 1 || removedData) {
+      val tmp = new java.io.File(s"$path/pairs/.compact-tmp")
+      ArtifactCache.deleteRecursively(tmp)
+      val all = s.read.parquet(s"$path/pairs").select(col("doc_a"), col("doc_b"))
+      val live = if (removedData)
+        all.join(s.read.parquet(s"$path/removed")
+          .select(col("doc_a"), col("doc_b")), Seq("doc_a", "doc_b"), "left_anti")
+      else all
+      live.write.mode("overwrite").parquet(tmp.getPath)
+    }
+    val markerTmp = new java.io.File(s"$path/.compact-commit.tmp")
+    java.nio.file.Files.write(markerTmp.toPath,
+      s"gen:${gens.max}".getBytes("UTF-8"))
+    java.nio.file.Files.move(markerTmp.toPath, marker.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    true
+  }
+
+  /** Phase B: re-runnable from the marker alone — every step is
+    * idempotent (swap-if-tmp-present, delete-consumed, recompute the
+    * meta fold over whatever files remain, prune below the latest). */
+  private[graft] def compactPhaseB(s: SparkSession, path: String): Unit = {
+    val marker = new java.io.File(s"$path/.compact-commit")
+    val maxGen = new String(
+      java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+      .trim.stripPrefix("gen:").toInt
+    def swap(sub: String): Unit = {
+      val root = s"$path/$sub"
+      val tmp = new java.io.File(s"$root/.compact-tmp")
+      if (tmp.exists()) {
+        ArtifactCache.deleteRecursively(new java.io.File(s"$root/batch=$maxGen"))
+        java.nio.file.Files.move(tmp.toPath,
+          new java.io.File(s"$root/batch=$maxGen").toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      // single-writer: every non-max dir is a consumed one (ingest is
+      // refused while the marker exists, so none can be newer)
+      Option(new java.io.File(root).listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
+          f.getName != s"batch=$maxGen")
+        .foreach(ArtifactCache.deleteRecursively)
+    }
+    Seq("wins", "windf", "hv", "pairs").foreach(swap)
+    // removals are folded into the live pair rewrite above
+    ArtifactCache.deleteRecursively(new java.io.File(s"$path/removed"))
+    // meta folds to one "globalMin,globalMax" — write-merged-first so a
+    // crash mid-delete still reconstructs the same fold from survivors
+    val metaDir = new java.io.File(s"$path/meta")
+    val metas = Option(metaDir.listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("batch-"))
+    if (metas.nonEmpty) {
+      val vals = metas.map(f => new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.split(","))
+      val tmpF = new java.io.File(metaDir, s".batch-$maxGen.tmp")
+      java.nio.file.Files.write(tmpF.toPath,
+        s"${vals.map(_(0).toLong).min},${vals.map(_(1).toLong).max}"
+          .getBytes("UTF-8"))
+      java.nio.file.Files.move(tmpF.toPath,
+        new java.io.File(metaDir, s"batch-$maxGen").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      metas.filter(_.getName != s"batch-$maxGen").foreach(_.delete())
+    }
+    latestGen(path).foreach { g =>
+      Option(new java.io.File(s"$path/labels").listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("gen=") &&
+          f.getName.stripPrefix("gen=").toInt < g)
+        .foreach(ArtifactCache.deleteRecursively)
+    }
+    marker.delete()
+  }
+
   /** Fold one media batch (media_id, content) into the group state and
     * return the new full labels (media_id, group_id). `driverEdgeCap`
     * is exposed so specs can force distributed propagation and read
@@ -94,6 +251,9 @@ object MediaGroupsInc {
       threshold: Double = 0.99, maxDf: Int = 64,
       driverEdgeCap: Long = 1L << 20,
       genOverride: Option[Int] = None): DataFrame = {
+    require(!pendingCompact(path),
+      s"pending state compaction at $path: run compactState to completion " +
+        "before ingesting")
     graft.functions.VectorFunctions.register(s)
     val gen = genOverride.getOrElse(
       batchDirs(path, "wins").lastOption.map(_ + 1).getOrElse(0))

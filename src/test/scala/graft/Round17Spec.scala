@@ -671,4 +671,129 @@ class Round17Spec extends SparkSpec {
       s"routed repeat call must launch only the chosen branch's jobs: " +
         s"routed=$routedJobs direct=$directJobs")
   }
+
+  // --- incremental group state: compaction lifecycle --------------------
+
+  private def blk16(c: Char) = c.toString * 16
+
+  private def toMedia(sq: Seq[(Long, String)]) = {
+    import spark.implicits._
+    sq.toDF("media_id", "text")
+      .select(col("media_id"), encode(col("text"), "UTF-8").as("content"))
+  }
+
+  // three fixture generations over 16-byte blocks (stride-4 window
+  // relation fully controlled): gen1 crosses W (drops pair 1-2, P keeps
+  // 5-6 alive via Q + the P|Q-spanning windows), gen2 crosses V (drops
+  // pair 7-8) — so a POST-compaction ingest exercises the repair path
+  // against the merged wins/windf/pairs stores
+  private val cgen0 = Seq(
+    1L -> (blk16('W') + blk16('a')), 2L -> (blk16('W') + blk16('b')),
+    5L -> (blk16('P') + blk16('Q') + blk16('c')),
+    6L -> (blk16('P') + blk16('Q') + blk16('d')),
+    7L -> (blk16('V') + blk16('e')), 8L -> (blk16('V') + blk16('f')))
+  private val cgen1 = Seq(
+    101L -> (blk16('W') + blk16('g')), 102L -> (blk16('W') + blk16('h')),
+    105L -> (blk16('P') + blk16('i')))
+  private val cgen2 = Seq(201L -> (blk16('V') + blk16('j')))
+
+  test("compactState folds the generation debt into a single batch per " +
+    "store with identical labels, folds removals into the pair store, " +
+    "prunes stale label gens, and a post-compaction ingest (with a fresh " +
+    "cap-crossing repair) equals the uncompacted sequence and the one-shot") {
+    val sA = java.nio.file.Files.createTempDirectory("graft-minc-cpt").toString
+    val sB = java.nio.file.Files.createTempDirectory("graft-minc-ctl").toString
+    val dir = java.nio.file.Files.createTempDirectory("graft-minc-corp").toString
+    try {
+      Seq(sA, sB).foreach { st =>
+        MediaGroupsInc.ingest(spark, st, toMedia(cgen0), threshold = 0.0, maxDf = 2)
+        MediaGroupsInc.ingest(spark, st, toMedia(cgen1), threshold = 0.0, maxDf = 2)
+      }
+      val before = labelsOf(MediaGroupsInc.currentLabels(spark, sA))
+      assert(before == Map(5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L), s"$before")
+      MediaGroupsInc.compactState(spark, sA)
+      assert(labelsOf(MediaGroupsInc.currentLabels(spark, sA)) == before,
+        "compaction must not change the served labels")
+      def nDirs(sub: String, pfx: String) =
+        Option(new java.io.File(s"$sA/$sub").listFiles()).toSeq.flatten
+          .count(f => f.isDirectory && f.getName.startsWith(pfx))
+      Seq("wins", "windf", "hv", "pairs").foreach(sub =>
+        assert(nDirs(sub, "batch=") == 1, s"$sub must hold one batch dir"))
+      assert(!new java.io.File(s"$sA/removed").exists(),
+        "removals must fold into the live pair rewrite")
+      assert(nDirs("labels", "gen=") == 1, "stale label gens must prune")
+      assert(spark.read.parquet(s"$sA/pairs")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((5L, 6L), (7L, 8L)), "folded pair store = live pairs only")
+      // second run: nothing to do, no marker left behind
+      MediaGroupsInc.compactState(spark, sA)
+      assert(!MediaGroupsInc.pendingCompact(sA))
+      // post-compaction ingest with a fresh V crossing: repair reads the
+      // MERGED windf/wins/pairs and must equal the uncompacted control
+      val a = labelsOf(MediaGroupsInc.ingest(spark, sA, toMedia(cgen2),
+        threshold = 0.0, maxDf = 2))
+      val b = labelsOf(MediaGroupsInc.ingest(spark, sB, toMedia(cgen2),
+        threshold = 0.0, maxDf = 2))
+      assert(a == Map(5L -> 5L, 6L -> 5L), s"V crossing must drop 7-8: $a")
+      assert(a == b, s"compacted=$a control=$b")
+      import spark.implicits._
+      (cgen0 ++ cgen1 ++ cgen2).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val oneShot = labelsOf(Multimodal.mediaDupGroups(spark, dir,
+        threshold = 0.0, maxDf = 2))
+      assert(a == oneShot, s"one-shot=$oneShot incremental=$a")
+    } finally Seq(sA, sB, dir).foreach(p =>
+      ArtifactCache.deleteRecursively(new java.io.File(p)))
+  }
+
+  test("compactState crash-resume: ingest refuses while the marker is " +
+    "pending; phase B completes from the marker alone into the same state") {
+    val st = java.nio.file.Files.createTempDirectory("graft-minc-crash").toString
+    try {
+      MediaGroupsInc.ingest(spark, st, toMedia(cgen0), threshold = 0.0, maxDf = 2)
+      MediaGroupsInc.ingest(spark, st, toMedia(cgen1), threshold = 0.0, maxDf = 2)
+      val before = labelsOf(MediaGroupsInc.currentLabels(spark, st))
+      // crash exactly between the phases: tmp dirs + marker only
+      assert(MediaGroupsInc.compactPhaseA(spark, st))
+      assert(MediaGroupsInc.pendingCompact(st))
+      intercept[IllegalArgumentException] {
+        MediaGroupsInc.ingest(spark, st, toMedia(cgen2),
+          threshold = 0.0, maxDf = 2)
+      }
+      // resume = just run compactState again (phase A sees the marker)
+      MediaGroupsInc.compactState(spark, st)
+      assert(!MediaGroupsInc.pendingCompact(st))
+      assert(labelsOf(MediaGroupsInc.currentLabels(spark, st)) == before)
+      assert(Option(new java.io.File(s"$st/wins").listFiles()).toSeq.flatten
+        .count(f => f.isDirectory && f.getName.startsWith("batch=")) == 1)
+      // the resumed state ingests on normally
+      val after = labelsOf(MediaGroupsInc.ingest(spark, st, toMedia(cgen2),
+        threshold = 0.0, maxDf = 2))
+      assert(after == Map(5L -> 5L, 6L -> 5L), s"$after")
+    } finally ArtifactCache.deleteRecursively(new java.io.File(st))
+  }
+
+  test("compactState refuses a streamed state whose staged generation " +
+    "lacks its ingest marker (crashed batch pending replay)") {
+    val st = java.nio.file.Files.createTempDirectory("graft-minc-guard").toString
+    try {
+      MediaGroupsInc.ingest(spark, st, toMedia(cgen0), threshold = 0.0, maxDf = 2)
+      MediaGroupsInc.ingest(spark, st, toMedia(cgen1), threshold = 0.0, maxDf = 2)
+      val ing = new java.io.File(s"$st/ingested")
+      ing.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(ing, "batch-0").toPath, Array.emptyByteArray)
+      // generation 1 staged but unmarked = crashed mid-batch, replay due
+      val ex = intercept[IllegalArgumentException] {
+        MediaGroupsInc.compactState(spark, st)
+      }
+      assert(ex.getMessage.contains("1"), s"names the in-flight gen: $ex")
+      assert(!MediaGroupsInc.pendingCompact(st), "guard must refuse pre-marker")
+      java.nio.file.Files.write(
+        new java.io.File(ing, "batch-1").toPath, Array.emptyByteArray)
+      MediaGroupsInc.compactState(spark, st)
+      assert(Option(new java.io.File(s"$st/wins").listFiles()).toSeq.flatten
+        .count(f => f.isDirectory && f.getName.startsWith("batch=")) == 1)
+    } finally ArtifactCache.deleteRecursively(new java.io.File(st))
+  }
 }

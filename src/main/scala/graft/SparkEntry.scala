@@ -238,6 +238,13 @@ object SparkEntry {
     // oracle (q_dedup_incremental's lifecycle discipline)
     "q_media_dup_groups_incremental" -> ((s: SparkSession, d: String) =>
       graft.operators.MediaGroupsInc.mediaDupGroupsIncremental(s, d)),
+    // group-state takedown: the incremental build, then delete of the
+    // media_id % 7 == 3 victims — masked victim pairs, physically
+    // rewritten victim postings, negative df partials, and the exact
+    // UN-crossing repair (resurrect + fresh-verify) make the surviving
+    // labels equal the one-shot over the remaining corpus
+    "q_media_dup_groups_takedown" -> ((s: SparkSession, d: String) =>
+      graft.operators.MediaGroupsInc.mediaDupGroupsTakedown(s, d)),
     // image perceptual near-dup: 56-bit dHash (gradient-sign
     // fingerprint, brightness-invariant) + exact pigeonhole blocking
     // under Hamming <= 3 — both fully oracled (integer pixel sums,
@@ -469,11 +476,20 @@ object SparkEntry {
     * identical labels — delta-headed emission is complete under
     * growing dfs, and the cap-crossing repair removes exactly the
     * over-emissions). */
-  private val mediaDupGroupsOracle: String =
-    """WITH RECURSIVE w AS (
+  private val mediaDupGroupsOracle: String = mediaDupGroupsOracleOver("documents")
+
+  /** The same reachability closure over a restricted document source —
+    * the takedown lifecycle's oracle pushes the victim predicate into
+    * the source, because post-delete labels equal the one-shot over
+    * the remaining corpus (the delete-exactness contract). */
+  private val mediaDupGroupsTakedownOracle: String =
+    mediaDupGroupsOracleOver("(SELECT * FROM documents WHERE doc_id % 7 <> 3)")
+
+  private def mediaDupGroupsOracleOver(src: String): String =
+    s"""WITH RECURSIVE w AS (
       | SELECT DISTINCT d.doc_id AS media_id,
       |  substring(d.text, CAST(t.p AS INT), 16) AS win
-      | FROM documents d,
+      | FROM $src d,
       |  UNNEST(range(1, GREATEST(length(d.text) - 15, 1) + 1, 4)) AS t(p)),
       |keepw AS (
       | SELECT win FROM (SELECT win, count(*) AS w_df FROM w GROUP BY 1)
@@ -486,7 +502,7 @@ object SparkEntry {
       | SELECT d.doc_id AS media_id,
       |  (ord(substring(d.text, CAST(t.i AS INT), 1)) // 4) AS bin,
       |  CAST(count(*) AS BIGINT) AS cnt
-      | FROM documents d, UNNEST(range(1, length(d.text) + 1, 1)) AS t(i)
+      | FROM $src d, UNNEST(range(1, length(d.text) + 1, 1)) AS t(i)
       | GROUP BY 1, 2),
       |n AS (SELECT media_id, SUM(cnt * cnt) AS n2 FROM h GROUP BY 1),
       |dots AS (
@@ -1562,6 +1578,11 @@ object SparkEntry {
     // cap-crossing repair removes exactly the over-emissions), so the
     // same reachability closure oracles it
     "q_media_dup_groups_incremental" -> mediaDupGroupsOracle,
+    // the takedown converges to the one-shot over the remaining corpus
+    // (un-crossing repair restores exactly the suppressed pairs), so
+    // the same closure oracles it with the victims predicate pushed
+    // into the document source
+    "q_media_dup_groups_takedown" -> mediaDupGroupsTakedownOracle,
     // audio landmark family: integer frame energies + constellation
     // keys + offset-coherent votes — byte values via ord() over the
     // ASCII payload text, same convention as q_media_neardups_exact

@@ -89,6 +89,12 @@ object MediaGroupsInc {
   private[graft] def pendingCompact(path: String): Boolean =
     new java.io.File(s"$path/.compact-commit").exists()
 
+  /** True while a [[delete]] is mid-apply — [[ingest]] AND
+    * [[currentLabels]] refuse (the delete rewrites the latest label
+    * generation in place) until the delete is re-run to completion. */
+  private[graft] def pendingDelete(path: String): Boolean =
+    new java.io.File(s"$path/.delete-commit").exists()
+
   /** Compact the accrued generation debt — one `batch=N` dir per
     * ingest under `wins`/`windf`/`hv`/`pairs`, a `removed` store, a
     * `labels/gen=N` per generation, one `meta/batch-N` file each —
@@ -127,6 +133,8 @@ object MediaGroupsInc {
   private[graft] def compactPhaseA(s: SparkSession, path: String): Boolean = {
     val marker = new java.io.File(s"$path/.compact-commit")
     if (marker.exists()) return true
+    require(!pendingDelete(path),
+      s"pending delete at $path: run delete to completion before compacting")
     val gens = batchDirs(path, "wins")
     if (gens.isEmpty) return false
     // streamed-layout guard: an in-flight (crashed, replay-pending)
@@ -156,8 +164,11 @@ object MediaGroupsInc {
       }
       s.read.parquet(s"$path/wins").drop("batch")
         .write.mode("overwrite").partitionBy("wb").parquet(tmpOf("wins"))
+      // a delete's negative partials (batch=-1) fold in; windows whose
+      // live df hits zero carry no information and drop
       s.read.parquet(s"$path/windf")
         .groupBy(col("win")).agg(sum(col("cnt")).as("cnt"))
+        .filter(col("cnt") > 0)
         .write.mode("overwrite").parquet(tmpOf("windf"))
       s.read.parquet(s"$path/hv").drop("batch")
         .write.mode("overwrite").parquet(tmpOf("hv"))
@@ -233,6 +244,245 @@ object MediaGroupsInc {
     marker.delete()
   }
 
+  /** Remove media from the group state — the takedown every media
+    * catalog runs (DMCA / GDPR / opt-out), already closed for the
+    * posting/vector indexes ([[MediaIndexOps.delete]]+compact,
+    * [[IvfIndex.delete]]) but until now not for the GROUP state, where
+    * a victim's memberships would persist until a full rebuild.
+    * Returns the post-delete labels.
+    *
+    * EXACTNESS under the df cap — the mirror image of [[ingest]]'s
+    * crossing repair: deletion only DECREASES window dfs, so the one
+    * semantic shift is a window UN-crossing maxDf (over-cap before,
+    * within [2, maxDf] after). The repair is bounded and exact: each
+    * un-crossed window's surviving members (≤ maxDf, by landing under
+    * the cap) form candidate pairs; those present in the `removed`
+    * store RESURRECT (they were cosine-verified at emission — only
+    * their support was lost), and those never emitted (suppressed the
+    * whole time the window sat over cap) verify fresh against the
+    * retained vectors and append. Eligible-before windows need no
+    * repair: a surviving pair's shared window keeps df ≥ 2 and can
+    * only move DOWN within the cap. Pairs touching a victim mask into
+    * the rewritten `removed` store; the victim's postings rewrite
+    * physically out of `wins` (cost ∝ the victim's touched (batch, wb)
+    * partitions — candidate generation must never see them) while `hv`
+    * keeps its rows (only reachable via pair-endpoint joins and a
+    * conservative budget count, so stale vectors are inert); the df
+    * statistic reconciles through NEGATIVE partials adopted under the
+    * reserved `windf/batch=-1` (generations are ≥ 0; a later
+    * [[compactState]] folds them in). Removals break the warm-seed
+    * superset contract, so the closure cold-starts and overwrites the
+    * latest label generation IN PLACE. Net: post-delete labels equal
+    * the one-shot [[Multimodal.mediaDupGroups]] over the remaining
+    * corpus (spec-pinned, including a constructed un-crossing that
+    * both resurrects a removed pair and emits a never-emitted one),
+    * and the invariant survives further ingests and compactions.
+    *
+    * Crash safety is the family's two-phase marker: phase A stages
+    * the negative partials, the rewritten removed store, and the
+    * fresh verified pairs under hidden `.del-tmp` dirs, then commits
+    * the victim list via atomic marker rename; phase B — re-runnable
+    * from the marker alone — rewrites the touched wins partitions,
+    * adopts the staged artifacts, recomputes the closure, and drops
+    * the marker last. While the marker exists [[ingest]] and
+    * [[currentLabels]] refuse. `victims` is a driver-side list by
+    * contract (a takedown batch is bounded; it broadcasts as isin). */
+  def delete(s: SparkSession, path: String, victims: Seq[Long],
+      threshold: Double = 0.99, maxDf: Int = 64,
+      driverEdgeCap: Long = 1L << 20): DataFrame = {
+    if (deletePhaseA(s, path, victims, threshold, maxDf))
+      deletePhaseB(s, path, driverEdgeCap)
+    currentLabels(s, path)
+  }
+
+  /** Phase A: pure staging, no live-state mutation before the marker
+    * commits. Returns false when the state is empty; true when a
+    * marker is pending (fresh or inherited from a crashed run). */
+  private[graft] def deletePhaseA(s: SparkSession, path: String,
+      victims: Seq[Long], threshold: Double, maxDf: Int): Boolean = {
+    val marker = new java.io.File(s"$path/.delete-commit")
+    if (marker.exists()) return true
+    require(!pendingCompact(path),
+      s"pending state compaction at $path: run compactState to completion " +
+        "before deleting")
+    require(victims.nonEmpty, "empty takedown list")
+    if (batchDirs(path, "wins").isEmpty) return false
+    // streamed-layout guard, as compactState: a crashed generation's
+    // replay would re-stage the victim's postings after the takedown
+    val ingDir = new java.io.File(s"$path/ingested")
+    if (ingDir.exists()) {
+      val marked = Option(ingDir.listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith("batch-"))
+        .map(_.getName.stripPrefix("batch-").toInt).toSet
+      val inflight = batchDirs(path, "wins").filterNot(marked)
+      require(inflight.isEmpty,
+        s"generation(s) ${inflight.mkString(",")} at $path lack ingest " +
+          "markers (crashed batch pending replay): re-run the stream to " +
+          "completion before deleting")
+    }
+    graft.functions.VectorFunctions.register(s)
+    val vcol = col("media_id").isin(victims: _*)
+    val allWins = s.read.parquet(s"$path/wins")
+      .select(col("media_id"), col("win"))
+    val vwins = allWins.filter(vcol).persist()
+    val removedFlag = try {
+      // negative df partials for exactly the victim postings
+      ArtifactCache.deleteRecursively(new java.io.File(s"$path/windf/.del-tmp"))
+      vwins.groupBy(col("win")).agg((-count(lit(1))).as("cnt"))
+        .write.mode("overwrite").parquet(s"$path/windf/.del-tmp")
+      // un-crossed windows: over-cap before, within [2, maxDf] after —
+      // dfs evaluated only for the victims' own windows (semi-joined
+      // partials, never the full corpus statistic)
+      val vcnt = vwins.groupBy(col("win")).agg(count(lit(1)).as("v_cnt"))
+      val uncrossed = s.read.parquet(s"$path/windf")
+        .join(vcnt.select(col("win")), Seq("win"), "left_semi")
+        .groupBy(col("win")).agg(sum(col("cnt")).as("df_before"))
+        .join(vcnt, Seq("win"))
+        .filter(col("df_before") > maxDf &&
+          (col("df_before") - col("v_cnt")).between(2, maxDf))
+        .select(col("win"))
+      // surviving member pairs of each un-crossed window (≤ maxDf each)
+      val sm = allWins.join(uncrossed, Seq("win"), "left_semi").filter(!vcol)
+      val memberPairs = sm.as("a")
+        .join(sm.as("b"),
+          col("a.win") === col("b.win") && col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("doc_a"), col("b.media_id").as("doc_b"))
+        .distinct()
+      val pairsAll = s.read.parquet(s"$path/pairs")
+        .select(col("doc_a"), col("doc_b"))
+      val removedOld =
+        if (new java.io.File(s"$path/removed").exists())
+          s.read.parquet(s"$path/removed").select(col("doc_a"), col("doc_b"))
+        else pairsAll.limit(0)
+      val resurrect =
+        removedOld.join(memberPairs, Seq("doc_a", "doc_b"), "left_semi")
+      val victimPairs = pairsAll.filter(
+        col("doc_a").isin(victims: _*) || col("doc_b").isin(victims: _*))
+      val newRemoved = removedOld
+        .join(resurrect, Seq("doc_a", "doc_b"), "left_anti")
+        .union(victimPairs).distinct()
+      ArtifactCache.deleteRecursively(new java.io.File(s"$path/removed/.del-tmp"))
+      val keepRemoved = !newRemoved.isEmpty
+      if (keepRemoved)
+        newRemoved.write.mode("overwrite").parquet(s"$path/removed/.del-tmp")
+      // fresh pairs: suppressed the whole time their window sat over
+      // cap, never emitted — verify against the retained vectors now
+      val freshCand =
+        memberPairs.join(pairsAll, Seq("doc_a", "doc_b"), "left_anti")
+      val hv = s.read.parquet(s"$path/hv")
+        .select(col("media_id"), col("hvec"), col("n2"))
+      val nMedia = hv.count()
+      def side(df: DataFrame) =
+        if (nMedia <= Multimodal.BroadcastMediaBudget) broadcast(df) else df
+      val cosu = graft.functions.VectorFunctions.arrayDot(col("va"), col("vb")) /
+        (sqrt(col("na2")) * sqrt(col("nb2")))
+      val fresh = freshCand
+        .join(side(hv.select(col("media_id").as("doc_a"), col("hvec").as("va"),
+          col("n2").as("na2"))), Seq("doc_a"))
+        .join(side(hv.select(col("media_id").as("doc_b"), col("hvec").as("vb"),
+          col("n2").as("nb2"))), Seq("doc_b"))
+        .filter(cosu >= threshold)
+        .select(col("doc_a"), col("doc_b"))
+      ArtifactCache.deleteRecursively(new java.io.File(s"$path/pairs/.del-tmp"))
+      fresh.write.mode("overwrite").parquet(s"$path/pairs/.del-tmp")
+      keepRemoved
+    } finally vwins.unpersist()
+    val markerTmp = new java.io.File(s"$path/.delete-commit.tmp")
+    java.nio.file.Files.write(markerTmp.toPath,
+      (s"ids:${victims.mkString(",")}\n" +
+        s"removed:${if (removedFlag) "keep" else "drop"}").getBytes("UTF-8"))
+    java.nio.file.Files.move(markerTmp.toPath, marker.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    true
+  }
+
+  /** Phase B: re-runnable from the marker alone — the wins rewrite
+    * re-derives touched partitions from what is STILL on disk, staged
+    * artifacts adopt by move (empty stage = already adopted), and the
+    * `removed` disposition comes from the marker (never inferred from
+    * a half-applied tree). */
+  private[graft] def deletePhaseB(s: SparkSession, path: String,
+      driverEdgeCap: Long): Unit = {
+    val marker = new java.io.File(s"$path/.delete-commit")
+    val lines = new String(
+      java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").split("\n")
+    val victims = lines.head.stripPrefix("ids:")
+      .split(",").filter(_.nonEmpty).map(_.toLong).toSeq
+    val keepRemoved = lines.exists(_.trim == "removed:keep")
+    // 1. rewrite the victim-touched (batch, wb) wins partitions —
+    // bounded by the victims' arrival generations × wb buckets
+    val postings = s.read.parquet(s"$path/wins")
+    val vcol = col("media_id").isin(victims: _*)
+    def partKey = concat_ws("/",
+      col("batch").cast("string"), col("wb").cast("string"))
+    val touched = postings.filter(vcol)
+      .select(partKey.as("pk")).distinct()
+      .collect().map(_.getString(0)).sorted
+    if (touched.nonEmpty) {
+      val remaining = postings
+        .filter(partKey.isin(touched.toIndexedSeq: _*))
+        .filter(!vcol)
+        .localCheckpoint(true)
+      try {
+        val survivors = remaining.select(partKey).distinct()
+          .collect().map(_.getString(0)).toSet
+        remaining.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch", "wb").parquet(s"$path/wins")
+        touched.filterNot(survivors).foreach { pk =>
+          val Array(b, w) = pk.split("/")
+          ArtifactCache.deleteRecursively(
+            new java.io.File(s"$path/wins/batch=$b/wb=$w"))
+        }
+      } finally remaining.unpersist()
+    }
+    // 2. adopt staged artifacts (part names carry job UUIDs — moves
+    // are collision-free across repeated deletes)
+    def adopt(stageDir: String, liveDir: String): Unit = {
+      val files = Option(new java.io.File(stageDir).listFiles()).toSeq.flatten
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      if (files.nonEmpty) {
+        val live = new java.io.File(liveDir)
+        live.mkdirs()
+        files.foreach(f => java.nio.file.Files.move(f.toPath,
+          new java.io.File(live, f.getName).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING))
+      }
+      ArtifactCache.deleteRecursively(new java.io.File(stageDir))
+    }
+    adopt(s"$path/windf/.del-tmp", s"$path/windf/batch=-1")
+    adopt(s"$path/pairs/.del-tmp", s"$path/pairs/batch=-1")
+    // 3. removed store: swap in the rewrite, or drop it entirely when
+    // the delete left nothing removed (everything resurrected / no
+    // victim pairs and no prior store)
+    if (keepRemoved) {
+      val tmp = new java.io.File(s"$path/removed/.del-tmp")
+      if (tmp.exists()) {
+        Option(new java.io.File(s"$path/removed").listFiles()).toSeq.flatten
+          .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+          .foreach(ArtifactCache.deleteRecursively)
+        java.nio.file.Files.move(tmp.toPath,
+          new java.io.File(s"$path/removed/batch=-1").toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+    } else ArtifactCache.deleteRecursively(new java.io.File(s"$path/removed"))
+    // 4. cold closure (removals break the warm-seed superset contract)
+    // over the post-delete live relation, overwriting the latest gen
+    val pairsAll = s.read.parquet(s"$path/pairs")
+      .select(col("doc_a"), col("doc_b"))
+    val live =
+      if (new java.io.File(s"$path/removed").exists())
+        pairsAll.join(s.read.parquet(s"$path/removed")
+          .select(col("doc_a"), col("doc_b")), Seq("doc_a", "doc_b"), "left_anti")
+      else pairsAll
+    val forest = Dedup.contractedForest(live)
+    val labels = Dedup.connectedComponents(forest, driverEdgeCap = driverEdgeCap)
+    labels.write.mode("overwrite")
+      .parquet(s"$path/labels/gen=${latestGen(path).getOrElse(0)}")
+    forest.unpersist()
+    marker.delete()
+  }
+
   /** Fold one media batch (media_id, content) into the group state and
     * return the new full labels (media_id, group_id). `driverEdgeCap`
     * is exposed so specs can force distributed propagation and read
@@ -254,6 +504,8 @@ object MediaGroupsInc {
     require(!pendingCompact(path),
       s"pending state compaction at $path: run compactState to completion " +
         "before ingesting")
+    require(!pendingDelete(path),
+      s"pending delete at $path: run delete to completion before ingesting")
     graft.functions.VectorFunctions.register(s)
     val gen = genOverride.getOrElse(
       batchDirs(path, "wins").lastOption.map(_ + 1).getOrElse(0))
@@ -398,8 +650,12 @@ object MediaGroupsInc {
   }
 
   /** The latest generation's labels (empty two-column frame before any
-    * ingest). */
-  def currentLabels(s: SparkSession, path: String): DataFrame =
+    * ingest). Refuses mid-[[delete]]: the apply rewrites the latest
+    * label generation in place. */
+  def currentLabels(s: SparkSession, path: String): DataFrame = {
+    if (pendingDelete(path))
+      throw new IllegalStateException(
+        s"pending delete at $path: run delete to completion before probing")
     latestGen(path) match {
       case Some(g) => s.read.parquet(s"$path/labels/gen=$g")
         .select(col("doc_id").as("media_id"), col("group_id"))
@@ -408,6 +664,7 @@ object MediaGroupsInc {
         import s.implicits._
         Seq.empty[(Long, Long)].toDF("media_id", "group_id")
     }
+  }
 
   /** Driver-contract lifecycle query — `q_media_dup_groups_incremental`:
     * ingest the below-`splitId` half of the media corpus as generation
@@ -427,6 +684,34 @@ object MediaGroupsInc {
         .select(col("media_id"), col("content"))
       ingest(s, tmp, media.filter(col("media_id") < splitId))
       ingest(s, tmp, media.filter(col("media_id") >= splitId))
+    }
+    currentLabels(s, path)
+  }
+
+  /** Driver-contract takedown query — `q_media_dup_groups_takedown`:
+    * the two-generation incremental build, then [[delete]] of every
+    * media with `media_id % 7 == 3` (a deterministic victim set spread
+    * across both generations, certain to intersect real groups at the
+    * test scales). By the delete-exactness argument the surviving
+    * labels equal the one-shot over the remaining corpus, so the
+    * oracle is the SAME recursive-CTE reachability with the victim
+    * predicate pushed into the document source. Build-once artifact;
+    * repeat queries read the persisted post-delete labels. */
+  def mediaDupGroupsTakedown(s: SparkSession, dir: String,
+      splitId: Long = 400L): DataFrame = {
+    val fp = ArtifactCache.fingerprint(new java.io.File(s"$dir/documents.parquet"))
+    val path = ArtifactCache.ensure(
+      s"/tmp/graft-mediagroups-del/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}" +
+        s"-$fp-s$splitId-$Ver") { tmp =>
+      val media = Multimodal.mediaTable(s, dir)
+        .select(col("media_id"), col("content"))
+      ingest(s, tmp, media.filter(col("media_id") < splitId))
+      ingest(s, tmp, media.filter(col("media_id") >= splitId))
+      // a takedown list is bounded by contract — this collect is the
+      // caller handing the operator its victim ids, not a data plane
+      val victims = media.filter(pmod(col("media_id"), lit(7)) === 3)
+        .select(col("media_id")).collect().map(_.getLong(0)).toSeq
+      delete(s, tmp, victims)
     }
     currentLabels(s, path)
   }

@@ -773,6 +773,120 @@ class Round17Spec extends SparkSpec {
     } finally ArtifactCache.deleteRecursively(new java.io.File(st))
   }
 
+  // --- group-state takedown (delete + exact un-crossing repair) ---------
+
+  // dgen0 extends cgen0 with an X-triple {3,4,9}: X's df is 3 from the
+  // start (over maxDf=2), so pair (3,4) is SUPPRESSED its whole life —
+  // deleting 9 un-crosses X and must emit it fresh
+  private val dgen0 = cgen0 ++ Seq(
+    3L -> (blk16('X') + blk16('k')), 4L -> (blk16('X') + blk16('l')),
+    9L -> (blk16('X') + blk16('m')))
+
+  test("delete removes media from the group state exactly: un-crossed " +
+    "windows resurrect removed pairs and emit never-emitted ones, victim " +
+    "pairs mask, and labels equal the one-shot over the remaining corpus " +
+    "through further ingests and a compaction") {
+    val st = java.nio.file.Files.createTempDirectory("graft-mdel").toString
+    val dir = java.nio.file.Files.createTempDirectory("graft-mdel-corp").toString
+    def oneShotOver(docs: Seq[(Long, String)]): Map[Long, Long] = {
+      import spark.implicits._
+      docs.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      labelsOf(Multimodal.mediaDupGroups(spark, dir, threshold = 0.0, maxDf = 2))
+    }
+    try {
+      MediaGroupsInc.ingest(spark, st, toMedia(dgen0), threshold = 0.0, maxDf = 2)
+      MediaGroupsInc.ingest(spark, st, toMedia(cgen1), threshold = 0.0, maxDf = 2)
+      // W crossed at gen1 (pair 1-2 removed), X over cap from the start
+      // (pair 3-4 never emitted), P crossed but 5-6 keeps Q support
+      assert(labelsOf(MediaGroupsInc.currentLabels(spark, st)) ==
+        Map(5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
+      val victims = Seq(9L, 101L, 102L, 105L)
+      val got = labelsOf(MediaGroupsInc.delete(spark, st, victims,
+        threshold = 0.0, maxDf = 2))
+      // 9 gone: X df 3->2 un-crosses, FRESH pair (3,4); 101+102 gone:
+      // W df 4->2 un-crosses, RESURRECTS removed pair (1,2); 105 gone:
+      // P df 3->2 un-crosses, members (5,6) already live
+      val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L,
+        5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L)
+      assert(got == expect, s"got $got")
+      val remaining = (dgen0 ++ cgen1).filterNot(d => victims.contains(d._1))
+      assert(got == oneShotOver(remaining), "delete ≡ one-shot over survivors")
+      // the victim postings are physically gone from candidate space
+      assert(spark.read.parquet(s"$st/wins")
+        .filter(col("media_id").isin(victims: _*)).count() == 0)
+      assert(new java.io.File(s"$st/windf/batch=-1").exists(),
+        "negative df partials adopted under the reserved generation")
+      // a later ingest behaves exactly: 201 crosses V (drops pair 7-8)
+      val afterIngest = labelsOf(MediaGroupsInc.ingest(spark, st,
+        toMedia(cgen2), threshold = 0.0, maxDf = 2))
+      assert(afterIngest == oneShotOver(remaining ++ cgen2),
+        s"post-delete ingest diverged: $afterIngest")
+      // a victim WITH live pairs: masking path + kept removed store
+      val afterDel2 = labelsOf(MediaGroupsInc.delete(spark, st, Seq(2L),
+        threshold = 0.0, maxDf = 2))
+      val remaining2 = (remaining ++ cgen2).filterNot(_._1 == 2L)
+      assert(afterDel2 == oneShotOver(remaining2),
+        s"victim-pair masking diverged: $afterDel2")
+      // compaction folds it all physically; labels unchanged
+      MediaGroupsInc.compactState(spark, st)
+      assert(labelsOf(MediaGroupsInc.currentLabels(spark, st)) == afterDel2)
+      assert(spark.read.parquet(s"$st/pairs")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((3L, 4L), (5L, 6L)), "compacted pair store = live pairs only")
+    } finally Seq(st, dir).foreach(p =>
+      ArtifactCache.deleteRecursively(new java.io.File(p)))
+  }
+
+  test("delete crash-resume: ingest and label probes refuse while the " +
+    "marker is pending; phase B completes from the marker alone") {
+    val st = java.nio.file.Files.createTempDirectory("graft-mdel-crash").toString
+    try {
+      MediaGroupsInc.ingest(spark, st, toMedia(dgen0), threshold = 0.0, maxDf = 2)
+      MediaGroupsInc.ingest(spark, st, toMedia(cgen1), threshold = 0.0, maxDf = 2)
+      assert(MediaGroupsInc.deletePhaseA(spark, st, Seq(101L, 102L),
+        threshold = 0.0, maxDf = 2))
+      assert(MediaGroupsInc.pendingDelete(st))
+      intercept[IllegalArgumentException] {
+        MediaGroupsInc.ingest(spark, st, toMedia(cgen2),
+          threshold = 0.0, maxDf = 2)
+      }
+      intercept[IllegalStateException] {
+        MediaGroupsInc.currentLabels(spark, st)
+      }
+      intercept[IllegalArgumentException] {
+        MediaGroupsInc.compactState(spark, st)
+      }
+      // resume = re-run delete (phase A sees the marker, ids from it)
+      val got = labelsOf(MediaGroupsInc.delete(spark, st, Seq(101L, 102L),
+        threshold = 0.0, maxDf = 2))
+      assert(!MediaGroupsInc.pendingDelete(st))
+      // W un-crossed: removed pair (1,2) resurrected
+      assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L,
+        7L -> 7L, 8L -> 7L), s"got $got")
+    } finally ArtifactCache.deleteRecursively(new java.io.File(st))
+  }
+
+  test("mediaDupGroupsTakedown (driver query) equals the one-shot over " +
+    "the corpus minus the % 7 == 3 victims, and actually changes labels") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mdel-q").toString
+    try {
+      val full = Multimodal.mediaTable(spark, sf)
+      import spark.implicits._
+      full.filter(pmod(col("media_id"), lit(7)) =!= 3)
+        .select(col("media_id").as("doc_id"),
+          decode(col("content"), "UTF-8").as("text"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val oneShot = labelsOf(Multimodal.mediaDupGroups(spark, dir))
+      val mid = full.agg(expr("percentile(media_id, 0.5)"))
+        .head().getDouble(0).toLong
+      val got = labelsOf(MediaGroupsInc.mediaDupGroupsTakedown(spark, sf, mid))
+      assert(got == oneShot, s"diverges: ${(got.toSet diff oneShot.toSet).take(3)}")
+      val before = labelsOf(Multimodal.mediaDupGroups(spark, sf))
+      assert(got != before, "victim set must intersect real groups")
+    } finally ArtifactCache.deleteRecursively(new java.io.File(dir))
+  }
+
   test("compactState refuses a streamed state whose staged generation " +
     "lacks its ingest marker (crashed batch pending replay)") {
     val st = java.nio.file.Files.createTempDirectory("graft-minc-guard").toString

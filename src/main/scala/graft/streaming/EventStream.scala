@@ -682,11 +682,18 @@ object EventStream {
     * path — but propagates only as far as the delta's merges reach.
     * `driverEdgeCap` is exposed so specs can force distributed
     * propagation and read the round count.
+    *
+    * `consolidateEvery = Some(n)` folds the accumulated one-dir-per-
+    * trigger debt via [[consolidateDedupState]] after every n-th
+    * batch, from inside the single writer; a consolidation the
+    * previous run crashed mid-swap is resumed BEFORE the next ingest
+    * touches the state.
     */
   def streamingNearDedupGroups(docs: DataFrame, outPath: String,
       threshold: Double = 0.3, maxDf: Int = 50,
       checkpointLocation: Option[String] = None,
-      driverEdgeCap: Long = 1L << 20): StreamingQuery = {
+      driverEdgeCap: Long = 1L << 20,
+      consolidateEvery: Option[Int] = None): StreamingQuery = {
     val idxDir = s"$outPath/index"
     val pairDir = s"$outPath/pairs"
     val grpDir = s"$outPath/groups"
@@ -694,6 +701,7 @@ object EventStream {
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
+        if (pendingDedupConsolidate(outPath)) consolidateDedupState(s, outPath)
         val bPair = s"$pairDir/batch=$batchId"
         val bIdx = s"$idxDir/batch=$batchId"
         val bGrp = s"$grpDir/gen=$batchId"
@@ -737,9 +745,113 @@ object EventStream {
           }
           labels.write.mode("overwrite").parquet(bGrp)
         }
+        consolidateEvery.foreach { n =>
+          if ((batchId + 1) % n == 0) consolidateDedupState(s, outPath)
+        }
       }
     checkpointLocation.fold(writer)(c => writer.option("checkpointLocation", c))
       .start()
+  }
+
+  /** True while a [[consolidateDedupState]] is mid-swap — reads of the
+    * index/pair trees may observe a half-applied layout; the streaming
+    * writer resumes the swap before its next ingest. */
+  def pendingDedupConsolidate(outPath: String): Boolean =
+    new java.io.File(s"$outPath/.consol-commit").exists()
+
+  /** Consolidate a [[streamingNearDedupGroups]] state's per-micro-batch
+    * debt — one `index/batch=N` + `pairs/batch=N` dir per trigger and
+    * one `groups/gen=N` per closure — into the newest generation, with
+    * zero answer change: both stores merge VERBATIM (the pair relation
+    * is the answer; shingle postings carry no per-batch statistic), and
+    * group generations below the newest data-holding one prune to
+    * marker-only. Every consumed dir keeps its `_SUCCESS` so a replayed
+    * batch still finds all three stage guards and skips its work; the
+    * warm-seed lookup is unaffected because it scans generations
+    * downward from the CURRENT batch and the newest (data-holding) one
+    * is always hit first.
+    *
+    * Two-phase marker protocol, as the whole lifecycle family: phase A
+    * builds the merged stores under hidden `.consol-tmp` siblings and
+    * commits via atomic marker rename; phase B — re-runnable from the
+    * marker alone — swaps, empties consumed dirs down to their markers,
+    * and drops the marker last. Single-writer contract: run between
+    * triggers (the `consolidateEvery` cadence) or on the paused stream.
+    */
+  def consolidateDedupState(s: SparkSession, outPath: String): Unit =
+    if (dedupConsolidatePhaseA(s, outPath)) dedupConsolidatePhaseB(s, outPath)
+
+  private def dataDirs(root: String, pfx: String): Seq[Int] = {
+    def hasParquet(f: java.io.File): Boolean =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.exists(hasParquet)
+      else f.getName.endsWith(".parquet")
+    Option(new java.io.File(root).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith(pfx) && hasParquet(f))
+      .map(_.getName.stripPrefix(pfx).toInt).sorted
+  }
+
+  private[graft] def dedupConsolidatePhaseA(s: SparkSession,
+      outPath: String): Boolean = {
+    val marker = new java.io.File(s"$outPath/.consol-commit")
+    if (marker.exists()) return true
+    val idxIds = dataDirs(s"$outPath/index", "batch=")
+    val pairIds = dataDirs(s"$outPath/pairs", "batch=")
+    val grpIds = dataDirs(s"$outPath/groups", "gen=")
+    if (idxIds.size <= 1 && pairIds.size <= 1 && grpIds.size <= 1) return false
+    def build(root: String, ids: Seq[Int]): Unit = if (ids.size > 1) {
+      val tmp = s"$root/.consol-tmp"
+      graft.operators.ArtifactCache.deleteRecursively(new java.io.File(tmp))
+      s.read.parquet(root).drop("batch")
+        .write.mode("overwrite").parquet(tmp)
+    }
+    build(s"$outPath/index", idxIds)
+    build(s"$outPath/pairs", pairIds)
+    val markerTmp = new java.io.File(s"$outPath/.consol-commit.tmp")
+    java.nio.file.Files.write(markerTmp.toPath,
+      (s"index:${idxIds.mkString(",")}\npairs:${pairIds.mkString(",")}\n" +
+        s"groups:${grpIds.mkString(",")}").getBytes("UTF-8"))
+    java.nio.file.Files.move(markerTmp.toPath, marker.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    true
+  }
+
+  private[graft] def dedupConsolidatePhaseB(s: SparkSession,
+      outPath: String): Unit = {
+    val marker = new java.io.File(s"$outPath/.consol-commit")
+    val lines = new String(
+      java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").split("\n")
+    def idsOf(tag: String): Seq[Int] = lines.find(_.startsWith(s"$tag:"))
+      .map(_.stripPrefix(s"$tag:")).filter(_.nonEmpty)
+      .map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq.empty)
+    def markerOnly(d: java.io.File): Unit = {
+      graft.operators.ArtifactCache.deleteRecursively(d)
+      d.mkdirs()
+      java.nio.file.Files.write(new java.io.File(d, "_SUCCESS").toPath,
+        Array.emptyByteArray)
+    }
+    def swap(root: String, pfx: String, ids: Seq[Int]): Unit = if (ids.size > 1) {
+      val target = new java.io.File(s"$root/$pfx${ids.max}")
+      val tmp = new java.io.File(s"$root/.consol-tmp")
+      if (tmp.exists()) {
+        graft.operators.ArtifactCache.deleteRecursively(target)
+        java.nio.file.Files.move(tmp.toPath, target.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      val ok = new java.io.File(target, "_SUCCESS")
+      if (!ok.exists())
+        java.nio.file.Files.write(ok.toPath, Array.emptyByteArray)
+      ids.filter(_ != ids.max)
+        .foreach(i => markerOnly(new java.io.File(s"$root/$pfx$i")))
+    }
+    swap(s"$outPath/index", "batch=", idsOf("index"))
+    swap(s"$outPath/pairs", "batch=", idsOf("pairs"))
+    // groups: no merge — the newest data-holding generation IS the
+    // state; older ones prune to marker-only (replay guard preserved)
+    val grpIds = idsOf("groups")
+    if (grpIds.size > 1)
+      grpIds.filter(_ != grpIds.max).foreach(i =>
+        markerOnly(new java.io.File(s"$outPath/groups/gen=$i")))
+    marker.delete()
   }
 
   /** Streaming audio-ingest matching — the upload-time ContentID
@@ -888,15 +1000,24 @@ object EventStream {
     * written AFTER a completed ingest lets clean replays skip the
     * work entirely. Arrival contract as everywhere in this family:
     * media ids ascend across batches (append-only ingest).
+    * `compactEvery = Some(n)` folds the accumulated generation debt
+    * ([[graft.operators.MediaGroupsInc.compactState]]) after every
+    * n-th batch from inside the single writer; a compaction crashed
+    * mid-swap resumes before the next ingest.
     */
   def streamingMediaGroups(media: DataFrame, outPath: String,
       threshold: Double = 0.99, maxDf: Int = 64,
       checkpointLocation: Option[String] = None,
-      driverEdgeCap: Long = 1L << 20): StreamingQuery = {
+      driverEdgeCap: Long = 1L << 20,
+      compactEvery: Option[Int] = None): StreamingQuery = {
     val writer = media.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
+        // a compaction the previous run crashed mid-swap must complete
+        // before ingest touches the state (ingest refuses otherwise)
+        if (graft.operators.MediaGroupsInc.pendingCompact(outPath))
+          graft.operators.MediaGroupsInc.compactState(s, outPath)
         val marker = new java.io.File(s"$outPath/ingested/batch-$batchId")
         if (!marker.exists()) {
           graft.operators.MediaGroupsInc.ingest(s, outPath,
@@ -905,6 +1026,14 @@ object EventStream {
           marker.getParentFile.mkdirs()
           java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
           ()
+        }
+        // fold the generation debt on the cadence, from inside the
+        // single writer (every staged gen is marked by now, so the
+        // in-flight guard passes; a replayed batch re-compacts as a
+        // no-op)
+        compactEvery.foreach { n =>
+          if ((batchId + 1) % n == 0)
+            graft.operators.MediaGroupsInc.compactState(s, outPath)
         }
       }
     checkpointLocation.fold(writer)(c => writer.option("checkpointLocation", c))

@@ -887,6 +887,105 @@ class Round17Spec extends SparkSpec {
     } finally ArtifactCache.deleteRecursively(new java.io.File(dir))
   }
 
+  // --- streamed-state consolidation cadences -----------------------------
+
+  private def dataDirCount(root: String, pfx: String): Int = {
+    def hasParquet(f: java.io.File): Boolean =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.exists(hasParquet)
+      else f.getName.endsWith(".parquet")
+    Option(new java.io.File(root).listFiles()).toSeq.flatten
+      .count(f => f.isDirectory && f.getName.startsWith(pfx) && hasParquet(f))
+  }
+
+  private def markerOnlyDir(path: String): Boolean = {
+    val f = new java.io.File(path)
+    f.isDirectory && new java.io.File(f, "_SUCCESS").exists() &&
+      Option(f.listFiles()).toSeq.flatten.forall(!_.getName.endsWith(".parquet"))
+  }
+
+  test("streamingNearDedupGroups consolidation cadence folds the per-batch " +
+    "debt: consumed dirs stay marker-only for replay, labels equal the cold " +
+    "closure throughout, and a crash between the phases resumes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def chain(pfx: String, ids: Range): Seq[(Long, String)] = ids.map { i =>
+      val k = i - ids.head
+      (i.toLong, s"$pfx$k ${pfx}${k + 1} ${pfx}${k + 2}")
+    }
+    val chainA = chain("ka", 0 until 5)
+    val chainB = chain("mb", 10 until 15)
+    val bridge = Seq((20L, "ka2 ka3 ka2 mb2 mb3"))
+    val out = java.nio.file.Files.createTempDirectory("graft-sdg-cons").toString
+    try {
+      val in = MemoryStream[(Long, String)]
+      val q = graft.streaming.EventStream.streamingNearDedupGroups(
+        in.toDF().toDF("doc_id", "text"), out,
+        threshold = 0.0, consolidateEvery = Some(2))
+      def coldLabels(): Map[Long, Long] = Dedup.connectedComponents(
+        spark.read.parquet(s"$out/pairs").select(col("doc_a"), col("doc_b")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      try {
+        in.addData(chainA); q.processAllAvailable()
+        in.addData(chainB); q.processAllAvailable() // cadence fires here
+        assert(markerOnlyDir(s"$out/index/batch=0") &&
+          markerOnlyDir(s"$out/pairs/batch=0") &&
+          markerOnlyDir(s"$out/groups/gen=0"),
+          "consumed batch-0 dirs must stay marker-only (replay guards)")
+        assert(dataDirCount(s"$out/index", "batch=") == 1)
+        in.addData(bridge); q.processAllAvailable()
+        val g2 = spark.read.parquet(s"$out/groups/gen=2")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(g2.values.toSet == Set(0L), "bridged graph is one component")
+        assert(g2 == coldLabels(),
+          "post-consolidation labels must equal the cold closure")
+      } finally q.stop()
+      // offline crash-resume over the remaining {1, 2} debt
+      assert(graft.streaming.EventStream.dedupConsolidatePhaseA(spark, out))
+      assert(graft.streaming.EventStream.pendingDedupConsolidate(out))
+      graft.streaming.EventStream.consolidateDedupState(spark, out)
+      assert(!graft.streaming.EventStream.pendingDedupConsolidate(out))
+      Seq("index", "pairs").foreach { sub =>
+        assert(dataDirCount(s"$out/$sub", "batch=") == 1, s"$sub folded")
+      }
+      assert(dataDirCount(s"$out/groups", "gen=") == 1, "stale gens pruned")
+      val g2b = spark.read.parquet(s"$out/groups/gen=2")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(g2b == coldLabels() && g2b.values.toSet == Set(0L),
+        "consolidation must not change the answer")
+    } finally ArtifactCache.deleteRecursively(new java.io.File(out))
+  }
+
+  test("streamingMediaGroups compactEvery cadence: labels still equal the " +
+    "one-shot and the state holds a single generation per store") {
+    val src = java.nio.file.Files.createTempDirectory("graft-smgc-src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-smgc").toString
+    try {
+      val media = Multimodal.mediaTable(spark, sf)
+        .select(col("media_id"), col("content"))
+      media.filter(col("media_id") < 300).repartition(1)
+        .write.mode("append").parquet(src)
+      Thread.sleep(1100)
+      media.filter(col("media_id") >= 300).repartition(1)
+        .write.mode("append").parquet(src)
+      val q = graft.streaming.EventStream.streamingMediaGroups(
+        spark.readStream.schema("media_id LONG, content BINARY")
+          .option("maxFilesPerTrigger", 1).parquet(src), out,
+        compactEvery = Some(2))
+      try q.processAllAvailable() finally q.stop()
+      val streamed = labelsOf(MediaGroupsInc.currentLabels(spark, out))
+      val oneShot = labelsOf(Multimodal.mediaDupGroups(spark, sf))
+      assert(streamed.nonEmpty && streamed == oneShot)
+      Seq("wins", "windf", "hv", "pairs").foreach { sub =>
+        assert(dataDirCount(s"$out/$sub", "batch=") == 1,
+          s"$sub must be compacted to one generation")
+      }
+    } finally {
+      ArtifactCache.deleteRecursively(new java.io.File(src))
+      ArtifactCache.deleteRecursively(new java.io.File(out))
+    }
+  }
+
   test("compactState refuses a streamed state whose staged generation " +
     "lacks its ingest marker (crashed batch pending replay)") {
     val st = java.nio.file.Files.createTempDirectory("graft-minc-guard").toString

@@ -9,7 +9,7 @@ import graft.streaming.EventStream
 /** Committed-artifact companion to the streaming batch-equality specs
   * (the RECALL.json pattern, asked for by the r10 verdict): the spec
   * suite asserts stream==batch inside ScalaTest, but a floor inside a
-  * spec isn't inspectable per-round, so this main replays the six
+  * spec isn't inspectable per-round, so this main replays the
   * maintenance paths with the source REALLY chopped into micro-batches
   * (multi-file staged copies, `maxFilesPerTrigger = 1`) and records,
   * per path: the number of micro-batches, the input rows each batch
@@ -37,6 +37,13 @@ import graft.streaming.EventStream
   *     form over the whole corpus (exactness under cap-crossing
   *     repair — the strongest parity in the set: stream state vs an
   *     operator that never saw the chop)
+  * 12. the same media-group stream under the `compactEvery` cadence
+  *     (state folded mid-stream) vs the same one-shot
+  * 13. the near-dup group stream under the `consolidateEvery` cadence
+  *     vs the cold closure over the consolidated pair store
+  * 14. group-state TAKEDOWN: delete of the %7==3 victims from path
+  *     11's streamed state vs the one-shot over the remaining corpus
+  *     (the un-crossing-repair exactness argument as committed data)
   */
 object StreamReport {
 
@@ -381,24 +388,71 @@ object StreamReport {
         streamed.count(), cold.count(), setEqual(streamed, cold))
     }
 
-    // 11. streaming incremental media dup groups: the persisted group
-    //     state after the chopped ingest vs the ONE-SHOT group operator
-    //     over the whole corpus — the cap-crossing-repair exactness
-    //     argument as committed data
+    // 11 + 12 + 14: the media group-state lifecycle over one staged
+    //     source — the plain chopped ingest vs the ONE-SHOT operator
+    //     (the cap-crossing-repair exactness argument as committed
+    //     data), the same stream under the compactEvery cadence, and
+    //     the takedown of the %7==3 victims from the plain stream's
+    //     state vs the one-shot over the REMAINING corpus (the
+    //     un-crossing-repair exactness argument as committed data)
     locally {
       val medDir = s"$tmp/mediasrc"
       stageOrdered(operators.Multimodal.mediaTable(spark, dir)
         .select(col("media_id"), col("content")), "media_id", medDir)
-      val out = s"$tmp/mediagroups"
-      val q = EventStream.streamingMediaGroups(spark.readStream
+      def medStream = spark.readStream
         .schema("media_id LONG, content BINARY")
-        .option("maxFilesPerTrigger", 1).parquet(medDir), out)
+        .option("maxFilesPerTrigger", 1).parquet(medDir)
+      val oneShot = operators.Multimodal.mediaDupGroups(spark, dir)
+
+      val out = s"$tmp/mediagroups"
+      val q = EventStream.streamingMediaGroups(medStream, out)
       try q.processAllAvailable() finally q.stop()
       val perBatch = q.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0)
       val streamed = operators.MediaGroupsInc.currentLabels(spark, out)
-      val oneShot = operators.Multimodal.mediaDupGroups(spark, dir)
       reports += PathReport("media_groups_incremental", perBatch,
         streamed.count(), oneShot.count(), setEqual(streamed, oneShot))
+
+      // 12: the cadence folds the state mid-stream; answers unchanged
+      val outC = s"$tmp/mediagroups_c"
+      val qc = EventStream.streamingMediaGroups(medStream, outC,
+        compactEvery = Some(2))
+      try qc.processAllAvailable() finally qc.stop()
+      val perBatchC = qc.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0)
+      val streamedC = operators.MediaGroupsInc.currentLabels(spark, outC)
+      reports += PathReport("media_groups_compacted", perBatchC,
+        streamedC.count(), oneShot.count(), setEqual(streamedC, oneShot))
+
+      // 14: takedown from the plain stream's state (bounded victim
+      // list by contract) vs the one-shot over the remaining corpus
+      val victims = operators.Multimodal.mediaTable(spark, dir)
+        .filter(pmod(col("media_id"), lit(7)) === 3)
+        .select(col("media_id")).collect().map(_.getLong(0)).toSeq
+      val afterDel = operators.MediaGroupsInc.delete(spark, out, victims)
+      val fdir = s"$tmp/mediafiltered"
+      Tables.load(spark, dir, "documents")
+        .filter(col("doc_id") % 7 =!= 3)
+        .write.mode("overwrite").parquet(s"$fdir/documents.parquet")
+      val oneShotF = operators.Multimodal.mediaDupGroups(spark, fdir)
+      reports += PathReport("media_groups_takedown", Seq(victims.size.toLong),
+        afterDel.count(), oneShotF.count(), setEqual(afterDel, oneShotF))
+    }
+
+    // 13: the near-dup group stream under the consolidateEvery cadence
+    //     vs the cold closure over the consolidated pair store
+    locally {
+      val out = s"$tmp/dedupgroups_c"
+      val q = EventStream.streamingNearDedupGroups(docsStream, out,
+        consolidateEvery = Some(2))
+      try q.processAllAvailable() finally q.stop()
+      val perBatch = q.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0)
+      val gens = new java.io.File(s"$out/groups").listFiles()
+        .filter(_.getName.startsWith("gen="))
+        .map(_.getName.stripPrefix("gen=").toLong).sorted
+      val streamed = spark.read.parquet(s"$out/groups/gen=${gens.last}")
+      val cold = operators.Dedup.connectedComponents(
+        spark.read.parquet(s"$out/pairs").select(col("doc_a"), col("doc_b")))
+      reports += PathReport("dedup_groups_consolidated", perBatch,
+        streamed.count(), cold.count(), setEqual(streamed, cold))
     }
 
     val allMatch = reports.forall(_.matches)

@@ -70,4 +70,28 @@ private[graft] object ArtifactCache {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete()
   }
+
+  /** True when the tree under `f` holds at least one parquet file that
+    * Spark's file index would actually READ — dot- and underscore-
+    * prefixed entries (hidden staging dirs like `.del-tmp`, markers
+    * like `_SUCCESS`) are invisible to Spark and must be invisible to
+    * data-presence checks too, or a crashed pre-commit staging dir
+    * makes a store look non-empty that `spark.read` then fails on.
+    * THE one copy for the lifecycle family's walkers. */
+  def hasVisibleParquet(f: java.io.File): Boolean =
+    !f.getName.startsWith(".") && !f.getName.startsWith("_") && {
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.exists(hasVisibleParquet)
+      else f.getName.endsWith(".parquet")
+    }
+
+  /** `<pfx>N` subdirectories of `root` that hold visible parquet data
+    * (a marker-only dir — `_SUCCESS` kept for a streaming replay
+    * guard — has nothing to merge), ascending. The shared batch-dir
+    * walker of the incremental-index/state family. */
+  def dataBatchIds(root: String, pfx: String = "batch="): Seq[Int] =
+    Option(new java.io.File(root).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith(pfx) &&
+        hasVisibleParquet(f))
+      .map(_.getName.stripPrefix(pfx).toInt).sorted
 }

@@ -535,9 +535,6 @@ object AudioMatch {
     * at a remote store. */
   private[graft] def matchAgainst(s: SparkSession, path: String,
       clips: DataFrame): DataFrame = {
-    def hasParquet(f: java.io.File): Boolean =
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.exists(hasParquet)
-      else f.getName.endsWith(".parquet")
     // mid-swap guard: between compactKeyDf's commit marker and the
     // final adoption the merged df counts live only in the hidden temp
     // dir — probing would undercount every key's df and re-admit
@@ -550,7 +547,7 @@ object AudioMatch {
       throw new IllegalStateException(
         s"pending batch consolidation at $path: re-run " +
           "MediaIndexOps.consolidateBatches to completion before probing")
-    if (!hasParquet(new java.io.File(s"$path/landmarks")))
+    if (!ArtifactCache.hasVisibleParquet(new java.io.File(s"$path/landmarks")))
       clips.select(col("clip_id"), lit(0L).as("track_id"),
         lit(0L).as("offset_frames"), lit(0L).as("votes")).limit(0)
     else probeIndex(

@@ -78,9 +78,25 @@ object MediaGroupsInc {
       .filter(f => f.isDirectory && f.getName.startsWith("gen="))
       .map(_.getName.stripPrefix("gen=").toInt).sorted.lastOption
 
-  private def hasParquet(f: java.io.File): Boolean =
-    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.exists(hasParquet)
-    else f.getName.endsWith(".parquet")
+  /** The replay-safety invariant shared by [[compactState]] and
+    * [[delete]] on a STREAMED state: an in-flight (crashed,
+    * replay-pending) generation must re-run before any state-mutating
+    * maintenance — its replay would overwrite gen-scoped dirs the
+    * maintenance just consumed. Non-streamed states have no `ingested`
+    * dir and rely on the quiescent single-writer contract. */
+  private def requireNoInflightGens(path: String, action: String): Unit = {
+    val ingDir = new java.io.File(s"$path/ingested")
+    if (ingDir.exists()) {
+      val marked = Option(ingDir.listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith("batch-"))
+        .map(_.getName.stripPrefix("batch-").toInt).toSet
+      val inflight = batchDirs(path, "wins").filterNot(marked)
+      require(inflight.isEmpty,
+        s"generation(s) ${inflight.mkString(",")} at $path lack ingest " +
+          "markers (crashed batch pending replay): re-run the stream to " +
+          s"completion before $action")
+    }
+  }
 
   /** True while a [[compactState]] is mid-swap — [[ingest]] refuses
     * until the compaction is re-run to completion. [[currentLabels]]
@@ -137,55 +153,60 @@ object MediaGroupsInc {
       s"pending delete at $path: run delete to completion before compacting")
     val gens = batchDirs(path, "wins")
     if (gens.isEmpty) return false
-    // streamed-layout guard: an in-flight (crashed, replay-pending)
-    // generation must re-run BEFORE compaction — its replay would
-    // overwrite gen-scoped dirs the merge just consumed, double-
-    // counting the delta. Non-streamed states have no `ingested` dir
-    // and rely on the quiescent single-writer contract.
-    val ingDir = new java.io.File(s"$path/ingested")
-    if (ingDir.exists()) {
-      val marked = Option(ingDir.listFiles()).toSeq.flatten
-        .filter(_.getName.startsWith("batch-"))
-        .map(_.getName.stripPrefix("batch-").toInt).toSet
-      val inflight = gens.filterNot(marked)
-      require(inflight.isEmpty,
-        s"generation(s) ${inflight.mkString(",")} at $path lack ingest " +
-          "markers (crashed batch pending replay): re-run the stream to " +
-          "completion before compacting")
-    }
-    val removedData = hasParquet(new java.io.File(s"$path/removed"))
+    requireNoInflightGens(path, "compacting")
+    // each store is gated on its OWN data-dir count: a delete leaves
+    // windf/pairs with a reserved batch=-1 next to a single wins
+    // generation, and those negatives/appends must fold (or be left
+    // alone) independently of the wins count — a wins-only gate would
+    // let phase B's consumed-dir sweep destroy unmerged batch=-1 data
+    val windfIds = ArtifactCache.dataBatchIds(s"$path/windf")
+    val hvIds = ArtifactCache.dataBatchIds(s"$path/hv")
+    val pairIds = ArtifactCache.dataBatchIds(s"$path/pairs")
+    val removedData =
+      ArtifactCache.hasVisibleParquet(new java.io.File(s"$path/removed"))
     val staleLabels = Option(new java.io.File(s"$path/labels").listFiles())
       .toSeq.flatten.count(f => f.isDirectory && f.getName.startsWith("gen=")) > 1
-    if (gens.size <= 1 && !removedData && !staleLabels) return false
-    if (gens.size > 1) {
-      def tmpOf(sub: String): String = {
-        ArtifactCache.deleteRecursively(new java.io.File(s"$path/$sub/.compact-tmp"))
-        s"$path/$sub/.compact-tmp"
-      }
+    val mergeWins = gens.size > 1
+    val mergeWindf = windfIds.size > 1
+    val mergeHv = hvIds.size > 1
+    val mergePairs = pairIds.size > 1 || removedData
+    if (!mergeWins && !mergeWindf && !mergeHv && !mergePairs && !staleLabels)
+      return false
+    def tmpOf(sub: String): String = {
+      ArtifactCache.deleteRecursively(new java.io.File(s"$path/$sub/.compact-tmp"))
+      s"$path/$sub/.compact-tmp"
+    }
+    if (mergeWins)
       s.read.parquet(s"$path/wins").drop("batch")
         .write.mode("overwrite").partitionBy("wb").parquet(tmpOf("wins"))
+    if (mergeWindf)
       // a delete's negative partials (batch=-1) fold in; windows whose
       // live df hits zero carry no information and drop
       s.read.parquet(s"$path/windf")
         .groupBy(col("win")).agg(sum(col("cnt")).as("cnt"))
         .filter(col("cnt") > 0)
         .write.mode("overwrite").parquet(tmpOf("windf"))
+    if (mergeHv)
       s.read.parquet(s"$path/hv").drop("batch")
         .write.mode("overwrite").parquet(tmpOf("hv"))
-    }
-    if (gens.size > 1 || removedData) {
-      val tmp = new java.io.File(s"$path/pairs/.compact-tmp")
-      ArtifactCache.deleteRecursively(tmp)
+    if (mergePairs) {
       val all = s.read.parquet(s"$path/pairs").select(col("doc_a"), col("doc_b"))
       val live = if (removedData)
         all.join(s.read.parquet(s"$path/removed")
           .select(col("doc_a"), col("doc_b")), Seq("doc_a", "doc_b"), "left_anti")
       else all
-      live.write.mode("overwrite").parquet(tmp.getPath)
+      live.write.mode("overwrite").parquet(tmpOf("pairs"))
     }
+    // the marker records the consumed ids PER STORE — phase B sweeps
+    // exactly these, so a store that was not merged keeps its dirs
     val markerTmp = new java.io.File(s"$path/.compact-commit.tmp")
     java.nio.file.Files.write(markerTmp.toPath,
-      s"gen:${gens.max}".getBytes("UTF-8"))
+      (s"gen:${gens.max}\n" +
+        s"wins:${(if (mergeWins) gens else Seq.empty).mkString(",")}\n" +
+        s"windf:${(if (mergeWindf) windfIds else Seq.empty).mkString(",")}\n" +
+        s"hv:${(if (mergeHv) hvIds else Seq.empty).mkString(",")}\n" +
+        s"pairs:${(if (mergePairs) pairIds else Seq.empty).mkString(",")}")
+        .getBytes("UTF-8"))
     java.nio.file.Files.move(markerTmp.toPath, marker.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     true
@@ -196,10 +217,15 @@ object MediaGroupsInc {
     * meta fold over whatever files remain, prune below the latest). */
   private[graft] def compactPhaseB(s: SparkSession, path: String): Unit = {
     val marker = new java.io.File(s"$path/.compact-commit")
-    val maxGen = new String(
-      java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
-      .trim.stripPrefix("gen:").toInt
+    val lines = new String(
+      java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").split("\n")
+    val maxGen = lines.head.stripPrefix("gen:").trim.toInt
+    def idsOf(tag: String): Seq[Int] = lines.find(_.startsWith(s"$tag:"))
+      .map(_.stripPrefix(s"$tag:").trim).filter(_.nonEmpty)
+      .map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq.empty)
     def swap(sub: String): Unit = {
+      val ids = idsOf(sub)
+      if (ids.isEmpty) return // store was not merged — leave it alone
       val root = s"$path/$sub"
       val tmp = new java.io.File(s"$root/.compact-tmp")
       if (tmp.exists()) {
@@ -208,16 +234,16 @@ object MediaGroupsInc {
           new java.io.File(s"$root/batch=$maxGen").toPath,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
-      // single-writer: every non-max dir is a consumed one (ingest is
-      // refused while the marker exists, so none can be newer)
-      Option(new java.io.File(root).listFiles()).toSeq.flatten
-        .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
-          f.getName != s"batch=$maxGen")
-        .foreach(ArtifactCache.deleteRecursively)
+      // sweep exactly the consumed ids the marker recorded (the merged
+      // store landed under batch=<maxGen>)
+      ids.filter(_ != maxGen).foreach(i =>
+        ArtifactCache.deleteRecursively(new java.io.File(s"$root/batch=$i")))
     }
     Seq("wins", "windf", "hv", "pairs").foreach(swap)
-    // removals are folded into the live pair rewrite above
-    ArtifactCache.deleteRecursively(new java.io.File(s"$path/removed"))
+    // removals are folded into the live pair rewrite — only when that
+    // rewrite actually ran (the pairs line is recorded exactly then)
+    if (idsOf("pairs").nonEmpty)
+      ArtifactCache.deleteRecursively(new java.io.File(s"$path/removed"))
     // meta folds to one "globalMin,globalMax" — write-merged-first so a
     // crash mid-delete still reconstructs the same fold from survivors
     val metaDir = new java.io.File(s"$path/meta")
@@ -290,6 +316,11 @@ object MediaGroupsInc {
   def delete(s: SparkSession, path: String, victims: Seq[Long],
       threshold: Double = 0.99, maxDf: Int = 64,
       driverEdgeCap: Long = 1L << 20): DataFrame = {
+    // a marker inherited from a CRASHED earlier delete carries THAT
+    // call's victim list — finish it first, then apply this call's
+    // victims fresh (silently resuming the old list in place of the
+    // new one would drop a takedown on the floor)
+    if (pendingDelete(path)) deletePhaseB(s, path, driverEdgeCap)
     if (deletePhaseA(s, path, victims, threshold, maxDf))
       deletePhaseB(s, path, driverEdgeCap)
     currentLabels(s, path)
@@ -307,19 +338,9 @@ object MediaGroupsInc {
         "before deleting")
     require(victims.nonEmpty, "empty takedown list")
     if (batchDirs(path, "wins").isEmpty) return false
-    // streamed-layout guard, as compactState: a crashed generation's
-    // replay would re-stage the victim's postings after the takedown
-    val ingDir = new java.io.File(s"$path/ingested")
-    if (ingDir.exists()) {
-      val marked = Option(ingDir.listFiles()).toSeq.flatten
-        .filter(_.getName.startsWith("batch-"))
-        .map(_.getName.stripPrefix("batch-").toInt).toSet
-      val inflight = batchDirs(path, "wins").filterNot(marked)
-      require(inflight.isEmpty,
-        s"generation(s) ${inflight.mkString(",")} at $path lack ingest " +
-          "markers (crashed batch pending replay): re-run the stream to " +
-          "completion before deleting")
-    }
+    // a crashed generation's replay would re-stage the victim's
+    // postings after the takedown
+    requireNoInflightGens(path, "deleting")
     graft.functions.VectorFunctions.register(s)
     val vcol = col("media_id").isin(victims: _*)
     val allWins = s.read.parquet(s"$path/wins")
@@ -351,7 +372,7 @@ object MediaGroupsInc {
       val pairsAll = s.read.parquet(s"$path/pairs")
         .select(col("doc_a"), col("doc_b"))
       val removedOld =
-        if (new java.io.File(s"$path/removed").exists())
+        if (ArtifactCache.hasVisibleParquet(new java.io.File(s"$path/removed")))
           s.read.parquet(s"$path/removed").select(col("doc_a"), col("doc_b"))
         else pairsAll.limit(0)
       val resurrect =
@@ -471,7 +492,7 @@ object MediaGroupsInc {
     val pairsAll = s.read.parquet(s"$path/pairs")
       .select(col("doc_a"), col("doc_b"))
     val live =
-      if (new java.io.File(s"$path/removed").exists())
+      if (ArtifactCache.hasVisibleParquet(new java.io.File(s"$path/removed")))
         pairsAll.join(s.read.parquet(s"$path/removed")
           .select(col("doc_a"), col("doc_b")), Seq("doc_a", "doc_b"), "left_anti")
       else pairsAll
@@ -530,7 +551,10 @@ object MediaGroupsInc {
     // broadcasts the delta-sized eligible set and DPP prunes the
     // posting scan to its buckets (the matchAgainstVideo shape).
     val wb = pmod(xxhash64(col("win")), lit(64)).as("wb")
-    val dwins = mediaWindows(b)
+    // the stride-4 window explode is the heaviest per-delta transform
+    // and feeds three consumers (wins write, windf partial, touched
+    // semi-join) — compute it once
+    val dwins = mediaWindows(b).persist()
     dwins.withColumn("wb", wb)
       .write.mode("overwrite").partitionBy("wb").parquet(s"$path/wins/batch=$gen")
     dwins.groupBy(col("win")).agg(count(lit(1)).as("cnt"))
@@ -632,7 +656,7 @@ object MediaGroupsInc {
     // ---- 5. closure: warm from the previous labels unless repaired
     val pairsAll = s.read.parquet(s"$path/pairs").select(col("doc_a"), col("doc_b"))
     val live =
-      if (new java.io.File(s"$path/removed").exists())
+      if (ArtifactCache.hasVisibleParquet(new java.io.File(s"$path/removed")))
         pairsAll.join(s.read.parquet(s"$path/removed")
           .select(col("doc_a"), col("doc_b")), Seq("doc_a", "doc_b"), "left_anti")
       else pairsAll
@@ -646,6 +670,7 @@ object MediaGroupsInc {
           driverEdgeCap = driverEdgeCap)
     labels.write.mode("overwrite").parquet(s"$path/labels/gen=$gen")
     forest.unpersist()
+    dwins.unpersist()
     currentLabels(s, path)
   }
 

@@ -85,14 +85,8 @@ object MediaIndexOps {
   /** `batch=` dirs under `root` that still hold parquet data (a
     * marker-only dir — `_SUCCESS` left for streaming replay guards —
     * has nothing to merge). */
-  private def dataBatchIds(root: String): Seq[Int] = {
-    def hasParquet(f: java.io.File): Boolean =
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.exists(hasParquet)
-      else f.getName.endsWith(".parquet")
-    Option(new java.io.File(root).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("batch=") && hasParquet(f))
-      .map(_.getName.stripPrefix("batch=").toInt).sorted
-  }
+  private def dataBatchIds(root: String): Seq[Int] =
+    ArtifactCache.dataBatchIds(root)
 
   /** Consolidate a STREAMED index's per-micro-batch dirs — the
     * small-file debt every `foreachBatch` ingest accrues (one

@@ -215,10 +215,7 @@ object PerceptualHash {
       throw new IllegalStateException(
         s"pending batch consolidation at $path: re-run " +
           "MediaIndexOps.consolidateBatches to completion before probing")
-    def hasParquet(f: java.io.File): Boolean =
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.exists(hasParquet)
-      else f.getName.endsWith(".parquet")
-    if (!hasParquet(new java.io.File(s"$path/chunks")))
+    if (!ArtifactCache.hasVisibleParquet(new java.io.File(s"$path/chunks")))
       return images.select(col("media_id"), lit(0L).as("match_id"),
         lit(0L).as("hamming")).limit(0)
     val keep = s.read.parquet(s"$path/keydf")
@@ -521,10 +518,7 @@ object PerceptualHash {
       throw new IllegalStateException(
         s"pending batch consolidation at $path: re-run " +
           "MediaIndexOps.consolidateBatches to completion before probing")
-    def hasParquet(f: java.io.File): Boolean =
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.exists(hasParquet)
-      else f.getName.endsWith(".parquet")
-    if (!hasParquet(new java.io.File(s"$path/frames")))
+    if (!ArtifactCache.hasVisibleParquet(new java.io.File(s"$path/frames")))
       return clips.select(col("clip_id"), lit(0L).as("video_id"),
         lit(0L).as("offset_frames"), lit(0L).as("votes")).limit(0)
     val clipLmk = clipLandmarks(s, clips)

@@ -724,11 +724,9 @@ object EventStream {
           // an all-zero-pair prefix leaves no parquet part anywhere
           // under pairs/ (only _SUCCESS markers) — no schema to infer,
           // and no groups either
-          def hasParquet(f: java.io.File): Boolean =
-            if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.exists(hasParquet)
-            else f.getName.endsWith(".parquet")
           val pairsAll =
-            if (hasParquet(new java.io.File(pairDir)))
+            if (graft.operators.ArtifactCache.hasVisibleParquet(
+                new java.io.File(pairDir)))
               s.read.parquet(pairDir).select(col("doc_a"), col("doc_b"))
             else {
               import s.implicits._
@@ -781,14 +779,8 @@ object EventStream {
   def consolidateDedupState(s: SparkSession, outPath: String): Unit =
     if (dedupConsolidatePhaseA(s, outPath)) dedupConsolidatePhaseB(s, outPath)
 
-  private def dataDirs(root: String, pfx: String): Seq[Int] = {
-    def hasParquet(f: java.io.File): Boolean =
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.exists(hasParquet)
-      else f.getName.endsWith(".parquet")
-    Option(new java.io.File(root).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith(pfx) && hasParquet(f))
-      .map(_.getName.stripPrefix(pfx).toInt).sorted
-  }
+  private def dataDirs(root: String, pfx: String): Seq[Int] =
+    graft.operators.ArtifactCache.dataBatchIds(root, pfx)
 
   private[graft] def dedupConsolidatePhaseA(s: SparkSession,
       outPath: String): Boolean = {
@@ -946,12 +938,19 @@ object EventStream {
         val b = batch.select(col("media_id"), lit("video").as("kind"),
           col("content"))
         val bMatch = s"$matchDir/batch=$batchId"
-        if (!new java.io.File(s"$bMatch/_SUCCESS").exists())
-          PerceptualHash.matchAgainstVideo(s, idxDir,
-              PerceptualHash.ingestClips(s, b))
+        // the frame-sample + dHash kernel dominates per-trigger cost
+        // and feeds several actions (the probe's clip count + join,
+        // the postings and keydf stage writes) — pin each derivation
+        // once per batch instead of re-decoding the media every time
+        if (!new java.io.File(s"$bMatch/_SUCCESS").exists()) {
+          val clips = PerceptualHash.ingestClips(s, b).persist()
+          try PerceptualHash.matchAgainstVideo(s, idxDir, clips)
             .write.mode("overwrite").parquet(bMatch)
-        PerceptualHash.stageVideoBatch(s, idxDir,
-          PerceptualHash.framesOf(s, b), batchId)
+          finally clips.unpersist()
+        }
+        val frames = PerceptualHash.framesOf(s, b).persist()
+        try PerceptualHash.stageVideoBatch(s, idxDir, frames, batchId)
+        finally frames.unpersist()
       }
     checkpointLocation.fold(writer)(c => writer.option("checkpointLocation", c))
       .start()
@@ -976,12 +975,16 @@ object EventStream {
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val h = PerceptualHash.imageHashes(s, batch)
-        val bMatch = s"$matchDir/batch=$batchId"
-        if (!new java.io.File(s"$bMatch/_SUCCESS").exists())
-          PerceptualHash.probeImages(s, idxDir, h)
-            .write.mode("overwrite").parquet(bMatch)
-        PerceptualHash.stageImageBatch(s, idxDir, h, batchId)
+        // the dHash kernel feeds the probe AND both stage writes —
+        // compute it once per batch
+        val h = PerceptualHash.imageHashes(s, batch).persist()
+        try {
+          val bMatch = s"$matchDir/batch=$batchId"
+          if (!new java.io.File(s"$bMatch/_SUCCESS").exists())
+            PerceptualHash.probeImages(s, idxDir, h)
+              .write.mode("overwrite").parquet(bMatch)
+          PerceptualHash.stageImageBatch(s, idxDir, h, batchId)
+        } finally h.unpersist()
       }
     checkpointLocation.fold(writer)(c => writer.option("checkpointLocation", c))
       .start()

@@ -887,6 +887,75 @@ class Round17Spec extends SparkSpec {
     } finally ArtifactCache.deleteRecursively(new java.io.File(dir))
   }
 
+  test("compactState on a single-generation state preserves a delete's " +
+    "negative df partials: the windf/batch=-1 fold is gated per store, " +
+    "so a post-compaction ingest sees post-takedown dfs") {
+    val sA = java.nio.file.Files.createTempDirectory("graft-mdel-negfold").toString
+    val sB = java.nio.file.Files.createTempDirectory("graft-mdel-negctl").toString
+    try {
+      val late = Seq(301L -> (blk16('W') + blk16('z')))
+      Seq(sA, sB).foreach { st =>
+        MediaGroupsInc.ingest(spark, st, toMedia(dgen0), threshold = 0.0, maxDf = 2)
+        MediaGroupsInc.delete(spark, st, Seq(2L), threshold = 0.0, maxDf = 2)
+      }
+      // only sA compacts; with the negatives destroyed W's df would
+      // read 2 pre-ingest and the new carrier could never pair with 1
+      MediaGroupsInc.compactState(spark, sA)
+      assert(!new java.io.File(s"$sA/windf/batch=-1").exists(),
+        "negative partials must FOLD, not survive as a reserved dir")
+      assert(Option(new java.io.File(s"$sA/windf").listFiles()).toSeq.flatten
+        .count(f => f.isDirectory && f.getName.startsWith("batch=")) == 1)
+      val a = labelsOf(MediaGroupsInc.ingest(spark, sA, toMedia(late),
+        threshold = 0.0, maxDf = 2))
+      val b = labelsOf(MediaGroupsInc.ingest(spark, sB, toMedia(late),
+        threshold = 0.0, maxDf = 2))
+      assert(a(1L) == a(301L), "W df must be 2 post-takedown: 1 and 301 pair")
+      assert(a == b, s"compacted=$a control=$b")
+    } finally Seq(sA, sB).foreach(p =>
+      ArtifactCache.deleteRecursively(new java.io.File(p)))
+  }
+
+  test("delete over a crashed delete's marker finishes the pending victim " +
+    "list FIRST, then applies the new one — neither takedown is dropped") {
+    val st = java.nio.file.Files.createTempDirectory("graft-mdel-stack").toString
+    try {
+      MediaGroupsInc.ingest(spark, st, toMedia(dgen0), threshold = 0.0, maxDf = 2)
+      MediaGroupsInc.ingest(spark, st, toMedia(cgen1), threshold = 0.0, maxDf = 2)
+      // first takedown crashes between the phases
+      assert(MediaGroupsInc.deletePhaseA(spark, st, Seq(101L, 102L),
+        threshold = 0.0, maxDf = 2))
+      // second takedown arrives; both must land
+      val got = labelsOf(MediaGroupsInc.delete(spark, st, Seq(105L),
+        threshold = 0.0, maxDf = 2))
+      assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L,
+        7L -> 7L, 8L -> 7L), s"got $got")
+      assert(spark.read.parquet(s"$st/wins")
+        .filter(col("media_id").isin(101L, 102L, 105L)).count() == 0,
+        "both victim lists must be physically applied")
+    } finally ArtifactCache.deleteRecursively(new java.io.File(st))
+  }
+
+  test("a pre-marker-crashed delete's hidden staging dir is invisible to " +
+    "data-presence checks: compactState and ingest proceed normally") {
+    import spark.implicits._
+    val st = java.nio.file.Files.createTempDirectory("graft-mdel-hidden").toString
+    try {
+      MediaGroupsInc.ingest(spark, st, toMedia(dgen0), threshold = 0.0, maxDf = 2)
+      val before = labelsOf(MediaGroupsInc.currentLabels(spark, st))
+      // a deletePhaseA crash BEFORE the marker rename leaves staged
+      // parquet under removed/.del-tmp and nothing else
+      Seq((1L, 2L)).toDF("doc_a", "doc_b")
+        .write.mode("overwrite").parquet(s"$st/removed/.del-tmp")
+      MediaGroupsInc.compactState(spark, st) // must not trip on $st/removed
+      assert(labelsOf(MediaGroupsInc.currentLabels(spark, st)) == before)
+      val after = labelsOf(MediaGroupsInc.ingest(spark, st,
+        toMedia(Seq(301L -> (blk16('V') + blk16('z')))),
+        threshold = 0.0, maxDf = 2))
+      // V crosses (7,8,301): pair 7-8 loses its only support
+      assert(after == before - 7L - 8L, s"got $after")
+    } finally ArtifactCache.deleteRecursively(new java.io.File(st))
+  }
+
   // --- streamed-state consolidation cadences -----------------------------
 
   private def dataDirCount(root: String, pfx: String): Int = {

@@ -235,6 +235,52 @@ object ScaleBench {
         timed(() => fn(emb100xDir))), None)
     } ++ relOps.map { case (name, fn) =>
       (name, relDirs.map(d => timed(() => fn(d))), None)
+    } :+ {
+      // round-17: group-state takedown. The two-generation incremental
+      // state is built once per scale point (untimed — ingest cost is
+      // the incremental op's own curve); each run then deletes the
+      // %7==3 victims from a FRESH filesystem copy of the built state,
+      // because delete mutates — a re-delete of already-deleted
+      // victims would measure the idempotent no-op, not the masking +
+      // wins rewrite + un-crossing repair + cold closure this curve
+      // guards. Victim count rides beside the times as n_rows (it
+      // grows ~10× per decade with the replica corpus).
+      def copyDir(src: java.io.File, dst: java.io.File): Unit =
+        if (src.isDirectory) {
+          dst.mkdirs()
+          Option(src.listFiles()).toSeq.flatten
+            .foreach(f => copyDir(f, new java.io.File(dst, f.getName)))
+        } else java.nio.file.Files.copy(src.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val pts = docDirs.zipWithIndex.map { case (dir, i) =>
+        val media = graft.operators.Multimodal.mediaTable(spark, dir)
+          .select(col("media_id"), col("content"))
+        val mid = media.agg(expr("percentile(media_id, 0.5)"))
+          .head().getDouble(0).toLong
+        val stateBase = new java.io.File(s"$work/tdstate$i")
+        if (!new java.io.File(stateBase, "_BUILT").exists()) {
+          graft.operators.ArtifactCache.deleteRecursively(stateBase)
+          graft.operators.MediaGroupsInc.ingest(spark, stateBase.getPath,
+            media.filter(col("media_id") < mid))
+          graft.operators.MediaGroupsInc.ingest(spark, stateBase.getPath,
+            media.filter(col("media_id") >= mid))
+          new java.io.File(stateBase, "_BUILT").createNewFile()
+        }
+        val victims = media.filter(pmod(col("media_id"), lit(7)) === 3)
+          .select(col("media_id")).collect().map(_.getLong(0)).toSeq
+        val times = Seq.fill(Runs) {
+          val st = new java.io.File(s"$work/tdrun")
+          graft.operators.ArtifactCache.deleteRecursively(st)
+          copyDir(stateBase, st)
+          new java.io.File(st, "_BUILT").delete()
+          val t0 = System.nanoTime()
+          graft.operators.MediaGroupsInc.delete(spark, st.getPath, victims)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        (Bench.median(times), victims.size.toLong)
+      }
+      ("media_groups_takedown", pts.map(_._1), Some(pts.map(_._2)))
     }
 
     // ---------------- IVF assignment cost vs C: flat O(n·C·d) vs the

@@ -77,13 +77,17 @@ private[graft] object ArtifactCache {
     * like `_SUCCESS`) are invisible to Spark and must be invisible to
     * data-presence checks too, or a crashed pre-commit staging dir
     * makes a store look non-empty that `spark.read` then fails on.
-    * THE one copy for the lifecycle family's walkers. */
+    * The hidden-ness check applies BELOW `f`, never to `f` itself:
+    * `spark.read.parquet(".del-tmp")` reads a hidden dir's contents
+    * just fine when addressed directly, and so must the presence
+    * check a caller runs on its own staging dir. THE one copy for the
+    * lifecycle family's walkers. */
   def hasVisibleParquet(f: java.io.File): Boolean =
-    !f.getName.startsWith(".") && !f.getName.startsWith("_") && {
-      if (f.isDirectory)
-        Option(f.listFiles()).toSeq.flatten.exists(hasVisibleParquet)
-      else f.getName.endsWith(".parquet")
-    }
+    if (f.isDirectory)
+      Option(f.listFiles()).toSeq.flatten
+        .filter(c => !c.getName.startsWith(".") && !c.getName.startsWith("_"))
+        .exists(hasVisibleParquet)
+    else f.getName.endsWith(".parquet")
 
   /** `<pfx>N` subdirectories of `root` that hold visible parquet data
     * (a marker-only dir — `_SUCCESS` kept for a streaming replay

@@ -346,7 +346,7 @@ object MediaGroupsInc {
     val allWins = s.read.parquet(s"$path/wins")
       .select(col("media_id"), col("win"))
     val vwins = allWins.filter(vcol).persist()
-    val removedFlag = try {
+    val staged = try {
       // negative df partials for exactly the victim postings
       ArtifactCache.deleteRecursively(new java.io.File(s"$path/windf/.del-tmp"))
       vwins.groupBy(col("win")).agg((-count(lit(1))).as("cnt"))
@@ -406,12 +406,31 @@ object MediaGroupsInc {
         .select(col("doc_a"), col("doc_b"))
       ArtifactCache.deleteRecursively(new java.io.File(s"$path/pairs/.del-tmp"))
       fresh.write.mode("overwrite").parquet(s"$path/pairs/.del-tmp")
-      keepRemoved
+      // stage the wins rewrite too: survivors of every victim-touched
+      // (batch, wb) partition, written to DISK here so phase B never
+      // pins the slice in memory — a takedown list spread uniformly
+      // over the corpus touches every partition, so "touched" is not
+      // small and an in-memory pin of the survivor slice is an OOM at
+      // the 100× scale point (measured) — and never reads the
+      // partitions it is about to overwrite
+      val postings = s.read.parquet(s"$path/wins")
+      def partKey = concat_ws("/",
+        col("batch").cast("string"), col("wb").cast("string"))
+      val touchedPks = postings.filter(vcol)
+        .select(partKey.as("pk")).distinct()
+        .collect().map(_.getString(0)).sorted
+      ArtifactCache.deleteRecursively(new java.io.File(s"$path/wins/.del-tmp"))
+      if (touchedPks.nonEmpty)
+        postings.filter(partKey.isin(touchedPks.toIndexedSeq: _*)).filter(!vcol)
+          .write.mode("overwrite").parquet(s"$path/wins/.del-tmp")
+      (keepRemoved, touchedPks)
     } finally vwins.unpersist()
+    val (keepRemoved, touchedPks) = staged
     val markerTmp = new java.io.File(s"$path/.delete-commit.tmp")
     java.nio.file.Files.write(markerTmp.toPath,
       (s"ids:${victims.mkString(",")}\n" +
-        s"removed:${if (removedFlag) "keep" else "drop"}").getBytes("UTF-8"))
+        s"removed:${if (keepRemoved) "keep" else "drop"}\n" +
+        s"touched:${touchedPks.mkString(",")}").getBytes("UTF-8"))
     java.nio.file.Files.move(markerTmp.toPath, marker.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     true
@@ -430,32 +449,39 @@ object MediaGroupsInc {
     val victims = lines.head.stripPrefix("ids:")
       .split(",").filter(_.nonEmpty).map(_.toLong).toSeq
     val keepRemoved = lines.exists(_.trim == "removed:keep")
-    // 1. rewrite the victim-touched (batch, wb) wins partitions —
-    // bounded by the victims' arrival generations × wb buckets
-    val postings = s.read.parquet(s"$path/wins")
-    val vcol = col("media_id").isin(victims: _*)
-    def partKey = concat_ws("/",
-      col("batch").cast("string"), col("wb").cast("string"))
-    val touched = postings.filter(vcol)
-      .select(partKey.as("pk")).distinct()
-      .collect().map(_.getString(0)).sorted
-    if (touched.nonEmpty) {
-      val remaining = postings
-        .filter(partKey.isin(touched.toIndexedSeq: _*))
-        .filter(!vcol)
-        .localCheckpoint(true)
-      try {
-        val survivors = remaining.select(partKey).distinct()
-          .collect().map(_.getString(0)).toSet
+    val touched = lines.find(_.startsWith("touched:"))
+      .map(_.stripPrefix("touched:").trim).filter(_.nonEmpty)
+      .map(_.split(",").toSeq).getOrElse(Seq.empty)
+    // 1. rewrite the victim-touched (batch, wb) wins partitions FROM
+    // phase A's staged survivor slice — a plain disk-to-disk scan
+    // (dynamic overwrite), never an in-memory pin of the slice, and
+    // never a read of the partitions being replaced. Resume = re-run:
+    // the stage is deleted only after the overwrite and the explicit
+    // empty-partition cleanup both land.
+    val stagedWins = new java.io.File(s"$path/wins/.del-tmp")
+    if (touched.nonEmpty && stagedWins.exists()) {
+      def partKey = concat_ws("/",
+        col("batch").cast("string"), col("wb").cast("string"))
+      def dropLeaf(pk: String): Unit = {
+        val Array(b, w) = pk.split("/")
+        ArtifactCache.deleteRecursively(
+          new java.io.File(s"$path/wins/batch=$b/wb=$w"))
+      }
+      if (ArtifactCache.hasVisibleParquet(stagedWins)) {
+        val remaining = s.read.parquet(stagedWins.getPath)
         remaining.write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch", "wb").parquet(s"$path/wins")
-        touched.filterNot(survivors).foreach { pk =>
-          val Array(b, w) = pk.split("/")
-          ArtifactCache.deleteRecursively(
-            new java.io.File(s"$path/wins/batch=$b/wb=$w"))
-        }
-      } finally remaining.unpersist()
+        // a partition emptied entirely is removed explicitly: dynamic
+        // overwrite only replaces partitions PRESENT in the frame
+        val survivors = remaining.select(partKey.as("pk")).distinct()
+          .collect().map(_.getString(0)).toSet
+        touched.filterNot(survivors).foreach(dropLeaf)
+      } else
+        // every posting in the touched slice belonged to a victim —
+        // the staged write produced no files; all leaves empty out
+        touched.foreach(dropLeaf)
+      ArtifactCache.deleteRecursively(stagedWins)
     }
     // 2. adopt staged artifacts (part names carry job UUIDs — moves
     // are collision-free across repeated deletes)
@@ -553,10 +579,14 @@ object MediaGroupsInc {
     val wb = pmod(xxhash64(col("win")), lit(64)).as("wb")
     // the stride-4 window explode is the heaviest per-delta transform
     // and feeds three consumers (wins write, windf partial, touched
-    // semi-join) — compute it once
-    val dwins = mediaWindows(b).persist()
-    dwins.withColumn("wb", wb)
+    // semi-join): compute it ONCE into the wins store, then serve the
+    // other two from the columnar read-back — a persist would pin the
+    // delta's full window relation in executor memory (GBs at the
+    // 100× scale point) for work parquet re-reads do nearly free
+    mediaWindows(b).withColumn("wb", wb)
       .write.mode("overwrite").partitionBy("wb").parquet(s"$path/wins/batch=$gen")
+    val dwins = s.read.parquet(s"$path/wins/batch=$gen")
+      .select(col("media_id"), col("win"))
     dwins.groupBy(col("win")).agg(count(lit(1)).as("cnt"))
       .write.mode("overwrite").parquet(s"$path/windf/batch=$gen")
     // byteHistVec decodes through the typed MediaRow shape — the kind
@@ -670,7 +700,6 @@ object MediaGroupsInc {
           driverEdgeCap = driverEdgeCap)
     labels.write.mode("overwrite").parquet(s"$path/labels/gen=$gen")
     forest.unpersist()
-    dwins.unpersist()
     currentLabels(s, path)
   }
 

@@ -909,7 +909,8 @@ class Round17Spec extends SparkSpec {
         threshold = 0.0, maxDf = 2))
       val b = labelsOf(MediaGroupsInc.ingest(spark, sB, toMedia(late),
         threshold = 0.0, maxDf = 2))
-      assert(a(1L) == a(301L), "W df must be 2 post-takedown: 1 and 301 pair")
+      assert(a.get(1L).exists(g => a.get(301L).contains(g)),
+        s"W df must be 2 post-takedown so 1 and 301 pair: got $a")
       assert(a == b, s"compacted=$a control=$b")
     } finally Seq(sA, sB).foreach(p =>
       ArtifactCache.deleteRecursively(new java.io.File(p)))

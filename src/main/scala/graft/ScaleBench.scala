@@ -263,7 +263,13 @@ object ScaleBench {
           .select(col("media_id"), col("content"))
         val mid = media.agg(expr("percentile(media_id, 0.5)"))
           .head().getDouble(0).toLong
-        val stateBase = new java.io.File(s"$work/tdstate$i")
+        // keyed by the corpus fingerprint, not just the scale index —
+        // a work dir reused across different base corpora would
+        // otherwise serve a stale state whose victims don't exist,
+        // silently timing the idempotent no-op
+        val fp = graft.operators.ArtifactCache.fingerprint(
+          new java.io.File(s"$dir/documents.parquet"))
+        val stateBase = new java.io.File(s"$work/tdstate$i-$fp")
         if (!new java.io.File(stateBase, "_BUILT").exists()) {
           graft.operators.ArtifactCache.deleteRecursively(stateBase)
           graft.operators.MediaGroupsInc.ingest(spark, stateBase.getPath,

@@ -382,10 +382,14 @@ object MediaGroupsInc {
       val newRemoved = removedOld
         .join(resurrect, Seq("doc_a", "doc_b"), "left_anti")
         .union(victimPairs).distinct()
+      // write the stage unconditionally and read keep/drop off the
+      // produced files — computing emptiness first would execute the
+      // full pair-store join DAG twice (the wins staging below and
+      // phase B use the same files-probe pattern)
       ArtifactCache.deleteRecursively(new java.io.File(s"$path/removed/.del-tmp"))
-      val keepRemoved = !newRemoved.isEmpty
-      if (keepRemoved)
-        newRemoved.write.mode("overwrite").parquet(s"$path/removed/.del-tmp")
+      newRemoved.write.mode("overwrite").parquet(s"$path/removed/.del-tmp")
+      val keepRemoved = ArtifactCache.hasVisibleParquet(
+        new java.io.File(s"$path/removed/.del-tmp"))
       // fresh pairs: suppressed the whole time their window sat over
       // cap, never emitted — verify against the retained vectors now
       val freshCand =
@@ -449,6 +453,12 @@ object MediaGroupsInc {
     val victims = lines.head.stripPrefix("ids:")
       .split(",").filter(_.nonEmpty).map(_.toLong).toSeq
     val keepRemoved = lines.exists(_.trim == "removed:keep")
+    // the touched list is part of the marker CONTRACT — a marker
+    // without the line (foreign / corrupted) must fail loudly, never
+    // resume into a half-applied takedown that skips the wins rewrite
+    require(lines.exists(_.startsWith("touched:")),
+      s"unrecognized delete marker at $marker (no touched: line): " +
+        "inspect the staged state before re-running the takedown")
     val touched = lines.find(_.startsWith("touched:"))
       .map(_.stripPrefix("touched:").trim).filter(_.nonEmpty)
       .map(_.split(",").toSeq).getOrElse(Seq.empty)

@@ -314,11 +314,17 @@ object PerceptualHash {
     * shuffle. The per-batch hashing leg of the streaming ingest. */
   private[graft] def framesOf(s: SparkSession, videos: DataFrame): DataFrame = {
     VectorFunctions.register(s)
-    Multimodal.frameSample(s, videos, VideoFrames)
-      .select(col("media_id").as("video_id"),
-        col("frame_idx").cast("long").as("f"),
-        VectorFunctions.dhash56(col("frame")).as("fh"))
+    framesOfSampled(Multimodal.frameSample(s, videos, VideoFrames))
   }
+
+  /** Projection of an ALREADY-SAMPLED frame relation — split out so a
+    * caller holding one frameSample pass (the streaming ingest) can
+    * derive both the index frames and the probe clips from a single
+    * decode instead of re-sampling the media per derivation. */
+  private[graft] def framesOfSampled(fs: DataFrame): DataFrame =
+    fs.select(col("media_id").as("video_id"),
+      col("frame_idx").cast("long").as("f"),
+      VectorFunctions.dhash56(col("frame")).as("fh"))
 
   /** Corpus frame-hash relation — [[framesOf]] over the dir's
     * video-kind media. */
@@ -331,8 +337,12 @@ object PerceptualHash {
     * video (no [[VClipMod]] subsampling — every upload is checked),
     * clip_id = the uploading video's id. */
   private[graft] def ingestClips(s: SparkSession, videos: DataFrame): DataFrame =
-    Multimodal.frameSample(s, videos, VideoFrames)
-      .filter(col("frame_idx").between(VClipOff, VClipOff + VClipLen - 1))
+    ingestClipsSampled(Multimodal.frameSample(s, videos, VideoFrames))
+
+  /** [[ingestClips]] over an already-sampled frame relation (see
+    * [[framesOfSampled]]). */
+  private[graft] def ingestClipsSampled(fs: DataFrame): DataFrame =
+    fs.filter(col("frame_idx").between(VClipOff, VClipOff + VClipLen - 1))
       .select(col("media_id").as("clip_id"),
         (col("frame_idx").cast("long") - VClipOff).as("j"), col("frame"))
 

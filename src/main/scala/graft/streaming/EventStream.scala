@@ -938,19 +938,22 @@ object EventStream {
         val b = batch.select(col("media_id"), lit("video").as("kind"),
           col("content"))
         val bMatch = s"$matchDir/batch=$batchId"
-        // the frame-sample + dHash kernel dominates per-trigger cost
-        // and feeds several actions (the probe's clip count + join,
-        // the postings and keydf stage writes) — pin each derivation
-        // once per batch instead of re-decoding the media every time
-        if (!new java.io.File(s"$bMatch/_SUCCESS").exists()) {
-          val clips = PerceptualHash.ingestClips(s, b).persist()
-          try PerceptualHash.matchAgainstVideo(s, idxDir, clips)
-            .write.mode("overwrite").parquet(bMatch)
-          finally clips.unpersist()
-        }
-        val frames = PerceptualHash.framesOf(s, b).persist()
-        try PerceptualHash.stageVideoBatch(s, idxDir, frames, batchId)
-        finally frames.unpersist()
+        // the frame sample (media decode) dominates per-trigger cost
+        // and BOTH derivations need it — the probe's clips and the
+        // staged index frames: one persisted sample serves both, and
+        // pins them across each derivation's several actions (clip
+        // count + join; postings and keydf stage writes)
+        graft.functions.VectorFunctions.register(s)
+        val fs = graft.operators.Multimodal
+          .frameSample(s, b, PerceptualHash.VideoFrames).persist()
+        try {
+          if (!new java.io.File(s"$bMatch/_SUCCESS").exists())
+            PerceptualHash.matchAgainstVideo(s, idxDir,
+                PerceptualHash.ingestClipsSampled(fs))
+              .write.mode("overwrite").parquet(bMatch)
+          PerceptualHash.stageVideoBatch(s, idxDir,
+            PerceptualHash.framesOfSampled(fs), batchId)
+        } finally fs.unpersist()
       }
     checkpointLocation.fold(writer)(c => writer.option("checkpointLocation", c))
       .start()

@@ -94,16 +94,62 @@ object Bench {
   private def spreadOk(xs: Seq[Double]): Boolean =
     xs.max <= xs.min * SpreadLimit
 
+  /** Per-timed-run environment snapshot deltas — the instrumentation
+    * the r16/r17 `q_media_dup_groups` spike adjudication demanded: two
+    * independent driver batteries flagged the SAME query at the SAME
+    * run positions (runs 3–4 of 7, 3–5× over the ~2 s floor) while
+    * 12-run standalone probes stayed flat, so the trigger is
+    * battery-context state and the evidence must separate the
+    * hypotheses per run: a major-GC pause landing inside the run
+    * (gcMs), JIT recompilation (jitMs), a /tmp artifact rebuild
+    * (acBuilds — [[graft.operators.ArtifactCache.ensureBuilds]]
+    * delta), leaked persisted RDDs accumulating across the battery
+    * (rdds — absolute count after the run), and old-gen pressure
+    * (heapMb — used heap after the run). Recorded for EVERY query's
+    * every timed run into BENCH_EVIDENCE.json (`run_metrics`), so the
+    * next driver battery carries the adjudication data even if local
+    * reproduction attempts stay flat. */
+  private final case class RunMetrics(gcMs: Long, gcN: Long, jitMs: Long,
+      rdds: Int, acBuilds: Long, heapMb: Long) {
+    def json: String =
+      s"""{"gc_ms":$gcMs,"gc_n":$gcN,"jit_ms":$jitMs,"rdds":$rdds,""" +
+        s""""ac_builds":$acBuilds,"heap_mb":$heapMb}"""
+  }
+
+  private def gcSnapshot(): (Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val beans = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala
+    (beans.map(_.getCollectionTime).sum, beans.map(_.getCollectionCount).sum)
+  }
+
+  private def jitMillis(): Long =
+    Option(java.lang.management.ManagementFactory.getCompilationMXBean)
+      .filter(_.isCompilationTimeMonitoringSupported)
+      .map(_.getTotalCompilationTime).getOrElse(0L)
+
   /** Time `body` [[Runs]] times; re-run while the spread exceeds
     * [[SpreadLimit]] (up to [[MaxExtraRuns]] extras). Returns ALL raw
-    * times in run order — the caller medians and flags.
+    * times in run order — the caller medians and flags — plus one
+    * [[RunMetrics]] per timed run.
     */
   private def timed(body: () => Unit, baseRuns: Int = Runs,
-      warmups: Int = 1): Seq[Double] = {
+      warmups: Int = 1,
+      rddCount: () => Int = () => -1): (Seq[Double], Seq[RunMetrics]) = {
+    val metrics = scala.collection.mutable.ListBuffer.empty[RunMetrics]
     def once(): Double = {
+      val (gc0, gn0) = gcSnapshot()
+      val jit0 = jitMillis()
+      val ac0 = graft.operators.ArtifactCache.ensureBuilds.get()
       val t0 = System.nanoTime()
       body()
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      val (gc1, gn1) = gcSnapshot()
+      val rt = Runtime.getRuntime
+      metrics += RunMetrics(gc1 - gc0, gn1 - gn0, jitMillis() - jit0,
+        rddCount(), graft.operators.ArtifactCache.ensureBuilds.get() - ac0,
+        (rt.totalMemory() - rt.freeMemory()) >> 20)
+      sec
     }
     // UNTIMED warm-up(s) per query before the timed runs — the
     // [[BenchSf1]] discipline, adopted here in r12: the r12 battery's
@@ -130,7 +176,7 @@ object Bench {
       times = times :+ once()
       extra += 1
     }
-    times
+    (times, metrics.toSeq)
   }
 
   /** The headline q0 gets a wider base sample than the battery: it is
@@ -179,7 +225,8 @@ object Bench {
   private final case class Attempt(
       results: Seq[(String, Seq[Double])], failed: Seq[String],
       loadBefore: Option[Seq[Double]], loadStarted: Option[Seq[Double]],
-      loadAfter: Option[Seq[Double]], stealPct: Option[Double])
+      loadAfter: Option[Seq[Double]], stealPct: Option[Double],
+      runMetrics: Seq[(String, Seq[RunMetrics])])
 
   /** Steal above this share of non-idle CPU over the bench window makes
     * wall times incomparable (r9 shipped a 77.8%-steal artifact whose
@@ -191,6 +238,16 @@ object Bench {
   private val StealLimitPct = 5.0
   private val MaxAttempts = 3
   private val RetryPauseMs = 90000L
+
+  /** Battery-prefix replay mode (spike adjudication): with
+    * SPARK_GRAFT_BENCH_THROUGH=<name> the battery runs exactly the
+    * queries at or before <name> in battery (alphabetical) order —
+    * the flagged query's full preceding context, nothing after — so a
+    * battery-context-deterministic spike can be reproduced and pinned
+    * without paying for the tail. Recorded in the evidence
+    * (`bench_through`) so a truncated battery can never read as a full
+    * one. */
+  private val through = sys.env.get("SPARK_GRAFT_BENCH_THROUGH")
 
   /** Loadavg gate (r13 lesson): steal ≠ load — the r13 battery passed
     * the steal gate at 1.2% but STARTED at loadavg 4.1 and drifted +15%
@@ -250,6 +307,9 @@ object Bench {
     // ignores the `failed` array. Shared by q0 and the query loop so a
     // q0 failure nulls the total like any other.
     val failed = scala.collection.mutable.ListBuffer.empty[String]
+    val runMetrics =
+      scala.collection.mutable.ListBuffer.empty[(String, Seq[RunMetrics])]
+    val rddCount: () => Int = () => spark.sparkContext.getPersistentRDDs.size
 
     // apples-to-apples vs BASELINE.md: the reference's own workload
     // (355-file corpus -> 26 letter files), steady-state (session
@@ -266,7 +326,9 @@ object Bench {
             try graft.operators.InvertedIndexJob.run(spark, manifest, out.toString)
             finally graft.operators.ArtifactCache.deleteRecursively(out.toFile)
           }
-          Seq("q0_index_corpus" -> timed(() => runIndex(), HeadlineRuns))
+          val (ts, ms) = timed(() => runIndex(), HeadlineRuns, rddCount = rddCount)
+          runMetrics += "q0_index_corpus" -> ms
+          Seq("q0_index_corpus" -> ts)
         } catch { case e: Throwable =>
           failed += "q0_index_corpus"
           System.err.println(s"[bench] q0_index_corpus failed: ${e.getMessage}")
@@ -275,12 +337,18 @@ object Bench {
       } else Seq.empty
     }
 
+    val battery = {
+      val all = SparkEntry.queries.toSeq.sortBy(_._1)
+      through.fold(all)(t => all.filter(_._1 <= t))
+    }
     val results: Seq[(String, Seq[Double])] =
-      indexBench ++ SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      indexBench ++ battery.flatMap { case (name, fn) =>
         try {
-          Some(name -> timed(() =>
+          val (ts, ms) = timed(() =>
             fn(spark, sfDir).write.format("noop").mode("overwrite").save(),
-            warmups = ExtraWarmups.getOrElse(name, 1)))
+            warmups = ExtraWarmups.getOrElse(name, 1), rddCount = rddCount)
+          runMetrics += name -> ms
+          Some(name -> ts)
         } catch { case e: Throwable =>
           failed += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -296,7 +364,8 @@ object Bench {
       (b1, s1, _) <- cpuJiffies()
       if b1 - b0 + s1 - s0 > 0
     } yield 100.0 * (s1 - s0) / ((b1 - b0) + (s1 - s0)).toDouble
-    Attempt(results, failed.toSeq, loadBefore, loadStarted, loadAfter, stealPct)
+    Attempt(results, failed.toSeq, loadBefore, loadStarted, loadAfter,
+      stealPct, runMetrics.toSeq)
   }
 
   def main(args: Array[String]): Unit = {
@@ -328,7 +397,8 @@ object Bench {
     if (stealContaminated)
       System.err.println(f"[bench] all $attempts attempts steal-contaminated " +
         f"(last ${att.stealPct.get}%.1f%%): publishing with null total")
-    val Attempt(results, failedSeq, loadBefore, loadStarted, loadAfter, stealPct) = att
+    val Attempt(results, failedSeq, loadBefore, loadStarted, loadAfter,
+      stealPct, runMetrics) = att
     val failed = failedSeq
 
     val medians = results.map { case (k, ts) => k -> median(ts) }
@@ -349,7 +419,13 @@ object Bench {
     // self-describing about coverage: `runs` omitting a query could
     // otherwise mean either "removed from suite" or "failed this run"
     val loadGateJson = f""""load_gate_passed":$loadGatePassed,"load_gate_waited_sec":$loadGateWaited%.0f,"load_gate_last":$loadGateLast%.2f,"load_gate_last5":$loadGateLast5%.2f"""
-    val evidence = s"""{"evidence":"graft-bench","runs":$runsJson,"failed":$failedJson,"spread_flagged":$spreadJson,"loadavg_before":${loadJson(loadBefore)},"loadavg_started":${loadJson(loadStarted)},"loadavg_after":${loadJson(loadAfter)},"cpu_steal_pct":$stealJson,"steal_contaminated":$stealContaminated,$loadGateJson,"attempts":$attempts,"cores":$cores,"sf":"$sfDir"}"""
+    // per-run environment deltas (see [[RunMetrics]]) — sidecar-only,
+    // aligned 1:1 with each query's `runs` entries
+    val metricsJson = runMetrics
+      .map { case (k, ms) => "\"" + k + "\":" + ms.map(_.json)
+        .mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val evidence = s"""{"evidence":"graft-bench","runs":$runsJson,"failed":$failedJson,"spread_flagged":$spreadJson,"loadavg_before":${loadJson(loadBefore)},"loadavg_started":${loadJson(loadStarted)},"loadavg_after":${loadJson(loadAfter)},"cpu_steal_pct":$stealJson,"steal_contaminated":$stealContaminated,$loadGateJson,"attempts":$attempts,"cores":$cores,"sf":"$sfDir","bench_through":${through.map("\"" + _ + "\"").getOrElse("null")},"run_metrics":$metricsJson}"""
     // sidecar survives even if both stdout lines are clipped
     try {
       java.nio.file.Files.write(

@@ -286,6 +286,13 @@ object SparkEntry {
     // at query time), probe — row-identical to the full-corpus match
     "q_audio_match_incremental" -> ((s: SparkSession, d: String) =>
       AudioMatch.matchClipsIncremental(s, d)),
+    // audio ContentID takedown: build+insert, then tombstone+compact
+    // of the media_id % 9 == 4 tracks (MediaIndexOps lifecycle on the
+    // landmark layout) — post-compaction postings AND df partials both
+    // equal a rebuild over the remaining tracks; clips still probe
+    // from the full corpus
+    "q_audio_match_takedown" -> ((s: SparkSession, d: String) =>
+      AudioMatch.matchClipsTakedown(s, d)),
     // ALL coherent matches above the vote floor (a catalog with
     // duplicate tracks returns every copy, not the tie-break winner)
     "q_audio_match_all" -> ((s: SparkSession, d: String) =>
@@ -407,6 +414,18 @@ object SparkEntry {
     // persisted existing-corpus shingle index + earlier batch docs
     "q_dedup_incremental" -> ((s: SparkSession, d: String) =>
       Dedup.incrementalNgramDedup(s, d)),
+    // GDPR erasure for the text-dedup state: the existing-corpus
+    // shingle store in the deletable (doc-bucketed) layout, victims
+    // (doc_id % 7 == 2, id < 400) tombstoned + compacted, then the
+    // standard batch probe — decisions equal a full recompute with
+    // the victims absent (df cap recomputed from live postings)
+    "q_dedup_incremental_takedown" -> ((s: SparkSession, d: String) =>
+      Dedup.incrementalNgramDedupTakedown(s, d)),
+    // GDPR erasure for the persisted letter-partitioned inverted
+    // index: materialize, IndexStore.delete the doc_id % 11 == 5
+    // victims (touched-letter pruned rewrite), serve the q_doc_index
+    // shape from the stored postings
+    "q_doc_index_takedown" -> (TextQueries.docIndexTakedown _),
   )
 
   /** Shared DuckDB CTE: whitespace-tokenize documents, strip
@@ -1598,6 +1617,11 @@ object SparkEntry {
     // = exactly the full-corpus df semantics
     "q_audio_match_incremental" ->
       graft.operators.AudioMatch.matchClipsOracleSql,
+    // the takedown compaction reconciles postings AND df partials to
+    // the rebuild state, so the oracle is the same match SQL with the
+    // victims removed from the index side only (clips unchanged)
+    "q_audio_match_takedown" ->
+      graft.operators.AudioMatch.matchClipsTakedownOracleSql,
     "q_audio_match_all" ->
       graft.operators.AudioMatch.matchClipsAllOracleSql,
     "q_events_hourly" ->
@@ -2125,6 +2149,58 @@ object SparkEntry {
         | coalesce(h.dup_jac, 0.0) AS jaccard
         |FROM documents d LEFT JOIN hits h USING (doc_id)
         |WHERE d.doc_id >= 400 ORDER BY 1""".stripMargin,
+    // the shingle-store takedown is EXACT immediately (the df cap is
+    // recomputed from live postings at probe time), so the oracle is
+    // the q_dedup_incremental SQL with the victims removed from the
+    // existing side — the batch side (doc_id >= 400) is untouched
+    "q_dedup_incremental_takedown" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+        | FROM documents WHERE NOT (doc_id < 400 AND doc_id % 7 = 2)),
+        | idx AS (
+        | SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        | FROM toks WHERE len(t) >= 2),
+        | sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1]) AS sh FROM idx),
+        | capped AS (
+        | SELECT * FROM sh
+        | WHERE sh NOT IN (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 50)),
+        | n AS (SELECT doc_id, count(*) AS cnt FROM capped GROUP BY 1),
+        | pairs AS (
+        | SELECT b.doc_id AS doc_a, a.doc_id AS doc_b, count(*) AS inter
+        | FROM capped a JOIN capped b ON a.sh = b.sh AND b.doc_id < a.doc_id
+        | WHERE a.doc_id >= 400
+        | GROUP BY 1, 2),
+        | scored AS (
+        | SELECT doc_a, doc_b,
+        |  floor(CAST(inter AS DOUBLE) / (na.cnt + nb.cnt - inter) * 10000 + 0.5) / 10000
+        |    AS jaccard
+        | FROM pairs JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id),
+        | hits AS (
+        | SELECT doc_b AS doc_id, min(doc_a) AS dup_min, arg_min(jaccard, doc_a) AS dup_jac
+        | FROM scored WHERE jaccard >= 0.3 GROUP BY 1)
+        |SELECT d.doc_id,
+        | CAST(CASE WHEN h.dup_min IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
+        | coalesce(h.dup_min, -1) AS dup_of,
+        | coalesce(h.dup_jac, 0.0) AS jaccard
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.doc_id >= 400 ORDER BY 1""".stripMargin,
+    // IndexStore.delete ≡ rebuild over the remaining corpus, so the
+    // oracle is the q_doc_index SQL with the victim predicate pushed
+    // into the document source
+    "q_doc_index_takedown" ->
+      """WITH raw AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+        |  FROM documents WHERE doc_id % 11 <> 5
+        |), toks AS (
+        |  SELECT doc_id, lower(regexp_replace(tok, '[^A-Za-z]+', '', 'g')) AS word FROM raw
+        |), words AS (
+        |  SELECT DISTINCT doc_id, word FROM toks WHERE length(word) > 0
+        |)
+        |SELECT word,
+        | string_agg(CAST(doc_id AS VARCHAR), ' ' ORDER BY doc_id) AS doc_ids,
+        | count(*) AS n_docs
+        |FROM words GROUP BY word ORDER BY n_docs DESC, word""".stripMargin,
   )
 
   /** DuckDB CTE chain mirroring `Layout.spreadBits`/`zValue` bit for

@@ -543,6 +543,10 @@ object AudioMatch {
       throw new IllegalStateException(
         s"pending keydf compaction at $path: re-run compactKeyDf to " +
           "completion before probing")
+    if (MediaIndexOps.pendingApply(path))
+      throw new IllegalStateException(
+        s"pending tombstone compaction at $path: re-run MediaIndexOps.compact " +
+          "to completion before probing")
     if (MediaIndexOps.pendingConsolidate(path, "landmarks"))
       throw new IllegalStateException(
         s"pending batch consolidation at $path: re-run " +
@@ -550,11 +554,22 @@ object AudioMatch {
     if (!ArtifactCache.hasVisibleParquet(new java.io.File(s"$path/landmarks")))
       clips.select(col("clip_id"), lit(0L).as("track_id"),
         lit(0L).as("offset_frames"), lit(0L).as("votes")).limit(0)
-    else probeIndex(
-      s.read.parquet(s"$path/landmarks")
-        .select(col("track_id"), col("f"), col("key"), col("kb")),
-      s.read.parquet(s"$path/keydf").select(col("key"), col("cnt")),
-      clips)
+    else {
+      val stored = s.read.parquet(s"$path/landmarks")
+        .select(col("track_id"), col("f"), col("key"), col("kb"))
+      // a taken-down track must stop matching IMMEDIATELY: the
+      // tombstone set anti-joins the postings (bounded by the delete
+      // rate between compactions, so it broadcasts). The df partials
+      // keep counting the tombstoned landmarks until [[MediaIndexOps
+      // .compact]] appends the negative reconciliation — strictly
+      // conservative (df only over-counts; no over-cap key can wrongly
+      // match), the documented staleness window of the whole family.
+      val live = MediaIndexOps.tombstones(s, path, "track_id")
+        .fold(stored)(d => stored.join(broadcast(d), Seq("track_id"), "left_anti"))
+      probeIndex(live,
+        s.read.parquet(s"$path/keydf").select(col("key"), col("cnt")),
+        clips)
+    }
   }
 
   /** Driver-contract lifecycle query: build the incremental index from
@@ -580,6 +595,84 @@ object AudioMatch {
     }
     matchAgainst(s, path, clipRel(s, dir))
   }
+
+  /** Victim selector for the takedown lifecycle query: every audio
+    * track with `media_id % 9 == 4` (audio ids are ≡ 1 mod 3, and
+    * 4 ≡ 1 mod 3, so the set is non-empty — one third of the audio
+    * tracks, spread across both build generations and including some
+    * clip SOURCES, whose clips keep probing like any other query). */
+  val TakedownMod = 9
+  val TakedownRem = 4
+
+  /** Driver-contract takedown query — `q_audio_match_takedown`: the
+    * build+insert incremental lifecycle, then [[MediaIndexOps.delete]]
+    * + [[MediaIndexOps.compact]] of the [[TakedownMod]] victims (the
+    * ContentID modality where DMCA takedown is most literal), then the
+    * standard clip probe. After compaction the stored postings AND the
+    * summed df partials both equal a from-scratch rebuild over the
+    * remaining tracks (negative-partials reconciliation), so the
+    * oracle is [[matchClipsOracleSql]] with the victim predicate
+    * pushed into the INDEX side only — clips still come from the full
+    * corpus (a victim's clip is a query, not index content; it now
+    * matches some surviving track or nothing). Build-once artifact;
+    * repeat calls probe the persisted post-takedown index. */
+  def matchClipsTakedown(s: SparkSession, dir: String): DataFrame = {
+    val fp = ArtifactCache.fingerprint(
+      new java.io.File(s"$dir/documents.parquet"))
+    val path = ArtifactCache.ensure(
+      s"/tmp/graft-audiodel/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}" +
+        s"-$fp-$FeatVer-w$FrameLen-df$MaxKeyDf-dt$MaxDt-b$KeyBuckets" +
+        s"-v$TakedownMod.$TakedownRem") { tmp =>
+      val tracks = audio(s, dir)
+        .select(col("media_id").as("track_id"), col("pcm"))
+      buildIncremental(s, tracks.filter(col("track_id") % 2 === 0), tmp)
+      insertTracks(s, tmp, tracks.filter(col("track_id") % 2 === 1))
+      MediaIndexOps.delete(s, tmp,
+        tracks.filter(pmod(col("track_id"), lit(TakedownMod)) === TakedownRem)
+          .select(col("track_id")), "track_id")
+      MediaIndexOps.compact(s, tmp, "landmarks", "track_id")
+    }
+    matchAgainst(s, path, clipRel(s, dir))
+  }
+
+  /** DuckDB restatement of [[matchClipsTakedown]]: [[matchClipsOracleSql]]
+    * with the victims removed from the index side (postings and df cap
+    * both — the post-compaction state), clips unchanged. */
+  def matchClipsTakedownOracleSql: String =
+    s"""WITH $lmkChainSql, lmk_live AS (
+       |  SELECT * FROM lmk WHERE media_id % $TakedownMod <> $TakedownRem
+       |), keep AS (
+       |  SELECT key FROM (SELECT key, count(*) AS kdf FROM lmk_live GROUP BY 1)
+       |  WHERE kdf <= $MaxKeyDf
+       |), clips AS (
+       |  SELECT media_id AS clip_id,
+       |         substring(text, ${ClipOffFrames * FrameLen + 1},
+       |                   ${ClipFrames * FrameLen}) AS ctext
+       |  FROM audio
+       |  WHERE media_id % $ClipMod = 0
+       |    AND length(text) >= ${(ClipOffFrames + ClipFrames) * FrameLen}
+       |), csmp AS (
+       |  SELECT clip_id, CAST((t.i - 1) // $FrameLen AS BIGINT) AS j,
+       |         CAST((t.i - 1) % $FrameLen AS BIGINT) AS k,
+       |         ord(substring(ctext, CAST(t.i AS INT), 1)) AS v
+       |  FROM clips, UNNEST(range(1, ${ClipFrames * FrameLen} + 1)) AS t(i)
+       |), ${featureSql("csmp", "clip_id", "j", "cen")}, clmk AS (
+       |  SELECT a.clip_id, a.j, (a.e * 256 + b.e) * 4 + (b.j - a.j) AS key
+       |  FROM cen a JOIN cen b ON b.clip_id = a.clip_id
+       |   AND b.j - a.j BETWEEN 1 AND $MaxDt
+       |), votes AS (
+       |  SELECT c.clip_id, l.media_id AS track_id, l.f - c.j AS offset_frames,
+       |         CAST(count(*) AS BIGINT) AS votes
+       |  FROM clmk c JOIN keep k ON k.key = c.key
+       |       JOIN lmk_live l ON l.key = c.key
+       |  GROUP BY 1, 2, 3
+       |), best AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY clip_id ORDER BY votes DESC, track_id, offset_frames) AS rn
+       |  FROM votes
+       |)
+       |SELECT clip_id, track_id, offset_frames, votes FROM best
+       |WHERE rn = 1 ORDER BY clip_id""".stripMargin
 
   /** The DFT coefficient table as literal VALUES — emitted from the
     * SAME [[CRe]]/[[CIm]] arrays the Spark expression uses. */

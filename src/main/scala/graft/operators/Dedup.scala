@@ -270,6 +270,87 @@ object Dedup {
       pBatch, pIdx, threshold, maxDf)
   }
 
+  /** Doc-id bucket width for the DELETABLE shingle-store layout: the
+    * store partitions by `kb = doc_id % ShingleStoreBuckets`, so a
+    * takedown's physical rewrite ([[graft.operators.MediaIndexOps
+    * .compact]]) touches only the victims' buckets — a bounded victim
+    * list rewrites a bounded slice, never the index. */
+  val ShingleStoreBuckets = 64
+
+  /** Persist a corpus' shingle postings in the TAKEDOWN-CAPABLE layout
+    * ([[MediaIndexOps]]' shared shape, doc-bucketed): one (doc_id, sh)
+    * row per distinct shingle per doc under `$path/postings/kb=…`.
+    * No `keydf` store — the df cap is recomputed from live postings at
+    * every probe ([[dfCapped]] over index ∪ batch), so there is no
+    * persisted statistic a delete would have to reconcile. */
+  private[graft] def buildShingleStore(s: SparkSession, corpus: DataFrame,
+      path: String): Unit =
+    shingleHashes(corpus, k = 2)
+      .withColumn("kb", pmod(col("doc_id"), lit(ShingleStoreBuckets)))
+      .write.mode("overwrite").partitionBy("kb").parquet(s"$path/postings")
+
+  /** The store's LIVE postings: tombstoned docs anti-joined out.
+    * Because the df cap is recomputed from these rows at probe time,
+    * a takedown is EXACT immediately — no conservative staleness
+    * window like the media indexes' persisted-df variant; compaction
+    * ([[MediaIndexOps.compact]]) only reclaims bytes. Refuses while a
+    * compaction or consolidation is mid-swap, like every probe in the
+    * lifecycle family. */
+  private[graft] def liveShinglePostings(s: SparkSession,
+      path: String): DataFrame = {
+    if (MediaIndexOps.pendingApply(path))
+      throw new IllegalStateException(
+        s"pending tombstone compaction at $path: re-run MediaIndexOps.compact " +
+          "to completion before probing")
+    if (MediaIndexOps.pendingConsolidate(path, "postings"))
+      throw new IllegalStateException(
+        s"pending batch consolidation at $path: re-run " +
+          "MediaIndexOps.consolidateBatches to completion before probing")
+    val stored = s.read.parquet(s"$path/postings").select(col("doc_id"), col("sh"))
+    MediaIndexOps.tombstones(s, path, "doc_id")
+      .fold(stored)(d => stored.join(broadcast(d), Seq("doc_id"), "left_anti"))
+  }
+
+  /** Victim selector for the takedown lifecycle query: existing-corpus
+    * docs (id < splitId) with `doc_id % 7 == 2` — spread across the
+    * whole index, certain to include dup partners at the test scales. */
+  val ShingleTakedownMod = 7
+  val ShingleTakedownRem = 2
+
+  /** Driver-contract takedown query — `q_dedup_incremental_takedown`:
+    * build the existing-corpus shingle store in the deletable layout,
+    * [[MediaIndexOps.delete]] + [[MediaIndexOps.compact]] the victims
+    * (GDPR erasure for the text-dedup state), then run the standard
+    * batch-dedup probe. Decisions equal a full recompute with the
+    * victims absent from the existing side (the df cap, candidate set
+    * and Jaccard scores are all recomputed from live postings), so the
+    * oracle is the q_dedup_incremental SQL with the victim predicate
+    * pushed into the document source. Build-once artifact; repeat
+    * calls probe the persisted post-takedown store. */
+  def incrementalNgramDedupTakedown(s: SparkSession, dir: String,
+      splitId: Long = 400L, threshold: Double = 0.3,
+      maxDf: Int = 50): DataFrame = {
+    val fp = ArtifactCache.fingerprint(new java.io.File(s"$dir/documents.parquet"))
+    val idxPath = ArtifactCache.ensure(
+      s"/tmp/graft-increm-dedup-del/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}" +
+        s"-$fp-s$splitId-b$ShingleStoreBuckets" +
+        s"-v$ShingleTakedownMod.$ShingleTakedownRem") { tmp =>
+      val existing = docs(s, dir).filter(col("doc_id") < splitId)
+      buildShingleStore(s, existing, tmp)
+      // a takedown list is bounded by contract — this is the caller
+      // handing the lifecycle its victim ids, not a data plane
+      MediaIndexOps.delete(s, tmp,
+        existing.filter(
+          pmod(col("doc_id"), lit(ShingleTakedownMod)) === ShingleTakedownRem)
+          .select(col("doc_id")), "doc_id")
+      MediaIndexOps.compact(s, tmp, "postings", "doc_id")
+    }
+    val pBatch = shingleHashes(docs(s, dir).filter(col("doc_id") >= splitId), k = 2)
+    batchDedupDecisions(
+      docs(s, dir).filter(col("doc_id") >= splitId).select(col("doc_id")),
+      pBatch, liveShinglePostings(s, idxPath), threshold, maxDf)
+  }
+
   /** The verified-pair core under the decision layer: all n-gram
     * Jaccard ≥ `threshold` pairs HEADED by a batch doc (doc_b in the
     * batch; doc_a any lower-id doc — existing corpus or an earlier doc

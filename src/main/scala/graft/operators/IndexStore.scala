@@ -109,14 +109,76 @@ object IndexStore {
           coalesce(col("b.file_ids"), typedlit(Array.empty[Int])),
           coalesce(col("d.file_ids"), typedlit(Array.empty[Int])))).as("file_ids"),
         coalesce(col("b.letter"), col("d.letter")).as("letter"))
-    // the merge reads the same partitions it overwrites — materialize
-    // (bounded by the touched-letter slice) to break the read-write
-    // cycle before the dynamic overwrite replaces those directories
-    val pinned = merged.localCheckpoint(true)
-    try pinned.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("letter")
-      .parquet(path)
-    finally pinned.unpersist()
+    stageAndOverwrite(spark, path, merged, ".merge-tmp")
+  }
+
+  /** Remove documents from the persisted index — the GDPR-erasure twin
+    * of [[merge]], same touched-letter discipline in reverse:
+    *
+    *  1. index the VICTIM docs alone (delta-sized) — for each word the
+    *     victim index holds exactly the victim file ids that a rebuild
+    *     over the remaining corpus would drop;
+    *  2. the victims' touched letters are a bounded driver-side set
+    *     (≤ 26);
+    *  3. read the base pruned to those letters, left-join on word, and
+    *     `array_except` the victim ids out; a word whose whole posting
+    *     list was victims disappears (as in a rebuild);
+    *  4. dynamic-overwrite exactly the touched letter directories —
+    *     untouched letters' bytes are never rewritten (mtime-pinned in
+    *     the spec); a letter directory emptied entirely is removed
+    *     explicitly (dynamic overwrite only replaces partitions
+    *     PRESENT in the frame).
+    *
+    * Cost is O(victims + base-rows-under-touched-letters), never
+    * O(base). Delete ∘ merge ≡ rebuild over the remaining corpus
+    * (spec-pinned); an empty victim set is a byte-level no-op. Same
+    * single-shot contract as [[merge]] (no marker protocol — run from
+    * the single writer; a crash mid-overwrite re-runs the delete). */
+  def delete(spark: SparkSession, path: String, victimDocs: DataFrame): Unit = {
+    val vic = InvertedIndex.build(victimDocs)
+      .withColumn("letter", substring(col("word"), 1, 1))
+    val touched = vic.select(col("letter")).distinct()
+      .collect().map(_.getString(0)).sorted
+    if (touched.isEmpty) return
+    val base = load(spark, path)
+      .filter(col("letter").isin(touched.toIndexedSeq: _*))
+    val remaining = base.as("b")
+      .join(vic.as("d"), Seq("word"), "left")
+      .select(
+        col("word"),
+        array_except(col("b.file_ids"),
+          coalesce(col("d.file_ids"), typedlit(Array.empty[Int]))).as("file_ids"),
+        col("b.letter").as("letter"))
+      .filter(size(col("file_ids")) > 0)
+    val survivors = stageAndOverwrite(spark, path, remaining, ".delete-tmp")
+    touched.filterNot(survivors).foreach(l =>
+      ArtifactCache.deleteRecursively(new java.io.File(s"$path/letter=$l")))
+  }
+
+  /** Both maintenance ops read the very letter partitions their
+    * dynamic overwrite replaces — break the read-write cycle by
+    * staging the rewrite to a hidden DISK dir under the index root
+    * (invisible to Spark's file listing), then overwrite disk-to-disk.
+    * The first cut pinned the slice with `localCheckpoint(true)`; a
+    * rewrite touching most letters (a victim set with a broad
+    * vocabulary touches all 26) makes the pinned slice index-sized —
+    * the OOM class every lifecycle in this repo now stages to disk.
+    * Returns the distinct letters present in the rewrite (the caller's
+    * emptied-partition cleanup needs them). */
+  private def stageAndOverwrite(spark: SparkSession, path: String,
+      rewrite: DataFrame, stageName: String): Set[String] = {
+    val stage = new java.io.File(path, stageName)
+    ArtifactCache.deleteRecursively(stage)
+    rewrite.write.mode("overwrite").parquet(stage.getPath)
+    try {
+      if (!ArtifactCache.hasVisibleParquet(stage)) return Set.empty
+      val staged = spark.read.parquet(stage.getPath)
+      staged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("letter")
+        .parquet(path)
+      staged.select(col("letter")).distinct()
+        .collect().map(_.getString(0)).toSet
+    } finally ArtifactCache.deleteRecursively(stage)
   }
 }

@@ -168,7 +168,15 @@ object MediaGroupsInc {
       .toSeq.flatten.count(f => f.isDirectory && f.getName.startsWith("gen=")) > 1
     val mergeWins = gens.size > 1
     val mergeWindf = windfIds.size > 1
-    val mergeHv = hvIds.size > 1
+    // a delete leaves its victims' content-derived vectors in hv
+    // (inert for answers — candidates and fresh-verify only reach hv
+    // via live postings/pairs — but DERIVED DATA of removed media must
+    // not persist indefinitely, and hv would otherwise grow without
+    // bound across takedowns). The delete drops a hint file; the next
+    // compaction folds hv even single-generation and prunes every row
+    // with no surviving wins posting.
+    val hvPruneDue = new java.io.File(s"$path/.hv-prune-due").exists()
+    val mergeHv = hvIds.size > 1 || (hvPruneDue && hvIds.nonEmpty)
     val mergePairs = pairIds.size > 1 || removedData
     if (!mergeWins && !mergeWindf && !mergeHv && !mergePairs && !staleLabels)
       return false
@@ -187,7 +195,13 @@ object MediaGroupsInc {
         .filter(col("cnt") > 0)
         .write.mode("overwrite").parquet(tmpOf("windf"))
     if (mergeHv)
+      // takedown-victim vectors are pruned here: keep only media with
+      // a surviving wins posting (the only paths into hv — candidate
+      // generation and fresh-verify — both go via live postings/pairs,
+      // so a row without postings is unreachable and pure debt)
       s.read.parquet(s"$path/hv").drop("batch")
+        .join(s.read.parquet(s"$path/wins").select(col("media_id")),
+          Seq("media_id"), "left_semi")
         .write.mode("overwrite").parquet(tmpOf("hv"))
     if (mergePairs) {
       val all = s.read.parquet(s"$path/pairs").select(col("doc_a"), col("doc_b"))
@@ -240,6 +254,9 @@ object MediaGroupsInc {
         ArtifactCache.deleteRecursively(new java.io.File(s"$root/batch=$i")))
     }
     Seq("wins", "windf", "hv", "pairs").foreach(swap)
+    // the hv fold this marker records satisfied any pending prune hint
+    if (idsOf("hv").nonEmpty)
+      new java.io.File(s"$path/.hv-prune-due").delete()
     // removals are folded into the live pair rewrite — only when that
     // rewrite actually ran (the pairs line is recorded exactly then)
     if (idsOf("pairs").nonEmpty)
@@ -537,6 +554,11 @@ object MediaGroupsInc {
     labels.write.mode("overwrite")
       .parquet(s"$path/labels/gen=${latestGen(path).getOrElse(0)}")
     forest.unpersist()
+    // victims' hv rows are inert from here but still on disk — flag
+    // the debt so the next compactState folds hv (even at a single
+    // generation) and prunes rows with no surviving wins posting
+    java.nio.file.Files.write(
+      new java.io.File(s"$path/.hv-prune-due").toPath, Array.emptyByteArray)
     marker.delete()
   }
 

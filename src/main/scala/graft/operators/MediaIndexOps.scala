@@ -40,15 +40,19 @@ import org.apache.spark.sql.functions._
   *
   * Crash safety follows [[AudioMatch.compactKeyDf]]'s marker protocol,
   * extended to cover the postings rewrite: phase A stages the negative
-  * partials in a hidden dir and commits a marker naming exactly the
-  * tombstone files being applied (atomic rename); phase B — resumable
-  * from the marker alone — rewrites the touched buckets, adopts the
-  * staged partials, clears exactly the marker's tombstone files, and
-  * drops the marker last. The negative partials are computed BEFORE
-  * any posting is rewritten (a resume after a partial rewrite could
-  * not reconstruct them), and a delete() racing the compaction appends
-  * a tombstone file that is absent from the marker and survives for
-  * the next compaction. While the marker exists the index is mid-swap
+  * partials AND the touched buckets' survivor slice in hidden dirs
+  * (both to DISK — a takedown flood touches most buckets, and pinning
+  * an index-sized slice in memory is the OOM class the
+  * [[MediaGroupsInc]] delete already stages around), then commits a
+  * marker naming exactly the tombstone files being applied plus the
+  * touched partition list (atomic rename); phase B — resumable from
+  * the marker alone — replays the staged rewrite disk-to-disk, adopts
+  * the staged partials, clears exactly the marker's tombstone files,
+  * and drops the marker last. The negative partials are computed
+  * BEFORE any posting is rewritten (a resume after a partial rewrite
+  * could not reconstruct them), and a delete() racing the compaction
+  * appends a tombstone file that is absent from the marker and
+  * survives for the next compaction. While the marker exists the index is mid-swap
   * and probes refuse ([[pendingApply]]), the keydf mid-compaction
   * discipline. Single-writer contract for mutations, local-FS
   * contract for the guards — both as the rest of the incremental
@@ -191,116 +195,155 @@ object MediaIndexOps {
     if (compactPhaseA(s, path, sub, idCol))
       compactPhaseB(s, path, sub, idCol)
 
-  /** Phase A: stage the df reconciliation, then commit intent via the
-    * marker (atomic rename). Returns false when there is nothing to
+  /** Phase A: stage the df reconciliation AND the survivor slice of
+    * every tombstone-touched posting partition — both to hidden disk
+    * dirs, never an in-memory pin — then commit intent via the marker
+    * (atomic rename). A takedown flood (delete 30% of a catalog →
+    * most buckets touched) makes the survivor slice index-sized, and
+    * pinning index-sized media relations in the 8g JVM is the OOM
+    * class [[MediaGroupsInc.deletePhaseA]] already stages to disk for;
+    * this is the same idiom. Returns false when there is nothing to
     * apply; true when a marker is pending — either freshly committed
     * or inherited from a crashed previous run (resume that one; the
-    * staged partials and marker fully describe it). Split out so the
-    * crash-resume spec can stop exactly between the phases. */
+    * staged dirs and marker fully describe it). Split out so the
+    * crash-resume spec can stop exactly between the phases.
+    *
+    * An index with no `keydf` store (the text shingle store — its df
+    * cap is recomputed from live postings at probe time, so there is
+    * no persisted statistic to reconcile) skips the negative-partials
+    * staging; everything else is layout-shared. */
   private[graft] def compactPhaseA(s: SparkSession, path: String, sub: String,
       idCol: String): Boolean = {
     require(!pendingConsolidate(path, sub),
       s"pending batch consolidation at $path/$sub: run consolidateBatches " +
         "to completion before compacting")
     val marker = new java.io.File(s"$path/deleted/.apply-commit")
-    val stage = new java.io.File(s"$path/keydf/.delete-tmp")
+    val dfStage = new java.io.File(s"$path/keydf/.delete-tmp")
+    val subStage = new java.io.File(s"$path/$sub/.del-tmp")
     if (marker.exists()) return true
     val snapshot = tombstoneFiles(path)
     if (snapshot.isEmpty) return false
     val deleted = s.read.parquet(snapshot.map(_.getPath): _*)
       .select(col(idCol)).distinct()
-    ArtifactCache.deleteRecursively(stage)
-    // the removed postings' per-key counts, negated — computed from
-    // the UNTOUCHED postings (before any rewrite), the only point
-    // where they are still reconstructible
-    s.read.parquet(s"$path/$sub")
-      .join(broadcast(deleted), Seq(idCol), "left_semi")
-      .groupBy(col("key")).agg((-count(lit(1))).as("cnt"))
-      .coalesce(1).write.mode("overwrite").parquet(stage.getPath)
+    if (new java.io.File(s"$path/keydf").exists()) {
+      ArtifactCache.deleteRecursively(dfStage)
+      // the removed postings' per-key counts, negated — computed from
+      // the UNTOUCHED postings (before any rewrite), the only point
+      // where they are still reconstructible
+      s.read.parquet(s"$path/$sub")
+        .join(broadcast(deleted), Seq(idCol), "left_semi")
+        .groupBy(col("key")).agg((-count(lit(1))).as("cnt"))
+        .coalesce(1).write.mode("overwrite").parquet(dfStage.getPath)
+    }
+    val postings = s.read.parquet(s"$path/$sub")
+    // a STREAMED index carries the per-micro-batch `batch` partition
+    // column above `kb` — the rewrite must address (batch, kb)
+    // partitions or the dynamic overwrite would write a second, flat
+    // copy of every surviving row next to the batch dirs
+    val parts = if (postings.columns.contains("batch"))
+      Seq("batch", "kb") else Seq("kb")
+    def partKey = concat_ws("/", parts.map(c => col(c).cast("string")): _*)
+    // kb is bounded and batch dirs are bounded by the consolidation
+    // cadence, so this collect stays small (partition KEYS, not rows)
+    val touched = postings.join(broadcast(deleted), Seq(idCol), "left_semi")
+      .select(partKey.as("pk")).distinct()
+      .collect().map(_.getString(0)).sorted
+    ArtifactCache.deleteRecursively(subStage)
+    if (touched.nonEmpty)
+      postings.filter(partKey.isin(touched.toIndexedSeq: _*))
+        .join(broadcast(deleted), Seq(idCol), "left_anti")
+        .write.mode("overwrite").parquet(subStage.getPath)
     val markerTmp = new java.io.File(s"$path/deleted/.apply-commit.tmp")
     java.nio.file.Files.write(markerTmp.toPath,
-      snapshot.map(_.getName).mkString("\n").getBytes("UTF-8"))
+      (snapshot.map(f => s"tomb:${f.getName}") ++
+        Seq(s"parts:${parts.mkString(",")}",
+          s"touched:${touched.mkString(",")}")).mkString("\n")
+        .getBytes("UTF-8"))
     java.nio.file.Files.move(markerTmp.toPath, marker.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     true
   }
 
-  /** Phase B: re-runnable from the marker alone. */
+  /** Phase B: re-runnable from the marker alone — the posting rewrite
+    * is a plain disk-to-disk scan of phase A's staged survivor slice
+    * (dynamic overwrite), never an in-memory pin of the slice, and
+    * never a read of the partitions being replaced. Resume = re-run:
+    * the stage is deleted only after the overwrite and the explicit
+    * empty-partition cleanup both land. */
   private[graft] def compactPhaseB(s: SparkSession, path: String, sub: String,
       idCol: String): Unit = {
     val marker = new java.io.File(s"$path/deleted/.apply-commit")
-    val stage = new java.io.File(s"$path/keydf/.delete-tmp")
-    val listed = new String(
+    val dfStage = new java.io.File(s"$path/keydf/.delete-tmp")
+    val subStage = new java.io.File(s"$path/$sub/.del-tmp")
+    val lines = new String(
       java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
-      .split("\n").filter(_.nonEmpty).toSet
+      .split("\n").filter(_.nonEmpty)
+    // the staged-rewrite lines are part of the marker CONTRACT — a
+    // marker without them (foreign / corrupted) must fail loudly,
+    // never resume into a half-applied compaction that skips the
+    // posting rewrite
+    require(lines.exists(_.startsWith("touched:")) &&
+        lines.exists(_.startsWith("parts:")),
+      s"unrecognized compact marker at $marker (no touched:/parts: line): " +
+        "inspect the staged state before re-running the compaction")
+    val listed = lines.filter(_.startsWith("tomb:"))
+      .map(_.stripPrefix("tomb:")).toSet
+    val parts = lines.find(_.startsWith("parts:")).get
+      .stripPrefix("parts:").split(",").toSeq
+    val touched = lines.find(_.startsWith("touched:"))
+      .map(_.stripPrefix("touched:").trim).filter(_.nonEmpty)
+      .map(_.split(",").toSeq).getOrElse(Seq.empty)
     val files = tombstoneFiles(path).filter(f => listed.contains(f.getName))
-    if (files.nonEmpty) {
-      val deleted = s.read.parquet(files.map(_.getPath): _*)
-        .select(col(idCol)).distinct()
-      val postings = s.read.parquet(s"$path/$sub")
-      // a STREAMED index carries the per-micro-batch `batch` partition
-      // column above `kb` — the rewrite must address (batch, kb)
-      // partitions or the dynamic overwrite would write a second,
-      // flat copy of every surviving row next to the batch dirs
-      val parts = if (postings.columns.contains("batch"))
-        Seq("batch", "kb") else Seq("kb")
+    if (touched.nonEmpty && subStage.exists()) {
       def partKey = concat_ws("/", parts.map(c => col(c).cast("string")): _*)
-      // touched partitions re-derived from what is STILL on disk:
-      // after a crashed partial rewrite the already-clean ones drop
-      // out and the resume rewrites only the remainder (kb is bounded
-      // and batch dirs are bounded by the consolidation cadence, so
-      // the collect stays small)
-      val touched = postings.join(broadcast(deleted), Seq(idCol), "left_semi")
-        .select(partKey.as("pk")).distinct()
-        .collect().map(_.getString(0)).sorted
-      if (touched.nonEmpty) {
-        val remaining = postings
-          .filter(partKey.isin(touched.toIndexedSeq: _*))
-          .join(broadcast(deleted), Seq(idCol), "left_anti")
-          // reads the very partitions the overwrite replaces — pin
-          // first (bounded by the touched-partition slice)
-          .localCheckpoint(true)
-        try {
-          val survivors = remaining.select(partKey).distinct()
-            .collect().map(_.getString(0)).toSet
-          remaining.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(parts: _*).parquet(s"$path/$sub")
-          // a partition emptied entirely is removed explicitly:
-          // dynamic overwrite only replaces partitions PRESENT in the
-          // frame. Only the leaf (kb=…) dir goes — a batch dir keeps
-          // its _SUCCESS marker for the streaming replay guard.
-          touched.filterNot(survivors).foreach { pk =>
-            val leaf = parts.zip(pk.split("/")).map { case (c, v) => s"$c=$v" }
-              .mkString("/")
-            ArtifactCache.deleteRecursively(new java.io.File(s"$path/$sub/$leaf"))
-          }
-        } finally remaining.unpersist()
+      def dropLeaf(pk: String): Unit = {
+        // only the leaf (kb=…) dir goes — a batch dir keeps its
+        // _SUCCESS marker for the streaming replay guard
+        val leaf = parts.zip(pk.split("/")).map { case (c, v) => s"$c=$v" }
+          .mkString("/")
+        ArtifactCache.deleteRecursively(new java.io.File(s"$path/$sub/$leaf"))
       }
+      if (ArtifactCache.hasVisibleParquet(subStage)) {
+        val remaining = s.read.parquet(subStage.getPath)
+        remaining.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(parts: _*).parquet(s"$path/$sub")
+        // a partition emptied entirely is removed explicitly: dynamic
+        // overwrite only replaces partitions PRESENT in the frame
+        val survivors = remaining.select(partKey.as("pk")).distinct()
+          .collect().map(_.getString(0)).toSet
+        touched.filterNot(survivors).foreach(dropLeaf)
+      } else
+        // every posting in the touched slice belonged to a victim —
+        // the staged write produced no files; all leaves empty out
+        touched.foreach(dropLeaf)
+      ArtifactCache.deleteRecursively(subStage)
     }
     // adopt the staged negative partials under the live keydf — from
     // here the summed df equals the rebuild df for every touched key.
     // A batch-layout keydf adopts them under the reserved `batch=-1`
     // dir (stream batch ids are non-negative, so it never collides,
     // and a later consolidation folds the negatives in like any other
-    // partial).
-    val keydfBatched = Option(new java.io.File(s"$path/keydf").listFiles())
-      .toSeq.flatten.exists(f => f.isDirectory && f.getName.startsWith("batch="))
-    val adoptDir = if (keydfBatched) {
-      val d = new java.io.File(s"$path/keydf/batch=-1")
-      d.mkdirs(); d
-    } else new java.io.File(s"$path/keydf")
-    Option(stage.listFiles()).toSeq.flatten
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .foreach { f =>
-        java.nio.file.Files.move(f.toPath,
-          new java.io.File(adoptDir, s"deleted-${f.getName}").toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
+    // partial). An index without a keydf store has no partials staged.
+    if (dfStage.exists()) {
+      val keydfBatched = Option(new java.io.File(s"$path/keydf").listFiles())
+        .toSeq.flatten.exists(f => f.isDirectory && f.getName.startsWith("batch="))
+      val adoptDir = if (keydfBatched) {
+        val d = new java.io.File(s"$path/keydf/batch=-1")
+        d.mkdirs(); d
+      } else new java.io.File(s"$path/keydf")
+      Option(dfStage.listFiles()).toSeq.flatten
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .foreach { f =>
+          java.nio.file.Files.move(f.toPath,
+            new java.io.File(adoptDir, s"deleted-${f.getName}").toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+    }
     // clear exactly the applied tombstone files (a racing delete()'s
     // new file survives for the next compaction), then the marker LAST
     files.foreach(_.delete())
-    ArtifactCache.deleteRecursively(stage)
+    ArtifactCache.deleteRecursively(dfStage)
     marker.delete()
     val delDir = new java.io.File(s"$path/deleted")
     if (tombstoneFiles(path).isEmpty &&

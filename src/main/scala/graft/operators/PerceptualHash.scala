@@ -200,7 +200,8 @@ object PerceptualHash {
     * [[imageNearDupsAgainst]]. Same mid-compaction and empty-index
     * guards as [[matchAgainstVideo]]. */
   private[graft] def probeImages(s: SparkSession, path: String,
-      images: DataFrame, maxHamming: Int = MaxHamming): DataFrame = {
+      images: DataFrame, maxHamming: Int = MaxHamming,
+      imageCount: Option[Long] = None): DataFrame = {
     require(maxHamming < Chunks,
       s"pigeonhole exactness needs maxHamming < $Chunks chunks")
     if (new java.io.File(s"$path/keydf/.compact-commit").exists())
@@ -221,7 +222,14 @@ object PerceptualHash {
     val keep = s.read.parquet(s"$path/keydf")
       .groupBy(col("key")).agg(sum(col("cnt")).as("cdf"))
       .filter(col("cdf") <= MaxChunkDf).select(col("key"))
-    val batchOk = images.count() <= Multimodal.BroadcastMediaBudget
+    // the broadcast gate needs the batch's OWN size; a caller that
+    // already counted (the streaming ingest counts its persisted hash
+    // frame once per micro-batch) passes it in — a dedicated count
+    // action per probe on the streaming hot path is one Spark job too
+    // many (the video path gates on a persisted sample's clip count
+    // for the same reason)
+    val batchOk =
+      imageCount.getOrElse(images.count()) <= Multimodal.BroadcastMediaBudget
     def side(df: DataFrame) = if (batchOk) broadcast(df) else df
     val probe = imagePostings(images)
       .join(broadcast(keep), Seq("key"))

@@ -1000,12 +1000,21 @@ object Similarity {
     * parameter the measurement depends on, with an in-JVM memo on
     * top. A new corpus generation (fingerprint change) re-tunes;
     * repeat queries read five numbers. */
+  /** Plan-format/algorithm version, folded into every persisted-plan
+    * cache key (and thereby the in-JVM memo key): a measured plan is a
+    * function of the ROUTER AND INDEX IMPLEMENTATIONS as much as of
+    * the corpus — the repo's FrameVer/ImageVer discipline. Bump on any
+    * change to [[recommendPlan]], the IVF search, or the plan.csv
+    * format, or a stale plan measured under the old implementation
+    * silently keeps serving. */
+  private val PlanVer = "plan1"
+
   def ensurePlan(s: SparkSession, dir: String, k: Int = 5,
       targetRecall: Double = 0.9, defaultWidth: Int = 16,
       rerank: Int = 50): SearchPlan = {
     val fp = ArtifactCache.fingerprint(new java.io.File(s"$dir/embeddings.parquet"))
     val key = s"${dir.replaceAll("[^A-Za-z0-9.]+", "_")}-$fp-k$k" +
-      s"-t$targetRecall-w$defaultWidth-r$rerank"
+      s"-t$targetRecall-w$defaultWidth-r$rerank-$PlanVer"
     val memo = planCache.get(key)
     if (memo != null) return memo
     val path = ArtifactCache.ensure(s"/tmp/graft-ivfplan/$key") { tmp =>

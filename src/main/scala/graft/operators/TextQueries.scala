@@ -48,6 +48,40 @@ object TextQueries {
         count(lit(1)).as("n_docs"))
       .orderBy(col("n_docs").desc, col("word").asc)
 
+  /** Victim selector for the text-index takedown lifecycle query:
+    * every document with `doc_id % 11 == 5`. */
+  val TakedownMod = 11
+  val TakedownRem = 5
+
+  /** Driver-contract takedown query — `q_doc_index_takedown`: GDPR
+    * erasure for the PERSISTED letter-partitioned inverted index.
+    * Materialize the [[IndexStore]] over the documents table, then
+    * [[IndexStore.delete]] the [[TakedownMod]] victims (touched-letter
+    * pruned rewrite — untouched letter dirs keep their bytes,
+    * mtime-pinned in the spec), then serve [[docIndex]]'s shape from
+    * the stored postings. Delete ≡ rebuild over the remaining corpus,
+    * so the oracle is the q_doc_index SQL with the victim predicate
+    * pushed into the document source. Build-once artifact; repeat
+    * calls read the persisted post-delete index. */
+  def docIndexTakedown(s: SparkSession, dir: String): DataFrame = {
+    val fp = ArtifactCache.fingerprint(
+      new java.io.File(s"$dir/documents.parquet"))
+    val path = ArtifactCache.ensure(
+      s"/tmp/graft-docidx-del/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}" +
+        s"-$fp-v$TakedownMod.$TakedownRem") { tmp =>
+      val lines = docs(s, dir)
+        .select(col("doc_id").cast("int").as("file_id"), col("text").as("value"))
+      IndexStore.materialize(lines, s"$tmp/index")
+      IndexStore.delete(s, s"$tmp/index",
+        lines.filter(pmod(col("file_id"), lit(TakedownMod)) === TakedownRem))
+    }
+    IndexStore.load(s, s"$path/index")
+      .select(col("word"),
+        array_join(transform(col("file_ids"), _.cast("string")), " ").as("doc_ids"),
+        size(col("file_ids")).cast("long").as("n_docs"))
+      .orderBy(col("n_docs").desc, col("word").asc)
+  }
+
   /** Q-POSTING: point lookup for a fixed word set. */
   def docPosting(s: SparkSession, dir: String): DataFrame =
     docIndex(s, dir)

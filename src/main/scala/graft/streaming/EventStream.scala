@@ -708,9 +708,13 @@ object EventStream {
         val batchSh = graft.operators.Dedup.shingleHashes(
           batch.select(col("doc_id"), col("text")), k = 2)
         if (!new java.io.File(s"$bPair/_SUCCESS").exists()) {
-          val existing = new java.io.File(idxDir)
+          // data-presence via THE shared walker: a tree holding only
+          // hidden/marker entries (a crashed consolidation's staging
+          // dir, marker-only batch dirs) must read as empty or the
+          // spark.read below dies on schema inference
           val indexSh =
-            if (Option(existing.listFiles()).exists(_.nonEmpty))
+            if (graft.operators.ArtifactCache.hasVisibleParquet(
+                new java.io.File(idxDir)))
               s.read.parquet(idxDir).select(col("doc_id"), col("sh"))
             else batchSh.limit(0)
           graft.operators.Dedup.batchDedupPairs(
@@ -982,9 +986,13 @@ object EventStream {
         // compute it once per batch
         val h = PerceptualHash.imageHashes(s, batch).persist()
         try {
+          // one count on the persisted hash frame primes the cache for
+          // both consumers AND feeds the probe's broadcast gate — the
+          // probe itself runs no extra action per micro-batch
+          val n = h.count()
           val bMatch = s"$matchDir/batch=$batchId"
           if (!new java.io.File(s"$bMatch/_SUCCESS").exists())
-            PerceptualHash.probeImages(s, idxDir, h)
+            PerceptualHash.probeImages(s, idxDir, h, imageCount = Some(n))
               .write.mode("overwrite").parquet(bMatch)
           PerceptualHash.stageImageBatch(s, idxDir, h, batchId)
         } finally h.unpersist()

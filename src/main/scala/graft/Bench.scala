@@ -110,11 +110,25 @@ object Bench {
     * next driver battery carries the adjudication data even if local
     * reproduction attempts stay flat. */
   private final case class RunMetrics(gcMs: Long, gcN: Long, jitMs: Long,
-      rdds: Int, acBuilds: Long, heapMb: Long) {
+      rdds: Int, acBuilds: Long, heapMb: Long, cpuMs: Long, stealJ: Long,
+      busyJ: Long) {
     def json: String =
       s"""{"gc_ms":$gcMs,"gc_n":$gcN,"jit_ms":$jitMs,"rdds":$rdds,""" +
-        s""""ac_builds":$acBuilds,"heap_mb":$heapMb}"""
+        s""""ac_builds":$acBuilds,"heap_mb":$heapMb,"cpu_ms":$cpuMs,""" +
+        s""""steal_j":$stealJ,"busy_j":$busyJ}"""
   }
+
+  /** This JVM's cumulative process CPU time in ms (−1 off-HotSpot).
+    * The external-stall discriminator: a run whose WALL time triples
+    * while its process-CPU delta stays at the flat-run level was
+    * starved by something outside the JVM (host steal, IO stall,
+    * co-tenant burst) — real extra work scales CPU with wall. */
+  private def processCpuMs(): Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        os.getProcessCpuTime / 1000000L
+      case _ => -1L
+    }
 
   private def gcSnapshot(): (Long, Long) = {
     import scala.jdk.CollectionConverters._
@@ -141,14 +155,20 @@ object Bench {
       val (gc0, gn0) = gcSnapshot()
       val jit0 = jitMillis()
       val ac0 = graft.operators.ArtifactCache.ensureBuilds.get()
+      val cpu0 = processCpuMs()
+      val j0 = cpuJiffies()
       val t0 = System.nanoTime()
       body()
       val sec = (System.nanoTime() - t0) / 1e9
       val (gc1, gn1) = gcSnapshot()
       val rt = Runtime.getRuntime
+      val (stealJ, busyJ) = (for {
+        (b0, s0, _) <- j0; (b1, s1, _) <- cpuJiffies()
+      } yield (s1 - s0, b1 - b0)).getOrElse((-1L, -1L))
       metrics += RunMetrics(gc1 - gc0, gn1 - gn0, jitMillis() - jit0,
         rddCount(), graft.operators.ArtifactCache.ensureBuilds.get() - ac0,
-        (rt.totalMemory() - rt.freeMemory()) >> 20)
+        (rt.totalMemory() - rt.freeMemory()) >> 20,
+        if (cpu0 < 0) -1L else processCpuMs() - cpu0, stealJ, busyJ)
       sec
     }
     // UNTIMED warm-up(s) per query before the timed runs — the
@@ -382,13 +402,25 @@ object Bench {
 
     // steal gate: a host-throttled window is an environmental failure
     // of the ARTIFACT, not the code — discard and re-measure instead of
-    // committing numbers that are uniformly 2-3× inflated
+    // committing numbers that are uniformly 2-3× inflated.
+    // SPARK_GRAFT_BENCH_MIN_ATTEMPTS forces extra attempts even on a
+    // clean window (spike adjudication): the r17 battery that flagged
+    // `q_media_dup_groups` was its ATTEMPT 2 — the whole suite had
+    // already run once in the same JVM — and an attempt-1 replay
+    // cannot reproduce attempt-2 heap/cache context
+    val minAttempts = sys.env.get("SPARK_GRAFT_BENCH_MIN_ATTEMPTS")
+      .map(_.toInt).getOrElse(1)
     var att = measure(spark, sfDir)
     var attempts = 1
-    while (att.stealPct.exists(_ > StealLimitPct) && attempts < MaxAttempts) {
-      System.err.println(f"[bench] attempt $attempts contaminated: " +
-        f"cpu steal ${att.stealPct.get}%.1f%% > $StealLimitPct%.1f%% — " +
-        "discarding run and retrying after a pause")
+    while ((att.stealPct.exists(_ > StealLimitPct) || attempts < minAttempts)
+        && attempts < MaxAttempts) {
+      if (att.stealPct.exists(_ > StealLimitPct))
+        System.err.println(f"[bench] attempt $attempts contaminated: " +
+          f"cpu steal ${att.stealPct.get}%.1f%% > $StealLimitPct%.1f%% — " +
+          "discarding run and retrying after a pause")
+      else
+        System.err.println(s"[bench] attempt $attempts clean but " +
+          s"MIN_ATTEMPTS=$minAttempts forces a re-measure (adjudication mode)")
       Thread.sleep(RetryPauseMs)
       att = measure(spark, sfDir)
       attempts += 1

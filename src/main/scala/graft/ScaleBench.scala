@@ -92,14 +92,31 @@ object ScaleBench {
     val jiffiesBefore = Bench.cpuJiffies()
     val spark = GraftSession.local(appName = "graft-scalebench")
 
-    // ---------------- synthesize the 10× and 100× documents corpora
+    // ---------------- synthesize the 10× and 100× documents corpora.
+    // Regenerated ONLY when the base corpus changed (marker carries the
+    // base fingerprint): stability matters beyond the untimed setup
+    // cost — downstream build-once state (the takedown's pre-built
+    // group state below) is keyed by the replica corpus' own
+    // fingerprint, and an unconditional rewrite would mint fresh
+    // mtimes every invocation and void that cache, re-paying the 100×
+    // state build per run.
     val d = Tables.load(spark, base, "documents")
     val dir10 = s"$work/sf1"
     val dir100 = s"$work/sf10"
-    replicaDocs(spark, base, 10).write.mode("overwrite")
-      .parquet(s"$dir10/documents.parquet")
-    replicaDocs(spark, base, 100).write.mode("overwrite")
-      .parquet(s"$dir100/documents.parquet")
+    val baseFp = graft.operators.ArtifactCache.fingerprint(
+      new java.io.File(s"$base/documents.parquet"))
+    def ensureReplicas(dir: String, n: Int): Unit = {
+      val marker = new java.io.File(s"$dir/_REPLICAS-$baseFp-x$n")
+      if (!marker.exists()) {
+        replicaDocs(spark, base, n).write.mode("overwrite")
+          .parquet(s"$dir/documents.parquet")
+        Option(new java.io.File(dir).listFiles()).toSeq.flatten
+          .filter(_.getName.startsWith("_REPLICAS-")).foreach(_.delete())
+        java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+      }
+    }
+    ensureReplicas(dir10, 10)
+    ensureReplicas(dir100, 100)
 
     // ---------------- synthesize clustered embeddings at n, 10n, 100n
     // (prime cluster counts near √n — see class doc; 100× extends the
@@ -236,21 +253,26 @@ object ScaleBench {
     } ++ relOps.map { case (name, fn) =>
       (name, relDirs.map(d => timed(() => fn(d))), None)
     } :+ {
-      // round-17: group-state takedown. The two-generation incremental
-      // state is built once per scale point (untimed — ingest cost is
-      // the incremental op's own curve); each run then deletes the
-      // %7==3 victims from a FRESH filesystem copy of the built state,
+      // round-17/18: group-state takedown. The two-generation
+      // incremental state is built once per scale point (untimed —
+      // ingest cost is the incremental op's own curve — and CACHED
+      // across invocations: the state dir is fingerprint-keyed and the
+      // replica corpora above no longer rewrite, so the expensive 100×
+      // build is paid once ever); each run then deletes the %7==3
+      // victims from a FRESH filesystem copy of the built state,
       // because delete mutates — a re-delete of already-deleted
       // victims would measure the idempotent no-op, not the masking +
       // wins rewrite + un-crossing repair + cold closure this curve
       // guards. Victim count rides beside the times as n_rows (it
-      // grows ~10× per decade with the replica corpus). 1×/10× ONLY
-      // (the source_overlap precedent): at the dup-dense 100× replica
-      // point the state's PERSISTED pair store is the 124M-row
-      // quadratic encoding the media_neardups_exact adjudication
-      // already pins as output-bound, and the takedown's cold closure
-      // over it measures that artifact, not the delete's
-      // victims-plus-touched-windows contract that two points bound.
+      // grows ~10× per decade with the replica corpus). The 100× point
+      // (added r18, closing the verdict's ask) times the DELETE ALONE
+      // against the pre-staged state — the r17 exclusion conflated the
+      // output-bound pair-store BUILD with the delete; with the build
+      // excluded the remaining 100×-sized term is the cold closure
+      // over the live pair graph, which IS part of the delete's
+      // contract and belongs in the curve. One timed run at 100× (the
+      // state copy per run is GB-scale; a single run bounds the point
+      // honestly, the source_overlap single-sample precedent).
       def copyDir(src: java.io.File, dst: java.io.File): Unit =
         if (src.isDirectory) {
           dst.mkdirs()
@@ -258,7 +280,7 @@ object ScaleBench {
             .foreach(f => copyDir(f, new java.io.File(dst, f.getName)))
         } else java.nio.file.Files.copy(src.toPath, dst.toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      val pts = docDirs.take(2).zipWithIndex.map { case (dir, i) =>
+      val pts = docDirs.zipWithIndex.map { case (dir, i) =>
         val media = graft.operators.Multimodal.mediaTable(spark, dir)
           .select(col("media_id"), col("content"))
         val mid = media.agg(expr("percentile(media_id, 0.5)"))
@@ -280,7 +302,8 @@ object ScaleBench {
         }
         val victims = media.filter(pmod(col("media_id"), lit(7)) === 3)
           .select(col("media_id")).collect().map(_.getLong(0)).toSeq
-        val times = Seq.fill(Runs) {
+        val runsHere = if (i == 2) 1 else Runs
+        val times = Seq.fill(runsHere) {
           val st = new java.io.File(s"$work/tdrun")
           graft.operators.ArtifactCache.deleteRecursively(st)
           copyDir(stateBase, st)

@@ -287,6 +287,33 @@ object StreamReport {
         streamed.count(), replay.count(), setEqual(streamed, replay))
     }
 
+    // 15. takedown from the STREAMED audio index's accumulated state:
+    //     tombstone + batch-layout-aware compact applied to the
+    //     per-micro-batch `batch=` layout path 7 built, then the
+    //     standard probe vs a fresh one-shot incremental index over
+    //     the remaining tracks — the stream ≡ one-shot exactness
+    //     argument for the new audio takedown, committed as data (the
+    //     media-groups twin of path 14). Clips still come from the
+    //     FULL corpus: a victim's clip keeps probing like any query.
+    locally {
+      val out = s"$tmp/audioingest"
+      val allTracks = spark.read.parquet(s"$tmp/audiotracks")
+      val clips = operators.AudioMatch.trackClips(allTracks)
+      val victims = allTracks
+        .filter(pmod(col("track_id"), lit(9)) === 4).select(col("track_id"))
+      val nVict = victims.count()
+      operators.MediaIndexOps.delete(spark, s"$out/index", victims, "track_id")
+      operators.MediaIndexOps.compact(spark, s"$out/index", "landmarks", "track_id")
+      val streamed = operators.AudioMatch.matchAgainst(spark, s"$out/index", clips)
+      val rb = s"$tmp/audio_rb"
+      operators.AudioMatch.buildIncremental(spark,
+        allTracks.filter(pmod(col("track_id"), lit(9)) =!= 4)
+          .select(col("track_id"), col("pcm")), rb)
+      val oneShot = operators.AudioMatch.matchAgainst(spark, rb, clips)
+      reports += PathReport("audio_takedown_match", Seq(nVict),
+        streamed.count(), oneShot.count(), setEqual(streamed, oneShot))
+    }
+
     // 8. streaming video-ingest matching: per-batch verdicts vs a
     //    replay that REBUILDS the frame index from strictly-earlier
     //    batches at every boundary — proves the staged incremental

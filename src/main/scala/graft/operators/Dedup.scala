@@ -257,17 +257,21 @@ object Dedup {
   def incrementalNgramDedup(s: SparkSession, dir: String, splitId: Long = 400L,
       threshold: Double = 0.3, maxDf: Int = 50): DataFrame = {
     val fp = ArtifactCache.fingerprint(new java.io.File(s"$dir/documents.parquet"))
+    // the store lives in the DELETABLE bucketed layout (see
+    // [[buildShingleStore]]) since r18 — one layout for the whole
+    // lifecycle family instead of a flat production store next to a
+    // deletable variant; answers are layout-invariant (the probe
+    // selects (doc_id, sh) explicitly) and the cache key carries the
+    // layout version so pre-migration flat artifacts can't be served
     val idxPath = ArtifactCache.ensure(
       s"/tmp/graft-increm-dedup/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}" +
-        s"-$fp-s$splitId") { tmp =>
-      shingleHashes(docs(s, dir).filter(col("doc_id") < splitId), k = 2)
-        .write.mode("overwrite").parquet(s"$tmp/postings")
+        s"-$fp-s$splitId-b$ShingleStoreBuckets") { tmp =>
+      buildShingleStore(s, docs(s, dir).filter(col("doc_id") < splitId), tmp)
     }
-    val pIdx = s.read.parquet(s"$idxPath/postings")
     val pBatch = shingleHashes(docs(s, dir).filter(col("doc_id") >= splitId), k = 2)
     batchDedupDecisions(
       docs(s, dir).filter(col("doc_id") >= splitId).select(col("doc_id")),
-      pBatch, pIdx, threshold, maxDf)
+      pBatch, liveShinglePostings(s, idxPath), threshold, maxDf)
   }
 
   /** Doc-id bucket width for the DELETABLE shingle-store layout: the

@@ -24,8 +24,23 @@ object IndexStore {
       .partitionBy("letter")
       .parquet(path)
 
-  def load(spark: SparkSession, path: String): DataFrame =
+  /** True while a [[merge]] or [[delete]] is mid-swap — the dynamic
+    * overwrite may have replaced some touched letter dirs and not
+    * others, so reads must refuse until the op is resumed (re-run the
+    * same entry point; both resume from marker + staged rewrite
+    * alone). The lifecycle family's guard discipline, local-FS
+    * contract like the rest of it. */
+  def pendingMaintenance(path: String): Boolean =
+    new java.io.File(path, ".merge-commit").exists() ||
+      new java.io.File(path, ".delete-commit").exists()
+
+  def load(spark: SparkSession, path: String): DataFrame = {
+    if (pendingMaintenance(path))
+      throw new IllegalStateException(
+        s"pending index maintenance at $path: re-run the interrupted " +
+          "merge/delete to completion before reading")
     spark.read.parquet(path)
+  }
 
   /** Point lookup: the letter predicate is derivable from the word but
     * Catalyst can't know that — supply it explicitly so partition
@@ -95,10 +110,20 @@ object IndexStore {
     * rebuild and the untouched-partition bytes being left alone.
     */
   def merge(spark: SparkSession, path: String, deltaDocs: DataFrame): Unit = {
+    resumePending(spark, path)
+    if (mergePhaseA(spark, path, deltaDocs)) phaseB(spark, path, "merge")
+  }
+
+  /** Phase A of [[merge]] — pure staging + marker commit, split out so
+    * the crash-resume spec can stop exactly between the phases.
+    * Returns false when the delta touches nothing. */
+  private[graft] def mergePhaseA(spark: SparkSession, path: String,
+      deltaDocs: DataFrame): Boolean = {
     val delta = InvertedIndex.build(deltaDocs)
       .withColumn("letter", substring(col("word"), 1, 1))
     val touched = delta.select(col("letter")).distinct()
       .collect().map(_.getString(0)).sorted
+    if (touched.isEmpty) return false
     val base = load(spark, path)
       .filter(col("letter").isin(touched.toIndexedSeq: _*))
     val merged = base.as("b")
@@ -109,7 +134,7 @@ object IndexStore {
           coalesce(col("b.file_ids"), typedlit(Array.empty[Int])),
           coalesce(col("d.file_ids"), typedlit(Array.empty[Int])))).as("file_ids"),
         coalesce(col("b.letter"), col("d.letter")).as("letter"))
-    stageAndOverwrite(spark, path, merged, ".merge-tmp")
+    phaseA(spark, path, merged, "merge", touched)
   }
 
   /** Remove documents from the persisted index — the GDPR-erasure twin
@@ -131,15 +156,27 @@ object IndexStore {
     *
     * Cost is O(victims + base-rows-under-touched-letters), never
     * O(base). Delete ∘ merge ≡ rebuild over the remaining corpus
-    * (spec-pinned); an empty victim set is a byte-level no-op. Same
-    * single-shot contract as [[merge]] (no marker protocol — run from
-    * the single writer; a crash mid-overwrite re-runs the delete). */
+    * (spec-pinned); an empty victim set is a byte-level no-op. Crash
+    * safety is the family's two-phase marker protocol (shared with
+    * [[merge]] via [[phaseA]]/[[phaseB]]): reads refuse while a marker
+    * is pending ([[pendingMaintenance]]), and re-running the entry
+    * point resumes the crashed op before applying the new one.
+    * Single-writer contract like the rest of the lifecycle family. */
   def delete(spark: SparkSession, path: String, victimDocs: DataFrame): Unit = {
+    resumePending(spark, path)
+    if (deletePhaseA(spark, path, victimDocs)) phaseB(spark, path, "delete")
+  }
+
+  /** Phase A of [[delete]] — pure staging + marker commit, split out
+    * so the crash-resume spec can stop exactly between the phases.
+    * Returns false when the victim set touches nothing. */
+  private[graft] def deletePhaseA(spark: SparkSession, path: String,
+      victimDocs: DataFrame): Boolean = {
     val vic = InvertedIndex.build(victimDocs)
       .withColumn("letter", substring(col("word"), 1, 1))
     val touched = vic.select(col("letter")).distinct()
       .collect().map(_.getString(0)).sorted
-    if (touched.isEmpty) return
+    if (touched.isEmpty) return false
     val base = load(spark, path)
       .filter(col("letter").isin(touched.toIndexedSeq: _*))
     val remaining = base.as("b")
@@ -150,35 +187,73 @@ object IndexStore {
           coalesce(col("d.file_ids"), typedlit(Array.empty[Int]))).as("file_ids"),
         col("b.letter").as("letter"))
       .filter(size(col("file_ids")) > 0)
-    val survivors = stageAndOverwrite(spark, path, remaining, ".delete-tmp")
-    touched.filterNot(survivors).foreach(l =>
-      ArtifactCache.deleteRecursively(new java.io.File(s"$path/letter=$l")))
+    phaseA(spark, path, remaining, "delete", touched)
   }
 
-  /** Both maintenance ops read the very letter partitions their
-    * dynamic overwrite replaces — break the read-write cycle by
-    * staging the rewrite to a hidden DISK dir under the index root
-    * (invisible to Spark's file listing), then overwrite disk-to-disk.
-    * The first cut pinned the slice with `localCheckpoint(true)`; a
-    * rewrite touching most letters (a victim set with a broad
-    * vocabulary touches all 26) makes the pinned slice index-sized —
-    * the OOM class every lifecycle in this repo now stages to disk.
-    * Returns the distinct letters present in the rewrite (the caller's
-    * emptied-partition cleanup needs them). */
-  private def stageAndOverwrite(spark: SparkSession, path: String,
-      rewrite: DataFrame, stageName: String): Set[String] = {
-    val stage = new java.io.File(path, stageName)
+  /** Finish a maintenance op a crash left mid-protocol — phase B is
+    * re-runnable from its marker + staged rewrite alone. A NEW op must
+    * complete the old one first (the inherited marker describes THAT
+    * op's rewrite; silently replacing it would drop the crashed
+    * op's un-applied letters on the floor). */
+  private[graft] def resumePending(spark: SparkSession, path: String): Unit =
+    Seq("merge", "delete").foreach { kind =>
+      if (new java.io.File(path, s".$kind-commit").exists())
+        phaseB(spark, path, kind)
+    }
+
+  /** Phase A of both maintenance ops: stage the touched letters'
+    * rewrite to a hidden DISK dir under the index root (invisible to
+    * Spark's file listing), then commit intent via an atomic marker
+    * naming the touched letters. Disk, never a `localCheckpoint(true)`
+    * pin: the ops read the very letter partitions their dynamic
+    * overwrite replaces, and a rewrite touching most letters (a victim
+    * set with a broad vocabulary touches all 26) makes a pinned slice
+    * index-sized — the OOM class every lifecycle in this repo stages
+    * around. Returns true when a marker is pending (always, here —
+    * pre-existing markers were resumed by the entry point). */
+  private[graft] def phaseA(spark: SparkSession, path: String, rewrite: DataFrame,
+      kind: String, touched: Seq[String]): Boolean = {
+    val stage = new java.io.File(path, s".$kind-tmp")
     ArtifactCache.deleteRecursively(stage)
     rewrite.write.mode("overwrite").parquet(stage.getPath)
-    try {
-      if (!ArtifactCache.hasVisibleParquet(stage)) return Set.empty
-      val staged = spark.read.parquet(stage.getPath)
-      staged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("letter")
-        .parquet(path)
-      staged.select(col("letter")).distinct()
-        .collect().map(_.getString(0)).toSet
-    } finally ArtifactCache.deleteRecursively(stage)
+    val markerTmp = new java.io.File(path, s".$kind-commit.tmp")
+    java.nio.file.Files.write(markerTmp.toPath,
+      s"touched:${touched.mkString(",")}".getBytes("UTF-8"))
+    java.nio.file.Files.move(markerTmp.toPath,
+      new java.io.File(path, s".$kind-commit").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    true
+  }
+
+  /** Phase B — re-runnable from the marker alone: dynamic-overwrite
+    * the touched letters from the staged rewrite (disk-to-disk), drop
+    * letter dirs the rewrite emptied entirely (dynamic overwrite only
+    * replaces partitions PRESENT in the frame — a merge never empties
+    * one, a delete can), then clear the stage and the marker LAST. A
+    * crash at any point re-runs to the identical end state. */
+  private[graft] def phaseB(spark: SparkSession, path: String, kind: String): Unit = {
+    val marker = new java.io.File(path, s".$kind-commit")
+    val stage = new java.io.File(path, s".$kind-tmp")
+    val touched = new String(
+      java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+      .stripPrefix("touched:").trim.split(",").filter(_.nonEmpty).toSeq
+    if (stage.exists()) {
+      if (ArtifactCache.hasVisibleParquet(stage)) {
+        val staged = spark.read.parquet(stage.getPath)
+        staged.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("letter")
+          .parquet(path)
+        val survivors = staged.select(col("letter")).distinct()
+          .collect().map(_.getString(0)).toSet
+        touched.filterNot(survivors).foreach(l =>
+          ArtifactCache.deleteRecursively(new java.io.File(s"$path/letter=$l")))
+      } else
+        // every posting under the touched letters was a victim's
+        touched.foreach(l =>
+          ArtifactCache.deleteRecursively(new java.io.File(s"$path/letter=$l")))
+      ArtifactCache.deleteRecursively(stage)
+    }
+    marker.delete()
   }
 }

@@ -114,7 +114,7 @@ object Takedown {
     case IvfVectors => false // single-shot compact: no mid-swap marker
     case MediaGroups =>
       MediaGroupsInc.pendingDelete(path) || MediaGroupsInc.pendingCompact(path)
-    case TextIndex => false // single-shot delete: no mid-swap marker
+    case TextIndex => IndexStore.pendingMaintenance(path)
     case other =>
       throw new IllegalArgumentException(s"unhandled modality $other")
   }

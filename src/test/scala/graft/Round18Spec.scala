@@ -248,6 +248,48 @@ class Round18Spec extends SparkSpec {
     }
   }
 
+  test("IndexStore maintenance crash-resume: reads refuse between the " +
+    "phases, re-running the entry point converges to the identical end " +
+    "state, and a new merge finishes a crashed delete first") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-tcrash").toString
+    val rb = java.nio.file.Files.createTempDirectory("graft-tcrash-rb").toString
+    try {
+      val base = Seq(
+        (1, "alpha quill zebra"),
+        (2, "alpha beta quill"),
+        (3, "gamma delta")).toDF("file_id", "value")
+      val delta = Seq((4, "epsilon alpha")).toDF("file_id", "value")
+      IndexStore.materialize(base, s"$path/index")
+      // crash a delete exactly between the phases: marker + stage only
+      assert(IndexStore.deletePhaseA(spark, s"$path/index",
+        base.filter(col("file_id") === 1)))
+      assert(IndexStore.pendingMaintenance(s"$path/index"))
+      intercept[IllegalStateException] {
+        IndexStore.load(spark, s"$path/index").collect()
+      }
+      intercept[IllegalStateException] {
+        IndexStore.lookup(spark, s"$path/index", "alpha").collect()
+      }
+      // a NEW op (the merge) inherits and finishes the crashed delete
+      // before applying itself
+      IndexStore.merge(spark, s"$path/index", delta)
+      assert(!IndexStore.pendingMaintenance(s"$path/index"))
+      IndexStore.materialize(
+        base.filter(col("file_id") =!= 1).union(delta), s"$rb/index")
+      def rows(p: String): Set[(String, Seq[Int])] =
+        IndexStore.load(spark, p).collect()
+          .map(r => (r.getAs[String]("word"),
+            r.getAs[Seq[Int]]("file_ids"))).toSet
+      assert(rows(s"$path/index") == rows(s"$rb/index"),
+        "resumed delete + merge must equal the rebuild")
+      assert(!new java.io.File(s"$path/index/letter=z").exists())
+    } finally {
+      ArtifactCache.deleteRecursively(new java.io.File(path))
+      ArtifactCache.deleteRecursively(new java.io.File(rb))
+    }
+  }
+
   // --- persisted shingle store: takedown lifecycle ------------------------
 
   test("shingle store delete is exact immediately (df recomputed from live " +

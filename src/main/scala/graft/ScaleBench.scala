@@ -292,6 +292,14 @@ object ScaleBench {
         val fp = graft.operators.ArtifactCache.fingerprint(
           new java.io.File(s"$dir/documents.parquet"))
         val stateBase = new java.io.File(s"$work/tdstate$i-$fp")
+        // sweep stale states from PREVIOUS base corpora: a fingerprint
+        // change abandons the old GB-scale state dir, which nothing
+        // would ever read again — unbounded disk debt on the shared
+        // measurement box otherwise
+        Option(new java.io.File(work).listFiles()).toSeq.flatten
+          .filter(f => f.isDirectory && f.getName.startsWith(s"tdstate$i-") &&
+            f.getName != stateBase.getName)
+          .foreach(graft.operators.ArtifactCache.deleteRecursively)
         if (!new java.io.File(stateBase, "_BUILT").exists()) {
           graft.operators.ArtifactCache.deleteRecursively(stateBase)
           graft.operators.MediaGroupsInc.ingest(spark, stateBase.getPath,

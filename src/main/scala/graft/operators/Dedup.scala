@@ -310,6 +310,16 @@ object Dedup {
       throw new IllegalStateException(
         s"pending batch consolidation at $path: re-run " +
           "MediaIndexOps.consolidateBatches to completion before probing")
+    // EMPTY-STORE GUARD (the family's): an all-victim takedown leaves
+    // the postings dir with only markers — no parquet footer anywhere,
+    // so a naive read dies on schema inference. An empty store has no
+    // duplicates to report. (A NONEXISTENT path still throws — only a
+    // present-but-emptied tree reads as empty; a typo'd path must not.)
+    val postingsRoot = new java.io.File(s"$path/postings")
+    if (postingsRoot.exists() && !ArtifactCache.hasVisibleParquet(postingsRoot)) {
+      import s.implicits._
+      return Seq.empty[(Long, Long)].toDF("doc_id", "sh")
+    }
     val stored = s.read.parquet(s"$path/postings").select(col("doc_id"), col("sh"))
     MediaIndexOps.tombstones(s, path, "doc_id")
       .fold(stored)(d => stored.join(broadcast(d), Seq("doc_id"), "left_anti"))

@@ -39,7 +39,16 @@ object IndexStore {
       throw new IllegalStateException(
         s"pending index maintenance at $path: re-run the interrupted " +
           "merge/delete to completion before reading")
-    spark.read.parquet(path)
+    // EMPTY-STORE GUARD: an all-victim delete removes every letter
+    // dir, leaving a marker-only tree — no parquet footer, so a naive
+    // read dies on schema inference. An empty index is a valid index.
+    // (A NONEXISTENT path still throws — only a present-but-emptied
+    // tree reads as empty; a typo'd path must not.)
+    val root = new java.io.File(path)
+    if (root.exists() && !ArtifactCache.hasVisibleParquet(root)) {
+      import spark.implicits._
+      Seq.empty[(String, Seq[Int], String)].toDF("word", "file_ids", "letter")
+    } else spark.read.parquet(path)
   }
 
   /** Point lookup: the letter predicate is derivable from the word but
@@ -227,33 +236,18 @@ object IndexStore {
 
   /** Phase B — re-runnable from the marker alone: dynamic-overwrite
     * the touched letters from the staged rewrite (disk-to-disk), drop
-    * letter dirs the rewrite emptied entirely (dynamic overwrite only
-    * replaces partitions PRESENT in the frame — a merge never empties
-    * one, a delete can), then clear the stage and the marker LAST. A
-    * crash at any point re-runs to the identical end state. */
+    * letter dirs the rewrite emptied entirely (a merge never empties
+    * one, a delete can), then clear the stage (atomically retired —
+    * see [[MediaIndexOps.applyStagedRewrite]], THE one copy of this
+    * crash-critical protocol) and the marker LAST. A crash at any
+    * point re-runs to the identical end state. */
   private[graft] def phaseB(spark: SparkSession, path: String, kind: String): Unit = {
     val marker = new java.io.File(path, s".$kind-commit")
-    val stage = new java.io.File(path, s".$kind-tmp")
     val touched = new String(
       java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
       .stripPrefix("touched:").trim.split(",").filter(_.nonEmpty).toSeq
-    if (stage.exists()) {
-      if (ArtifactCache.hasVisibleParquet(stage)) {
-        val staged = spark.read.parquet(stage.getPath)
-        staged.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("letter")
-          .parquet(path)
-        val survivors = staged.select(col("letter")).distinct()
-          .collect().map(_.getString(0)).toSet
-        touched.filterNot(survivors).foreach(l =>
-          ArtifactCache.deleteRecursively(new java.io.File(s"$path/letter=$l")))
-      } else
-        // every posting under the touched letters was a victim's
-        touched.foreach(l =>
-          ArtifactCache.deleteRecursively(new java.io.File(s"$path/letter=$l")))
-      ArtifactCache.deleteRecursively(stage)
-    }
+    MediaIndexOps.applyStagedRewrite(spark,
+      new java.io.File(path, s".$kind-tmp"), path, Seq("letter"), touched)
     marker.delete()
   }
 }

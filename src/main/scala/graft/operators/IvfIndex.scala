@@ -350,34 +350,16 @@ object IvfIndex {
         // — stage the survivor slice to a hidden DISK dir first (never
         // an in-memory pin: a takedown flood touches most cells, and a
         // pinned index-sized vector slice is the 8g-JVM OOM class the
-        // whole lifecycle family stages around), then overwrite
-        // disk-to-disk
+        // whole lifecycle family stages around), then apply via THE
+        // shared disk-to-disk rewriter (atomic stage retirement)
         val stage = new java.io.File(s"$path/assigned/.del-tmp")
         ArtifactCache.deleteRecursively(stage)
         assigned
           .filter(col("cent_id").isin(touched.toIndexedSeq: _*))
           .join(broadcast(deleted), Seq("vec_id"), "left_anti")
           .write.mode("overwrite").parquet(stage.getPath)
-        try {
-          if (ArtifactCache.hasVisibleParquet(stage)) {
-            val remaining = s.read.parquet(stage.getPath)
-            remaining.write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("cent_id").parquet(s"$path/assigned")
-            val survivors = remaining.select(col("cent_id").cast("long")).distinct()
-              .collect().map(_.getLong(0)).toSet
-            touched.filterNot(survivors).foreach { c =>
-              ArtifactCache.deleteRecursively(
-                new java.io.File(s"$path/assigned/cent_id=$c"))
-            }
-          } else
-            // every vector in the touched slice was tombstoned — all
-            // touched cells empty out
-            touched.foreach { c =>
-              ArtifactCache.deleteRecursively(
-                new java.io.File(s"$path/assigned/cent_id=$c"))
-            }
-        } finally ArtifactCache.deleteRecursively(stage)
+        MediaIndexOps.applyStagedRewrite(s, stage, s"$path/assigned",
+          Seq("cent_id"), touched.map(_.toString))
       }
       // clear only the snapshot (now physically applied); tombstones
       // appended since stay pending for the next compaction

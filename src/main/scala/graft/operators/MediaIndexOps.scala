@@ -92,6 +92,59 @@ object MediaIndexOps {
   private def dataBatchIds(root: String): Seq[Int] =
     ArtifactCache.dataBatchIds(root)
 
+  /** THE one staged-rewrite applier for the takedown family
+    * (this compaction, [[IndexStore]]'s letter maintenance,
+    * [[IvfIndex.compact]]'s cell rewrite — three near-identical copies
+    * of a crash-critical protocol once lived side by side, two with
+    * the same resume bug): dynamic-overwrite the `touched` partitions
+    * of `target` from the hidden `stage` dir, drop partitions the
+    * rewrite emptied entirely (dynamic overwrite only replaces
+    * partitions PRESENT in the frame), then retire the stage
+    * ATOMICALLY — rename it away first, delete the renamed dir after —
+    * so a crash mid-cleanup can never leave a PARTIAL stage that a
+    * marker-driven resume would misread as "every touched row was a
+    * victim" (dropping live partitions) or re-apply as a truncated
+    * slice. A missing stage means a prior resume already applied the
+    * rewrite: no-op. `touched` entries are '/'-joined partition VALUES
+    * aligned with `parts`. */
+  private[graft] def applyStagedRewrite(s: SparkSession,
+      stage: java.io.File, target: String, parts: Seq[String],
+      touched: Seq[String]): Unit = {
+    val retired = new java.io.File(stage.getParentFile,
+      stage.getName + ".done")
+    if (touched.isEmpty || !stage.exists()) {
+      // a crash between the atomic retirement and the final delete
+      // leaves the renamed dir behind — reclaim it on any later pass
+      ArtifactCache.deleteRecursively(retired)
+      return
+    }
+    def dropLeaf(pk: String): Unit = {
+      val leaf = parts.zip(pk.split("/", -1)).map { case (c, v) => s"$c=$v" }
+        .mkString("/")
+      ArtifactCache.deleteRecursively(new java.io.File(s"$target/$leaf"))
+    }
+    if (ArtifactCache.hasVisibleParquet(stage)) {
+      val remaining = s.read.parquet(stage.getPath)
+      remaining.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(parts: _*).parquet(target)
+      def partKey = concat_ws("/", parts.map(c => col(c).cast("string")): _*)
+      val survivors = remaining.select(partKey.as("pk")).distinct()
+        .collect().map(_.getString(0)).toSet
+      touched.filterNot(survivors).foreach(dropLeaf)
+    } else
+      // the stage was written EMPTY (every row in the touched slice
+      // was a victim's) — all touched leaves empty out. The atomic
+      // retirement below is what makes this inference safe: a
+      // half-deleted stage can never exist, so "no visible parquet"
+      // always means "staged empty", never "cleanup crashed mid-way"
+      touched.foreach(dropLeaf)
+    ArtifactCache.deleteRecursively(retired)
+    java.nio.file.Files.move(stage.toPath, retired.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ArtifactCache.deleteRecursively(retired)
+  }
+
   /** Consolidate a STREAMED index's per-micro-batch dirs — the
     * small-file debt every `foreachBatch` ingest accrues (one
     * `batch=N` dir per trigger under the postings subdir AND `keydf`)
@@ -294,31 +347,9 @@ object MediaIndexOps {
       .map(_.stripPrefix("touched:").trim).filter(_.nonEmpty)
       .map(_.split(",").toSeq).getOrElse(Seq.empty)
     val files = tombstoneFiles(path).filter(f => listed.contains(f.getName))
-    if (touched.nonEmpty && subStage.exists()) {
-      def partKey = concat_ws("/", parts.map(c => col(c).cast("string")): _*)
-      def dropLeaf(pk: String): Unit = {
-        // only the leaf (kb=…) dir goes — a batch dir keeps its
-        // _SUCCESS marker for the streaming replay guard
-        val leaf = parts.zip(pk.split("/")).map { case (c, v) => s"$c=$v" }
-          .mkString("/")
-        ArtifactCache.deleteRecursively(new java.io.File(s"$path/$sub/$leaf"))
-      }
-      if (ArtifactCache.hasVisibleParquet(subStage)) {
-        val remaining = s.read.parquet(subStage.getPath)
-        remaining.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy(parts: _*).parquet(s"$path/$sub")
-        // a partition emptied entirely is removed explicitly: dynamic
-        // overwrite only replaces partitions PRESENT in the frame
-        val survivors = remaining.select(partKey.as("pk")).distinct()
-          .collect().map(_.getString(0)).toSet
-        touched.filterNot(survivors).foreach(dropLeaf)
-      } else
-        // every posting in the touched slice belonged to a victim —
-        // the staged write produced no files; all leaves empty out
-        touched.foreach(dropLeaf)
-      ArtifactCache.deleteRecursively(subStage)
-    }
+    // only leaf (kb=…) dirs are ever dropped — a batch dir keeps its
+    // _SUCCESS marker for the streaming replay guard
+    applyStagedRewrite(s, subStage, s"$path/$sub", parts, touched)
     // adopt the staged negative partials under the live keydf — from
     // here the summed df equals the rebuild df for every touched key.
     // A batch-layout keydf adopts them under the reserved `batch=-1`

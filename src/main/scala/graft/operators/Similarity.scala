@@ -992,14 +992,6 @@ object Similarity {
     * [[knnRouted]] calls on one corpus must not increment it. */
   private[graft] val planTunings = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** The routing decision as a build-once artifact. [[recommendPlan]]
-    * re-collects brute ground truth, the nprobe grid AND a full SQ8
-    * query run — a per-(corpus, k, target) property, not per-query
-    * work — so the chosen plan persists under the [[ArtifactCache]]
-    * discipline keyed by the embeddings fingerprint and every
-    * parameter the measurement depends on, with an in-JVM memo on
-    * top. A new corpus generation (fingerprint change) re-tunes;
-    * repeat queries read five numbers. */
   /** Plan-format/algorithm version, folded into every persisted-plan
     * cache key (and thereby the in-JVM memo key): a measured plan is a
     * function of the ROUTER AND INDEX IMPLEMENTATIONS as much as of
@@ -1009,6 +1001,14 @@ object Similarity {
     * silently keeps serving. */
   private val PlanVer = "plan1"
 
+  /** The routing decision as a build-once artifact. [[recommendPlan]]
+    * re-collects brute ground truth, the nprobe grid AND a full SQ8
+    * query run — a per-(corpus, k, target) property, not per-query
+    * work — so the chosen plan persists under the [[ArtifactCache]]
+    * discipline keyed by the embeddings fingerprint and every
+    * parameter the measurement depends on (incl. [[PlanVer]]), with an
+    * in-JVM memo on top. A new corpus generation (fingerprint change)
+    * re-tunes; repeat queries read five numbers. */
   def ensurePlan(s: SparkSession, dir: String, k: Int = 5,
       targetRecall: Double = 0.9, defaultWidth: Int = 16,
       rerank: Int = 50): SearchPlan = {

@@ -54,20 +54,23 @@ object Takedown {
   /** Remove `victims` from the store at `path`. For every modality but
     * [[TextIndex]], `victims` is a single-column id frame (named or
     * not — the first column is taken); for [[TextIndex]] it is the
-    * victim documents as (file_id, value) lines. Refusal rules are the
-    * family's own: a mid-swap marker left by a crashed maintenance op
-    * must be resumed (re-run the op) before new mutations land. */
+    * victim documents as (file_id, value) lines. Mutation-vs-marker
+    * rules are the family's own: posting-store and IVF deletes are
+    * O(ids) tombstone appends that are safe to race any pending
+    * compaction (the new tombstone is absent from its marker and
+    * survives the resume); group-state and text-index deletes resume
+    * or refuse per their protocols. PROBES refuse mid-swap everywhere
+    * — [[pending]] is the observable. */
   def delete(s: SparkSession, m: Modality, path: String,
       victims: DataFrame): Unit = m match {
     case mod if mod.posting.isDefined =>
-      val (sub, idCol) = mod.posting.get
-      require(!MediaIndexOps.pendingApply(path),
-        s"pending tombstone compaction at $path: re-run " +
-          s"Takedown.compact(${m.toString}) to completion first")
-      require(!MediaIndexOps.pendingConsolidate(path, sub),
-        s"pending batch consolidation at $path/$sub: re-run " +
-          "MediaIndexOps.consolidateBatches to completion first")
-      MediaIndexOps.delete(s, path, victims, idCol)
+      // no pending-marker guard here, BY the family's contract: a
+      // delete racing a crashed/in-flight compaction or consolidation
+      // is explicitly safe — it appends a tombstone file absent from
+      // the marker, which survives the resume for the next compaction.
+      // Refusing would wedge a DMCA sweep on an operation the protocol
+      // permits. PROBES refuse mid-swap; deletes don't have to.
+      MediaIndexOps.delete(s, path, victims, mod.posting.get._2)
     case IvfVectors =>
       IvfIndex.delete(s, path,
         victims.select(col(victims.columns.head).cast("long").as("vec_id")))

@@ -165,6 +165,39 @@ class Round18Spec extends SparkSpec {
     } finally ArtifactCache.deleteRecursively(new java.io.File(path))
   }
 
+  test("compact resume AFTER the stage was retired (crash between stage " +
+    "cleanup and marker delete) must not re-drop or truncate the " +
+    "just-applied partitions") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-retire").toString
+    try {
+      val base = Seq((1L, 0x00F0F0F0F0F0F0L), (2L, 0x00F0F0F0F0F0F7L),
+        (9L, 0x00111111111111L)).toDF("media_id", "phash")
+      PerceptualHash.buildImageIndex(spark, base, path)
+      MediaIndexOps.delete(spark, path, Seq(2L).toDF("media_id"), "media_id")
+      assert(MediaIndexOps.compactPhaseA(spark, path, "chunks", "media_id"))
+      // snapshot the marker, run phase B to completion, then put the
+      // marker back — the exact on-disk state a crash leaves when it
+      // lands after the stage's ATOMIC retirement but before the
+      // marker delete (the stage can never be half-deleted: it is
+      // renamed away in one atomic move before its files go)
+      val marker = new java.io.File(s"$path/deleted/.apply-commit")
+      val saved = java.nio.file.Files.readAllBytes(marker.toPath)
+      MediaIndexOps.compactPhaseB(spark, path, "chunks", "media_id")
+      val after = spark.read.parquet(s"$path/chunks")
+        .select(col("media_id")).distinct().collect().map(_.getLong(0)).toSet
+      assert(after == Set(1L, 9L))
+      new java.io.File(s"$path/deleted").mkdirs()
+      java.nio.file.Files.write(marker.toPath, saved)
+      MediaIndexOps.compactPhaseB(spark, path, "chunks", "media_id") // resume
+      val resumed = spark.read.parquet(s"$path/chunks")
+        .select(col("media_id")).distinct().collect().map(_.getLong(0)).toSet
+      assert(resumed == Set(1L, 9L),
+        "a post-retirement resume must be a pure no-op on the postings")
+      assert(!MediaIndexOps.pendingApply(path))
+    } finally ArtifactCache.deleteRecursively(new java.io.File(path))
+  }
+
   // --- letter-partitioned inverted index: delete lifecycle ---------------
 
   private def docLines = Tables.load(spark, sf, "documents")
@@ -397,22 +430,31 @@ class Round18Spec extends SparkSpec {
         Seq(2L).toDF("media_id"))
       assert(PerceptualHash.imageNearDupsAgainst(spark, path).collect().isEmpty,
         "facade delete must tombstone like MediaIndexOps.delete")
-      // marker kind 1: mid-swap tombstone compaction
+      // marker kind 1: mid-swap tombstone compaction. PROBES refuse;
+      // a racing DELETE through the facade is explicitly permitted
+      // (tombstone file absent from the marker → survives the resume)
       assert(MediaIndexOps.compactPhaseA(spark, path, "chunks", "media_id"))
       assert(Takedown.pending(Takedown.ImageChunks, path))
-      intercept[IllegalArgumentException] {
-        Takedown.delete(spark, Takedown.ImageChunks, path,
-          Seq(1L).toDF("media_id"))
+      intercept[IllegalStateException] {
+        PerceptualHash.imageNearDupsAgainst(spark, path).collect()
       }
+      Takedown.delete(spark, Takedown.ImageChunks, path,
+        Seq(1L).toDF("media_id"))
       Takedown.compact(spark, Takedown.ImageChunks, path)
       assert(!Takedown.pending(Takedown.ImageChunks, path))
-      // marker kind 2: mid-swap batch consolidation
+      // the racing tombstone survived the resumed compaction and still
+      // masks image 1 until the NEXT compaction applies it
+      assert(spark.read.parquet(s"$path/deleted").collect()
+        .map(_.getLong(0)).toSet == Set(1L))
+      Takedown.compact(spark, Takedown.ImageChunks, path)
+      assert(!ArtifactCache.hasVisibleParquet(new java.io.File(s"$path/chunks")),
+        "both images deleted: the store must be empty")
+      // marker kind 2: mid-swap batch consolidation — probes refuse
       val consol = new java.io.File(s"$path/chunks/.consol-commit")
       java.nio.file.Files.write(consol.toPath, "sub:\nkeydf:".getBytes("UTF-8"))
       assert(Takedown.pending(Takedown.ImageChunks, path))
-      intercept[IllegalArgumentException] {
-        Takedown.delete(spark, Takedown.ImageChunks, path,
-          Seq(1L).toDF("media_id"))
+      intercept[IllegalStateException] {
+        PerceptualHash.imageNearDupsAgainst(spark, path).collect()
       }
       consol.delete()
       // marker kind 3: mid-swap keydf compaction

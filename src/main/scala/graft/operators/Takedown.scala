@@ -104,6 +104,102 @@ object Takedown {
       throw new IllegalArgumentException(s"unhandled modality $other")
   }
 
+  /** Compliance audit — the "prove it's gone" query a GDPR/DMCA
+    * process ends with: for the store at `path`, how much of `ids`
+    * SURVIVES, split into the two truths that differ mid-lifecycle:
+    *
+    *  - `logical_rows`: rows a PROBE could still surface (tombstoned
+    *    rows are logically gone the moment [[delete]] returns);
+    *  - `physical_rows`: rows still on disk (tombstoned-but-not-yet-
+    *    compacted rows count here — erasure isn't complete until
+    *    [[compact]] reclaims them; for [[MediaGroups]] this includes
+    *    the victims' DERIVED data — hv vectors and pair rows — which
+    *    only the state compaction prunes).
+    *
+    * One row per store component: (component, logical_rows,
+    * physical_rows). All-zero across every store = erasure complete;
+    * the lifecycle spec pins logical going to zero at delete and
+    * physical at compact. Reads refuse mid-swap via the same guards
+    * as the family's probes (a half-swapped store can't be audited
+    * honestly). */
+  def verifyErased(s: SparkSession, m: Modality, path: String,
+      ids: DataFrame): DataFrame = {
+    require(!pending(m, path),
+      s"pending maintenance at $path: resume it before auditing erasure")
+    val vic = ids.select(col(ids.columns.head).cast("long").as("vid"))
+    def cnt(df: DataFrame, idc: String): Long =
+      df.join(broadcast(vic), col(idc) === col("vid"), "left_semi").count()
+    def present(p: String): Boolean = {
+      val f = new java.io.File(p)
+      f.exists() && ArtifactCache.hasVisibleParquet(f)
+    }
+    import s.implicits._
+    val rows: Seq[(String, Long, Long)] = m match {
+      case mod if mod.posting.isDefined =>
+        val (sub, idCol) = mod.posting.get
+        val phys = if (present(s"$path/$sub"))
+          cnt(s.read.parquet(s"$path/$sub"), idCol) else 0L
+        val logical = MediaIndexOps.tombstones(s, path, idCol) match {
+          case None => phys
+          case Some(t) => if (phys == 0L) 0L else
+            cnt(s.read.parquet(s"$path/$sub")
+              .join(broadcast(t), Seq(idCol), "left_anti"), idCol)
+        }
+        Seq((sub, logical, phys))
+      case IvfVectors =>
+        val phys = if (present(s"$path/assigned"))
+          cnt(s.read.parquet(s"$path/assigned"), "vec_id") else 0L
+        val tombDir = new java.io.File(s"$path/deleted")
+        val hasTomb = Option(tombDir.listFiles()).toSeq.flatten
+          .exists(_.getName.endsWith(".parquet"))
+        val logical = if (!hasTomb) phys else if (phys == 0L) 0L else
+          cnt(s.read.parquet(s"$path/assigned")
+            .join(broadcast(s.read.parquet(s"$path/deleted")
+              .select(col("vec_id")).distinct()), Seq("vec_id"), "left_anti"),
+            "vec_id")
+        Seq(("assigned", logical, phys))
+      case MediaGroups =>
+        def store(subPath: String, f: DataFrame => Long): Long =
+          if (present(s"$path/$subPath")) f(s.read.parquet(s"$path/$subPath"))
+          else 0L
+        // labels ARE the probe surface: logical = the LATEST generation
+        // (what currentLabels serves), physical = every generation
+        // still on disk (stale gens are pruned by compactState)
+        val gens = Option(new java.io.File(s"$path/labels").listFiles())
+          .toSeq.flatten.filter(f => f.isDirectory &&
+            f.getName.startsWith("gen=") && ArtifactCache.hasVisibleParquet(f))
+          .map(_.getName.stripPrefix("gen=").toInt).sorted
+        val labelsLog = if (gens.isEmpty) 0L
+          else cnt(s.read.parquet(s"$path/labels/gen=${gens.max}"), "doc_id")
+        val labelsPhys = store("labels", cnt(_, "doc_id"))
+        // wins/hv/pairs are DERIVED data, never a probe surface (the
+        // group answer flows only through labels, candidates and
+        // fresh-verify only through live postings/pairs) — logical 0
+        // by construction; their physical rows are what delete (wins)
+        // and compactState (hv, pairs) reclaim
+        val wins = store("wins", cnt(_, "media_id"))
+        val hv = store("hv", cnt(_, "media_id"))
+        val pairs = store("pairs", df =>
+          df.join(broadcast(vic),
+            col("doc_a") === col("vid") || col("doc_b") === col("vid"),
+            "left_semi").count())
+        Seq(("labels", labelsLog, labelsPhys), ("wins", 0L, wins),
+          ("hv", 0L, hv), ("pairs", 0L, pairs))
+      case TextIndex =>
+        val n = if (present(path)) {
+          val vids = vic.collect().map(_.getLong(0).toInt).toSeq
+          IndexStore.load(s, path)
+            .filter(arrays_overlap(col("file_ids"),
+              typedlit(vids.toArray))).count()
+        } else 0L
+        Seq(("index", n, n)) // the delete is physical: one truth
+      case other =>
+        throw new IllegalArgumentException(s"unhandled modality $other")
+    }
+    rows.toDF("component", "logical_rows", "physical_rows")
+      .orderBy(col("component"))
+  }
+
   /** True while ANY of the modality's maintenance protocols is
     * mid-swap at `path` — the union of the family's own guard
     * predicates, so a sweep over all modalities × all marker kinds has

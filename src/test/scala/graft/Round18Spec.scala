@@ -466,6 +466,69 @@ class Round18Spec extends SparkSpec {
     } finally ArtifactCache.deleteRecursively(new java.io.File(path))
   }
 
+  test("verifyErased: logical rows vanish at delete, physical rows at " +
+    "compact, across a posting store, the group state, and the text index") {
+    import spark.implicits._
+    val ipath = java.nio.file.Files.createTempDirectory("graft-audit-i").toString
+    val gpath = java.nio.file.Files.createTempDirectory("graft-audit-g").toString
+    val tpath = java.nio.file.Files.createTempDirectory("graft-audit-t").toString
+    try {
+      def audit(m: Takedown.Modality, p: String,
+          ids: org.apache.spark.sql.DataFrame): Map[String, (Long, Long)] =
+        Takedown.verifyErased(spark, m, p, ids).collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // --- posting store (image chunks): tombstone then compact
+      val base = Seq((1L, 0x00F0F0F0F0F0F0L), (2L, 0x00F0F0F0F0F0F7L))
+        .toDF("media_id", "phash")
+      PerceptualHash.buildImageIndex(spark, base, ipath)
+      val vic = Seq(2L).toDF("media_id")
+      val before = audit(Takedown.ImageChunks, ipath, vic)("chunks")
+      assert(before._1 > 0 && before._1 == before._2)
+      Takedown.delete(spark, Takedown.ImageChunks, ipath, vic)
+      val tomb = audit(Takedown.ImageChunks, ipath, vic)("chunks")
+      assert(tomb._1 == 0, "tombstoned rows must be logically erased")
+      assert(tomb._2 == before._2, "bytes remain until compaction")
+      Takedown.compact(spark, Takedown.ImageChunks, ipath)
+      assert(audit(Takedown.ImageChunks, ipath, vic)("chunks") == (0L, 0L))
+      // --- group state: delete erases the probe surface; compactState
+      //     reclaims the derived data (hv prune, pair rewrite, stale gens)
+      val media = Multimodal.mediaTable(spark, sf)
+        .select(col("media_id"), col("content"))
+      val mid = media.agg(expr("percentile(media_id, 0.5)"))
+        .head().getDouble(0).toLong
+      MediaGroupsInc.ingest(spark, gpath, media.filter(col("media_id") < mid))
+      MediaGroupsInc.ingest(spark, gpath, media.filter(col("media_id") >= mid))
+      val gvic = media.filter(pmod(col("media_id"), lit(7)) === 3)
+        .select(col("media_id"))
+      val gvicIds = gvic.collect().map(_.getLong(0)).toSeq
+      val g0 = audit(Takedown.MediaGroups, gpath, gvic)
+      assert(g0("labels")._1 > 0 && g0("hv")._2 > 0)
+      MediaGroupsInc.delete(spark, gpath, gvicIds)
+      val g1 = audit(Takedown.MediaGroups, gpath, gvic)
+      assert(g1("labels")._1 == 0, "deleted media must leave the live labels")
+      assert(g1("wins")._2 == 0, "the delete rewrites victim postings out")
+      assert(g1("hv")._2 > 0, "derived vectors persist until compactState")
+      MediaGroupsInc.compactState(spark, gpath)
+      val g2 = audit(Takedown.MediaGroups, gpath, gvic)
+      assert(g2.values.forall(_ == (0L, 0L)),
+        s"post-compaction audit must be all-zero: $g2")
+      // --- text index: the delete is physical, one truth
+      val lines = Seq((1, "alpha beta"), (2, "gamma"), (7, "alpha zeta"))
+        .toDF("file_id", "value")
+      IndexStore.materialize(lines, s"$tpath/index")
+      val tvic = lines.filter(col("file_id") === 7)
+      assert(audit(Takedown.TextIndex, s"$tpath/index",
+        Seq(7L).toDF("id"))("index")._2 > 0)
+      Takedown.delete(spark, Takedown.TextIndex, s"$tpath/index", tvic)
+      assert(audit(Takedown.TextIndex, s"$tpath/index",
+        Seq(7L).toDF("id"))("index") == (0L, 0L))
+    } finally {
+      ArtifactCache.deleteRecursively(new java.io.File(ipath))
+      ArtifactCache.deleteRecursively(new java.io.File(gpath))
+      ArtifactCache.deleteRecursively(new java.io.File(tpath))
+    }
+  }
+
   test("Takedown facade: group-state markers read as pending; TextIndex " +
     "victims must carry their content; every modality dispatches") {
     import spark.implicits._

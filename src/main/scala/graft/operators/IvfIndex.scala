@@ -307,8 +307,16 @@ object IvfIndex {
   def delete(s: SparkSession, path: String, vecIds: DataFrame): Unit =
     vecIds.select(col("vec_id")).write.mode("append").parquet(s"$path/deleted")
 
-  /** The live tombstone set, or None when nothing is deleted. */
+  /** The live tombstone set, or None when nothing is deleted. Refuses
+    * while a [[compact]] is mid-swap: between the marker commit and
+    * the final tombstone clear, assigned/ may hold a half-applied
+    * rewrite — a probe through it would be neither the pre- nor the
+    * post-compaction index (the lifecycle family's guard). */
   private def tombstones(s: SparkSession, path: String): Option[DataFrame] = {
+    if (pendingApply(path))
+      throw new IllegalStateException(
+        s"pending tombstone compaction at $path: re-run IvfIndex.compact " +
+          "to completion before probing")
     val d = new java.io.File(s"$path/deleted")
     // look for data files specifically: a compaction clears the
     // parquet files it applied but may leave commit markers behind
@@ -317,64 +325,106 @@ object IvfIndex {
     else None
   }
 
+  /** True while a [[compact]] is mid-swap — probes refuse and the
+    * caller must re-run compact to completion first. */
+  private[graft] def pendingApply(path: String): Boolean =
+    new java.io.File(s"$path/deleted/.apply-commit").exists()
+
   /** Physically drop tombstoned vectors: rewrite ONLY the cells that
     * contain one (bounded driver id set, same policy as
     * [[Upsert.applyBucketed]]), via dynamic partition overwrite, so
     * untouched cells' bytes are never rewritten — compaction cost ∝
     * deletions + touched cells, not index size. A cell emptied
-    * entirely is removed explicitly: dynamic overwrite only replaces
-    * partitions PRESENT in the written frame, so an empty rewrite
-    * would otherwise leave the old files serving deleted vectors.
-    * Tombstones are cleared afterwards (they are now physically gone).
-    */
-  def compact(s: SparkSession, path: String): Unit = {
-    // snapshot the tombstone FILES first and apply/clear exactly that
-    // set: a delete() racing this compaction appends a new file, which
-    // must survive the final clear (a wholesale dir wipe would discard
-    // a tombstone that was never physically applied — the vector would
-    // silently resurface)
+    * entirely is removed explicitly. Tombstones are cleared afterwards
+    * (they are now physically gone). Crash safety is the family's
+    * two-phase marker protocol ([[MediaIndexOps.compact]]'s shape):
+    * phase A stages the touched cells' survivor slice to disk and
+    * commits a marker naming the tombstone files being applied plus
+    * the touched cells; phase B — re-runnable from the marker and the
+    * atomically-retired stage alone — replays the rewrite
+    * disk-to-disk. The first cut had no marker: a crash mid-overwrite
+    * lost surviving vectors forever, because the re-run discarded the
+    * durable stage and re-staged from the half-swapped index. */
+  def compact(s: SparkSession, path: String): Unit =
+    if (compactPhaseA(s, path)) compactPhaseB(s, path)
+
+  /** Phase A: stage the survivor slice, then commit intent via the
+    * marker (atomic rename). Returns false when there is nothing to
+    * apply; true when a marker is pending — freshly committed or
+    * inherited from a crashed run (resume it; a delete() racing either
+    * appends a tombstone file absent from the marker, which survives
+    * for the next compaction). */
+  private[graft] def compactPhaseA(s: SparkSession, path: String): Boolean = {
+    val marker = new java.io.File(s"$path/deleted/.apply-commit")
+    if (marker.exists()) return true
     val delDir = new java.io.File(s"$path/deleted")
     val snapshot = Option(delDir.listFiles()).toSeq.flatten
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-    if (snapshot.nonEmpty) {
-      val deleted = s.read.parquet(snapshot.map(_.getPath): _*)
-        .select(col("vec_id")).distinct()
-      val assigned = s.read.parquet(s"$path/assigned")
-      // cent_id is a partition DIRECTORY column on read-back, so it
-      // arrives as int — normalize to long before collecting
-      val touched = assigned.join(deleted, Seq("vec_id"), "left_semi")
-        .select(col("cent_id").cast("long")).distinct()
-        .collect().map(_.getLong(0)).sorted
-      if (touched.nonEmpty) {
-        // the rewrite reads the very partitions the overwrite replaces
-        // — stage the survivor slice to a hidden DISK dir first (never
-        // an in-memory pin: a takedown flood touches most cells, and a
-        // pinned index-sized vector slice is the 8g-JVM OOM class the
-        // whole lifecycle family stages around), then apply via THE
-        // shared disk-to-disk rewriter (atomic stage retirement)
-        val stage = new java.io.File(s"$path/assigned/.del-tmp")
-        ArtifactCache.deleteRecursively(stage)
-        assigned
-          .filter(col("cent_id").isin(touched.toIndexedSeq: _*))
-          .join(broadcast(deleted), Seq("vec_id"), "left_anti")
-          .write.mode("overwrite").parquet(stage.getPath)
-        MediaIndexOps.applyStagedRewrite(s, stage, s"$path/assigned",
-          Seq("cent_id"), touched.map(_.toString))
-      }
-      // clear only the snapshot (now physically applied); tombstones
-      // appended since stay pending for the next compaction
-      snapshot.foreach(_.delete())
-      if (Option(delDir.listFiles()).exists(_.forall(!_.getName.endsWith(".parquet"))))
-        ArtifactCache.deleteRecursively(delDir)
-      // the quantized sidecar still holds the physically-removed rows
-      // and, with the tombstones cleared, would resurrect them in a
-      // quantized probe — it is derived state, so drop it and let the
-      // next knnSq8Rerank rebuild from the compacted assigned/
-      sq8Lock(s"$path-sq8").synchronized {
-        ArtifactCache.deleteRecursively(new java.io.File(s"$path-sq8"))
-        sq8Validated.remove(s"$path-sq8")
-      }
+    if (snapshot.isEmpty) return false
+    val deleted = s.read.parquet(snapshot.map(_.getPath): _*)
+      .select(col("vec_id")).distinct()
+    val assigned = s.read.parquet(s"$path/assigned")
+    // cent_id is a partition DIRECTORY column on read-back, so it
+    // arrives as int — normalize to long before collecting
+    val touched = assigned.join(deleted, Seq("vec_id"), "left_semi")
+      .select(col("cent_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted.map(_.toString)
+    // stage the survivors to DISK (never an in-memory pin: a takedown
+    // flood touches most cells and a pinned index-sized vector slice
+    // is the 8g-JVM OOM class the whole family stages around)
+    val stage = new java.io.File(s"$path/assigned/.del-tmp")
+    ArtifactCache.deleteRecursively(stage)
+    if (touched.nonEmpty)
+      assigned
+        .filter(col("cent_id").isin(touched.map(_.toLong).toIndexedSeq: _*))
+        .join(broadcast(deleted), Seq("vec_id"), "left_anti")
+        .write.mode("overwrite").parquet(stage.getPath)
+    val markerTmp = new java.io.File(s"$path/deleted/.apply-commit.tmp")
+    java.nio.file.Files.write(markerTmp.toPath,
+      (snapshot.map(f => s"tomb:${f.getName}") :+
+        s"touched:${touched.mkString(",")}").mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(markerTmp.toPath, marker.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    true
+  }
+
+  /** Phase B: re-runnable from the marker alone — the rewrite replays
+    * from the staged slice via THE shared applier (atomic stage
+    * retirement makes the resume inference safe), the marker's
+    * tombstone files clear exactly, and the marker drops LAST. */
+  private[graft] def compactPhaseB(s: SparkSession, path: String): Unit = {
+    val marker = new java.io.File(s"$path/deleted/.apply-commit")
+    val lines = new String(
+      java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+      .split("\n").filter(_.nonEmpty)
+    require(lines.exists(_.startsWith("touched:")),
+      s"unrecognized compact marker at $marker (no touched: line): " +
+        "inspect the staged state before re-running the compaction")
+    val listed = lines.filter(_.startsWith("tomb:"))
+      .map(_.stripPrefix("tomb:")).toSet
+    val touched = lines.find(_.startsWith("touched:"))
+      .map(_.stripPrefix("touched:").trim).filter(_.nonEmpty)
+      .map(_.split(",").toSeq).getOrElse(Seq.empty)
+    MediaIndexOps.applyStagedRewrite(s,
+      new java.io.File(s"$path/assigned/.del-tmp"), s"$path/assigned",
+      Seq("cent_id"), touched)
+    // clear exactly the applied tombstone files (a racing delete()'s
+    // new file survives for the next compaction)
+    val delDir = new java.io.File(s"$path/deleted")
+    Option(delDir.listFiles()).toSeq.flatten
+      .filter(f => f.isFile && listed.contains(f.getName)).foreach(_.delete())
+    // the quantized sidecar still holds the physically-removed rows
+    // and, with the tombstones cleared, would resurrect them in a
+    // quantized probe — it is derived state, so drop it and let the
+    // next knnSq8Rerank rebuild from the compacted assigned/
+    sq8Lock(s"$path-sq8").synchronized {
+      ArtifactCache.deleteRecursively(new java.io.File(s"$path-sq8"))
+      sq8Validated.remove(s"$path-sq8")
     }
+    marker.delete()
+    if (Option(delDir.listFiles()).exists(_.forall(f =>
+        !f.getName.endsWith(".parquet"))))
+      ArtifactCache.deleteRecursively(delDir)
   }
 
   /** Build-once shared grid artifact for `dir` at a given training

@@ -3,15 +3,15 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** One front door for every delete lifecycle in the engine. Six
+/** One front door for every delete lifecycle in the engine. Seven
   * takedown-capable stores now exist — the IVF vector index, the video
   * frame index, the image chunk index, the audio landmark index, the
-  * text shingle store, the media dup-group state, plus the persisted
+  * text shingle store, the media dup-group state, and the persisted
   * letter-partitioned inverted index — each grown its own entry points
   * and mid-swap guard predicates. A caller implementing "remove this
   * content everywhere" (DMCA / GDPR / opt-out sweeps hit every
-  * modality at once) should not have to know six APIs and their subtly
-  * different refusal rules; this facade dispatches, and the
+  * modality at once) should not have to know seven APIs and their
+  * subtly different refusal rules; this facade dispatches, and the
   * refuse-matrix spec sweeps every pending-marker combination through
   * it so the NEXT modality cannot quietly diverge.
   *
@@ -210,7 +210,7 @@ object Takedown {
       MediaIndexOps.pendingApply(path) ||
         MediaIndexOps.pendingConsolidate(path, sub) ||
         new java.io.File(s"$path/keydf/.compact-commit").exists()
-    case IvfVectors => false // single-shot compact: no mid-swap marker
+    case IvfVectors => IvfIndex.pendingApply(path)
     case MediaGroups =>
       MediaGroupsInc.pendingDelete(path) || MediaGroupsInc.pendingCompact(path)
     case TextIndex => IndexStore.pendingMaintenance(path)

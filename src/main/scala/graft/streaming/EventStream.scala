@@ -986,14 +986,16 @@ object EventStream {
         // compute it once per batch
         val h = PerceptualHash.imageHashes(s, batch).persist()
         try {
-          // one count on the persisted hash frame primes the cache for
-          // both consumers AND feeds the probe's broadcast gate — the
-          // probe itself runs no extra action per micro-batch
-          val n = h.count()
           val bMatch = s"$matchDir/batch=$batchId"
-          if (!new java.io.File(s"$bMatch/_SUCCESS").exists())
+          if (!new java.io.File(s"$bMatch/_SUCCESS").exists()) {
+            // one count on the persisted hash frame primes the cache
+            // for both consumers AND feeds the probe's broadcast gate —
+            // the probe itself runs no extra action per micro-batch,
+            // and a replayed (already-committed) batch pays nothing
+            val n = h.count()
             PerceptualHash.probeImages(s, idxDir, h, imageCount = Some(n))
               .write.mode("overwrite").parquet(bMatch)
+          }
           PerceptualHash.stageImageBatch(s, idxDir, h, batchId)
         } finally h.unpersist()
       }

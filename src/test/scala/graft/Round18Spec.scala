@@ -378,6 +378,46 @@ class Round18Spec extends SparkSpec {
     }
   }
 
+  test("IVF compaction crash-resume: probes refuse mid-swap, the staged " +
+    "slice replays on resume, and a racing delete's tombstone survives") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfcrash").toString
+    try {
+      graft.operators.IvfIndex.build(spark, sf, path)
+      val e = graft.operators.Similarity.emb(spark, sf)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+          col("nrm").as("q_nrm"))
+      val ids = graft.operators.IvfIndex.knn(spark, path, q, k = 2).collect()
+        .map(_.getLong(2)).distinct.take(2)
+      val Array(v1, v2) = ids
+      graft.operators.IvfIndex.delete(spark, path, Seq(v1).toDF("vec_id"))
+      // crash exactly between the phases: marker + staged slice only
+      assert(graft.operators.IvfIndex.compactPhaseA(spark, path))
+      assert(Takedown.pending(Takedown.IvfVectors, path))
+      intercept[IllegalStateException] {
+        graft.operators.IvfIndex.knn(spark, path, q, k = 5).collect()
+      }
+      // a delete racing the crashed compaction appends a NEW tombstone
+      // file — absent from the marker, it must survive the resume
+      graft.operators.IvfIndex.delete(spark, path, Seq(v2).toDF("vec_id"))
+      graft.operators.IvfIndex.compact(spark, path) // resume
+      assert(!Takedown.pending(Takedown.IvfVectors, path))
+      assert(spark.read.parquet(s"$path/assigned")
+        .filter(col("vec_id") === v1).count() == 0,
+        "resumed compaction must finish the physical removal")
+      val pend = spark.read.parquet(s"$path/deleted").collect()
+        .map(_.getLong(0)).toSet
+      assert(pend == Set(v2), s"racing tombstone must survive: $pend")
+      val res = graft.operators.IvfIndex.knn(spark, path, q, k = 5).collect()
+      assert(!res.exists(r => r.getLong(2) == v1 || r.getLong(2) == v2),
+        "both victims must be invisible (one physical, one tombstoned)")
+      graft.operators.IvfIndex.compact(spark, path)
+      assert(spark.read.parquet(s"$path/assigned")
+        .filter(col("vec_id") === v2).count() == 0)
+    } finally ArtifactCache.deleteRecursively(new java.io.File(path))
+  }
+
   // --- hv prune: victims' derived vectors leave the state -----------------
 
   test("compactState prunes takedown victims' hv vectors (derived data of " +

@@ -109,7 +109,7 @@ object Bench {
     * every timed run into BENCH_EVIDENCE.json (`run_metrics`), so the
     * next driver battery carries the adjudication data even if local
     * reproduction attempts stay flat. */
-  private final case class RunMetrics(gcMs: Long, gcN: Long, jitMs: Long,
+  private[graft] final case class RunMetrics(gcMs: Long, gcN: Long, jitMs: Long,
       rdds: Int, acBuilds: Long, heapMb: Long, cpuMs: Long, stealJ: Long,
       busyJ: Long) {
     def json: String =
@@ -147,28 +147,40 @@ object Bench {
     * times in run order — the caller medians and flags — plus one
     * [[RunMetrics]] per timed run.
     */
+  /** One instrumented timed run — the per-run measurement of [[timed]]
+    * factored out so [[BenchSf1]] attaches the SAME self-adjudicating
+    * evidence (per-run gc/jit/heap/process-CPU/steal-busy jiffies) to
+    * its rows: the instrumentation that adjudicated the sf0.1 spike
+    * class (steal bursts invisible to window-average steal) applies to
+    * the sf1 battery's flagged rows too. */
+  private[graft] def instrumentedRun(body: () => Unit,
+      rddCount: () => Int = () => -1): (Double, RunMetrics) = {
+    val (gc0, gn0) = gcSnapshot()
+    val jit0 = jitMillis()
+    val ac0 = graft.operators.ArtifactCache.ensureBuilds.get()
+    val cpu0 = processCpuMs()
+    val j0 = cpuJiffies()
+    val t0 = System.nanoTime()
+    body()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val (gc1, gn1) = gcSnapshot()
+    val rt = Runtime.getRuntime
+    val (stealJ, busyJ) = (for {
+      (b0, s0, _) <- j0; (b1, s1, _) <- cpuJiffies()
+    } yield (s1 - s0, b1 - b0)).getOrElse((-1L, -1L))
+    (sec, RunMetrics(gc1 - gc0, gn1 - gn0, jitMillis() - jit0,
+      rddCount(), graft.operators.ArtifactCache.ensureBuilds.get() - ac0,
+      (rt.totalMemory() - rt.freeMemory()) >> 20,
+      if (cpu0 < 0) -1L else processCpuMs() - cpu0, stealJ, busyJ))
+  }
+
   private def timed(body: () => Unit, baseRuns: Int = Runs,
       warmups: Int = 1,
       rddCount: () => Int = () => -1): (Seq[Double], Seq[RunMetrics]) = {
     val metrics = scala.collection.mutable.ListBuffer.empty[RunMetrics]
     def once(): Double = {
-      val (gc0, gn0) = gcSnapshot()
-      val jit0 = jitMillis()
-      val ac0 = graft.operators.ArtifactCache.ensureBuilds.get()
-      val cpu0 = processCpuMs()
-      val j0 = cpuJiffies()
-      val t0 = System.nanoTime()
-      body()
-      val sec = (System.nanoTime() - t0) / 1e9
-      val (gc1, gn1) = gcSnapshot()
-      val rt = Runtime.getRuntime
-      val (stealJ, busyJ) = (for {
-        (b0, s0, _) <- j0; (b1, s1, _) <- cpuJiffies()
-      } yield (s1 - s0, b1 - b0)).getOrElse((-1L, -1L))
-      metrics += RunMetrics(gc1 - gc0, gn1 - gn0, jitMillis() - jit0,
-        rddCount(), graft.operators.ArtifactCache.ensureBuilds.get() - ac0,
-        (rt.totalMemory() - rt.freeMemory()) >> 20,
-        if (cpu0 < 0) -1L else processCpuMs() - cpu0, stealJ, busyJ)
+      val (sec, rm) = instrumentedRun(body, rddCount)
+      metrics += rm
       sec
     }
     // UNTIMED warm-up(s) per query before the timed runs — the
@@ -408,8 +420,16 @@ object Bench {
     // `q_media_dup_groups` was its ATTEMPT 2 — the whole suite had
     // already run once in the same JVM — and an attempt-1 replay
     // cannot reproduce attempt-2 heap/cache context
-    val minAttempts = sys.env.get("SPARK_GRAFT_BENCH_MIN_ATTEMPTS")
+    val minAttemptsRequested = sys.env.get("SPARK_GRAFT_BENCH_MIN_ATTEMPTS")
       .map(_.toInt).getOrElse(1)
+    // MaxAttempts clamps silently otherwise — an adjudication run
+    // asking for 4+ would get 3 with no trace; warn loudly and record
+    // the REQUESTED value in the evidence so the truncation is data
+    if (minAttemptsRequested > MaxAttempts)
+      System.err.println(s"[bench] MIN_ATTEMPTS=$minAttemptsRequested exceeds " +
+        s"MaxAttempts=$MaxAttempts: clamping to $MaxAttempts (requested value " +
+        "recorded in the evidence sidecar as attempts_requested)")
+    val minAttempts = math.min(minAttemptsRequested, MaxAttempts)
     var att = measure(spark, sfDir)
     var attempts = 1
     while ((att.stealPct.exists(_ > StealLimitPct) || attempts < minAttempts)
@@ -457,7 +477,7 @@ object Bench {
       .map { case (k, ms) => "\"" + k + "\":" + ms.map(_.json)
         .mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val evidence = s"""{"evidence":"graft-bench","runs":$runsJson,"failed":$failedJson,"spread_flagged":$spreadJson,"loadavg_before":${loadJson(loadBefore)},"loadavg_started":${loadJson(loadStarted)},"loadavg_after":${loadJson(loadAfter)},"cpu_steal_pct":$stealJson,"steal_contaminated":$stealContaminated,$loadGateJson,"attempts":$attempts,"cores":$cores,"sf":"$sfDir","bench_through":${through.map("\"" + _ + "\"").getOrElse("null")},"run_metrics":$metricsJson}"""
+    val evidence = s"""{"evidence":"graft-bench","runs":$runsJson,"failed":$failedJson,"spread_flagged":$spreadJson,"loadavg_before":${loadJson(loadBefore)},"loadavg_started":${loadJson(loadStarted)},"loadavg_after":${loadJson(loadAfter)},"cpu_steal_pct":$stealJson,"steal_contaminated":$stealContaminated,$loadGateJson,"attempts":$attempts,"attempts_requested":$minAttemptsRequested,"cores":$cores,"sf":"$sfDir","bench_through":${through.map("\"" + _ + "\"").getOrElse("null")},"run_metrics":$metricsJson}"""
     // sidecar survives even if both stdout lines are clipped
     try {
       java.nio.file.Files.write(

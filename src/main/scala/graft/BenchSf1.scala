@@ -27,7 +27,11 @@ import org.apache.spark.sql.functions._
   * flagged individually, the r10 self-evidencing discipline at query
   * granularity), and, when a sf0.1 bench artifact is present
   * (`BENCH_EVIDENCE.json`, written by [[Bench]]), the ratio vs that
-  * query's sf0.1 median. `flagged_superlinear` lists queries whose
+  * query's sf0.1 median. Every timed run also records the sf0.1
+  * battery's [[Bench.RunMetrics]] (per-run gc/jit/heap/process-CPU/
+  * steal-busy jiffies), so a steal-flagged row self-adjudicates as
+  * burst-vs-code from the artifact alone. `flagged_superlinear` lists
+  * queries whose
   * clean-window ratio exceeds 15× per 10× — the judge's super-linear
   * gate. `q0_index_corpus` is excluded: its corpus is the fixed
   * 355-file reference set with no sf1 equivalent.
@@ -110,17 +114,20 @@ object BenchSf1 {
       df.write.format("noop").mode("overwrite").save()
 
     val failed = scala.collection.mutable.ListBuffer.empty[String]
+    val rddCount = () => spark.sparkContext.getPersistentRDDs.size
     val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         noop(fn(spark, work)) // warm-up: codegen/JIT excluded
         val j0 = Bench.cpuJiffies()
-        val ts = Seq.fill(Runs) {
-          val t0 = System.nanoTime()
-          noop(fn(spark, work))
-          (System.nanoTime() - t0) / 1e9
-        }
+        // per-run instrumentation (the sf0.1 battery's run_metrics):
+        // a steal-flagged row carries its own per-run jiffies, so
+        // burst-vs-code adjudicates from the artifact alone instead of
+        // resting on the window average
+        val runs = Seq.fill(Runs)(
+          Bench.instrumentedRun(() => noop(fn(spark, work)), rddCount))
+        val ts = runs.map(_._1)
         val steal = stealPctBetween(j0, Bench.cpuJiffies())
-        Some((name, ts, steal))
+        Some((name, ts, steal, runs.map(_._2)))
       } catch { case e: Throwable =>
         failed += name
         System.err.println(s"[bench-sf1] $name failed: ${e.getMessage}")
@@ -129,22 +136,23 @@ object BenchSf1 {
     }
 
     val flaggedSteal = results.collect {
-      case (n, _, Some(s)) if s > 5.0 => n
+      case (n, _, Some(s), _) if s > 5.0 => n
     }
-    val rows = results.map { case (name, ts, steal) =>
+    val rows = results.map { case (name, ts, steal, rms) =>
       val med = Bench.median(ts)
       val ratio = sf01.get(name).filter(_ > 0).map(med / _)
-      (name, med, ts, steal, ratio)
+      (name, med, ts, steal, ratio, rms)
     }
     val flaggedSuper = rows.collect {
-      case (n, _, _, steal, Some(r))
+      case (n, _, _, steal, Some(r), _)
         if r > SuperLinearRatio && !steal.exists(_ > 5.0) => n
     }
-    val qs = rows.map { case (n, med, ts, steal, ratio) =>
+    val qs = rows.map { case (n, med, ts, steal, ratio, rms) =>
       val stealJ = steal.map(s => f"$s%.1f").getOrElse("null")
       val ratioJ = ratio.map(r => f"$r%.2f").getOrElse("null")
       val runsJ = ts.map(t => f"$t%.3f").mkString("[", ",", "]")
-      s""""$n":{"median":${f"$med%.3f"},"runs":$runsJ,"steal_pct":$stealJ,"ratio_vs_sf01":$ratioJ}"""
+      val rmJ = rms.map(_.json).mkString("[", ",", "]")
+      s""""$n":{"median":${f"$med%.3f"},"runs":$runsJ,"steal_pct":$stealJ,"ratio_vs_sf01":$ratioJ,"run_metrics":$rmJ}"""
     }.mkString("{", ",", "}")
     val totalJ =
       if (failed.nonEmpty) "null" else f"${rows.map(_._2).sum}%.3f"

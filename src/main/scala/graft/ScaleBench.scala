@@ -53,6 +53,11 @@ object ScaleBench {
     * doc — disjoint for any token alphabet). Shared with [[BenchSf1]],
     * whose synthetic sf1 point is 10 replicas of sf0.1.
     */
+  /** Bump when the [[replicaDocs]] synthesis changes — part of the
+    * replica-corpus cache marker so cached corpora can never silently
+    * serve a stale recipe. */
+  private[graft] val ReplicaSynthVer = "s1"
+
   private[graft] def replicaDocs(spark: SparkSession, base: String,
       n: Int): DataFrame = {
     val alpha = "abcdefghijklmnopqrstuvwxyz"
@@ -106,7 +111,11 @@ object ScaleBench {
     val baseFp = graft.operators.ArtifactCache.fingerprint(
       new java.io.File(s"$base/documents.parquet"))
     def ensureReplicas(dir: String, n: Int): Unit = {
-      val marker = new java.io.File(s"$dir/_REPLICAS-$baseFp-x$n")
+      // ReplicaSynthVer folds the SYNTHESIS recipe into the cache key:
+      // a change to [[replicaDocs]] must invalidate cached corpora the
+      // same way a base-corpus change does (the stale-artifact class
+      // PlanVer guards against in Similarity.ensurePlan)
+      val marker = new java.io.File(s"$dir/_REPLICAS-$baseFp-x$n-$ReplicaSynthVer")
       if (!marker.exists()) {
         replicaDocs(spark, base, n).write.mode("overwrite")
           .parquet(s"$dir/documents.parquet")

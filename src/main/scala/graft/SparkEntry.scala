@@ -245,6 +245,13 @@ object SparkEntry {
     // labels equal the one-shot over the remaining corpus
     "q_media_dup_groups_takedown" -> ((s: SparkSession, d: String) =>
       graft.operators.MediaGroupsInc.mediaDupGroupsTakedown(s, d)),
+    // erasure audit — the compliance query a takedown process ends
+    // with: verifyErased over a staged MID-LIFECYCLE state (group
+    // state + text index, victims deleted, not yet compacted); the
+    // oracle re-counts every claim with DuckDB read_parquet over the
+    // same staged files (fixed fixture path — see erasureAuditRoot)
+    "q_erasure_audit" -> ((s: SparkSession, d: String) =>
+      graft.operators.Takedown.erasureAudit(s, d)),
     // image perceptual near-dup: 56-bit dHash (gradient-sign
     // fingerprint, brightness-invariant) + exact pigeonhole blocking
     // under Hamming <= 3 — both fully oracled (integer pixel sums,
@@ -1602,6 +1609,12 @@ object SparkEntry {
     // the same closure oracles it with the victims predicate pushed
     // into the document source
     "q_media_dup_groups_takedown" -> mediaDupGroupsTakedownOracle,
+    // the audit fixture is staged at a FIXED path derived from the
+    // driver's verify dir (the sf0.01 testdata contract — `entry`
+    // pins the same root), so the independent DuckDB reader can glob
+    // the very files the audit made claims about
+    "q_erasure_audit" ->
+      graft.operators.Takedown.erasureAuditOracleSql("/root/testdata/sf0.01"),
     // audio landmark family: integer frame energies + constellation
     // keys + offset-coherent votes — byte values via ord() over the
     // ASCII payload text, same convention as q_media_neardups_exact

@@ -243,9 +243,18 @@ object IndexStore {
     * point re-runs to the identical end state. */
   private[graft] def phaseB(spark: SparkSession, path: String, kind: String): Unit = {
     val marker = new java.io.File(path, s".$kind-commit")
-    val touched = new String(
+    val raw = new String(
       java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
-      .stripPrefix("touched:").trim.split(",").filter(_.nonEmpty).toSeq
+    // marker CONTRACT check (the family idiom — [[MediaIndexOps]] and
+    // [[IvfIndex]] phase Bs enforce the same): a corrupted or foreign
+    // marker must fail loudly, never misparse as garbage touched
+    // letters that skip the emptied-letter drop and leave deleted
+    // postings being served
+    require(raw.startsWith("touched:"),
+      s"unrecognized $kind marker at $marker (no touched: line): " +
+        "inspect the staged state before resuming")
+    val touched =
+      raw.stripPrefix("touched:").trim.split(",").filter(_.nonEmpty).toSeq
     MediaIndexOps.applyStagedRewrite(spark,
       new java.io.File(path, s".$kind-tmp"), path, Seq("letter"), touched)
     marker.delete()

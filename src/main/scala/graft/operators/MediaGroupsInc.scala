@@ -59,6 +59,13 @@ object MediaGroupsInc {
 
   private val Ver = "v1"
 
+  /** Which closure path the last [[delete]] took — "scoped" (victim-
+    * scoped re-closure; unaffected components kept verbatim) or "cold"
+    * (full-relation fallback). Observable so the scale property —
+    * closure cost ∝ victim components, not pair store — is
+    * spec-assertable, the [[Dedup.CcRoundsProperty]] pattern. */
+  val DelClosureProperty = "graft.mediagroups.del_closure"
+
   /** Distinct (media_id, win) postings of a (media_id, content) batch —
     * the one-shot window relation restricted to the batch. */
   private def mediaWindows(media: DataFrame): DataFrame = {
@@ -184,7 +191,14 @@ object MediaGroupsInc {
       ArtifactCache.deleteRecursively(new java.io.File(s"$path/$sub/.compact-tmp"))
       s"$path/$sub/.compact-tmp"
     }
-    if (mergeWins)
+    // an all-victim takedown leaves the wins tree footerless (the
+    // delete drops every wb leaf; batch dirs keep only _SUCCESS) — a
+    // raw read would fail schema inference, so both wins consumers
+    // below go through the visible-parquet guard; the empty-store
+    // answer is "no live postings" (skip the wins fold, prune all hv)
+    val winsVisible =
+      ArtifactCache.hasVisibleParquet(new java.io.File(s"$path/wins"))
+    if (mergeWins && winsVisible)
       s.read.parquet(s"$path/wins").drop("batch")
         .write.mode("overwrite").partitionBy("wb").parquet(tmpOf("wins"))
     if (mergeWindf)
@@ -194,15 +208,19 @@ object MediaGroupsInc {
         .groupBy(col("win")).agg(sum(col("cnt")).as("cnt"))
         .filter(col("cnt") > 0)
         .write.mode("overwrite").parquet(tmpOf("windf"))
-    if (mergeHv)
+    if (mergeHv) {
       // takedown-victim vectors are pruned here: keep only media with
       // a surviving wins posting (the only paths into hv — candidate
       // generation and fresh-verify — both go via live postings/pairs,
       // so a row without postings is unreachable and pure debt)
+      import s.implicits._
+      val liveIds =
+        if (winsVisible) s.read.parquet(s"$path/wins").select(col("media_id"))
+        else Seq.empty[Long].toDF("media_id")
       s.read.parquet(s"$path/hv").drop("batch")
-        .join(s.read.parquet(s"$path/wins").select(col("media_id")),
-          Seq("media_id"), "left_semi")
+        .join(liveIds, Seq("media_id"), "left_semi")
         .write.mode("overwrite").parquet(tmpOf("hv"))
+    }
     if (mergePairs) {
       val all = s.read.parquet(s"$path/pairs").select(col("doc_a"), col("doc_b"))
       val live = if (removedData)
@@ -314,8 +332,12 @@ object MediaGroupsInc {
     * statistic reconciles through NEGATIVE partials adopted under the
     * reserved `windf/batch=-1` (generations are ≥ 0; a later
     * [[compactState]] folds them in). Removals break the warm-seed
-    * superset contract, so the closure cold-starts and overwrites the
-    * latest label generation IN PLACE. Net: post-delete labels equal
+    * superset contract, but only inside components that CONTAIN a
+    * victim or an added-pair endpoint — the closure re-runs cold on
+    * exactly that subgraph (phase A stages the added endpoints as
+    * seeds) while every other component keeps its labels verbatim,
+    * so the delete's closure cost is victim-proportional, never
+    * pair-store-proportional. Net: post-delete labels equal
     * the one-shot [[Multimodal.mediaDupGroups]] over the remaining
     * corpus (spec-pinned, including a constructed un-crossing that
     * both resurrects a removed pair and emits a never-emitted one),
@@ -427,6 +449,26 @@ object MediaGroupsInc {
         .select(col("doc_a"), col("doc_b"))
       ArtifactCache.deleteRecursively(new java.io.File(s"$path/pairs/.del-tmp"))
       fresh.write.mode("overwrite").parquet(s"$path/pairs/.del-tmp")
+      // seed endpoints for phase B's VICTIM-SCOPED re-closure: the
+      // endpoints of every ADDED pair (resurrected or fresh). Added
+      // pairs are the only way a component NOT containing a victim can
+      // change, and both of their endpoints land here — so
+      // (victims ∪ seeds) identifies every component the delete can
+      // touch. Fresh pairs read back off the stage just written (the
+      // emptiness-probe idiom above); resurrect re-derives from the
+      // in-scope frames (bounded by the un-crossed windows' members).
+      val freshStagedDir = new java.io.File(s"$path/pairs/.del-tmp")
+      val freshBack =
+        if (ArtifactCache.hasVisibleParquet(freshStagedDir))
+          s.read.parquet(freshStagedDir.getPath)
+            .select(col("doc_a"), col("doc_b"))
+        else pairsAll.limit(0)
+      val added = resurrect.select(col("doc_a"), col("doc_b")).union(freshBack)
+      ArtifactCache.deleteRecursively(new java.io.File(s"$path/.del-seeds"))
+      added.select(col("doc_a").as("doc_id"))
+        .union(added.select(col("doc_b").as("doc_id")))
+        .distinct()
+        .write.mode("overwrite").parquet(s"$path/.del-seeds")
       // stage the wins rewrite too: survivors of every victim-touched
       // (batch, wb) partition, written to DISK here so phase B never
       // pins the slice in memory — a takedown list spread uniformly
@@ -540,8 +582,22 @@ object MediaGroupsInc {
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
     } else ArtifactCache.deleteRecursively(new java.io.File(s"$path/removed"))
-    // 4. cold closure (removals break the warm-seed superset contract)
-    // over the post-delete live relation, overwriting the latest gen
+    // 4. VICTIM-SCOPED re-closure over the post-delete live relation.
+    // Removals break the warm-seed superset contract, but they can
+    // only change components that CONTAIN a victim; additions
+    // (resurrected/fresh pairs) can only change components containing
+    // one of their endpoints — and phase A staged exactly those
+    // endpoints as seeds. So: affected components = the previous
+    // labels' components of (victims ∪ seeds); re-close COLD only
+    // their pair subgraph; every other component keeps its labels
+    // VERBATIM. Exactness: group ids are component-min ids in every
+    // closure path, an unaffected component's pair set is unchanged
+    // (its pairs never touch a victim, and no added pair can reach it
+    // — both endpoints would be seeds), so its min — its label — is
+    // what a full rebuild would assign. Cost drops from O(live pair
+    // store) to O(victim components' subgraph): the 100× scale point's
+    // dominant term (a cold closure over the full ~100× pair store,
+    // 238 s measured) becomes victim-proportional.
     val pairsAll = s.read.parquet(s"$path/pairs")
       .select(col("doc_a"), col("doc_b"))
     val live =
@@ -549,11 +605,61 @@ object MediaGroupsInc {
         pairsAll.join(s.read.parquet(s"$path/removed")
           .select(col("doc_a"), col("doc_b")), Seq("doc_a", "doc_b"), "left_anti")
       else pairsAll
-    val forest = Dedup.contractedForest(live)
-    val labels = Dedup.connectedComponents(forest, driverEdgeCap = driverEdgeCap)
-    labels.write.mode("overwrite")
-      .parquet(s"$path/labels/gen=${latestGen(path).getOrElse(0)}")
-    forest.unpersist()
+    val genNo = latestGen(path).getOrElse(0)
+    val genDir = new java.io.File(s"$path/labels/gen=$genNo")
+    val seedsDir = new java.io.File(s"$path/.del-seeds")
+    if (ArtifactCache.hasVisibleParquet(genDir)) {
+      s.sparkContext.setLocalProperty(DelClosureProperty, "scoped")
+      import s.implicits._
+      val prev = s.read.parquet(genDir.getPath)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("group_id").cast("long").as("group_id"))
+      val seedNodes = (if (ArtifactCache.hasVisibleParquet(seedsDir))
+          s.read.parquet(seedsDir.getPath)
+            .select(col("doc_id").cast("long").as("doc_id"))
+        else victims.toDF("doc_id").limit(0))
+        .union(victims.toDF("doc_id")).distinct()
+      val affectedGroups = prev.join(seedNodes, Seq("doc_id"), "left_semi")
+        .select(col("group_id")).distinct()
+      // members of affected components, plus seeds with no previous
+      // label (a fresh pair can join media that never paired before)
+      val affectedNodes = prev
+        .join(affectedGroups, Seq("group_id"), "left_semi")
+        .select(col("doc_id")).union(seedNodes).distinct()
+      // one endpoint decides membership: a pre-existing live pair's
+      // endpoints share a previous component (labels close over all
+      // live pairs), and an added pair's endpoints are both seeds —
+      // so doc_a ∈ affected ⟺ the pair belongs to the subgraph
+      val sub = live.join(affectedNodes.withColumnRenamed("doc_id", "doc_a"),
+        Seq("doc_a"), "left_semi")
+      val forest = Dedup.contractedForest(sub)
+      val subLabels = Dedup.connectedComponents(forest, driverEdgeCap = driverEdgeCap)
+      // stage the stitched labels, then swap atomically: the previous
+      // generation stays readable until the new one fully exists, so a
+      // crash anywhere re-runs this step (post-swap prev = the already-
+      // correct labels, and re-scoping them is a fixpoint); a crash
+      // inside the swap window leaves no readable gen and the re-run
+      // takes the cold fallback below
+      val tmpLabels = new java.io.File(s"$path/labels/.del-labels-tmp")
+      ArtifactCache.deleteRecursively(tmpLabels)
+      prev.join(affectedGroups, Seq("group_id"), "left_anti")
+        .select(col("doc_id"), col("group_id"))
+        .union(subLabels.select(col("doc_id"), col("group_id")))
+        .write.mode("overwrite").parquet(tmpLabels.getPath)
+      forest.unpersist()
+      ArtifactCache.deleteRecursively(genDir)
+      java.nio.file.Files.move(tmpLabels.toPath, genDir.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      // no readable previous generation (crash inside the swap window,
+      // or a state that never closed): full cold closure
+      s.sparkContext.setLocalProperty(DelClosureProperty, "cold")
+      val forest = Dedup.contractedForest(live)
+      val labels = Dedup.connectedComponents(forest, driverEdgeCap = driverEdgeCap)
+      labels.write.mode("overwrite").parquet(genDir.getPath)
+      forest.unpersist()
+    }
+    ArtifactCache.deleteRecursively(seedsDir)
     // victims' hv rows are inert from here but still on disk — flag
     // the debt so the next compactState folds hv (even at a single
     // generation) and prunes rows with no surviving wins posting
@@ -743,10 +849,15 @@ object MediaGroupsInc {
       throw new IllegalStateException(
         s"pending delete at $path: run delete to completion before probing")
     latestGen(path) match {
-      case Some(g) => s.read.parquet(s"$path/labels/gen=$g")
-        .select(col("doc_id").as("media_id"), col("group_id"))
-        .orderBy(col("media_id"))
-      case None =>
+      // exists-but-empty → empty frame (the family's empty-store
+      // idiom): an all-victim takedown writes a labels generation with
+      // no rows, which parquet materializes as a footerless dir
+      case Some(g) if ArtifactCache.hasVisibleParquet(
+          new java.io.File(s"$path/labels/gen=$g")) =>
+        s.read.parquet(s"$path/labels/gen=$g")
+          .select(col("doc_id").as("media_id"), col("group_id"))
+          .orderBy(col("media_id"))
+      case _ =>
         import s.implicits._
         Seq.empty[(Long, Long)].toDF("media_id", "group_id")
     }

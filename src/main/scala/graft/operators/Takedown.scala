@@ -200,6 +200,111 @@ object Takedown {
       .orderBy(col("component"))
   }
 
+  /** Driver-contract compliance query — `q_erasure_audit`: stage a
+    * MID-LIFECYCLE takedown fixture (the audit's interesting point —
+    * victims deleted, state not yet compacted) and report
+    * [[verifyErased]] over it. The fixture: the two-generation group
+    * state build split at the median media id with the `% 7 == 3`
+    * victims deleted (the `q_media_dup_groups_takedown` lifecycle,
+    * stopped before [[MediaGroupsInc.compactState]]), plus the
+    * letter-partitioned text index over the document lines with the
+    * same victims physically erased. Expected shape mid-lifecycle:
+    * labels logical 0 (victims leave the probe surface at delete) but
+    * labels PHYSICAL > 0 (the stale pre-delete generation is pruned
+    * only by compaction), wins physical 0 (the delete rewrites victim
+    * postings out), hv and pairs physical > 0 (derived data, reclaimed
+    * by compaction), text index 0/0 (that delete is physical).
+    *
+    * The fixture root is a FIXED, dir-derived path — no fingerprint
+    * component — so the DuckDB oracle can restate every count with
+    * literal `read_parquet` globs over the SAME staged files (an
+    * independent reader checking the audit's physical claims);
+    * staleness is handled by an inner fingerprint marker instead of
+    * the usual fingerprint-keyed cache dir. */
+  def erasureAuditRoot(dir: String): String =
+    s"/tmp/graft-erasure-audit/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}-v1"
+
+  def erasureAudit(s: SparkSession, dir: String): DataFrame = {
+    val root = erasureAuditRoot(dir)
+    val fp = ArtifactCache.fingerprint(
+      new java.io.File(s"$dir/documents.parquet"))
+    val marker = new java.io.File(s"$root/_AUDIT-$fp")
+    if (!marker.exists()) {
+      ArtifactCache.deleteRecursively(new java.io.File(root))
+      new java.io.File(root).mkdirs()
+      val media = Multimodal.mediaTable(s, dir)
+        .select(col("media_id"), col("content"))
+      val mid = media.agg(expr("percentile(media_id, 0.5)"))
+        .head().getDouble(0).toLong
+      MediaGroupsInc.ingest(s, s"$root/groups",
+        media.filter(col("media_id") < mid))
+      MediaGroupsInc.ingest(s, s"$root/groups",
+        media.filter(col("media_id") >= mid))
+      // the takedown list is the caller's bounded victim set by the
+      // family contract — the collect is the API handing over ids
+      val victims = media.filter(pmod(col("media_id"), lit(7)) === 3)
+        .select(col("media_id")).collect().map(_.getLong(0)).toSeq
+      MediaGroupsInc.delete(s, s"$root/groups", victims)
+      val lines = graft.Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("int").as("file_id"),
+          col("text").as("value"))
+      IndexStore.materialize(lines, s"$root/index")
+      IndexStore.delete(s, s"$root/index",
+        lines.filter(pmod(col("file_id"), lit(7)) === 3))
+      java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+    }
+    val vic = graft.Tables.load(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(7)) === 3)
+      .select(col("doc_id").as("media_id"))
+    verifyErased(s, MediaGroups, s"$root/groups", vic)
+      .withColumn("store", lit("groups"))
+      .unionByName(verifyErased(s, TextIndex, s"$root/index", vic)
+        .withColumn("store", lit("text")))
+      .select(col("store"), col("component"),
+        col("logical_rows"), col("physical_rows"))
+      .orderBy(col("store"), col("component"))
+  }
+
+  /** The DuckDB restatement of [[erasureAudit]]: every physical count
+    * re-derived by an independent reader over the same staged parquet
+    * (literal globs into [[erasureAuditRoot]]), the logical counts
+    * re-derived from the store each probe surface actually reads (the
+    * LATEST label generation; the index rows whose posting lists still
+    * carry a victim). The by-construction zeros (wins/hv/pairs logical
+    * — derived data is never a probe surface) are contract constants
+    * on both sides. */
+  def erasureAuditOracleSql(dir: String): String = {
+    val r = erasureAuditRoot(dir)
+    s"""SELECT * FROM (
+      | SELECT 'groups' AS store, 'hv' AS component,
+      |  CAST(0 AS BIGINT) AS logical_rows,
+      |  (SELECT count(*) FROM read_parquet('$r/groups/hv/*/*.parquet') h
+      |    WHERE h.media_id % 7 = 3) AS physical_rows
+      | UNION ALL
+      | SELECT 'groups', 'labels',
+      |  (SELECT count(*) FROM read_parquet('$r/groups/labels/gen=1/*.parquet') l
+      |    WHERE l.doc_id % 7 = 3),
+      |  (SELECT count(*) FROM read_parquet('$r/groups/labels/*/*.parquet') l
+      |    WHERE l.doc_id % 7 = 3)
+      | UNION ALL
+      | SELECT 'groups', 'pairs', CAST(0 AS BIGINT),
+      |  (SELECT count(*) FROM read_parquet('$r/groups/pairs/*/*.parquet') p
+      |    WHERE p.doc_a % 7 = 3 OR p.doc_b % 7 = 3)
+      | UNION ALL
+      | SELECT 'groups', 'wins', CAST(0 AS BIGINT),
+      |  (SELECT count(*) FROM read_parquet('$r/groups/wins/*/*/*.parquet') w
+      |    WHERE w.media_id % 7 = 3)
+      | UNION ALL
+      | SELECT 'text', 'index',
+      |  (SELECT count(*) FROM read_parquet('$r/index/*/*.parquet') i
+      |    WHERE EXISTS (SELECT 1 FROM UNNEST(i.file_ids) AS t(fid)
+      |                  WHERE fid % 7 = 3)),
+      |  (SELECT count(*) FROM read_parquet('$r/index/*/*.parquet') i
+      |    WHERE EXISTS (SELECT 1 FROM UNNEST(i.file_ids) AS t(fid)
+      |                  WHERE fid % 7 = 3))
+      |) ORDER BY store, component""".stripMargin
+  }
+
   /** True while ANY of the modality's maintenance protocols is
     * mid-swap at `path` — the union of the family's own guard
     * predicates, so a sweep over all modalities × all marker kinds has

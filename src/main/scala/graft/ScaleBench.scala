@@ -249,8 +249,13 @@ object ScaleBench {
     // near-cliques, pairs a quadratic encoding of them), and that
     // claim must be committed data, not narrative — record emitted
     // rows per scale point next to the times (one count run each; the
-    // group form's member-linear count sits beside it for contrast)
-    val countOps = Set("media_neardups_exact", "media_dup_groups", "media_neardups")
+    // group form's member-linear count sits beside it for contrast).
+    // bigram_lm joined the set in r19: its 3.71×/decade curve was the
+    // steepest row with no row-count adjudication — the op scores one
+    // row per DOCUMENT, so n_rows growing ~10×/decade pins the steeper
+    // time ratio on the bigram-model join's fan-out, not on output
+    val countOps = Set("media_neardups_exact", "media_dup_groups",
+      "media_neardups", "bigram_lm")
     val rows: Seq[(String, Seq[Double], Option[Seq[Long]])] =
       docOps.map { case (name, fn, nScales) =>
         val dirs = docDirs.take(nScales)
@@ -261,7 +266,7 @@ object ScaleBench {
         timed(() => fn(emb100xDir))), None)
     } ++ relOps.map { case (name, fn) =>
       (name, relDirs.map(d => timed(() => fn(d))), None)
-    } :+ {
+    } ++ {
       // round-17/18: group-state takedown. The two-generation
       // incremental state is built once per scale point (untimed —
       // ingest cost is the incremental op's own curve — and CACHED
@@ -317,22 +322,40 @@ object ScaleBench {
             media.filter(col("media_id") >= mid))
           new java.io.File(stateBase, "_BUILT").createNewFile()
         }
-        val victims = media.filter(pmod(col("media_id"), lit(7)) === 3)
-          .select(col("media_id")).collect().map(_.getLong(0)).toSeq
-        val runsHere = if (i == 2) 1 else Runs
-        val times = Seq.fill(runsHere) {
-          val st = new java.io.File(s"$work/tdrun")
-          graft.operators.ArtifactCache.deleteRecursively(st)
-          copyDir(stateBase, st)
-          new java.io.File(st, "_BUILT").delete()
-          val t0 = System.nanoTime()
-          graft.operators.MediaGroupsInc.delete(spark, st.getPath, victims)
-            .write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
+        // two victim rules against the SAME pre-staged state, since
+        // r19's victim-scoped re-closure makes delete cost ∝ victim
+        // COMPONENTS: the %7==3 flood hits most components (a group of
+        // size g is victim-free with probability (6/7)^g — a
+        // worst-case sweep, the r17/r18 row, curve comparable across
+        // rounds), while %701==3 is the realistic bounded takedown
+        // (~0.14% of media) whose components are a sliver of the pair
+        // store — the point that evidences the scoped-closure claim
+        // directly
+        def timeDelete(victims: Seq[Long]): Double = {
+          val runsHere = if (i == 2) 1 else Runs
+          val times = Seq.fill(runsHere) {
+            val st = new java.io.File(s"$work/tdrun")
+            graft.operators.ArtifactCache.deleteRecursively(st)
+            copyDir(stateBase, st)
+            new java.io.File(st, "_BUILT").delete()
+            val t0 = System.nanoTime()
+            graft.operators.MediaGroupsInc.delete(spark, st.getPath, victims)
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          Bench.median(times)
         }
-        (Bench.median(times), victims.size.toLong)
+        def victimsOf(m: Int, r: Int): Seq[Long] =
+          media.filter(pmod(col("media_id"), lit(m)) === r)
+            .select(col("media_id")).collect().map(_.getLong(0)).toSeq
+        val flood = victimsOf(7, 3)
+        val small = victimsOf(701, 3)
+        (timeDelete(flood), flood.size.toLong,
+          timeDelete(small), small.size.toLong)
       }
-      ("media_groups_takedown", pts.map(_._1), Some(pts.map(_._2)))
+      Seq(
+        ("media_groups_takedown", pts.map(_._1), Some(pts.map(_._2))),
+        ("media_groups_takedown_small", pts.map(_._3), Some(pts.map(_._4))))
     }
 
     // ---------------- IVF assignment cost vs C: flat O(n·C·d) vs the

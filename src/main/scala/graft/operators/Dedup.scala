@@ -667,7 +667,13 @@ object Dedup {
     *    persist caches DATA but the logical plan keeps nesting, and
     *    Catalyst re-analyzes the whole accumulated tree every round
     *    (measured: 1.6 s → 9.2 s per round by iteration 4 at sf0.1
-    *    with persist; flat ~1 s with checkpointed lineage);
+    *    with persist; flat ~1 s with checkpointed lineage). Above
+    *    [[ReliableCutEdgesKey]] edges the cut upgrades to a RELIABLE
+    *    checkpoint: label frames are node-sized and spill fine, but an
+    *    executor-resident lineage cut dies with a lost executor, and a
+    *    multi-round closure at 10¹⁰⁺ docs must not restart from
+    *    scratch for one preemption (spec-asserted label-equal to the
+    *    local path);
     *  - convergence is read off the LABEL SUM, which min-propagation
     *    decreases monotonically, so "sum unchanged ⟺ fixpoint" — one
     *    scan of the (checkpointed) labels instead of a diff join
@@ -785,6 +791,39 @@ object Dedup {
     * saving is measurable, the `graft.pagerank.converged_at` pattern. */
   val CcRoundsProperty = "graft.cc.rounds"
 
+  /** Edge count at/above which the iteration-cut label frames switch
+    * from `localCheckpoint(true)` to a RELIABLE checkpoint (files in
+    * the session's checkpoint dir). Below it, executor-resident cuts
+    * are strictly faster; above it they become a fault-tolerance
+    * liability — a localCheckpoint dies with a lost executor, and at
+    * 10¹⁰⁺-doc corpora a multi-round closure losing one executor would
+    * restart from scratch. Conf-overridable (specs pin it to 1 to
+    * force the reliable path; a 1000-executor deployment should also
+    * point `spark.checkpoint.dir` at durable storage — the /tmp
+    * default here is a single-box convenience, and long-lived
+    * sessions should enable
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` so per-round
+    * checkpoint files are reclaimed). */
+  private[graft] val ReliableCutEdgesKey = "graft.cc.reliableCutEdges"
+  private val ReliableCutEdgesDefault = 1L << 27
+
+  /** Cut lineage on an iteration frame: executor-resident below the
+    * [[ReliableCutEdgesKey]] threshold, reliable checkpoint at/above
+    * it. Both are EAGER — the sum/checksum convergence reads depend on
+    * the frame being materialized once per round. */
+  private def cutLineage(df: DataFrame, reliable: Boolean): DataFrame =
+    if (!reliable) df.localCheckpoint(true)
+    else {
+      val sc = df.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty)
+        sc.setCheckpointDir("/tmp/graft-checkpoints")
+      df.checkpoint(true)
+    }
+
+  private def reliableCuts(sess: SparkSession, symEdges: Long): Boolean =
+    symEdges >= sess.conf.getOption(ReliableCutEdgesKey)
+      .map(_.toLong).getOrElse(ReliableCutEdgesDefault)
+
   private def ccImpl(pairs: DataFrame, seed: Option[DataFrame],
       maxIter: Int, driverEdgeCap: Long): DataFrame = {
     val sess = pairs.sparkSession
@@ -805,11 +844,13 @@ object Dedup {
     // — both compute the minimum node id per component — and the
     // propagation path below remains the beyond-cap plan; equality of
     // the two paths is spec-asserted.
-    if (sym.count() <= driverEdgeCap) {
+    val nSym = sym.count()
+    if (nSym <= driverEdgeCap) {
       sess.sparkContext.setLocalProperty(CcRoundsProperty, "0")
       try return driverUnionFind(pairs.sparkSession, sym)
       finally sym.unpersist()
     }
+    val rel = reliableCuts(sess, nSym)
     val nodes = sym.select(col("src").as("node")).distinct()
     var labels = (seed match {
       case None => nodes.withColumn("label", col("node"))
@@ -825,7 +866,8 @@ object Dedup {
             Seq("node"), "left")
           .select(col("node"),
             least(coalesce(col("seed_l"), col("node")), col("node")).as("label"))
-    }).localCheckpoint(true)
+    })
+    labels = cutLineage(labels, rel)
     try {
       def labelSum(df: DataFrame): Long = {
         val r = df.agg(sum(col("label"))).collect()(0)
@@ -840,10 +882,10 @@ object Dedup {
           .select(col("src").as("node"), col("label"))
           .union(labels)
           .groupBy(col("node")).agg(min(col("label")).as("label"))
-          .localCheckpoint(true)
-        val s = labelSum(next)
+        val nextCut = cutLineage(next, rel)
+        val s = labelSum(nextCut)
         labels.unpersist()
-        labels = next
+        labels = nextCut
         converged = s == prevSum
         prevSum = s
         iter += 1
@@ -857,7 +899,7 @@ object Dedup {
         // star-contraction scheme instead of crashing — same labels
         // (component minimum), spec-asserted on a constructed chain
         labels.unpersist()
-        starContract(sym)
+        starContract(sym, reliable = rel)
       }
     } finally sym.unpersist()
   }
@@ -880,12 +922,12 @@ object Dedup {
     * one-row checksum (count + hash sum) to the driver for the
     * fixpoint test — never data.
     */
-  private[graft] def starContract(sym: DataFrame, maxRounds: Int = 64): DataFrame = {
+  private[graft] def starContract(sym: DataFrame, maxRounds: Int = 64,
+      reliable: Boolean = false): DataFrame = {
     val s = sym.sparkSession
     // canonical undirected edge list, a < b, no self-loops
-    var edges = sym.filter(col("src") < col("dst"))
-      .select(col("src").as("a"), col("dst").as("b")).distinct()
-      .localCheckpoint(true)
+    var edges = cutLineage(sym.filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b")).distinct(), reliable)
 
     def checksum(e: DataFrame): (Long, Long) = {
       // per-edge hashes bounded to 2^31 before the sum so ANSI mode
@@ -907,22 +949,20 @@ object Dedup {
       val symL = symmetrize(edges)
       val mL = symL.groupBy(col("u")).agg(min(col("v")).as("minv"))
         .select(col("u"), least(col("minv"), col("u")).as("m"))
-      val large = symL.join(mL, Seq("u"))
+      val large = cutLineage(symL.join(mL, Seq("u"))
         .filter(col("v") > col("u"))
         .select(col("m").as("a"), col("v").as("b"))
-        .filter(col("a") =!= col("b")).distinct()
-        .localCheckpoint(true)
+        .filter(col("a") =!= col("b")).distinct(), reliable)
       edges.unpersist()
       // small-star: for u with any smaller neighbor, m = min(N(u)<u);
       // attach u and every such neighbor to m
       val small = symmetrize(large).filter(col("v") < col("u"))
       val mS = small.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val next = small.join(mS, Seq("u"))
+      val next = cutLineage(small.join(mS, Seq("u"))
         .filter(col("v") =!= col("m"))
         .select(col("m").as("a"), col("v").as("b"))
         .union(mS.select(col("m").as("a"), col("u").as("b")))
-        .distinct()
-        .localCheckpoint(true)
+        .distinct(), reliable)
       large.unpersist()
       val cur = checksum(next)
       edges = next

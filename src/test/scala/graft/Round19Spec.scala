@@ -110,4 +110,146 @@ class Round19Spec extends SparkSpec {
       assert(revived == Map(100L -> 100L, 101L -> 100L), s"got $revived")
     } finally ArtifactCache.deleteRecursively(new java.io.File(st))
   }
+
+  // --- reliable-checkpoint iteration cuts ---------------------------------
+
+  test("connectedComponents above the reliable-cut threshold: labels are " +
+    "identical through the reliable-checkpoint and localCheckpoint paths " +
+    "at sf0.1, on both the propagation and star-contraction shapes") {
+    import spark.implicits._
+    val sf01 = "/root/testdata/sf0.1"
+    // a REAL pair relation at sf0.1: the minhash near-dup pairs
+    val sh = Dedup.shingleHashes(
+      graft.Tables.load(spark, sf01, "documents").select(col("doc_id"), col("text")))
+    val pairs = Dedup.lshCandidates(Dedup.minhashSignatures(sh))
+    def labelsWith(reliableCutEdges: String): Map[Long, Long] = {
+      spark.conf.set(Dedup.ReliableCutEdgesKey, reliableCutEdges)
+      // driverEdgeCap = 0 forces the distributed propagation path —
+      // the only place iteration cuts exist
+      try Dedup.connectedComponents(pairs, driverEdgeCap = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally spark.conf.unset(Dedup.ReliableCutEdgesKey)
+    }
+    val local = labelsWith(Long.MaxValue.toString)
+    val reliable = labelsWith("1")
+    assert(local.nonEmpty && local == reliable,
+      s"paths diverge: ${(local.toSet diff reliable.toSet).take(3)}")
+    // chain shape → the starContract fallback, through both cut kinds
+    val chain = (1L until 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    def chainLabels(cut: String): Map[Long, Long] = {
+      spark.conf.set(Dedup.ReliableCutEdgesKey, cut)
+      try Dedup.connectedComponents(chain, maxIter = 2, driverEdgeCap = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally spark.conf.unset(Dedup.ReliableCutEdgesKey)
+    }
+    val want = (1L to 60L).map(_ -> 1L).toMap
+    assert(chainLabels(Long.MaxValue.toString) == want)
+    assert(chainLabels("1") == want)
+  }
+
+  // --- the end-to-end sweep: "remove content X everywhere" ---------------
+
+  test("takedown sweep: one victim rule (% 7 == 3) deleted across all " +
+    "seven stores through the facade; every probe family is blind to the " +
+    "victims immediately; after compaction verifyErased reads all-zero " +
+    "in every store") {
+    import spark.implicits._
+    val sfd = "/root/testdata/sf0.001"
+    val dirs = Seq.fill(7)(
+      java.nio.file.Files.createTempDirectory("graft-r19-sweep").toString)
+    val Seq(vPath, iPath, aPath, shPath, ivfPath, gPath, tPath) = dirs
+    try {
+      val docs = graft.Tables.load(spark, sfd, "documents")
+      val vicDoc = docs.filter(pmod(col("doc_id"), lit(7)) === 3)
+      val vicIds = vicDoc.select(col("doc_id")).collect()
+        .map(_.getLong(0)).toSet
+      assert(vicIds.nonEmpty)
+      def vicFrame(name: String) = vicIds.toSeq.sorted.toDF(name)
+      def auditAllZero(m: Takedown.Modality, p: String,
+          ids: org.apache.spark.sql.DataFrame): Unit = {
+        val rows = Takedown.verifyErased(spark, m, p, ids).collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+        assert(rows.values.forall(_ == (0L, 0L)),
+          s"$m at $p must audit all-zero after the sweep: $rows")
+      }
+
+      // --- build the seven stores off the shared id space (audio uses
+      // synthetic tone tracks — the corpus' PCM derivation is private —
+      // with the SAME victim rule over its track ids)
+      PerceptualHash.buildVideoIndex(spark,
+        PerceptualHash.videoFrames(spark, sfd), vPath)
+      PerceptualHash.buildImageIndex(spark,
+        PerceptualHash.imagePhash(spark, sfd), iPath)
+      val tracks = (1L to 14L).map(i =>
+        (i, ToneAudio.payload((0 until 8).map(j => ((i * 8 + j) % 56).toInt))))
+        .toDF("track_id", "pcm")
+      AudioMatch.buildIncremental(spark, tracks, aPath)
+      val audioVics = (1L to 14L).filter(_ % 7 == 3)
+      Dedup.buildShingleStore(spark,
+        docs.select(col("doc_id"), col("text")), shPath)
+      IvfIndex.build(spark, sfd, ivfPath)
+      val embVics = Similarity.emb(spark, sfd)
+        .filter(pmod(col("vec_id"), lit(7)) === 3)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      MediaGroupsInc.ingest(spark, gPath, Multimodal.mediaTable(spark, sfd)
+        .select(col("media_id"), col("content")))
+      val lines = docs.select(col("doc_id").cast("int").as("file_id"),
+        col("text").as("value"))
+      IndexStore.materialize(lines, tPath)
+
+      // --- one sweep through the facade
+      Takedown.delete(spark, Takedown.VideoFrames, vPath, vicFrame("video_id"))
+      Takedown.delete(spark, Takedown.ImageChunks, iPath, vicFrame("media_id"))
+      Takedown.delete(spark, Takedown.AudioLandmarks, aPath,
+        audioVics.toDF("track_id"))
+      Takedown.delete(spark, Takedown.TextShingles, shPath, vicFrame("doc_id"))
+      Takedown.delete(spark, Takedown.IvfVectors, ivfPath,
+        embVics.toSeq.sorted.toDF("vec_id"))
+      Takedown.delete(spark, Takedown.MediaGroups, gPath, vicFrame("media_id"))
+      Takedown.delete(spark, Takedown.TextIndex, tPath,
+        lines.filter(pmod(col("file_id"), lit(7)) === 3))
+
+      // --- every probe family blind to the victims, pre-compaction
+      val vclips = PerceptualHash.derivedClips(spark, sfd)
+      assert(!PerceptualHash.matchAgainstVideo(spark, vPath, vclips).collect()
+        .exists(r => vicIds.contains(r.getAs[Long]("video_id"))))
+      assert(!PerceptualHash.imageNearDupsAgainst(spark, iPath).collect()
+        .exists(r => vicIds.contains(r.getLong(0)) ||
+          vicIds.contains(r.getLong(1))))
+      // the victim track's own clip matched before — it must not now
+      val clip3 = tracks.filter(col("track_id") === 3L)
+        .select(col("track_id").as("clip_id"),
+          substring(col("pcm"), 1, 6 * AudioMatch.FrameLen).as("cpcm"))
+      assert(!AudioMatch.matchAgainst(spark, aPath, clip3).collect()
+        .exists(r => audioVics.contains(r.getLong(1))))
+      assert(Dedup.liveShinglePostings(spark, shPath)
+        .filter(col("doc_id").isin(vicIds.toSeq: _*)).count() == 0)
+      val q = Similarity.emb(spark, sfd).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+          col("nrm").as("q_nrm"))
+      assert(!IvfIndex.knn(spark, ivfPath, q).collect()
+        .exists(r => embVics.contains(r.getLong(2))))
+      assert(!MediaGroupsInc.currentLabels(spark, gPath).collect()
+        .exists(r => vicIds.contains(r.getLong(0))))
+      assert(IndexStore.load(spark, tPath)
+        .filter(arrays_overlap(col("file_ids"),
+          typedlit(vicIds.map(_.toInt).toArray))).count() == 0)
+
+      // --- compact everywhere, then the compliance pass: all-zero
+      Seq((Takedown.VideoFrames, vPath), (Takedown.ImageChunks, iPath),
+        (Takedown.AudioLandmarks, aPath), (Takedown.TextShingles, shPath),
+        (Takedown.IvfVectors, ivfPath), (Takedown.MediaGroups, gPath),
+        (Takedown.TextIndex, tPath))
+        .foreach { case (m, p) => Takedown.compact(spark, m, p) }
+      auditAllZero(Takedown.VideoFrames, vPath, vicFrame("id"))
+      auditAllZero(Takedown.ImageChunks, iPath, vicFrame("id"))
+      auditAllZero(Takedown.AudioLandmarks, aPath, audioVics.toDF("id"))
+      auditAllZero(Takedown.TextShingles, shPath, vicFrame("id"))
+      auditAllZero(Takedown.IvfVectors, ivfPath,
+        embVics.toSeq.sorted.toDF("id"))
+      auditAllZero(Takedown.MediaGroups, gPath, vicFrame("id"))
+      auditAllZero(Takedown.TextIndex, tPath, vicFrame("id"))
+    } finally dirs.foreach(p =>
+      ArtifactCache.deleteRecursively(new java.io.File(p)))
+  }
 }

@@ -256,6 +256,7 @@ object ScaleBench {
     // time ratio on the bigram-model join's fan-out, not on output
     val countOps = Set("media_neardups_exact", "media_dup_groups",
       "media_neardups", "bigram_lm")
+    var tdAffected: Option[String] = None
     val rows: Seq[(String, Seq[Double], Option[Seq[Long]])] =
       docOps.map { case (name, fn, nScales) =>
         val dirs = docDirs.take(nScales)
@@ -350,9 +351,29 @@ object ScaleBench {
             .select(col("media_id")).collect().map(_.getLong(0)).toSeq
         val flood = victimsOf(7, 3)
         val small = victimsOf(701, 3)
+        // adjudication data for the scoped-closure claim: nodes in
+        // components containing a victim, vs all nodes. The synthetic
+        // replica corpus builds ~10k-member near-clique components, so
+        // even a 0.14% victim rule reaches ~all nodes here and the
+        // scoped path legitimately degenerates to the cold bound —
+        // committed so the row's curve is read against its regime
+        def affectedOf(victims: Seq[Long]): (Long, Long) = {
+          val lab = graft.operators.MediaGroupsInc
+            .currentLabels(spark, stateBase.getPath)
+            .select(col("media_id").as("doc_id"), col("group_id"))
+          val vg = lab.filter(col("doc_id").isin(victims: _*))
+            .select(col("group_id")).distinct()
+          (lab.join(vg, Seq("group_id"), "left_semi").count(), lab.count())
+        }
+        val (afF, tot) = affectedOf(flood)
+        val (afS, _) = affectedOf(small)
         (timeDelete(flood), flood.size.toLong,
-          timeDelete(small), small.size.toLong)
+          timeDelete(small), small.size.toLong, afF, afS, tot)
       }
+      tdAffected = Some(
+        s""""takedown_affected_nodes":{"flood":${pts.map(_._5).mkString("[", ",", "]")},""" +
+        s""""small":${pts.map(_._6).mkString("[", ",", "]")},""" +
+        s""""total":${pts.map(_._7).mkString("[", ",", "]")}}""")
       Seq(
         ("media_groups_takedown", pts.map(_._1), Some(pts.map(_._2))),
         ("media_groups_takedown_small", pts.map(_._3), Some(pts.map(_._4))))
@@ -422,7 +443,7 @@ object ScaleBench {
       if b1 - b0 + s1 - s0 > 0
     } yield f"${100.0 * (s1 - s0) / ((b1 - b0) + (s1 - s0)).toDouble}%.1f")
       .getOrElse("null")
-    println(f"""{"metric":"scale_growth","runs":$Runs,"scales":"1x,10x,100x","ops":$opsJson,"cellpair_keep_rates":$keepJson,"assignment_200k":$assignJson,"cpu_steal_pct":$stealJson,"docs_1x":${d.count()}}""")
+    println(f"""{"metric":"scale_growth","runs":$Runs,"scales":"1x,10x,100x","ops":$opsJson,"cellpair_keep_rates":$keepJson,"assignment_200k":$assignJson,"cpu_steal_pct":$stealJson,${tdAffected.map(_ + ",").getOrElse("")}"docs_1x":${d.count()}}""")
     spark.stop()
   }
 }

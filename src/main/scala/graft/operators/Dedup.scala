@@ -803,7 +803,13 @@ object Dedup {
     * default here is a single-box convenience, and long-lived
     * sessions should enable
     * `spark.cleaner.referenceTracking.cleanCheckpoints` so per-round
-    * checkpoint files are reclaimed). */
+    * checkpoint files are reclaimed).
+    *
+    * In LOCAL mode the default is "never": the executor IS the driver
+    * process, so there is no executor loss the reliable cut could
+    * survive that doesn't also kill the job — the file round-trip per
+    * round would be pure cost (measured 3.7× on the 100× closure).
+    * An explicit conf value always wins, in either direction. */
   private[graft] val ReliableCutEdgesKey = "graft.cc.reliableCutEdges"
   private val ReliableCutEdgesDefault = 1L << 27
 
@@ -817,12 +823,20 @@ object Dedup {
       val sc = df.sparkSession.sparkContext
       if (sc.getCheckpointDir.isEmpty)
         sc.setCheckpointDir("/tmp/graft-checkpoints")
-      df.checkpoint(true)
+      // persist before the eager checkpoint: RDD checkpointing runs a
+      // SEPARATE write job after the materializing action, which would
+      // otherwise recompute the whole round (join + agg) from lineage
+      // a second time — the cache turns the write job into a read
+      val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try cached.checkpoint(true) finally cached.unpersist()
     }
 
   private def reliableCuts(sess: SparkSession, symEdges: Long): Boolean =
-    symEdges >= sess.conf.getOption(ReliableCutEdgesKey)
-      .map(_.toLong).getOrElse(ReliableCutEdgesDefault)
+    sess.conf.getOption(ReliableCutEdgesKey) match {
+      case Some(v) => symEdges >= v.toLong
+      case None => !sess.sparkContext.isLocal &&
+        symEdges >= ReliableCutEdgesDefault
+    }
 
   private def ccImpl(pairs: DataFrame, seed: Option[DataFrame],
       maxIter: Int, driverEdgeCap: Long): DataFrame = {

@@ -384,12 +384,24 @@ object MediaGroupsInc {
     val vcol = col("media_id").isin(victims: _*)
     val allWins = s.read.parquet(s"$path/wins")
       .select(col("media_id"), col("win"))
-    val vwins = allWins.filter(vcol).persist()
+    // victim postings WITH their partition coordinates: one full-store
+    // scan serves the df partials, the window counts, AND the
+    // touched-leaf list (previously a second full scan)
+    val vwinsP = s.read.parquet(s"$path/wins")
+      .select(col("media_id"), col("win"), col("batch"), col("wb"))
+      .filter(vcol).persist()
+    val vwins = vwinsP.select(col("media_id"), col("win"))
+    def tdbg[T](tag: String)(body: => T): T = {
+      val t0 = System.nanoTime(); val r = body
+      if (sys.env.contains("GRAFT_TD_DEBUG"))
+        System.err.println(f"TDDBG $tag ${(System.nanoTime()-t0)/1e9}%.2f s")
+      r
+    }
     val staged = try {
       // negative df partials for exactly the victim postings
       ArtifactCache.deleteRecursively(new java.io.File(s"$path/windf/.del-tmp"))
-      vwins.groupBy(col("win")).agg((-count(lit(1))).as("cnt"))
-        .write.mode("overwrite").parquet(s"$path/windf/.del-tmp")
+      tdbg("windf_partials")(vwins.groupBy(col("win")).agg((-count(lit(1))).as("cnt"))
+        .write.mode("overwrite").parquet(s"$path/windf/.del-tmp"))
       // un-crossed windows: over-cap before, within [2, maxDf] after —
       // dfs evaluated only for the victims' own windows (semi-joined
       // partials, never the full corpus statistic)
@@ -402,12 +414,16 @@ object MediaGroupsInc {
           (col("df_before") - col("v_cnt")).between(2, maxDf))
         .select(col("win"))
       // surviving member pairs of each un-crossed window (≤ maxDf each)
+      // — reused three times below (resurrection, fresh candidates,
+      // seed endpoints), so persisted: victim-proportional by the
+      // un-crossed-window bound, never store-sized
       val sm = allWins.join(uncrossed, Seq("win"), "left_semi").filter(!vcol)
       val memberPairs = sm.as("a")
         .join(sm.as("b"),
           col("a.win") === col("b.win") && col("a.media_id") < col("b.media_id"))
         .select(col("a.media_id").as("doc_a"), col("b.media_id").as("doc_b"))
         .distinct()
+        .persist()
       val pairsAll = s.read.parquet(s"$path/pairs")
         .select(col("doc_a"), col("doc_b"))
       val removedOld =
@@ -416,6 +432,7 @@ object MediaGroupsInc {
         else pairsAll.limit(0)
       val resurrect =
         removedOld.join(memberPairs, Seq("doc_a", "doc_b"), "left_semi")
+          .persist()
       val victimPairs = pairsAll.filter(
         col("doc_a").isin(victims: _*) || col("doc_b").isin(victims: _*))
       val newRemoved = removedOld
@@ -426,16 +443,25 @@ object MediaGroupsInc {
       // full pair-store join DAG twice (the wins staging below and
       // phase B use the same files-probe pattern)
       ArtifactCache.deleteRecursively(new java.io.File(s"$path/removed/.del-tmp"))
-      newRemoved.write.mode("overwrite").parquet(s"$path/removed/.del-tmp")
+      tdbg("removed_stage")(newRemoved.write.mode("overwrite").parquet(s"$path/removed/.del-tmp"))
       val keepRemoved = ArtifactCache.hasVisibleParquet(
         new java.io.File(s"$path/removed/.del-tmp"))
       // fresh pairs: suppressed the whole time their window sat over
-      // cap, never emitted — verify against the retained vectors now
+      // cap, never emitted — verify against the retained vectors now.
+      // The pair store is first narrowed by a broadcast semi-join on
+      // the member endpoints: a bare anti-join against the full store
+      // shuffle-exchanges the store on (doc_a, doc_b) — O(pair store)
+      // per delete, the measured 100× whale — while every row that can
+      // match a member pair has doc_a among the (victim-proportional)
+      // un-crossed windows' members
+      val pairsNarrow = pairsAll.join(
+        broadcast(memberPairs.select(col("doc_a")).distinct()),
+        Seq("doc_a"), "left_semi")
       val freshCand =
-        memberPairs.join(pairsAll, Seq("doc_a", "doc_b"), "left_anti")
+        memberPairs.join(pairsNarrow, Seq("doc_a", "doc_b"), "left_anti")
       val hv = s.read.parquet(s"$path/hv")
         .select(col("media_id"), col("hvec"), col("n2"))
-      val nMedia = hv.count()
+      val nMedia = tdbg("hv_count")(hv.count())
       def side(df: DataFrame) =
         if (nMedia <= Multimodal.BroadcastMediaBudget) broadcast(df) else df
       val cosu = graft.functions.VectorFunctions.arrayDot(col("va"), col("vb")) /
@@ -448,7 +474,7 @@ object MediaGroupsInc {
         .filter(cosu >= threshold)
         .select(col("doc_a"), col("doc_b"))
       ArtifactCache.deleteRecursively(new java.io.File(s"$path/pairs/.del-tmp"))
-      fresh.write.mode("overwrite").parquet(s"$path/pairs/.del-tmp")
+      tdbg("fresh_stage")(fresh.write.mode("overwrite").parquet(s"$path/pairs/.del-tmp"))
       // seed endpoints for phase B's VICTIM-SCOPED re-closure: the
       // endpoints of every ADDED pair (resurrected or fresh). Added
       // pairs are the only way a component NOT containing a victim can
@@ -465,35 +491,57 @@ object MediaGroupsInc {
         else pairsAll.limit(0)
       val added = resurrect.select(col("doc_a"), col("doc_b")).union(freshBack)
       ArtifactCache.deleteRecursively(new java.io.File(s"$path/.del-seeds"))
-      added.select(col("doc_a").as("doc_id"))
+      tdbg("seeds_stage")(added.select(col("doc_a").as("doc_id"))
         .union(added.select(col("doc_b").as("doc_id")))
         .distinct()
-        .write.mode("overwrite").parquet(s"$path/.del-seeds")
+        .write.mode("overwrite").parquet(s"$path/.del-seeds"))
+      memberPairs.unpersist()
+      resurrect.unpersist()
       // stage the wins rewrite too: survivors of every victim-touched
       // (batch, wb) partition, written to DISK here so phase B never
       // pins the slice in memory — a takedown list spread uniformly
       // over the corpus touches every partition, so "touched" is not
       // small and an in-memory pin of the survivor slice is an OOM at
       // the 100× scale point (measured) — and never reads the
-      // partitions it is about to overwrite
+      // partitions it is about to overwrite. The stage is written
+      // PARTITIONED in the live leaf layout so phase B adopts each
+      // leaf by a file move instead of a second full read+rewrite of
+      // the slice (which doubled the delete's I/O, measured at 100×);
+      // the touched list comes off the already-persisted victim
+      // postings, not another full-store scan
       val postings = s.read.parquet(s"$path/wins")
       def partKey = concat_ws("/",
         col("batch").cast("string"), col("wb").cast("string"))
-      val touchedPks = postings.filter(vcol)
+      val touchedPks = tdbg("touched_collect")(vwinsP
         .select(partKey.as("pk")).distinct()
-        .collect().map(_.getString(0)).sorted
-      ArtifactCache.deleteRecursively(new java.io.File(s"$path/wins/.del-tmp"))
+        .collect().map(_.getString(0)).sorted)
+      val stagedWinsDir = new java.io.File(s"$path/wins/.del-tmp")
+      ArtifactCache.deleteRecursively(stagedWinsDir)
       if (touchedPks.nonEmpty)
-        postings.filter(partKey.isin(touchedPks.toIndexedSeq: _*)).filter(!vcol)
-          .write.mode("overwrite").parquet(s"$path/wins/.del-tmp")
-      (keepRemoved, touchedPks)
-    } finally vwins.unpersist()
-    val (keepRemoved, touchedPks) = staged
+        tdbg("wins_stage")(postings.filter(partKey.isin(touchedPks.toIndexedSeq: _*)).filter(!vcol)
+          .write.mode("overwrite").partitionBy("batch", "wb")
+          .parquet(stagedWinsDir.getPath))
+      // which touched leaves produced survivor files (the rest emptied
+      // out entirely) — recorded in the marker so a phase-B re-run can
+      // tell "leaf already adopted by a crashed run" from "leaf
+      // emptied": both leave no staged files behind
+      val stagedLeaves = Option(stagedWinsDir.listFiles()).toSeq.flatten
+        .filter(b => b.isDirectory && b.getName.startsWith("batch="))
+        .flatMap { b =>
+          Option(b.listFiles()).toSeq.flatten
+            .filter(w => w.isDirectory && w.getName.startsWith("wb="))
+            .map(w => s"${b.getName.stripPrefix("batch=")}/" +
+              w.getName.stripPrefix("wb="))
+        }.sorted
+      (keepRemoved, touchedPks, stagedLeaves)
+    } finally vwinsP.unpersist()
+    val (keepRemoved, touchedPks, stagedLeaves) = staged
     val markerTmp = new java.io.File(s"$path/.delete-commit.tmp")
     java.nio.file.Files.write(markerTmp.toPath,
       (s"ids:${victims.mkString(",")}\n" +
         s"removed:${if (keepRemoved) "keep" else "drop"}\n" +
-        s"touched:${touchedPks.mkString(",")}").getBytes("UTF-8"))
+        s"touched:${touchedPks.mkString(",")}\n" +
+        s"stagedleaves:${stagedLeaves.mkString(",")}").getBytes("UTF-8"))
     java.nio.file.Files.move(markerTmp.toPath, marker.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     true
@@ -506,6 +554,12 @@ object MediaGroupsInc {
     * a half-applied tree). */
   private[graft] def deletePhaseB(s: SparkSession, path: String,
       driverEdgeCap: Long): Unit = {
+    def tdbg[T](tag: String)(body: => T): T = {
+      val t0 = System.nanoTime(); val r = body
+      if (sys.env.contains("GRAFT_TD_DEBUG"))
+        System.err.println(f"TDDBG B:$tag ${(System.nanoTime()-t0)/1e9}%.2f s")
+      r
+    }
     val marker = new java.io.File(s"$path/.delete-commit")
     val lines = new String(
       java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").split("\n")
@@ -521,37 +575,58 @@ object MediaGroupsInc {
     val touched = lines.find(_.startsWith("touched:"))
       .map(_.stripPrefix("touched:").trim).filter(_.nonEmpty)
       .map(_.split(",").toSeq).getOrElse(Seq.empty)
-    // 1. rewrite the victim-touched (batch, wb) wins partitions FROM
-    // phase A's staged survivor slice — a plain disk-to-disk scan
-    // (dynamic overwrite), never an in-memory pin of the slice, and
-    // never a read of the partitions being replaced. Resume = re-run:
-    // the stage is deleted only after the overwrite and the explicit
-    // empty-partition cleanup both land.
+    // 1. adopt phase A's staged survivor leaves — the stage is written
+    // in the live leaf layout, so adoption is a per-leaf directory
+    // MOVE, never a second read+rewrite of the slice (which doubled
+    // the delete's I/O, measured at the 100× scale point). Resume =
+    // re-run: the marker's stagedleaves line distinguishes "leaf
+    // already adopted by a crashed run" (staged dir gone, live holds
+    // the rewrite — skip) from "leaf emptied out entirely" (never
+    // staged — drop the live leaf, idempotent); the stage root is
+    // deleted only after every touched leaf is settled.
     val stagedWins = new java.io.File(s"$path/wins/.del-tmp")
     if (touched.nonEmpty && stagedWins.exists()) {
-      def partKey = concat_ws("/",
-        col("batch").cast("string"), col("wb").cast("string"))
-      def dropLeaf(pk: String): Unit = {
+      def liveLeaf(pk: String): java.io.File = {
         val Array(b, w) = pk.split("/")
-        ArtifactCache.deleteRecursively(
-          new java.io.File(s"$path/wins/batch=$b/wb=$w"))
+        new java.io.File(s"$path/wins/batch=$b/wb=$w")
       }
-      if (ArtifactCache.hasVisibleParquet(stagedWins)) {
-        val remaining = s.read.parquet(stagedWins.getPath)
-        remaining.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch", "wb").parquet(s"$path/wins")
-        // a partition emptied entirely is removed explicitly: dynamic
-        // overwrite only replaces partitions PRESENT in the frame
-        val survivors = remaining.select(partKey.as("pk")).distinct()
-          .collect().map(_.getString(0)).toSet
-        touched.filterNot(survivors).foreach(dropLeaf)
-      } else
-        // every posting in the touched slice belonged to a victim —
-        // the staged write produced no files; all leaves empty out
-        touched.foreach(dropLeaf)
+      lines.find(_.startsWith("stagedleaves:"))
+        .map(_.stripPrefix("stagedleaves:").trim) match {
+        case Some(sl) =>
+          val stagedSet = sl.split(",").filter(_.nonEmpty).toSet
+          touched.foreach { pk =>
+            val Array(b, w) = pk.split("/")
+            val staged = new java.io.File(s"${stagedWins.getPath}/batch=$b/wb=$w")
+            if (stagedSet(pk)) {
+              if (staged.exists()) {
+                val live = liveLeaf(pk)
+                ArtifactCache.deleteRecursively(live)
+                live.getParentFile.mkdirs()
+                java.nio.file.Files.move(staged.toPath, live.toPath,
+                  java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              } // else: already adopted by a crashed run — leave it
+            } else ArtifactCache.deleteRecursively(liveLeaf(pk))
+          }
+        case None =>
+          // marker from the pre-manifest format (flat stage): replay
+          // via the original dynamic-overwrite path
+          if (ArtifactCache.hasVisibleParquet(stagedWins)) {
+            def partKey = concat_ws("/",
+              col("batch").cast("string"), col("wb").cast("string"))
+            val remaining = s.read.parquet(stagedWins.getPath)
+            remaining.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch", "wb").parquet(s"$path/wins")
+            val survivors = remaining.select(partKey.as("pk")).distinct()
+              .collect().map(_.getString(0)).toSet
+            touched.filterNot(survivors)
+              .foreach(pk => ArtifactCache.deleteRecursively(liveLeaf(pk)))
+          } else touched.foreach(pk =>
+            ArtifactCache.deleteRecursively(liveLeaf(pk)))
+      }
       ArtifactCache.deleteRecursively(stagedWins)
     }
+    tdbg("leafmoves_done")(())
     // 2. adopt staged artifacts (part names carry job UUIDs — moves
     // are collision-free across repeated deletes)
     def adopt(stageDir: String, liveDir: String): Unit = {
@@ -626,14 +701,24 @@ object MediaGroupsInc {
       val affectedNodes = prev
         .join(affectedGroups, Seq("group_id"), "left_semi")
         .select(col("doc_id")).union(seedNodes).distinct()
+        .persist()
       // one endpoint decides membership: a pre-existing live pair's
       // endpoints share a previous component (labels close over all
       // live pairs), and an added pair's endpoints are both seeds —
-      // so doc_a ∈ affected ⟺ the pair belongs to the subgraph
-      val sub = live.join(affectedNodes.withColumnRenamed("doc_id", "doc_a"),
+      // so doc_a ∈ affected ⟺ the pair belongs to the subgraph.
+      // Broadcast the (label-store-bounded) node set under the family
+      // budget: the frame sits behind joins Catalyst has no stats for,
+      // and a sort-merge fallback here would shuffle-exchange the FULL
+      // live pair store — O(pair store) per delete, exactly the term
+      // the scoped closure exists to avoid
+      val nAffected = tdbg("affected_count")(affectedNodes.count())
+      val affectedA = affectedNodes.withColumnRenamed("doc_id", "doc_a")
+      val sub = live.join(
+        if (nAffected <= Multimodal.BroadcastMediaBudget) broadcast(affectedA)
+        else affectedA,
         Seq("doc_a"), "left_semi")
-      val forest = Dedup.contractedForest(sub)
-      val subLabels = Dedup.connectedComponents(forest, driverEdgeCap = driverEdgeCap)
+      val forest = tdbg("forest")(Dedup.contractedForest(sub))
+      val subLabels = tdbg("subcc")(Dedup.connectedComponents(forest, driverEdgeCap = driverEdgeCap))
       // stage the stitched labels, then swap atomically: the previous
       // generation stays readable until the new one fully exists, so a
       // crash anywhere re-runs this step (post-swap prev = the already-
@@ -642,11 +727,12 @@ object MediaGroupsInc {
       // takes the cold fallback below
       val tmpLabels = new java.io.File(s"$path/labels/.del-labels-tmp")
       ArtifactCache.deleteRecursively(tmpLabels)
-      prev.join(affectedGroups, Seq("group_id"), "left_anti")
+      tdbg("stitch_write")(prev.join(affectedGroups, Seq("group_id"), "left_anti")
         .select(col("doc_id"), col("group_id"))
         .union(subLabels.select(col("doc_id"), col("group_id")))
-        .write.mode("overwrite").parquet(tmpLabels.getPath)
+        .write.mode("overwrite").parquet(tmpLabels.getPath))
       forest.unpersist()
+      affectedNodes.unpersist()
       ArtifactCache.deleteRecursively(genDir)
       java.nio.file.Files.move(tmpLabels.toPath, genDir.toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)

@@ -26,6 +26,93 @@ object Probe {
       fn(spark, dir).explain("formatted")
       spark.stop(); return
     }
+    if (args.headOption.contains("time")) {
+      // generic timed runs through the noop sink (bench methodology,
+      // one query): runMain graft.Probe time <query> [sfDir] [runs]
+      val fn = queryArg()
+      val dir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+      val runs = if (args.length > 3) args(3).toInt else 3
+      def noop(): Unit =
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+      noop() // untimed warm-up (JIT/codegen), the Bench discipline
+      (1 to runs).foreach(i => time(s"${args(1)} run $i")(noop()))
+      spark.stop(); return
+    }
+    if (args.headOption.contains("ngram_stages")) {
+      // old vs new ngram-jaccard shapes + stage decomposition
+      import org.apache.spark.sql.functions._
+      import graft.operators.Dedup
+      val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      val d = Tables.load(spark, dir, "documents")
+      def shRaw() = Dedup.shingleHashes(d, k = 2)
+      def capped(sh: org.apache.spark.sql.DataFrame) = {
+        val hot = sh.groupBy(col("sh")).count().filter(col("count") > 50).select(col("sh"))
+        sh.join(broadcast(hot), Seq("sh"), "left_anti")
+      }
+      time("shingles only")(noop(shRaw()))
+      time("shingles only 2")(noop(shRaw()))
+      time("capped")(noop(capped(shRaw())))
+      // old full shape
+      def oldShape(): Unit = {
+        val sh = capped(shRaw())
+        val cands = sh.as("a").join(sh.as("b"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        noop(Dedup.verifyJaccard(cands, sh, 0.3))
+      }
+      time("old full")(oldShape())
+      time("old full 2")(oldShape())
+      time("new full")(noop(Dedup.ngramJaccardDups(spark, dir)))
+      time("new full 2")(noop(Dedup.ngramJaccardDups(spark, dir)))
+      // new shape without persist/checkpoint
+      def newNoCache(): Unit = {
+        val sh = capped(shRaw())
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sh_n"))
+        val inter = sh.as("a").join(sh.as("b"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+        val out = inter
+          .join(sizes.select(col("doc_id").as("doc_a"), col("sh_n").as("na")), Seq("doc_a"))
+          .join(sizes.select(col("doc_id").as("doc_b"), col("sh_n").as("nb")), Seq("doc_b"))
+          .withColumn("jaccard",
+            graft.functions.Rounding.portableRound4(col("inter").cast("double") /
+              (col("na") + col("nb") - col("inter")).cast("double")))
+          .filter(col("jaccard") >= 0.3)
+          .select(col("doc_a"), col("doc_b"), col("jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+        noop(out)
+      }
+      time("new nocache")(newNoCache())
+      time("new nocache 2")(newNoCache())
+      spark.stop(); return
+    }
+    if (args.headOption.contains("minhash_ab")) {
+      // old (sets over all docs) vs new (candidate-restricted sets)
+      import org.apache.spark.sql.functions._
+      import graft.operators.Dedup
+      val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      val d = Tables.load(spark, dir, "documents")
+      def capped() = {
+        val sh = Dedup.shingleHashes(d)
+        val hot = sh.groupBy(col("sh")).count().filter(col("count") > 1000).select(col("sh"))
+        sh.join(broadcast(hot), Seq("sh"), "left_anti")
+      }
+      def oldShape(): Unit = {
+        val sh = capped()
+        val cands = Dedup.lshCandidates(Dedup.minhashSignatures(sh))
+        noop(Dedup.verifyJaccard(cands, sh, 0.5))
+      }
+      (1 to 3).foreach(i => time(s"old $i")(oldShape()))
+      (1 to 3).foreach(i => time(s"new $i")(
+        noop(Dedup.minhashNearDups(spark, dir))))
+      spark.stop(); return
+    }
     if (args.headOption.contains("minhash")) {
       val dir = "/root/testdata/sf0.1"
       def noop(df: org.apache.spark.sql.DataFrame): Unit =

@@ -92,13 +92,8 @@ object Bpe {
       array(lit(EndOfWord)))
 
   /** Attach the initial symbol sequence to a (word, cnt) relation. */
-  private def withSyms(words: DataFrame): DataFrame =
+  private[graft] def withSyms(words: DataFrame): DataFrame =
     words.withColumn("syms", initSyms(col("word")))
-
-  /** (word, cnt, syms) dictionary: one corpus scan, one hash agg. */
-  private def dictionary(s: SparkSession, dir: String): DataFrame =
-    withSyms(wordCounts(
-      Tables.load(s, dir, "documents").select(col("text"))))
 
   /** Weighted adjacent-pair counts over the current dictionary. */
   private def pairCounts(words: DataFrame): DataFrame =
@@ -115,7 +110,7 @@ object Bpe {
     * train query reads only the merges; the encode query reads only
     * the final dictionary.
     */
-  private def trainLoop(initial: DataFrame, merges: Int)
+  private[graft] def trainLoop(initial: DataFrame, merges: Int)
       : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     var words = initial.persist(StorageLevel.MEMORY_AND_DISK)
     words.count()
@@ -143,6 +138,132 @@ object Bpe {
     (learned.toSeq, words)
   }
 
+  /** Dictionary-size gate for the DRIVER train loop — the
+    * [[Dedup.connectedComponents]] `driverEdgeCap` cutover applied to
+    * BPE: below the cap the (word, cnt) dictionary collects once and
+    * the k merge rounds run as plain Scala (bit-identical counts,
+    * argmax tie-break and greedy rewrite — asserted against the
+    * distributed loop in BpeSpec), replacing 2 scheduled jobs PER
+    * ROUND (argmax collect + persist materialization; ~0.3 s fixed
+    * cost each in local mode) with zero. Above the cap the
+    * distributed loop is unchanged — a web-scale vocabulary keeps the
+    * executor-side iteration, exactly like CC past its edge cap. 2²⁰
+    * words × ~20 B ≈ 20 MB driver state, the same order as the
+    * broadcast the encode tail already builds from the SAME relation.
+    */
+  private val DriverVocabCap = 1 << 20
+
+  /** UTF-8 binary order — what Spark's UTF8String orderBy and DuckDB's
+    * varchar ORDER BY both compare. Java String.compareTo (UTF-16 code
+    * units) disagrees for supplementary-plane vs [U+E000, U+FFFF]
+    * codepoints, so the driver argmax must not use it. */
+  private def u8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Initial symbols of a word on the driver: one string per CODE
+    * POINT plus the end-of-word marker — the same boundaries Java's
+    * zero-width regex split (and hence [[initSyms]]'s `split(word,
+    * "")`) produces. */
+  private def charSymsDriver(w: String): Array[String] = {
+    val out = ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out += EndOfWord
+    out.toArray
+  }
+
+  /** The k merge rounds over a collected dictionary: weighted adjacent
+    * pair counts, (count DESC, lhs ASC, rhs ASC) argmax in UTF-8 byte
+    * order, greedy left-to-right rewrite — each the exact driver
+    * restatement of [[pairCounts]], the `orderBy(...).limit(1)`
+    * tie-break, and [[applyMerge]]'s fold. */
+  private[graft] def trainMergesDriver(dict: Array[(Array[String], Long)],
+      merges: Int): Seq[(Int, String, String, String, Long)] = {
+    val words = dict.map { case (syms, cnt) =>
+      (ArrayBuffer[String](syms.toIndexedSeq: _*), cnt) }
+    val learned = ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, cnt) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + cnt)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var best: ((String, String), Long) = null
+        counts.foreach { kv =>
+          if (best == null) best = kv
+          else {
+            val c = java.lang.Long.compare(kv._2, best._2)
+            if (c > 0 || (c == 0 && (u8Less(kv._1._1, best._1._1) ||
+                (kv._1._1 == best._1._1 && u8Less(kv._1._2, best._1._2)))))
+              best = kv
+          }
+        }
+        val ((l, r), c) = best
+        learned += ((step, l, r, l + r, c))
+        val m = l + r
+        words.foreach { case (syms, _) =>
+          // in-place greedy fold: `write` is the accumulator length,
+          // syms(write-1) its last element — a merge rewrites the last
+          // accumulated symbol, exactly [[applyMerge]]'s `when` branch
+          var read = 0
+          var write = 0
+          while (read < syms.length) {
+            if (write > 0 && syms(write - 1) == l && syms(read) == r)
+              syms(write - 1) = m
+            else {
+              syms(write) = syms(read)
+              write += 1
+            }
+            read += 1
+          }
+          if (write < syms.length) syms.remove(write, syms.length - write)
+        }
+        step += 1
+      }
+    }
+    learned.toSeq
+  }
+
+  /** Learned merges for a (word, cnt) dictionary: driver loop below
+    * [[DriverVocabCap]] words, the distributed [[trainLoop]] above it.
+    * The cap probe is a `limit(cap+1).collect()` — one job either way,
+    * never an unbounded collect. */
+  private def learnedMerges(counts: DataFrame,
+      merges: Int): Seq[(Int, String, String, String, Long)] = {
+    val rows = counts.select(col("word"), col("cnt"))
+      .limit(DriverVocabCap + 1).collect()
+    if (rows.length <= DriverVocabCap)
+      trainMergesDriver(
+        rows.map(r => (charSymsDriver(r.getString(0)), r.getLong(1))), merges)
+    else {
+      val (learned, words) = trainLoop(withSyms(counts), merges)
+      words.unpersist()
+      learned
+    }
+  }
+
   /** The learned merge table: (step, lhs, rhs, merged, pair_count),
     * one row per round, ordered by step. Stops early if the symbol
     * alphabet exhausts before `merges` rounds.
@@ -160,9 +281,8 @@ object Bpe {
   def bpeTrainFromCounts(s: SparkSession, counts: DataFrame,
       merges: Int = 8): DataFrame = {
     import s.implicits._
-    val (learned, words) = trainLoop(withSyms(counts), merges)
-    words.unpersist()
-    learned.toDF("step", "lhs", "rhs", "merged", "pair_count")
+    learnedMerges(counts, merges)
+      .toDF("step", "lhs", "rhs", "merged", "pair_count")
       .orderBy(col("step"))
   }
 
@@ -184,17 +304,15 @@ object Bpe {
     */
   def bpeEncode(s: SparkSession, dir: String,
       merges: Int = 8, maxTokens: Int = 12): DataFrame = {
-    val (learned, words) = trainLoop(dictionary(s, dir), merges)
-    // release the loop cache immediately: the encoded vocabulary is
-    // REBUILT from the corpus's distinct words by folding the k
-    // learned merges (one codegen'd projection — the same chain the
-    // open-vocabulary path runs), which is identical by construction
-    // to the loop's final dictionary state when encode corpus = train
-    // corpus. Driver state is only the k merge pairs — no vocab-sized
-    // Row materialization on the driver (at web-scale vocabularies the
-    // broadcast build side can spill; a collect cannot), no cache
-    // outliving the call (the r11 localCheckpoint-lifetime lesson).
-    words.unpersist()
+    // the encoded vocabulary is REBUILT from the corpus's distinct
+    // words by folding the k learned merges (one codegen'd projection
+    // — the same chain the open-vocabulary path runs), which is
+    // identical by construction to the train loop's final dictionary
+    // state when encode corpus = train corpus. Driver state is only
+    // the k merge pairs (plus, below the cap, the train dictionary
+    // [[learnedMerges]] collects anyway).
+    val learned = learnedMerges(wordCounts(
+      Tables.load(s, dir, "documents").select(col("text"))), merges)
     val pairs = learned.map { case (_, l, r, _, _) => (l, r) }
     val docs = Tables.load(s, dir, "documents")
     val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
@@ -294,9 +412,8 @@ object Bpe {
   def bpeEncodeHeldOut(s: SparkSession, dir: String,
       merges: Int = 8, maxTokens: Int = 12): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
-    val (learned, trainWords) = trainLoop(withSyms(wordCounts(
-      docs.filter(col("doc_id") % 97 =!= 0).select(col("text")))), merges)
-    trainWords.unpersist()
+    val learned = learnedMerges(wordCounts(
+      docs.filter(col("doc_id") % 97 =!= 0).select(col("text"))), merges)
     val pairs = learned.map { case (_, l, r, _, _) => (l, r) }
     val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
     val encodedVocab = docs.select(explode(toks).as("word")).distinct()

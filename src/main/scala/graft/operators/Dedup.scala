@@ -166,30 +166,73 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Q-DEDUP (near): MinHash+LSH near-duplicate pairs, Jaccard ≥ 0.5. */
+  /** Q-DEDUP (near): MinHash+LSH near-duplicate pairs, Jaccard ≥ 0.5.
+    *
+    * The raw shingle relation feeds several subtrees (df-cap
+    * aggregate, anti-join input, signature aggregate, verify sets),
+    * but they all share the `distinct` Exchange at the shingle tail,
+    * which ReuseExchange collapses to one physical computation — an
+    * explicit persist was measured strictly slower at sf0.1 (cache
+    * write/read overhead, lost AQE boundary; OPTIMIZATION_r19.md).
+    * A candidate-doc semi-join on the verify sets was ALSO measured
+    * and rejected (2.5 → 3.8 s): it makes the LSH candidate subtree
+    * appear twice in the plan, and the extra band-join pass costs more
+    * than aggregating sets over every doc at any scale where the band
+    * join itself is the dominant term.
+    */
   def minhashNearDups(s: SparkSession, dir: String,
       threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
-    // no cache: the shingle table is recomputed by the two consumers
-    // (cheap after the token-materialization fix), which avoids pinning
-    // executor storage for the session lifetime on every invocation
     val sh = dfCapped(shingleHashes(docs(s, dir)), maxDf)
     val cands = lshCandidates(minhashSignatures(sh))
     verifyJaccard(cands, sh, threshold)
   }
 
+  /** Jaccard from pair-intersection COUNTS — the [[containmentDups]]
+    * shape shared by every pipeline whose candidate generation IS the
+    * shingle equi-join: shingle rows are distinct per doc, so the
+    * candidate join's per-pair group count equals |A ∩ B| exactly and
+    * no shingle SET ever materializes (`collect_set` +
+    * `array_intersect` replaced by two narrow count aggregates).
+    * Bit-identical to [[verifyJaccard]] over the same sh relation:
+    * same quotient, same [[graft.functions.Rounding.portableRound4]],
+    * same threshold filter and output ordering.
+    */
+  private def jaccardFromCounts(inter: DataFrame, sizes: DataFrame,
+      threshold: Double): DataFrame =
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sh_n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sh_n").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard",
+        graft.functions.Rounding.portableRound4(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
   /** n-gram Jaccard dedup without minhash: candidates = pairs sharing
     * ≥1 (df-capped) shingle, then exact Jaccard — the small-corpus /
     * high-precision variant of the same pipeline.
+    *
+    * Count-based verify (r19): the candidate join's group count IS the
+    * intersection size ([[jaccardFromCounts]]), so the old
+    * candidates-`distinct` + two set-joins + `array_intersect` tail
+    * collapses into one pair-keyed aggregate.
     */
   def ngramJaccardDups(s: SparkSession, dir: String,
       threshold: Double = 0.3, maxDf: Int = 50): DataFrame = {
+    // NO persist/checkpoint: the shingle subtree repeats in the plan
+    // (sizes + both candidate sides), but its tail is the `distinct`
+    // Exchange, and ReuseExchange collapses the identical subtrees to
+    // ONE physical computation — an explicit cache was measured SLOWER
+    // (3.0 s vs 1.7 s at sf0.1: InMemoryRelation write/read overhead
+    // plus a lost AQE boundary), see OPTIMIZATION_r19.md
     val sh = dfCapped(shingleHashes(docs(s, dir), k = 2), maxDf)
-    val a = sh.as("a"); val b = sh.as("b")
-    val cands = a.join(b,
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sh_n"))
+    val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    verifyJaccard(cands, sh, threshold)
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    jaccardFromCounts(inter, sizes, threshold)
   }
 
   /** Containment (overlap-coefficient) dedup: pairs where the SMALLER
@@ -375,16 +418,22 @@ object Dedup {
     * ([[connectedComponentsWarm]]: pairs only ever added). */
   private[graft] def batchDedupPairs(batchIds: DataFrame, batchSh: DataFrame,
       indexSh: DataFrame, threshold: Double, maxDf: Int): DataFrame = {
+    // count-based verify (r19): the batch-headed candidate join's
+    // per-pair group count IS the intersection size
+    // ([[jaccardFromCounts]]) — the old pair-`distinct`, candidate-doc
+    // semi-joins and `collect_set`/`array_intersect` tail collapse
+    // into one pair-keyed aggregate. No persist: the repeated shingle
+    // subtree shares one Exchange (ReuseExchange), and an explicit
+    // cache measured slower (OPTIMIZATION_r19.md).
     val sh = dfCapped(indexSh.unionByName(batchSh), maxDf)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sh_n"))
     // candidates: batch shingles against ALL lower-id postings
-    val cands = sh.join(batchIds, Seq("doc_id"), "left_semi").as("a")
+    val inter = sh.join(batchIds, Seq("doc_id"), "left_semi").as("a")
       .join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("b.doc_id") < col("a.doc_id"))
-      .select(col("b.doc_id").as("doc_a"), col("a.doc_id").as("doc_b"))
-      .distinct()
-    val candDocs = cands.select(col("doc_a").as("doc_id"))
-      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
-    verifyJaccard(cands, sh.join(candDocs, Seq("doc_id"), "left_semi"), threshold)
+      .groupBy(col("b.doc_id").as("doc_a"), col("a.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    jaccardFromCounts(inter, sizes, threshold)
   }
 
   /** The decision core shared by [[incrementalNgramDedup]] and the

@@ -91,8 +91,14 @@ object EntityResolution {
     val cand = nmb.as("x").join(nmb.as("y"),
         col("x.blk") === col("y.blk") &&
           abs(col("x.len") - col("y.len")) <= maxDist)
-      .withColumn("dist", levenshtein(col("x.name"), col("y.name")))
-      .filter(col("dist") <= maxDist)
+      // THRESHOLDED levenshtein (Spark 3.5+): the bounded form runs the
+      // banded DP — O(len·maxDist) cells with early abandon instead of
+      // O(len²) — and returns -1 past the bound. Kept pairs carry the
+      // exact distance, so results are bit-identical to the unbounded
+      // form + filter; only the rejected pairs (the overwhelming
+      // majority of band-join candidates) get cheaper.
+      .withColumn("dist", levenshtein(col("x.name"), col("y.name"), maxDist))
+      .filter(col("dist") =!= -1)
 
     // small blocks: expand name pairs back to ALL row pairs. The
     // symmetric candidate set + key_a < key_b filter yields each
@@ -253,8 +259,11 @@ object EntityResolution {
       full.unionByName(star)
     }
     cands("blk_last").unionByName(cands("blk_first")).distinct()
-      .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
-      .filter(col("edit_dist") <= maxDist)
+      // thresholded verify — same banded-DP/early-abandon move as
+      // [[fuzzyParts]]; kept rows carry the exact distance
+      .withColumn("edit_dist",
+        levenshtein(col("name_a"), col("name_b"), maxDist).cast("long"))
+      .filter(col("edit_dist") =!= -1)
       .orderBy(col("name_a"), col("name_b"))
   }
 

@@ -367,10 +367,19 @@ object TextQueries {
   def repeatedSpans(s: SparkSession, dir: String, l: Int = 8,
       minDf: Int = 2): DataFrame = {
     val d = normWords(s, dir)
+    // the l-gram is only ever a grouping/join KEY (the df ≥ minDf set
+    // has no tie-break or output surface, unlike [[boilerplate]]'s
+    // top-k), so it is reduced to a seeded 64-bit hash immediately —
+    // the [[Dedup.shingleHashes]] move: the df aggregate and the
+    // coverage join then shuffle 8-byte longs instead of rebuilt
+    // ~l-word strings (which also cost a concat_ws string copy per
+    // position to emit). Collision odds at 2^64 are negligible and
+    // affect only which spans count as repeated, exactly like the
+    // shingle pipeline.
     val grams = d.filter(size(col("ws")) >= l)
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(0), size(col("ws")) - l),
-        i => concat_ws(" ", slice(col("ws"), i + 1, lit(l)))))
+        i => xxhash64((0 until l).map(j => element_at(col("ws"), i + j + 1)): _*)))
         .as(Seq("p", "gram")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val covered = try {

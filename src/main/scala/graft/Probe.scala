@@ -90,6 +90,25 @@ object Probe {
       time("new nocache 2")(newNoCache())
       spark.stop(); return
     }
+    if (args.headOption.contains("ann_stages")) {
+      import graft.operators.{IvfIndex, Similarity}
+      val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+      // warm everything once
+      time("ann full cold")(
+        Similarity.annRecall(spark, dir).write.format("noop").mode("overwrite").save())
+      time("ann full warm")(
+        Similarity.annRecall(spark, dir).write.format("noop").mode("overwrite").save())
+      time("ensureIndex 1")(IvfIndex.ensureIndex(spark, dir))
+      time("ensureIndex k2")(IvfIndex.ensureIndex(spark, dir, kmeansIters = 2))
+      time("sq8 rerank")(
+        IvfIndex.knnSq8Rerank(spark, dir, 5).collect())
+      time("sq8 rerank 2")(
+        IvfIndex.knnSq8Rerank(spark, dir, 5).collect())
+      time("brute gt")(Similarity.bruteGroundTruth(spark, dir, 5))
+      time("ann full warm 2")(
+        Similarity.annRecall(spark, dir).write.format("noop").mode("overwrite").save())
+      spark.stop(); return
+    }
     if (args.headOption.contains("minhash_ab")) {
       // old (sets over all docs) vs new (candidate-restricted sets)
       import org.apache.spark.sql.functions._

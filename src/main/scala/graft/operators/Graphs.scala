@@ -140,8 +140,36 @@ object Graphs {
     * starting another run, unless you pass it as that run's warm seed
     * (seeds are pin-protected).
     */
-  def pageRank(s: SparkSession, dir: String, iters: Int = 5): DataFrame =
-    run(s, supplyEdges(s, dir), iters, None)
+  def pageRank(s: SparkSession, dir: String, iters: Int = 5): DataFrame = {
+    // size-gated driver cutover (see [[DriverEdgeCapKey]]): the gate
+    // reads the lineitem ROW COUNT — parquet footer metadata, no scan,
+    // and an upper bound on distinct co-supply pairs — so the decision
+    // costs no job and an over-cap corpus never pays a wasted probe
+    // (a limit-collect probe was measured and rejected: at sf0.1 the
+    // 1.17M-edge graph sat just past the cap and the probe's full
+    // distinct + 1M-row collect made the query 1.8× SLOWER)
+    val cap = s.conf.getOption(DriverEdgeCapKey).map(_.toLong)
+      .getOrElse(DriverEdgeCapDefault)
+    val lineRows = Tables.load(s, dir, "lineitem").count()
+    if (cap > 0 && 2 * lineRows <= cap) {
+      s.sparkContext.setLocalProperty("graft.pagerank.converged_at", null)
+      releaseResults()
+      // distinct over the raw KEY PAIR, tagged strings built on the
+      // driver: the "s"/"p"-prefix mapping is injective, so the pair
+      // sets are identical, and the shuffle + collect move 16-byte
+      // long pairs instead of ~30-byte tagged strings (guide §2.3,
+      // narrower types)
+      val pairRows = Tables.load(s, dir, "lineitem")
+        .select(col("l_suppkey").cast("long").as("sk"),
+          col("l_partkey").cast("long").as("pk"))
+        .distinct().collect()
+      val edges = pairRows.flatMap { r =>
+        val sn = "s" + r.getLong(0); val pn = "p" + r.getLong(1)
+        Seq((sn, pn), (pn, sn))
+      }
+      driverPageRank(s, edges, iters)
+    } else run(s, supplyEdges(s, dir), iters, None)
+  }
 
   /** WARM-START PageRank: same update, same graph-from-`dir`, but
     * iteration 0 is seeded from `start` (a previous run's
@@ -162,6 +190,67 @@ object Graphs {
   def pageRankWarm(s: SparkSession, dir: String, start: DataFrame,
       iters: Int = 50): DataFrame =
     run(s, supplyEdges(s, dir), iters, Some(start))
+
+  /** Edge count at/below which a COLD run executes the whole
+    * fixed-point loop on the driver — the [[Dedup.connectedComponents]]
+    * `driverEdgeCap` cutover applied to PageRank: the update is exact
+    * integer arithmetic (`r div deg`, `(85·s) div 100`, teleport), so
+    * the driver loop is bit-identical to the distributed one per
+    * iteration (spec-asserted), and below the cap one bounded collect
+    * (≤ cap/2 distinct pairs ≈ 70 MB at the default) replaces ~10
+    * scheduled jobs (edge/degree persists, per-chunk broadcast builds,
+    * checkpoint + fingerprint reads — ~0.3 s fixed cost apiece in
+    * local mode). Warm runs keep the distributed path (their seed is a
+    * checkpoint-backed frame the pin/release machinery owns).
+    * Conf-overridable; specs set it to 0 to force the distributed
+    * plan. */
+  private[graft] val DriverEdgeCapKey = "graft.pagerank.driverEdgeCap"
+  private val DriverEdgeCapDefault = 1L << 22
+
+  private def driverPageRank(s: SparkSession, edges: Array[(String, String)],
+      iters: Int): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    if (edges.isEmpty)
+      return Seq.empty[(String, Long)].toDF("node", "rank_fp")
+    // index the node universe (every node appears as a src — the edge
+    // list carries both orientations)
+    val idx = scala.collection.mutable.HashMap.empty[String, Int]
+    edges.foreach { case (a, _) => if (!idx.contains(a)) idx.update(a, idx.size) }
+    val n = idx.size
+    val srcIdx = edges.map(e => idx(e._1))
+    val dstIdx = edges.map(e => idx(e._2))
+    val deg = new Array[Long](n)
+    srcIdx.foreach(i => deg(i) += 1)
+    var r = Array.fill(n)(Unit / n)
+    val teleport = (15L * Unit) / (100L * n)
+    var executed = 0
+    var converged = false
+    while (executed < iters && !converged) {
+      val contrib = new Array[Long](n)
+      var i = 0
+      while (i < edges.length) {
+        // per-edge `r div deg` — positive longs, so Java / is the same
+        // floored division as Spark's `div`
+        contrib(dstIdx(i)) += r(srcIdx(i)) / deg(srcIdx(i))
+        i += 1
+      }
+      val r2 = Array.tabulate(n)(v => teleport + (85L * contrib(v)) / 100L)
+      converged = java.util.Arrays.equals(r, r2)
+      r = r2
+      executed += 1
+    }
+    if (converged)
+      s.sparkContext.setLocalProperty("graft.pagerank.converged_at",
+        executed.toString)
+    val names = new Array[String](n)
+    idx.foreach { case (name, i) => names(i) = name }
+    // the ORDER stays a Spark sort over the node-sized result so the
+    // output contract (rank desc, node asc string order) can never
+    // drift from the distributed path's
+    names.zip(r).toIndexedSeq.toDF("node", "rank_fp")
+      .orderBy(col("rank_fp").desc, col("node").asc)
+  }
 
   /** Core loop over an explicit edge list — `private[graft]` so specs
     * and probes can run perturbed/synthetic graphs directly. */

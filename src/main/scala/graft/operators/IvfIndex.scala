@@ -206,9 +206,31 @@ object IvfIndex {
     VectorFunctions.register(s)
     val sq8 = ensureSq8(s, path)
     val cells = Similarity.cellsOfArtifact(s, path)
-    val probes = Similarity.probeCells(q, cells, nprobe)
-    val probedIds = probes.select(col("cent_id")).distinct()
-      .collect().map(_.getLong(0)).sorted
+    // probe ranking on the DRIVER (the annRecall rankedProbes idiom):
+    // the query panel is bounded by contract and the centroid model is
+    // already driver state, so the per-query top-nprobe cells are
+    // queries × C dots of plain Scala — this replaces TWO jobs (the
+    // probeCells window + the probed-id distinct collect) with one
+    // bounded q.collect(). Same dot accumulation order as array_dot
+    // (ascending index) and the same (cos desc, cent_id asc) tie-break
+    // as probeCells, so the probe set is identical by construction.
+    val qRows = q.select(col("query_id"), col("q_emb"), col("q_nrm"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1).toIndexedSeq
+    def ddot(a: Seq[Double], b: Seq[Double]): Double = {
+      var t = 0.0; var i = 0
+      while (i < a.length) { t += a(i) * b(i); i += 1 }
+      t
+    }
+    val probeRows = qRows.flatMap { case (qid, qe, qn) =>
+      cells.ids.indices
+        .map(i => (cells.ids(i), ddot(qe, cells.embs(i)) / (qn * cells.nrms(i))))
+        .sortBy { case (cid, cos) => (-cos, cid) }
+        .take(nprobe).map { case (cid, _) => (qid, qe, qn, cid) }
+    }
+    val probedIds = probeRows.map(_._4).distinct.sorted
+    import s.implicits._
+    val probes = probeRows.toDF("query_id", "q_emb", "q_nrm", "cent_id")
     // stage 1: quantized scan of the probed cells (tombstones applied
     // here so a deleted vector can't burn a pool slot either)
     val pruned = s.read.parquet(s"$sq8/assigned_sq8")
@@ -220,21 +242,29 @@ object IvfIndex {
       .withColumn("acos", Similarity.sq8Cos(col("qemb"), col("scale"),
         col("nrm"), col("q_emb"), col("q_nrm")))
     val poolTopk = udaf(new graft.functions.TopKAggregator(rerank))
-    val pool = approx
+    // the pool is bounded driver state (≤ queries × rerank pairs) —
+    // collect it ONCE: the previous shape consumed the `pool` plan in
+    // two separate ACTIONS (the poolIds collect, then the final top-k
+    // job), and exchange reuse cannot span actions, so the whole
+    // stage-1 quantized scan + heap aggregate executed twice (measured
+    // ~2.5 s → ~1.4 s per warm call at sf0.1)
+    val poolRows = approx
       .groupBy(col("query_id"))
       .agg(poolTopk(col("acos"), col("vec_id")).as("top"))
       .select(col("query_id"), explode(col("top.id")).as("vec_id"))
-      .join(broadcast(q), Seq("query_id"))
-    // stage 2: exact re-score of the pool only — the pooled ids are
-    // bounded driver state (≤ queries × rerank), so they push down as
-    // partition prune + In filter before a full-precision byte is read
-    val poolIds = pool.select(col("vec_id")).distinct()
-      .collect().map(_.getLong(0)).sorted
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // stage 2: exact re-score of the pool only — the pooled ids push
+    // down as partition prune + In filter before a full-precision byte
+    // is read
+    val poolIds = poolRows.map(_._2).distinct.sorted
     // observable cost axis for the recall report: full-precision rows
     // the exact pass reads (the pooled distinct ids — everything else
     // is pruned/filtered before a full-precision byte moves)
     s.sparkContext.setLocalProperty("graft.ivf.sq8.fp_reads",
       poolIds.length.toString)
+    import s.implicits._
+    val pool = poolRows.toIndexedSeq.toDF("query_id", "vec_id")
+      .join(broadcast(q), Seq("query_id"))
     val exactRows = s.read.parquet(s"$path/assigned")
       .filter(col("cent_id").isin(probedIds: _*))
       .filter(col("vec_id").isin(poolIds: _*))

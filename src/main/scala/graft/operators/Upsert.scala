@@ -56,18 +56,25 @@ object Upsert {
     // re-evaluating the caller's whole change plan a second time
     val chB = bucketed(ch, key, buckets).localCheckpoint(true)
     try {
-      require(chB.groupBy(col(key)).count().filter(col("count") > 1).isEmpty,
+      // ONE aggregate job serves both the duplicate-key gate and the
+      // touched-bucket list (r19; they were two separate jobs): rows
+      // == distinct keys ⟺ no key repeats, and the touched set is a
+      // ≤`buckets`-element collect_set — one row to the driver
+      val row = chB.agg(count(lit(1)).as("n"),
+        count_distinct(col(key)).as("nk"),
+        collect_set(col("part_id")).as("parts")).head()
+      require(row.getLong(0) == row.getLong(1),
         s"changes must carry one row per $key (last-writer-wins must be resolved upstream)")
-      applyBucketed(spark, path, chB, key)
+      applyBucketed(spark, path, chB, key,
+        row.getSeq[Long](2).sorted)
     } finally chB.unpersist()
   }
 
   private def applyBucketed(spark: SparkSession, path: String,
-                            chB: DataFrame, key: String): Unit = {
-    val touched = chB.select(col("part_id")).distinct()
-      .collect().map(_.getLong(0)).sorted
+                            chB: DataFrame, key: String,
+                            touched: Seq[Long]): Unit = {
     val base = load(spark, path)
-      .filter(col("part_id").isin(touched.toIndexedSeq: _*))
+      .filter(col("part_id").isin(touched: _*))
 
     val kept = base.join(chB.select(col(key)), Seq(key), "left_anti")
     val upserts = chB.filter(col(OpCol) =!= "D").drop(OpCol)

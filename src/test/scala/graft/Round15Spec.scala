@@ -14,11 +14,26 @@ class Round15Spec extends SparkSpec {
     spark.sparkContext.getLocalProperty("graft.pagerank.converged_at"))
     .map(_.toInt)
 
+  /** Pin the DISTRIBUTED pagerank plan for lifecycle tests: the
+    * checkpoint-block assertions below are about the distributed
+    * loop's machinery, which the r19 driver cutover skips entirely on
+    * the tiny spec graphs. */
+  private def forceDistributed[T](body: => T): T = {
+    val key = graft.operators.Graphs.DriverEdgeCapKey
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key, "0")
+    try body finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   // --- checkpoint lifecycle: the r14 leak is closed -------------------
 
   test("pageRank frees every superseded checkpoint: after a run, only " +
     "the handed-off final's blocks remain; the next run frees those too") {
     import graft.operators.Graphs
+    forceDistributed {
     val r1 = Graphs.pageRank(spark, sf, iters = 7) // 5+2: it0 + 2 chunks + out
     r1.count()
     val ids1 = Graphs.lastRunCheckpointIds
@@ -43,6 +58,21 @@ class Round15Spec extends SparkSpec {
     assert(!spark.sparkContext.getPersistentRDDs.keySet
       .contains(Graphs.lastRunCheckpointIds.last),
       "releaseResults must free the last handoff")
+    }
+  }
+
+  test("pageRank driver cutover matches the distributed loop exactly " +
+    "(cold, 3 and 7 iterations)") {
+    import graft.operators.Graphs
+    val drv3 = Graphs.pageRank(spark, sf, iters = 3).collect().toSeq
+    val drv7 = Graphs.pageRank(spark, sf, iters = 7).collect().toSeq
+    val (dist3, dist7) = forceDistributed {
+      (Graphs.pageRank(spark, sf, iters = 3).collect().toSeq,
+        Graphs.pageRank(spark, sf, iters = 7).collect().toSeq)
+    }
+    assert(drv3 == dist3, "3-iteration driver/distributed ranks differ")
+    assert(drv7 == dist7, "7-iteration driver/distributed ranks differ")
+    Graphs.releaseResults()
   }
 
   // --- warm start: exact continuation on the REAL graph ---------------

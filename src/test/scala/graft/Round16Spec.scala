@@ -329,6 +329,12 @@ class Round16Spec extends SparkSpec {
       base <- Seq(0, 10); a <- 0 until 4; b <- (a + 1) until 4
     } yield (s"n${base + a}", s"n${base + b}"))
       .flatMap(e => Seq(e, e.swap)).toDF("src", "dst")
+    // pin the DISTRIBUTED plan: this test is about checkpoint-handoff
+    // machinery, which the r19 driver cutover skips on a cold run
+    val capKey = Graphs.DriverEdgeCapKey
+    val capBefore = spark.conf.getOption(capKey)
+    spark.conf.set(capKey, "0")
+    try {
     val r1 = Graphs.run(spark, edges, 2, None); r1.count()
     val r2 = Graphs.run(spark, edges, 2, Some(r1)); r2.count()
     // seed derived from BOTH previous outputs: its analyzed plan has two
@@ -340,5 +346,9 @@ class Round16Spec extends SparkSpec {
     val r3 = Graphs.run(spark, edges, 2, Some(seed))
     assert(r3.count() > 0, "seeded run over a two-leaf seed must execute")
     Graphs.releaseResults()
+    } finally capBefore match {
+      case Some(v) => spark.conf.set(capKey, v)
+      case None => spark.conf.unset(capKey)
+    }
   }
 }

@@ -90,6 +90,130 @@ object Probe {
       time("new nocache 2")(newNoCache())
       spark.stop(); return
     }
+    if (args.headOption.contains("entity_stages")) {
+      import org.apache.spark.sql.functions._
+      val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      val maxDist = 2
+      val parts = Tables.load(spark, dir, "part")
+        .select(col("p_partkey"), col("p_name"),
+          element_at(split(col("p_name"), " "), -1).as("blk"),
+          length(col("p_name")).as("len"))
+      val nm = parts.groupBy(col("blk"), col("p_name"), col("len"))
+        .agg(count(lit(1)).as("cnt"), min(col("p_partkey")).as("k1"))
+      time("nm agg")(noop(nm))
+      def candB() = nm.as("x").join(nm.as("y"),
+          col("x.blk") === col("y.blk") &&
+            abs(col("x.len") - col("y.len")) <= maxDist)
+        .withColumn("dist", levenshtein(col("x.name"), col("y.name"), maxDist))
+      val candBand = nm.as("x").join(nm.as("y"),
+          col("x.blk") === col("y.blk") &&
+            abs(col("x.len") - col("y.len")) <= maxDist)
+      time("band join only (count)")(println("band pairs: " + candBand.count()))
+      val banded = nm.select(col("p_name").as("name"), col("blk"), col("len"))
+        .as("x").join(nm.select(col("p_name").as("name"), col("blk"), col("len")).as("y"),
+          col("x.blk") === col("y.blk") &&
+            abs(col("x.len") - col("y.len")) <= maxDist)
+        .withColumn("dist", levenshtein(col("x.name"), col("y.name"), maxDist))
+        .filter(col("dist") =!= -1)
+      time("band + banded lev (count)")(println("lev pairs: " + banded.count()))
+      val unb = nm.select(col("p_name").as("name"), col("blk"), col("len"))
+        .as("x").join(nm.select(col("p_name").as("name"), col("blk"), col("len")).as("y"),
+          col("x.blk") === col("y.blk") &&
+            abs(col("x.len") - col("y.len")) <= maxDist)
+        .withColumn("dist", levenshtein(col("x.name"), col("y.name")))
+        .filter(col("dist") <= maxDist)
+      time("band + UNBOUNDED lev (count)")(println("lev pairs: " + unb.count()))
+      time("full fuzzyParts")(noop(
+        graft.operators.EntityResolution.fuzzyParts(spark, dir)))
+      time("full fuzzyParts 2")(noop(
+        graft.operators.EntityResolution.fuzzyParts(spark, dir)))
+      // branch decomposition of the full query
+      val maxBlock = 10000
+      val bdf = parts.groupBy(col("blk")).agg(count(lit(1)).as("bdf"))
+      val k2 = parts.join(nm.select(col("p_name"), col("k1")), Seq("p_name"))
+        .filter(col("p_partkey") > col("k1"))
+        .groupBy(col("p_name")).agg(min(col("p_partkey")).as("k2"))
+      val nmb = nm.join(broadcast(bdf), Seq("blk"))
+        .join(k2, Seq("p_name"), "left")
+        .withColumn("big", col("bdf") > maxBlock)
+        .select(col("blk"), col("p_name").as("name"), col("len"),
+          col("cnt"), col("k1"), col("k2"), col("big"))
+      time("nmb (count)")(println("nmb: " + nmb.count()))
+      val cand = nmb.as("x").join(nmb.as("y"),
+          col("x.blk") === col("y.blk") &&
+            abs(col("x.len") - col("y.len")) <= maxDist)
+        .withColumn("dist", levenshtein(col("x.name"), col("y.name"), maxDist))
+        .filter(col("dist") =!= -1)
+      val symSmall = cand.filter(!col("x.big"))
+        .select(col("x.name").as("name_a"), col("y.name").as("name_b"),
+          col("dist"))
+      time("symSmall (count)")(println("symSmall: " + symSmall.count()))
+      val fan = parts
+        .join(broadcast(symSmall), col("p_name") === col("name_a"))
+        .select(col("p_partkey").as("key_a"), col("name_a"),
+          col("name_b"), col("dist"),
+          explode(sequence(lit(0), lit(7))).as("salt"))
+      time("fan (count)")(println("fan: " + fan.count()))
+      val bSide = parts
+        .select(col("p_name").as("name_b"), col("p_partkey").as("key_b"),
+          pmod(hash(col("p_partkey")), lit(8)).as("salt"))
+      val small = fan.join(bSide, Seq("name_b", "salt"))
+        .filter(col("key_a") < col("key_b"))
+        .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"),
+          col("dist").cast("long").as("edit_dist"))
+      time("small branch (count)")(println("small: " + small.count()))
+      time("small branch noop")(noop(small))
+      time("small + orderBy noop")(noop(small.orderBy(col("key_a"), col("key_b"))))
+      spark.stop(); return
+    }
+    if (args.headOption.contains("curation_stages")) {
+      import org.apache.spark.sql.functions._
+      import graft.functions.TextAnalysis
+      val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      val d = Tables.load(spark, dir, "documents")
+      val sig = d.select(
+        col("doc_id"), col("text"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        TextAnalysis.langPredict(col("text")).as("pred_lang"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      time("sig projection")(noop(sig.drop("text")))
+      time("sig projection 2")(noop(sig.drop("text")))
+      val canon = sig.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("grp_n"))
+      time("canon agg")(noop(canon))
+      time("hotKeyJoin")(noop(
+        graft.operators.Skew.hotKeyJoin(sig, canon, "fp", saltSource = col("doc_id"))
+          .select(col("doc_id"), col("canonical_id"))))
+      time("full decisions")(noop(graft.operators.Curation.decisions(spark, dir)))
+      time("full decisions 2")(noop(graft.operators.Curation.decisions(spark, dir)))
+      spark.stop(); return
+    }
+    if (args.headOption.contains("emb_stages")) {
+      import org.apache.spark.sql.functions._
+      import graft.operators.{Dedup, Similarity}
+      val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      val threshold = 0.4
+      time("full embeddingNearDups")(noop(Dedup.embeddingNearDups(spark, dir, threshold)))
+      time("full embeddingNearDups 2")(noop(Dedup.embeddingNearDups(spark, dir, threshold)))
+      val e = Similarity.emb(spark, dir).filter(col("nrm") > 0)
+      time("seeds+kmeans1")(Similarity.collectCells(
+        Similarity.kmeansCentroids(e, Similarity.cellSeeds(e), 1)))
+      val thetaT = math.acos(threshold)
+      time("coverageCentroids r3")(Similarity.collectCells(
+        Similarity.coverageCentroids(e, Similarity.cellSeeds(e),
+          maxAngle = thetaT / 2, rounds = 3)))
+      val p = Dedup.cellPrune(Similarity.emb(spark, dir), threshold)
+      time("verify only")(noop(Dedup.verifyCellPairs(p.assigned, p.keep, threshold)))
+      time("verify only 2")(noop(Dedup.verifyCellPairs(p.assigned, p.keep, threshold)))
+      spark.stop(); return
+    }
     if (args.headOption.contains("ann_stages")) {
       import graft.operators.{IvfIndex, Similarity}
       val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"

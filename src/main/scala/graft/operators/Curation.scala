@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -30,12 +30,41 @@ object Curation {
       minTokens: Int, maxTokens: Int, maxPunct: Double,
       langs: Seq[String]): DataFrame = {
     val d = Tables.load(s, dir, "documents")
-    val sig = d.select(
-      col("doc_id"), col("text"),
-      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
-      TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
-      TextAnalysis.langPredict(col("text")).as("pred_lang"),
-      TextAnalysis.fingerprint(col("text")).as("fp"))
+    // tokenize ONCE per row (r19): the naive per-signal expressions run
+    // `split` 5× (token count + one per language score) and a
+    // whitespace-collapsing regexp_replace for the fingerprint — all
+    // over the same text, and materializing the lowered token array in
+    // its OWN projection (the shingleHashes lesson: no CSE across
+    // lambda boundaries) halves the per-scan cost (probe: 1.25 →
+    // ~0.6 s/scan at sf0.1). Signal equivalences, each exact:
+    //  - token count: lowercasing never creates/destroys whitespace;
+    //  - lang scores: a raw token matches a marker iff its lowering
+    //    does — markers are lowercase words;
+    //  - fingerprint: trim(regexp_replace(lower(text), "\s+", " ")) ==
+    //    concat_ws(" ", non-empty split(lower(text), "\s+")) — both
+    //    collapse runs and drop leading/trailing whitespace.
+    // The fp equality is additionally spec-pinned (Round19OptSpec) so
+    // the canonical-id groups can never drift from
+    // [[TextAnalysis.fingerprint]]'s definition elsewhere.
+    def score(toks: Column, lang: String): Column =
+      size(filter(toks, t => t.isInCollection(TextAnalysis.langMarkers(lang))))
+    val sig = d
+      .select(col("doc_id"), col("text"),
+        filter(split(lower(col("text")), "\\s+"), t => length(t) > 0).as("tl"))
+      .select(
+        col("doc_id"), col("text"),
+        size(col("tl")).cast("long").as("n_tokens"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        {
+          val en = score(col("tl"), "en"); val de = score(col("tl"), "de")
+          val es = score(col("tl"), "es"); val fr = score(col("tl"), "fr")
+          when(greatest(en, de, es, fr) === 0, lit("und"))
+            .when(en >= de && en >= es && en >= fr, lit("en"))
+            .when(de >= es && de >= fr, lit("de"))
+            .when(es >= fr, lit("es"))
+            .otherwise(lit("fr")).as("pred_lang")
+        },
+        md5(concat_ws(" ", col("tl"))).as("fp"))
     // canonical id via aggregate + equi-join rather than min-over-
     // Window.partitionBy(fp): a degenerate fingerprint group (empty or
     // boilerplate docs, which a 100 TB corpus has in the millions)

@@ -630,6 +630,154 @@ object Dedup {
       s.read.parquet(s"$path/assigned"), s.read.parquet(s"$path/keep"), threshold)
   }
 
+  /** Row count at/below which [[cellPrune]] trains its grid on the
+    * DRIVER — the connected-components/BPE/pagerank size-gated cutover
+    * applied to the near-dup index build: the centroid training is a
+    * chain of ~8 SEQUENTIAL driver actions (seed collect, Lloyd
+    * collect per iteration, per-round coverage collects, the radius
+    * aggregate), each a fixed-cost scheduled job over a corpus the
+    * driver could hold outright (2⁰⁴ rows × 64 dims ≈ 34 MB). Below
+    * the cap everything up to the verify join runs as plain Scala and
+    * the ASSIGNMENT ITSELF is emitted as a local relation, so the
+    * radii provably cover exactly the assignment the verify uses (no
+    * cross-engine FP coupling anywhere). EXACTNESS never depends on
+    * this path: the triangle bound holds for any centroid set, and the
+    * verify is exact cosine — the driver grid only changes candidate
+    * volume. The gate probe is a one-column count, never a collect.
+    * Conf-overridable; 0 disables (specs can pin the distributed
+    * plan). */
+  private[graft] val CellPruneDriverRowCapKey = "graft.cellprune.driverRowCap"
+  private val CellPruneDriverRowCapDefault = 1L << 16
+
+  /** Driver replica of seeds → Lloyd → coverage reseeding → radii →
+    * triangle-pruned cell pairs ([[Similarity.cellSeeds]] /
+    * [[Similarity.kmeansCentroids]] / [[Similarity.coverageCentroids]]
+    * semantics; FP sums accumulate in row order rather than partition
+    * order, which can move a centroid by an ulp — a cost-only
+    * divergence, see the cap doc). */
+  private def driverCellPrune(s: SparkSession,
+      rows: Array[(Long, Seq[Double], Double)], threshold: Double,
+      rounds: Int, maxCells: Int = 4096, batch: Int = 1024,
+      perCell: Int = 4): CellPrune = {
+    import s.implicits._
+    val thetaT = math.acos(math.max(-1.0, math.min(1.0, threshold)))
+    val maxAngle = thetaT / 2
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var t = 0.0; var i = 0
+      while (i < a.length) { t += a(i) * b(i); i += 1 }
+      t
+    }
+    def ang(a: Seq[Double], na: Double, b: Seq[Double], nb: Double): Double =
+      math.acos(math.max(-1.0, math.min(1.0, dot(a, b) / (na * nb))))
+    // (cent_id, emb, nrm), kept cent_id-ascending like collectCells
+    type Cent = (Long, Seq[Double], Double)
+    def assignTo(cents: IndexedSeq[Cent]): Array[Int] =
+      rows.map { case (_, em, _) =>
+        var best = Double.NegativeInfinity; var bi = 0; var i = 0
+        while (i < cents.size) {
+          val sc = dot(em, cents(i)._2) / cents(i)._3
+          if (sc > best) { best = sc; bi = i }
+          i += 1
+        }
+        bi
+      }
+    // one Lloyd recenter: member-mean per cell, empty cells dropped
+    // (lloydUpdate's groupBy semantics), order restored by cent_id
+    def lloyd1(cents: IndexedSeq[Cent]): IndexedSeq[Cent] = {
+      if (cents.isEmpty) return cents
+      val asg = assignTo(cents)
+      val dims = rows.head._2.size
+      val sums = Array.fill(cents.size)(new Array[Double](dims))
+      val cnts = new Array[Long](cents.size)
+      var i = 0
+      while (i < rows.length) {
+        val c = asg(i); val em = rows(i)._2
+        var d = 0
+        while (d < dims) { sums(c)(d) += em(d); d += 1 }
+        cnts(c) += 1
+        i += 1
+      }
+      cents.indices.filter(cnts(_) > 0).map { c =>
+        val m = sums(c).map(_ / cnts(c)).toSeq
+        (cents(c)._1, m, math.sqrt(dot(m, m)))
+      }.sortBy(_._1).toIndexedSeq
+    }
+    // seeds: pmod(xxhash64(vec_id), stride) == 0 — the exact engine
+    // hash (XXH64 seed 42), so seed selection matches the distributed
+    // path bit-for-bit
+    val n = rows.length
+    val c0 = math.max(1L, math.min(maxCells.toLong,
+      math.ceil(math.sqrt(n.toDouble)).toLong))
+    val stride = math.max(1L, math.round(n.toDouble / c0.toDouble))
+    val seeds = rows.filter(r => Math.floorMod(
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(r._1, 42L),
+      stride) == 0L).map(r => (r._1, r._2, r._3)).sortBy(_._1).toIndexedSeq
+    var cents = lloyd1(seeds)
+    // coverage reseeding (coverageCentroids replica)
+    var budgetLeft = cents.nonEmpty
+    var cap = -1
+    var round = 0
+    while (round < rounds && budgetLeft) {
+      if (cap < 0) cap = math.min(maxCells, 4 * math.max(1, cents.size))
+      if (cents.size >= cap) budgetLeft = false
+      else {
+        val have = cents.map(_._1).toSet
+        val asg = assignTo(cents)
+        val angs = rows.indices.map(i => ang(rows(i)._2, rows(i)._3,
+          cents(asg(i))._2, cents(asg(i))._3))
+        if (round == 0) {
+          val sorted = angs.sorted
+          val q25 = sorted((sorted.size * 0.25).toInt.min(sorted.size - 1))
+          if (q25 > maxAngle) { budgetLeft = false; round = rounds }
+        }
+        if (budgetLeft && round < rounds) {
+          val cand = rows.indices
+            .filter(i => angs(i) > maxAngle && !have.contains(rows(i)._1))
+            .groupBy(asg(_)).values.flatMap(_.toSeq
+              .sortBy(i => (-angs(i), rows(i)._1)).take(perCell))
+            .toSeq.sortBy(i => (-angs(i), rows(i)._1))
+            .take(math.min(batch, cap - cents.size))
+          if (cand.isEmpty) budgetLeft = false
+          else {
+            val accepted = scala.collection.mutable.ArrayBuffer.empty[Cent]
+            cand.foreach { i =>
+              val (id, em, nr) = rows(i)
+              if (accepted.forall { case (_, e2, n2) => ang(em, nr, e2, n2) > maxAngle })
+                accepted += ((id, em, nr))
+            }
+            cents = lloyd1((cents ++ accepted).sortBy(_._1).toIndexedSeq)
+          }
+        }
+      }
+      round += 1
+    }
+    if (cents.isEmpty) {
+      // degenerate (no seeds survived): schema-correct empty prune
+      return CellPrune(
+        Seq.empty[(Long, Seq[Double], Double, Long)]
+          .toDF("vec_id", "emb", "nrm", "cent_id"),
+        Seq.empty[(Long, Long)].toDF("ca_id", "partner_cell"), 0)
+    }
+    // final assignment + per-cell radii over THAT assignment (the
+    // invariant the exactness proof needs: radii cover the emitted
+    // assignment, not a recomputed one)
+    val asg = assignTo(cents)
+    val radii = new Array[Double](cents.size)
+    rows.indices.foreach { i =>
+      val a = ang(rows(i)._2, rows(i)._3, cents(asg(i))._2, cents(asg(i))._3)
+      if (a > radii(asg(i))) radii(asg(i)) = a
+    }
+    val keep = for {
+      i <- cents.indices; j <- cents.indices
+      if ang(cents(i)._2, cents(i)._3, cents(j)._2, cents(j)._3) -
+        radii(i) - radii(j) <= thetaT + 1e-9
+    } yield (cents(i)._1, cents(j)._1)
+    val assigned = rows.indices
+      .map(i => (rows(i)._1, rows(i)._2, rows(i)._3, cents(asg(i))._1))
+      .toDF("vec_id", "emb", "nrm", "cent_id")
+    CellPrune(assigned, keep.toDF("ca_id", "partner_cell"), cents.size)
+  }
+
   private[graft] def cellPrune(corpus: DataFrame, threshold: Double,
       kmeansIters: Int = 3): CellPrune = {
     import graft.functions.VectorFunctions.arrayDot
@@ -639,6 +787,16 @@ object Dedup {
     // dropping them up front keeps NaN out of the radius aggregates,
     // where one poisoned max would silently prune live cell pairs
     val e = corpus.filter(col("nrm") > 0)
+    // driver cutover (see [[CellPruneDriverRowCapKey]]); the gate is a
+    // one-column count, and the collect below is bounded by the cap
+    val s = corpus.sparkSession
+    val rowCap = s.conf.getOption(CellPruneDriverRowCapKey).map(_.toLong)
+      .getOrElse(CellPruneDriverRowCapDefault)
+    if (rowCap > 0 && e.count() <= rowCap) {
+      val rows = e.select(col("vec_id").cast("long"), col("emb"), col("nrm"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      return driverCellPrune(s, rows, threshold, rounds = kmeansIters)
+    }
     // hash-selected seeds (id-distribution-robust) + COVERAGE
     // reseeding + Lloyd: random seeds alone under-cover clustered
     // corpora (coupon collector: ~C draws over k clusters leave

@@ -256,12 +256,26 @@ object Takedown {
     val vic = graft.Tables.load(s, dir, "documents")
       .filter(pmod(col("doc_id"), lit(7)) === 3)
       .select(col("doc_id").as("media_id"))
-    verifyErased(s, MediaGroups, s"$root/groups", vic)
-      .withColumn("store", lit("groups"))
-      .unionByName(verifyErased(s, TextIndex, s"$root/index", vic)
-        .withColumn("store", lit("text")))
-      .select(col("store"), col("component"),
-        col("logical_rows"), col("physical_rows"))
+    // the two store audits are independent chains of small count jobs
+    // (fixed scheduling cost, not compute) — overlap them on a
+    // 2-thread pool, the annRecall §2.6 move; rows are unioned
+    // deterministically afterward so the output is order-identical
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val (groups, text) = try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val fG = Future(verifyErased(s, MediaGroups, s"$root/groups", vic)
+        .withColumn("store", lit("groups")).collect().toSeq)
+      val fT = Future(verifyErased(s, TextIndex, s"$root/index", vic)
+        .withColumn("store", lit("text")).collect().toSeq)
+      (Await.result(fG, Duration.Inf), Await.result(fT, Duration.Inf))
+    } finally pool.shutdown()
+    import s.implicits._
+    (groups ++ text)
+      .map(r => (r.getString(3), r.getString(0), r.getLong(1), r.getLong(2)))
+      .toDF("store", "component", "logical_rows", "physical_rows")
       .orderBy(col("store"), col("component"))
   }
 

@@ -124,6 +124,58 @@ class Round19OptSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("curation: tokenized-once fingerprint == TextAnalysis.fingerprint " +
+    "and decisions match the per-signal expressions (sf0.001)") {
+    import graft.functions.TextAnalysis
+    val d = Tables.load(spark, sf, "documents")
+    // fp equivalence: split/join form vs regex-collapse form
+    val bad = d.select(
+        md5(concat_ws(" ",
+          filter(split(lower(col("text")), "\\s+"), t => length(t) > 0))).as("a"),
+        TextAnalysis.fingerprint(col("text")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(bad == 0L, s"$bad fingerprint mismatches")
+    // full-row equivalence against the r18 per-signal shape
+    val got = graft.operators.Curation.decisions(spark, sf).collect().map(_.toSeq).toSeq
+    val sig = d.select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+      TextAnalysis.langPredict(col("text")).as("pred_lang"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+    val canon = sig.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("grp_n"))
+    val want = graft.operators.Skew.hotKeyJoin(sig, canon, "fp",
+        saltSource = col("doc_id"))
+      .withColumn("fail_quality",
+        (col("n_tokens") < 20 || col("n_tokens") > 100000 ||
+          col("punct_ratio") > 0.2).cast("long"))
+      .withColumn("fail_lang", (!col("pred_lang").isInCollection(Seq("en"))).cast("long"))
+      .withColumn("fail_dup", (col("doc_id") =!= col("canonical_id")).cast("long"))
+      .withColumn("keep",
+        (col("fail_quality") === 0 && col("fail_lang") === 0 && col("fail_dup") === 0)
+          .cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("punct_ratio"),
+        col("pred_lang"), col("canonical_id"),
+        col("fail_quality"), col("fail_lang"), col("fail_dup"), col("keep"))
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    assert(got == want)
+  }
+
+  test("embedding near-dup: driver cellPrune == distributed cellPrune output " +
+    "(both exact), driver grid radii cover its own assignment") {
+    val key = Dedup.CellPruneDriverRowCapKey
+    val drv = Dedup.embeddingNearDups(spark, sf, 0.4).collect().toSeq
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key, "0")
+    val dist = try Dedup.embeddingNearDups(spark, sf, 0.4).collect().toSeq
+      finally before match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    assert(drv == dist, "driver and distributed prune must agree (both exact)")
+  }
+
   test("entity match: thresholded levenshtein == unbounded verify (sf0.001)") {
     val got = EntityResolution.fuzzyParts(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getLong(4)))

@@ -256,6 +256,79 @@ object Probe {
         noop(Dedup.minhashNearDups(spark, dir))))
       spark.stop(); return
     }
+    if (args.headOption.contains("boiler_stages")) {
+      // stage decomposition of the boilerplate pair: tokenize pass,
+      // gram df top-k, probe pass, full queries
+      import org.apache.spark.sql.functions._
+      import graft.operators.{InvertedIndex, TextQueries}
+      val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      val d = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          filter(
+            transform(split(col("text"), "\\s+"), t => InvertedIndex.normalizeToken(t)),
+            w => length(w) > 0).as("ws"))
+      time("normWords scan")(noop(d))
+      time("normWords scan 2")(noop(d))
+      def grams = d.filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0), size(col("ws")) - 2),
+          i => concat_ws(" ", element_at(col("ws"), i + 1), element_at(col("ws"), i + 2))))
+          .as(Seq("p", "gram")))
+      time("grams noop")(noop(grams))
+      time("gram df top-50 (collect)")(println("top head: " + grams
+        .groupBy(col("gram")).agg(countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("df").desc, col("gram").asc)
+        .limit(50).select(col("gram")).collect().length))
+      time("full boilerplate")(noop(TextQueries.boilerplate(spark, dir)))
+      time("full boilerplate 2")(noop(TextQueries.boilerplate(spark, dir)))
+      time("full strip")(noop(TextQueries.boilerplateStrip(spark, dir)))
+      time("full strip 2")(noop(TextQueries.boilerplateStrip(spark, dir)))
+      spark.stop(); return
+    }
+    if (args.headOption.contains("minhash_cnt")) {
+      // set-based verify (collect_set + array_intersect, the shipped
+      // shape) vs count-based verify that attaches shingles THROUGH the
+      // candidate pairs — cands referenced once, no set arrays, no
+      // ObjectHashAggregate. Times both, then diffs outputs.
+      import org.apache.spark.sql.functions._
+      import graft.operators.Dedup
+      val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      val d = Tables.load(spark, dir, "documents")
+      def capped() = {
+        val sh = Dedup.shingleHashes(d)
+        val hot = sh.groupBy(col("sh")).count().filter(col("count") > 1000).select(col("sh"))
+        sh.join(broadcast(hot), Seq("sh"), "left_anti")
+      }
+      def cntShape() = {
+        val sh = capped()
+        val cands = Dedup.lshCandidates(Dedup.minhashSignatures(sh))
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sh_n"))
+        val inter = cands
+          .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+          .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+        inter
+          .join(sizes.select(col("doc_id").as("doc_a"), col("sh_n").as("na")), Seq("doc_a"))
+          .join(sizes.select(col("doc_id").as("doc_b"), col("sh_n").as("nb")), Seq("doc_b"))
+          .withColumn("jaccard",
+            graft.functions.Rounding.portableRound4(col("inter").cast("double") /
+              (col("na") + col("nb") - col("inter")).cast("double")))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("doc_a"), col("doc_b"), col("jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      }
+      (1 to 3).foreach(i => time(s"set-based $i")(
+        noop(Dedup.minhashNearDups(spark, dir))))
+      (1 to 3).foreach(i => time(s"count-based $i")(noop(cntShape())))
+      val a = Dedup.minhashNearDups(spark, dir).collect().map(_.toSeq).toSeq
+      val b = cntShape().collect().map(_.toSeq).toSeq
+      println(s"[probe] outputs equal: ${a == b} (${a.size} rows)")
+      spark.stop(); return
+    }
     if (args.headOption.contains("minhash")) {
       val dir = "/root/testdata/sf0.1"
       def noop(df: org.apache.spark.sql.DataFrame): Unit =

@@ -100,44 +100,80 @@ object EntityResolution {
       .withColumn("dist", levenshtein(col("x.name"), col("y.name"), maxDist))
       .filter(col("dist") =!= -1)
 
+    // Every name string the output can carry is a side of some matched
+    // candidate pair (small-branch names come from symSmall ⊆ cand;
+    // big-branch self pairs (name, name, dist 0) are cand rows too), so
+    // the matched pairs collect ONCE into a driver dictionary — the
+    // same bounded-by-matched-vocabulary contract that let symSmall
+    // broadcast before. Names then travel the expansion joins AND the
+    // row-pair global sort as small ints (guide §2.3: the 5.5M-row
+    // output sort carried two ~35-byte strings per row for ≤ vocab
+    // distinct values — measured 3.0 s of the 4.7 s small-branch wall;
+    // dictionary-sorted it is a narrow 4-int sort) and the strings
+    // re-attach AFTER the sort as a literal-array projection, which
+    // preserves the sink ordering (no exchange, no join).
+    val candRows = cand
+      .select(col("x.name"), col("y.name"), col("dist"), col("x.big"))
+      .collect()
+    val names = candRows.iterator
+      .flatMap(r => Iterator(r.getString(0), r.getString(1)))
+      .toArray.distinct.sorted
+    val idOf = names.iterator.zipWithIndex
+      .map { case (n, i) => n -> (i + 1) }.toMap
+    val namesLit = typedlit(names.toSeq)
+    val idLit = typedlit(idOf)
+
     // small blocks: expand name pairs back to ALL row pairs. The
     // symmetric candidate set + key_a < key_b filter yields each
     // unordered row pair exactly once, named from the smaller key's
     // side — bit-identical to the unblocked row-level definition.
-    val symSmall = cand.filter(!col("x.big"))
-      .select(col("x.name").as("name_a"), col("y.name").as("name_b"),
-        col("dist"))
+    import s.implicits._
+    val symSmall = candRows.iterator.filter(!_.getBoolean(3))
+      .map(r => (r.getString(0), idOf(r.getString(0)),
+        idOf(r.getString(1)), r.getInt(2)))
+      .toSeq.toDF("name_a", "na_id", "nb_id", "dist")
     val fan = parts
       .join(broadcast(symSmall), col("p_name") === col("name_a"))
-      .select(col("p_partkey").as("key_a"), col("name_a"),
-        col("name_b"), col("dist"),
+      .select(col("p_partkey").as("key_a"), col("na_id"),
+        col("nb_id"), col("dist"),
         explode(sequence(lit(0), lit(Salt - 1))).as("salt"))
+    // b side maps its name to the dictionary id up front (try_element_at:
+    // unmatched names — almost all rows — become null and drop here,
+    // which is exactly the old join's non-match case) so the shuffle
+    // ships three ints per row instead of the name string
     val bSide = parts
-      .select(col("p_name").as("name_b"), col("p_partkey").as("key_b"),
+      .select(try_element_at(idLit, col("p_name")).as("nb_id"),
+        col("p_partkey").as("key_b"),
         pmod(hash(col("p_partkey")), lit(Salt)).as("salt"))
-    val small = fan.join(bSide, Seq("name_b", "salt"))
+      .filter(col("nb_id").isNotNull)
+    val small = fan.join(bSide, Seq("nb_id", "salt"))
       .filter(col("key_a") < col("key_b"))
-      .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"),
+      .select(col("key_a"), col("key_b"), col("na_id"), col("nb_id"),
         col("dist").cast("long").as("edit_dist"))
 
     // big blocks: one representative pair per matched name pair
     val bigSame = nmb.filter(col("big") && col("cnt") >= 2)
       .select(col("k1").as("key_a"), col("k2").as("key_b"),
-        col("name").as("name_a"), col("name").as("name_b"),
+        try_element_at(idLit, col("name")).as("na_id"),
+        try_element_at(idLit, col("name")).as("nb_id"),
         lit(0L).as("edit_dist"))
     val bigCross = cand
       .filter(col("x.big") && col("x.name") < col("y.name"))
       .select(
         least(col("x.k1"), col("y.k1")).as("key_a"),
         greatest(col("x.k1"), col("y.k1")).as("key_b"),
-        when(col("x.k1") < col("y.k1"), col("x.name"))
-          .otherwise(col("y.name")).as("name_a"),
-        when(col("x.k1") < col("y.k1"), col("y.name"))
-          .otherwise(col("x.name")).as("name_b"),
+        try_element_at(idLit, when(col("x.k1") < col("y.k1"), col("x.name"))
+          .otherwise(col("y.name"))).as("na_id"),
+        try_element_at(idLit, when(col("x.k1") < col("y.k1"), col("y.name"))
+          .otherwise(col("x.name"))).as("nb_id"),
         col("dist").cast("long").as("edit_dist"))
 
     small.unionByName(bigSame).unionByName(bigCross)
       .orderBy(col("key_a"), col("key_b"))
+      .select(col("key_a"), col("key_b"),
+        element_at(namesLit, col("na_id")).as("name_a"),
+        element_at(namesLit, col("nb_id")).as("name_b"),
+        col("edit_dist"))
   }
 
   /** DuckDB restatement — same block key, band filter, cap semantics
